@@ -1,0 +1,46 @@
+"""Raw parquet readers for the driver testdata (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under a scale-factor dir.
+
+Scale note: ``spark.read.parquet`` gives splittable columnar scans with
+predicate pushdown + column pruning for free; at 100 TB these would be
+directories of many files (possibly hive-partitioned — see
+plans/layout.py for the partitioned-write helpers), and the same reader
+works unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_raw(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register each raw table as a temp view (for the Spark-SQL query path)."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)

@@ -1,0 +1,103 @@
+"""Shared fixtures: one SparkSession per test run, a DuckDB oracle
+connection with the raw testdata registered as views (same contract as
+the driver's correctness gate), and a strict result-comparison helper.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.session import get_spark
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import TABLES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="ecdw-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell value to a hashable, engine-independent token."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NaN"
+        # exact doubles: repr round-trips; -0.0 vs 0.0 normalized
+        return repr(v + 0.0)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    try:
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return str(int(v))
+        if isinstance(v, np.floating):
+            return _norm(float(v))
+        if isinstance(v, np.bool_):
+            return str(bool(v))
+        if isinstance(v, np.datetime64):
+            return _norm(v.astype("datetime64[us]").item())
+    except ImportError:
+        pass
+    return str(v)
+
+
+def rows_to_multiset(cols, rows):
+    """Column-name-sorted, order-insensitive canonical form of a result."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def assert_matches_oracle(spark_df, oracle_con, sql, name=""):
+    sp_cols = spark_df.columns
+    sp_rows = [tuple(r) for r in spark_df.collect()]
+    res = oracle_con.execute(sql)
+    du_cols = [d[0] for d in res.description]
+    du_rows = res.fetchall()
+
+    assert sorted(sp_cols) == sorted(du_cols), (
+        f"{name}: column mismatch spark={sorted(sp_cols)} oracle={sorted(du_cols)}"
+    )
+    assert len(sp_rows) == len(du_rows), (
+        f"{name}: row count mismatch spark={len(sp_rows)} oracle={len(du_rows)}"
+    )
+    sp_set = rows_to_multiset(sp_cols, sp_rows)
+    du_set = rows_to_multiset(du_cols, du_rows)
+    if sp_set != du_set:
+        diff_sp = [r for r in sp_set if r not in du_set][:5]
+        diff_du = [r for r in du_set if r not in sp_set][:5]
+        raise AssertionError(
+            f"{name}: value mismatch.\n  spark-only (≤5): {diff_sp}\n  oracle-only (≤5): {diff_du}"
+        )
