@@ -1,1 +1,340 @@
-"""Placeholder — populated incrementally."""
+"""MOLAP pre-aggregation queries 1-7 (Iteration 2/Group No.6_MOLAP.sql).
+
+The reference materializes summary tables (molap_month_country,
+molap_month_product, molap_customer_month) and queries them. Here the
+*builders* are registered as queries returning the summary contents
+(CTAS semantics, SURVEY S2); the gold-table materialization/refresh path
+(write parquet + reread — the reference's "MOLAP cube" and the
+Iteration-3 materialized view) lives in plans/layout.py.
+
+Scale shape: one wide hash aggregation per cube — partial aggregation
+map-side, a single shuffle on the grouping keys. The month helper
+dimension (date_month, MOLAP.sql:11-13) is a temp view in the Spark path
+to mirror the reference's TEMP TABLE (SURVEY S6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.star import StarSchema, with_star
+from ._helpers import (
+    int_sum,
+    iso_date,
+    money_sum,
+    month_str,
+    o_int_sum,
+    o_money_sum,
+)
+from .catalog import register
+
+
+def _month_dates(s: StarSchema) -> DataFrame:
+    """date_month helper (MOLAP.sql:11-13) as a temp view (S6)."""
+    dm = s.dim_date.select("date_key", F.trunc("full_date", "month").alias("month"))
+    dm.createOrReplaceTempView("date_month")
+    return dm
+
+
+_O_MONTH_CTE = """
+, date_month AS (
+    SELECT date_key, date_trunc('month', full_date)::DATE AS month FROM dim_date
+)
+"""
+
+
+@register(
+    "molap_month_country",
+    oracle=with_star(_O_MONTH_CTE + """
+        SELECT strftime(dm.month, '%Y-%m') AS month,
+               COALESCE(c.country, 'UNKNOWN') AS country,
+               {rev} AS total_revenue,
+               {qty} AS total_quantity,
+               COUNT(DISTINCT f.invoiceid) AS order_count
+        FROM fact_sales f
+        JOIN date_month dm USING (date_key)
+        LEFT JOIN dim_customer c USING (customer_key)
+        GROUP BY dm.month, COALESCE(c.country, 'UNKNOWN')
+    """.format(rev=o_money_sum("f.totalamount"), qty=o_int_sum("f.quantity"))),
+    tags=("molap", "S2", "A3", "A6"),
+    doc="MOLAP 1 monthly revenue by country cube — Group No.6_MOLAP.sql:19-30",
+)
+def molap_month_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    dm = _month_dates(s)
+    return (
+        s.fact_sales
+        .join(F.broadcast(dm), "date_key")
+        .join(F.broadcast(s.dim_customer.select("customer_key", "country")), "customer_key", "left")
+        .groupBy(month_str("month").alias("month"), F.coalesce("country", F.lit("UNKNOWN")).alias("country"))
+        .agg(
+            money_sum("totalamount").alias("total_revenue"),
+            int_sum("quantity").alias("total_quantity"),
+            F.countDistinct("invoiceid").alias("order_count"),
+        )
+    )
+
+
+@register(
+    "molap_month_product",
+    oracle=with_star(_O_MONTH_CTE + """
+        SELECT strftime(dm.month, '%Y-%m') AS month,
+               p.product_key, p.stockcode, p.description,
+               {rev} AS revenue,
+               {qty} AS total_qty,
+               (CAST(SUM(f.unitprice) AS DOUBLE) / COUNT(f.unitprice)) AS avg_unitprice
+        FROM fact_sales f
+        JOIN date_month dm USING (date_key)
+        JOIN dim_product p USING (product_key)
+        GROUP BY 1, 2, 3, 4
+    """.format(rev=o_money_sum("f.totalamount"), qty=o_int_sum("f.quantity"))),
+    tags=("molap", "S2", "A4", "A6"),
+    doc="MOLAP 2 monthly product summary cube — Group No.6_MOLAP.sql:39-52",
+)
+def molap_month_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    dm = _month_dates(s)
+    return (
+        s.fact_sales
+        .join(F.broadcast(dm), "date_key")
+        .join(F.broadcast(s.dim_product.select("product_key", "stockcode", "description")), "product_key")
+        .groupBy(month_str("month").alias("month"), "product_key", "stockcode", "description")
+        .agg(
+            money_sum("totalamount").alias("revenue"),
+            int_sum("quantity").alias("total_qty"),
+            (F.sum("unitprice").cast("double") / F.count("unitprice")).alias("avg_unitprice"),
+        )
+    )
+
+
+@register(
+    "molap_customer_month",
+    oracle=with_star(_O_MONTH_CTE + """
+        SELECT strftime(dm.month, '%Y-%m') AS month,
+               c.customer_key, c.customerid,
+               {rev} AS revenue,
+               COUNT(DISTINCT f.invoiceid) AS orders,
+               {qty} AS total_quantity
+        FROM fact_sales f
+        JOIN date_month dm USING (date_key)
+        JOIN dim_customer c USING (customer_key)
+        GROUP BY 1, 2, 3
+    """.format(rev=o_money_sum("f.totalamount"), qty=o_int_sum("f.quantity"))),
+    tags=("molap", "S2", "A3", "A6"),
+    doc="MOLAP 3 customer monthly revenue cube — Group No.6_MOLAP.sql:61-73",
+)
+def molap_customer_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    dm = _month_dates(s)
+    return (
+        s.fact_sales
+        .join(F.broadcast(dm), "date_key")
+        .join(F.broadcast(s.dim_customer.select("customer_key", "customerid")), "customer_key")
+        .groupBy(month_str("month").alias("month"), "customer_key", "customerid")
+        .agg(
+            money_sum("totalamount").alias("revenue"),
+            F.countDistinct("invoiceid").alias("orders"),
+            int_sum("quantity").alias("total_quantity"),
+        )
+    )
+
+
+@register(
+    "molap_top10_products_last3m",
+    oracle=with_star("""
+        SELECT p.stockcode, p.description,
+               {rev} AS revenue,
+               {qty} AS qty_sold
+        FROM fact_sales f
+        JOIN dim_date d USING (date_key)
+        JOIN dim_product p USING (product_key)
+        WHERE d.full_date >= (
+            (SELECT MAX(d2.full_date)
+             FROM fact_sales f2 JOIN dim_date d2 ON f2.date_key = d2.date_key)
+            - INTERVAL 3 MONTH)
+        GROUP BY p.stockcode, p.description
+        ORDER BY revenue DESC, p.stockcode
+        LIMIT 10
+    """.format(rev=o_money_sum("f.totalamount"), qty=o_int_sum("f.quantity"))),
+    tags=("molap", "J9", "T2", "P11"),
+    doc="MOLAP 4 top-10 products last 3 months (scalar-subquery lower bound) — "
+        "Group No.6_MOLAP.sql:79-101; window anchored on max fact date per the "
+        "reference's own comment 'use latest date in your fact table'",
+)
+def molap_top10_products_last3m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    # Scalar subquery (J9) as a 1-row broadcast — stays fully lazy/distributed.
+    bound = (
+        s.fact_sales.select("date_key")
+        .join(s.dim_date.select("date_key", "full_date"), "date_key")
+        .agg(F.add_months(F.max("full_date"), -3).alias("min_date"))
+    )
+    return (
+        s.fact_sales
+        .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
+        .crossJoin(F.broadcast(bound))
+        .filter(F.col("full_date") >= F.col("min_date"))
+        .join(F.broadcast(s.dim_product.select("product_key", "stockcode", "description")), "product_key")
+        .groupBy("stockcode", "description")
+        .agg(money_sum("totalamount").alias("revenue"), int_sum("quantity").alias("qty_sold"))
+        .orderBy(F.desc("revenue"), "stockcode")
+        .limit(10)
+    )
+
+
+@register(
+    "molap_daily_revenue_90d",
+    oracle=with_star("""
+        SELECT strftime(d.full_date, '%Y-%m-%d') AS full_date,
+               {rev} AS daily_revenue
+        FROM fact_sales f
+        JOIN dim_date d USING (date_key)
+        WHERE d.full_date >= (
+            (SELECT MAX(d2.full_date)
+             FROM fact_sales f2 JOIN dim_date d2 ON f2.date_key = d2.date_key)
+            - INTERVAL 90 DAY)
+        GROUP BY d.full_date
+        ORDER BY d.full_date ASC
+        LIMIT 30
+    """.format(rev=o_money_sum("f.totalamount"))),
+    tags=("molap", "J9", "T2"),
+    doc="MOLAP 5 daily revenue trend, first 30 days of the 90-day window — "
+        "Group No.6_MOLAP.sql:107-126",
+)
+def molap_daily_revenue_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    bound = (
+        s.fact_sales.select("date_key")
+        .join(s.dim_date.select("date_key", "full_date"), "date_key")
+        .agg(F.date_sub(F.max("full_date"), 90).alias("min_date"))
+    )
+    return (
+        s.fact_sales.select("date_key", "totalamount")
+        .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
+        .crossJoin(F.broadcast(bound))
+        .filter(F.col("full_date") >= F.col("min_date"))
+        .groupBy("full_date")
+        .agg(money_sum("totalamount").alias("daily_revenue"))
+        .orderBy("full_date")
+        .limit(30)
+        .select(iso_date("full_date").alias("full_date"), "daily_revenue")
+    )
+
+
+@register(
+    "molap_cohort_recent12",
+    oracle=with_star("""
+        , customer_signup AS (
+            SELECT f.customer_key,
+                   MIN(date_trunc('month', d.full_date)::DATE) AS signup_month
+            FROM fact_sales f JOIN dim_date d USING (date_key)
+            GROUP BY f.customer_key
+        ),
+        customer_revenue AS (
+            SELECT f.customer_key,
+                   date_trunc('month', d.full_date)::DATE AS sale_month,
+                   SUM(f.totalamount) AS revenue
+            FROM fact_sales f JOIN dim_date d USING (date_key)
+            GROUP BY 1, 2
+        )
+        SELECT strftime(s.signup_month, '%Y-%m') AS signup_month,
+               CAST(ROUND(SUM(CASE WHEN r.sale_month = s.signup_month THEN r.revenue ELSE 0 END), 2) AS DOUBLE) AS month0_revenue,
+               CAST(ROUND(SUM(CASE WHEN r.sale_month = (s.signup_month + INTERVAL 1 MONTH)::DATE THEN r.revenue ELSE 0 END), 2) AS DOUBLE) AS month1_revenue,
+               CAST(ROUND(SUM(CASE WHEN r.sale_month = (s.signup_month + INTERVAL 2 MONTH)::DATE THEN r.revenue ELSE 0 END), 2) AS DOUBLE) AS month2_revenue
+        FROM customer_signup s
+        LEFT JOIN customer_revenue r ON r.customer_key = s.customer_key
+        GROUP BY s.signup_month
+        ORDER BY signup_month DESC
+        LIMIT 12
+    """),
+    tags=("molap", "A8", "T2"),
+    doc="MOLAP 6 cohort (12 most recent signup months; unconstrained cohort "
+        "join per the reference) — Group No.6_MOLAP.sql:132-153",
+)
+def molap_cohort_recent12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    fd = s.fact_sales.select("customer_key", "date_key", "totalamount").join(
+        F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key"
+    )
+    sale_month = F.trunc("full_date", "month")
+    signup = fd.groupBy("customer_key").agg(F.min(sale_month).alias("signup_month"))
+    revenue = fd.groupBy("customer_key", sale_month.alias("sale_month")).agg(
+        F.sum("totalamount").alias("revenue")
+    )
+    r, sg = revenue.alias("r"), signup.alias("s")
+    joined = sg.join(r, F.col("r.customer_key") == F.col("s.customer_key"), "left")
+
+    def bucket(k: int, name: str):
+        cond = F.col("r.sale_month") == F.add_months(F.col("s.signup_month"), k)
+        return F.round(F.sum(F.when(cond, F.col("r.revenue")).otherwise(F.lit(0))), 2).cast("double").alias(name)
+
+    return (
+        joined.groupBy(month_str(F.col("s.signup_month")).alias("signup_month"))
+        .agg(bucket(0, "month0_revenue"), bucket(1, "month1_revenue"), bucket(2, "month2_revenue"))
+        .orderBy(F.desc("signup_month"))
+        .limit(12)
+    )
+
+
+@register(
+    "molap_vs_olap_verification",
+    oracle=with_star(_O_MONTH_CTE + """
+        , molap AS (
+            SELECT dm.month, COALESCE(c.country, 'UNKNOWN') AS country,
+                   SUM(f.totalamount) AS total_revenue
+            FROM fact_sales f
+            JOIN date_month dm USING (date_key)
+            LEFT JOIN dim_customer c USING (customer_key)
+            GROUP BY 1, 2
+        ),
+        olap AS (
+            SELECT date_trunc('month', d.full_date)::DATE AS month,
+                   COALESCE(c.country, 'UNKNOWN') AS country,
+                   SUM(f.totalamount) AS revenue
+            FROM fact_sales f
+            JOIN dim_date d USING (date_key)
+            LEFT JOIN dim_customer c USING (customer_key)
+            GROUP BY 1, 2
+        )
+        SELECT strftime(olap.month, '%Y-%m') AS month,
+               olap.country,
+               CAST(ROUND(olap.revenue, 2) AS DOUBLE) AS olap_revenue,
+               CAST(ROUND(COALESCE(m.total_revenue, 0), 2) AS DOUBLE) AS molap_revenue,
+               CAST(ROUND(COALESCE(m.total_revenue, 0) - olap.revenue, 2) AS DOUBLE) AS diff
+        FROM olap
+        LEFT JOIN molap m ON m.month = olap.month AND m.country = olap.country
+        ORDER BY olap.month DESC, olap.country ASC
+        LIMIT 20
+    """),
+    tags=("molap", "J10", "T2"),
+    doc="MOLAP 7 MOLAP-vs-OLAP reconciliation with diff column — "
+        "Group No.6_MOLAP.sql:158-179 (derived-table join of two aggregates)",
+)
+def molap_vs_olap_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    dm = _month_dates(s)
+    base = s.fact_sales.join(F.broadcast(s.dim_customer.select("customer_key", "country")), "customer_key", "left")
+    molap = (
+        base.join(F.broadcast(dm), "date_key")
+        .groupBy("month", F.coalesce("country", F.lit("UNKNOWN")).alias("country"))
+        .agg(F.sum("totalamount").alias("total_revenue"))
+    )
+    olap = (
+        base.join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
+        .groupBy(F.trunc("full_date", "month").alias("month"), F.coalesce("country", F.lit("UNKNOWN")).alias("country"))
+        .agg(F.sum("totalamount").alias("revenue"))
+    )
+    m, o = molap.alias("m"), olap.alias("o")
+    return (
+        o.join(m, (F.col("m.month") == F.col("o.month")) & (F.col("m.country") == F.col("o.country")), "left")
+        .select(
+            month_str(F.col("o.month")).alias("month"),
+            F.col("o.country").alias("country"),
+            F.round(F.col("o.revenue"), 2).cast("double").alias("olap_revenue"),
+            F.round(F.coalesce(F.col("m.total_revenue"), F.lit(0)), 2).cast("double").alias("molap_revenue"),
+            F.round(F.coalesce(F.col("m.total_revenue"), F.lit(0)) - F.col("o.revenue"), 2).cast("double").alias("diff"),
+        )
+        .orderBy(F.desc("month"), F.asc("country"))
+        .limit(20)
+    )
