@@ -1,1 +1,196 @@
-"""Placeholder — populated incrementally."""
+"""ETL-vs-ELT differential validation suite D1-D10
+(Iteration 1/Group No.6_ELT.sql:358-470).
+
+The reference builds the warehouse twice — transform-then-load (ETL.sql)
+and load-then-transform (ELT.sql) — and reconciles the two with a suite
+of labeled UNION ALL comparisons and diff joins. Our two flavors:
+
+  etl — the DataFrame-DSL star build (sources/star.py StarSchema)
+  elt — the Spark-SQL star build (SPARK_STAR_CTE_SQL over raw temp views)
+
+Two independent front-ends into Catalyst; the suite asserts they agree,
+and the DuckDB oracle is a third independent computation of the same
+quantities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.star import StarSchema, with_star, with_star_spark
+from ..sources.tpch import register_views
+from .catalog import register
+
+
+def _elt_sql(spark: SparkSession, sf_dir: str, body: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(with_star_spark(body))
+
+
+_METRICS_BODY = """
+    SELECT '{label}' AS pipeline,
+           COUNT(*) AS row_count,
+           CAST(ROUND(SUM(totalamount), 2) AS DOUBLE) AS total_revenue,
+           (CAST(SUM(unitprice) AS DOUBLE) / COUNT(unitprice)) AS avg_price,
+           COUNT(DISTINCT customer_key) AS distinct_customers,
+           COUNT(DISTINCT product_key) AS distinct_products,
+           CAST(SUM(quantity) AS BIGINT) AS total_quantity
+    FROM fact_sales
+"""
+
+
+@register(
+    "validation_kpi_summary",
+    oracle=with_star(
+        _METRICS_BODY.format(label="etl") + " UNION ALL " + _METRICS_BODY.format(label="elt")
+    ),
+    tags=("validation", "U2", "D1", "D10"),
+    doc="D1-D6+D10 KPI summary: row count, revenue, avg price, distinct "
+        "customers/products, quantity for both pipeline flavors stacked with "
+        "UNION ALL — ELT.sql:358-396,454-470",
+)
+def validation_kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    etl = s.fact_sales.agg(
+        F.count("*").alias("row_count"),
+        F.round(F.sum("totalamount"), 2).cast("double").alias("total_revenue"),
+        (F.sum("unitprice").cast("double") / F.count("unitprice")).alias("avg_price"),
+        F.countDistinct("customer_key").alias("distinct_customers"),
+        F.countDistinct("product_key").alias("distinct_products"),
+        F.sum("quantity").cast("long").alias("total_quantity"),
+    ).select(F.lit("etl").alias("pipeline"), "*")
+    elt = _elt_sql(spark, sf_dir, _METRICS_BODY.format(label="elt"))
+    return etl.unionByName(elt)
+
+
+@register(
+    "validation_top10_country_revenue",
+    oracle=with_star("""
+        , rev AS (
+            SELECT COALESCE(c.country, 'UNKNOWN') AS country,
+                   SUM(f.totalamount) AS revenue
+            FROM fact_sales f LEFT JOIN dim_customer c USING (customer_key)
+            GROUP BY 1
+        )
+        SELECT country,
+               CAST(ROUND(revenue, 2) AS DOUBLE) AS etl_revenue,
+               CAST(ROUND(revenue, 2) AS DOUBLE) AS elt_revenue,
+               CAST(ROUND(revenue - revenue, 2) AS DOUBLE) AS diff
+        FROM rev
+        ORDER BY etl_revenue DESC, country
+        LIMIT 10
+    """),
+    tags=("validation", "D7", "J10", "T2"),
+    doc="D7 top-10 country revenue, ETL vs ELT side-by-side with diff — "
+        "ELT.sql:400-412 (join of two grouped subqueries)",
+)
+def validation_top10_country_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    etl = (
+        s.fact_sales
+        .join(F.broadcast(s.dim_customer.select("customer_key", "country")), "customer_key", "left")
+        .groupBy(F.coalesce("country", F.lit("UNKNOWN")).alias("country"))
+        .agg(F.sum("totalamount").alias("etl_rev"))
+    )
+    elt = _elt_sql(
+        spark, sf_dir,
+        """SELECT COALESCE(c.country, 'UNKNOWN') AS country,
+                  SUM(f.totalamount) AS elt_rev
+           FROM fact_sales f LEFT JOIN dim_customer c USING (customer_key)
+           GROUP BY 1""",
+    )
+    return (
+        etl.join(elt, "country", "full")
+        .select(
+            "country",
+            F.round(F.coalesce("etl_rev", F.lit(0)), 2).cast("double").alias("etl_revenue"),
+            F.round(F.coalesce("elt_rev", F.lit(0)), 2).cast("double").alias("elt_revenue"),
+            F.round(F.coalesce("etl_rev", F.lit(0)) - F.coalesce("elt_rev", F.lit(0)), 2)
+            .cast("double")
+            .alias("diff"),
+        )
+        .orderBy(F.desc("etl_revenue"), "country")
+        .limit(10)
+    )
+
+
+@register(
+    "validation_product_diff_top20",
+    oracle=with_star("""
+        , rev AS (
+            SELECT product_key, SUM(totalamount) AS revenue, CAST(SUM(quantity) AS BIGINT) AS qty
+            FROM fact_sales GROUP BY product_key
+        )
+        SELECT product_key,
+               CAST(ROUND(revenue, 2) AS DOUBLE) AS etl_revenue,
+               CAST(ROUND(revenue, 2) AS DOUBLE) AS elt_revenue,
+               CAST(ROUND(ABS(revenue - revenue), 2) AS DOUBLE) AS abs_diff
+        FROM rev
+        ORDER BY abs_diff DESC, etl_revenue DESC, product_key
+        LIMIT 20
+    """),
+    tags=("validation", "D8", "F18", "T2"),
+    doc="D8 per-product revenue diff ranked by |Δ| — ELT.sql:417-434",
+)
+def validation_product_diff_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    etl = s.fact_sales.groupBy("product_key").agg(F.sum("totalamount").alias("etl_rev"))
+    elt = _elt_sql(
+        spark, sf_dir,
+        "SELECT product_key, SUM(totalamount) AS elt_rev FROM fact_sales GROUP BY product_key",
+    )
+    return (
+        etl.join(elt, "product_key", "full")
+        .select(
+            "product_key",
+            F.round(F.coalesce("etl_rev", F.lit(0)), 2).cast("double").alias("etl_revenue"),
+            F.round(F.coalesce("elt_rev", F.lit(0)), 2).cast("double").alias("elt_revenue"),
+            F.round(F.abs(F.coalesce("etl_rev", F.lit(0)) - F.coalesce("elt_rev", F.lit(0))), 2)
+            .cast("double")
+            .alias("abs_diff"),
+        )
+        .orderBy(F.desc("abs_diff"), F.desc("etl_revenue"), "product_key")
+        .limit(20)
+    )
+
+
+@register(
+    "validation_daily_trend_diff",
+    oracle=with_star("""
+        , daily AS (
+            SELECT d.full_date, SUM(f.totalamount) AS revenue
+            FROM fact_sales f JOIN dim_date d USING (date_key)
+            GROUP BY d.full_date
+        )
+        SELECT strftime(full_date, '%Y-%m-%d') AS full_date,
+               CAST(ROUND(revenue, 2) AS DOUBLE) AS etl_revenue,
+               CAST(ROUND(revenue, 2) AS DOUBLE) AS elt_revenue,
+               CAST(ROUND(revenue - revenue, 2) AS DOUBLE) AS diff
+        FROM daily
+    """),
+    tags=("validation", "D9"),
+    doc="D9 daily revenue trend agreement — ELT.sql:439-449",
+)
+def validation_daily_trend_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    etl = (
+        s.fact_sales
+        .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
+        .groupBy("full_date")
+        .agg(F.sum("totalamount").alias("etl_rev"))
+    )
+    elt = _elt_sql(
+        spark, sf_dir,
+        """SELECT d.full_date, SUM(f.totalamount) AS elt_rev
+           FROM fact_sales f JOIN dim_date d USING (date_key)
+           GROUP BY d.full_date""",
+    )
+    return etl.join(elt, "full_date", "full").select(
+        F.date_format("full_date", "yyyy-MM-dd").alias("full_date"),
+        F.round(F.coalesce("etl_rev", F.lit(0)), 2).cast("double").alias("etl_revenue"),
+        F.round(F.coalesce("elt_rev", F.lit(0)), 2).cast("double").alias("elt_revenue"),
+        F.round(F.coalesce("etl_rev", F.lit(0)) - F.coalesce("elt_rev", F.lit(0)), 2)
+        .cast("double")
+        .alias("diff"),
+    )

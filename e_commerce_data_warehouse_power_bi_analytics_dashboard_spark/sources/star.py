@@ -114,6 +114,26 @@ def with_star(body_sql: str) -> str:
     return f"WITH {STAR_CTE_SQL}\n{body_sql}"
 
 
+# Spark-SQL dialect twin of STAR_CTE_SQL — used by the "ELT" pipeline flavor
+# (load-then-transform in SQL, ELT.sql's approach) so the ETL-vs-ELT
+# validation suite compares two genuinely independent paths through the
+# engine: DataFrame DSL vs SQL parser, both into Catalyst.
+SPARK_STAR_CTE_SQL = (
+    STAR_CTE_SQL
+    .replace("strftime(full_datetime, '%Y%m%d%H%M%S')", "date_format(full_datetime, 'yyyyMMddHHmmss')")
+    .replace("strftime(o_orderdate, '%Y%m%d%H%M%S')", "date_format(o_orderdate, 'yyyyMMddHHmmss')")
+    .replace("strftime(full_datetime, '%H:%M:%S')", "date_format(full_datetime, 'HH:mm:ss')")
+    .replace("dayname(full_datetime)", "date_format(full_datetime, 'EEEE')")
+    .replace("isodow(full_datetime) IN (6, 7)", "dayofweek(full_datetime) IN (1, 7)")
+    .replace("AS VARCHAR", "AS STRING")
+)
+
+
+def with_star_spark(body_sql: str) -> str:
+    """Wrap a query body with the star CTEs in Spark-SQL dialect."""
+    return f"WITH {SPARK_STAR_CTE_SQL}\n{body_sql}"
+
+
 # ---------------------------------------------------------------------------
 # Spark builders (DataFrame API — the engine-native path)
 # ---------------------------------------------------------------------------

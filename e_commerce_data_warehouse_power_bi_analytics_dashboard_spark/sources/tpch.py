@@ -36,6 +36,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a proper TimestampType.
+
+    The file stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+    nanosecond longs, converted here by integer-dividing to micros —
+    the same truncation DuckDB applies, so oracles agree.
+    """
+    from pyspark.sql import functions as F
+
+    df = read_table(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_raw(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in TABLES}
 
@@ -43,4 +59,5 @@ def load_raw(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register each raw table as a temp view (for the Spark-SQL query path)."""
     for name in TABLES:
-        read_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+        df = read_events(spark, sf_dir) if name == "events" else read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(prefix + name)
