@@ -1,0 +1,208 @@
+"""Deduplication operators (LLM-data-pipeline extensions; BASELINE.json
+north star). All pure DataFrame/expression implementations — no Python
+UDFs — designed so each stage is a single shuffle:
+
+  exact         hash-groupBy on a normalized fingerprint (1 shuffle)
+  latest-wins   the reference's W1 window dedup (ETL.sql:95-107)
+  minhash+LSH   shingle→minhash signature (1 shuffle) → band buckets
+                (1 shuffle) → candidate pairs → exact-Jaccard verify
+  simhash       per-token bit votes (1 shuffle), near-pairs by hamming
+
+Scale notes (100 TB): the LSH band join is the only all-pairs-risk step;
+band buckets bound it to near-duplicate groups. Exact verification joins
+only the candidate pairs back to shingle sets (semi-join pruning). The
+hot-key hazard is a degenerate band (e.g. all-empty docs) — normalize
+drops empties up front.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import s_md5_long, s_normalize, s_shingles
+
+# 2^31-1 (prime). Multipliers stay < 2^31 and shingle hashes are 28-bit,
+# so (a*h + b) < 2^59 — no int64 overflow anywhere in the plan.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coefficients(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic LCG-derived (a,b) pairs for the n hash permutations."""
+    x, out = seed, []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % MINHASH_PRIME
+        a = x or 1
+        x = (1103515245 * x + 12345) % MINHASH_PRIME
+        out.append((a, x))
+    return out
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint.
+
+    Returns one row per distinct content: (fingerprint, n_docs,
+    keep_doc_id = min id). A single hash aggregation; at scale the md5 is
+    computed map-side and only 16-byte keys shuffle.
+    """
+    return (
+        df.select(F.col(id_col), F.expr(f"md5({s_normalize(text_col)})").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_doc_id"))
+    )
+
+
+def latest_wins(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataFrame:
+    """W1: ROW_NUMBER() OVER (PARTITION BY key ORDER BY order DESC NULLS
+    LAST, tiebreak DESC) = 1 — the reference's customer/product dedup
+    (ETL.sql:95-107, ELT.sql:94-102) with a deterministic tiebreak."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc_nulls_last(), F.col(tiebreak).desc()
+    )
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 2) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle)."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.expr(s_shingles(text_col, k))).alias("g"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram (k-word shingle) Jaccard near-dup pairs (doc_a < doc_b).
+
+    Without ``candidates`` this is the all-pairs-via-inverted-index plan:
+    shingle self-join → per-pair intersection counts → filter. With a
+    candidates frame (from LSH) the join is semi-pruned first — that is
+    the 100 TB path.
+    """
+    sh = shingle_set(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc").alias("doc_a"), "g")
+    b = sh.select(F.col("doc").alias("doc_b"), "g")
+    pairs = a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b"))
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, n_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: columns m0..m{n-1}.
+
+    One explode + one groupBy: each shingle's 28-bit hash is permuted by
+    n affine maps map-side; min per permutation is a partial aggregate,
+    so only n longs per doc cross the shuffle.
+    """
+    coeffs = minhash_coefficients(n_hashes)
+    h = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(s_shingles(text_col, k))).alias("g"),
+    ).select("doc", F.expr(s_md5_long("g", 7)).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return h.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band become a
+    candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    sig_cols = [c for c in signatures.columns if c.startswith("m")]
+    rows = len(sig_cols) // bands
+    band_exprs = [
+        F.md5(F.concat_ws(",", *[F.col(f"m{b * rows + r}") for r in range(rows)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc", *band_exprs)
+    stacked = banded.select(
+        "doc",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band_idx").alias("band_idx"), F.col("bk.bh").alias("bh"))
+    l = stacked.select(F.col("doc").alias("doc_a"), "band_idx", "bh")
+    r = stacked.select(F.col("doc").alias("doc_b"), "band_idx", "bh")
+    return (
+        l.join(r, ["band_idx", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 2, n_hashes: int = 32, bands: int = 16, threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→exact-verify near-dup pipeline.
+
+    Output identical in shape to :func:`jaccard_pairs`; the LSH stage
+    only prunes the candidate space (16 bands × 2 rows ⇒ P[candidate]
+    ≈ 1-(1-j²)^16: >0.999 at j=0.5, ~1.4% at the background j≈0.03).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    cands = lsh_candidate_pairs(sigs, bands)
+    return jaccard_pairs(df, id_col, text_col, k, threshold, candidates=cands)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Token-frequency-weighted SimHash: (doc, simhash bigint).
+
+    One explode over tokens + one groupBy with ``bits`` conditional sums
+    (per-bit ±1 votes); the final bit-assembly is a pure projection.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(f"split({s_normalize(text_col)}, ' ')")).alias("w"),
+    ).select("doc", F.expr(s_md5_long("w", 8)).alias("h"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = functools.reduce(
+        operator.add,
+        [F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(bits)],
+    )
+    return votes.select("doc", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    All-pairs here (fine ≤ ~100k docs); the scale path blocks on band
+    bytes of the simhash first (same LSH trick as minhash).
+    """
+    a = sim.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sim.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

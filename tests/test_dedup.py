@@ -1,0 +1,82 @@
+"""Operator-level dedup tests on planted data (independent of the
+testdata distribution): exact dups, near-dups at controlled Jaccard,
+and clearly-distinct docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one shingle-neighborhood edit
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                      # exact dup of 1
+        (3, "  THE quick brown fox! jumps over the lazy dog while the cat watches from the warm windowsill and the birds sing in the garden outside"),  # normalizes to BASE
+        (4, NEAR),                      # near dup of 1
+        (5, FAR),
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    groups = D.exact_dedup_groups(docs, "doc_id", "text").collect()
+    by_keep = {r.keep_doc_id: r.n_docs for r in groups}
+    assert by_keep[1] == 3          # 1, 2, 3 collapse after normalization
+    assert by_keep[4] == 1 and by_keep[5] == 1 and by_keep[6] == 1
+
+
+def test_jaccard_pairs_finds_planted_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             D.jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] > 0.8
+    assert all(5 not in p and 6 not in p for p in pairs)
+
+
+def test_minhash_lsh_equals_exact(docs):
+    exact = sorted(
+        (r.doc_a, r.doc_b) for r in D.jaccard_pairs(docs, "doc_id", "text", 2, 0.5).collect()
+    )
+    lsh = sorted(
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_near_dups(docs, "doc_id", "text", 2, 32, 16, 0.5).collect()
+    )
+    assert lsh == exact
+
+
+def test_simhash_near_for_near_dups(docs):
+    sim = D.simhash(docs, "doc_id", "text")
+    vals = {r.doc: r.simhash for r in sim.collect()}
+    assert vals[1] == vals[2] == vals[3]          # identical content → identical hash
+    ham14 = bin(vals[1] ^ vals[4]).count("1")
+    ham15 = bin(vals[1] ^ vals[5]).count("1")
+    assert ham14 < ham15                          # near dup closer than far doc
+    near = D.simhash_near_pairs(sim, max_hamming=6)
+    got = {(r.doc_a, r.doc_b) for r in near.collect()}
+    assert (1, 2) in got and (1, 3) in got
+
+
+def test_latest_wins_keeps_newest(spark):
+    rows = [
+        ("c1", "2020-01-01", 1),
+        ("c1", "2021-06-01", 2),
+        ("c1", None, 3),           # null order date loses (NULLS LAST)
+        ("c2", "2019-01-01", 4),
+    ]
+    df = spark.createDataFrame(rows, ["k", "d", "id"]).withColumn("d", F.to_date("d"))
+    kept = {r.k: r.id for r in D.latest_wins(df, "k", "d", "id").collect()}
+    assert kept == {"c1": 2, "c2": 4}
