@@ -1,1 +1,170 @@
-"""Placeholder — populated incrementally."""
+"""Batch analytics over the events table (streaming-shaped workload).
+
+The reference lists real-time ingestion as future work (README:178-183);
+these queries define the *semantics* (tumbling windows, sessionization,
+dedup) in batch form — the Structured Streaming twins in
+streaming/events.py reuse the same aggregation shapes, and
+tests/test_streaming.py asserts stream==batch equivalence.
+
+Money-style discipline for event values: sum in DECIMAL (value has 2
+decimals), surface as rounded double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tpch import read_events
+from .catalog import register
+
+
+@register(
+    "events_hourly_tumble",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("events", "streaming-shape"),
+    doc="Tumbling 1-hour window aggregate — the batch twin of "
+        "streaming/events.py::hourly_windows",
+)
+def events_hourly_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_type_daily",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("events",),
+    doc="Daily event-type breakdown",
+)
+def events_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, CAST(value AS DECIMAL(12,2)) AS v,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+            FROM ordered
+        ),
+        sess AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(ROUND(SUM(v), 2) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY 1, 2
+    """,
+    tags=("events", "W", "sessionize"),
+    doc="Gap-based sessionization (30-min inactivity): lag → new-session "
+        "flag → running count → per-session rollup. The stateful-streaming "
+        "twin is streaming/events.py::sessionize_stream.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(order).cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round(F.sum("v"), 2).cast("double").alias("session_value"),
+    )
+
+
+@register(
+    "events_first_per_user_type",
+    oracle="""
+        SELECT user_id, event_type,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("events",),
+    doc="First-touch per (user, event_type) + frequency",
+)
+def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "events_props_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+        FROM events
+    """,
+    tags=("events", "json"),
+    doc="JSON property extraction from the props payload column "
+        "(read-side twin of the reference's JSONB reject payloads, F20)",
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_value")
+    )

@@ -1,0 +1,188 @@
+"""Structured Streaming ingest over the events table (SURVEY §2.9 —
+beyond-reference extension; the reference lists real-time ingestion as
+future work, README:178-183).
+
+Shapes provided:
+  - watermarked tumbling-window aggregation (the streaming twin of
+    plans/events_queries.py::events_hourly_tumble)
+  - watermark + dropDuplicates exactly-once-per-event_id ingest
+  - custom stateful sessionization via applyInPandasWithState (the one
+    place Python state handling is genuinely needed; everything else
+    stays JVM-side)
+
+At scale these run against a Kafka/file source with the same plan; the
+parquet file source here is the test harness. Watermark of 2 hours
+bounds state: windows/sessions older than (max event time - 2h) are
+finalized and evicted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: schema of the raw parquet (ts arrives as nanosecond long under
+#: spark.sql.legacy.parquet.nanosAsLong)
+RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of events with typed timestamps."""
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        # file source wants a directory; the sf dir holds all tables, so
+        # glob-filter down to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_windows(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour aggregate (late data beyond the
+    watermark is dropped; state for closed windows is evicted)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def deduped_ingest(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-event_id ingest: watermark bounds the dedup state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+GAP_SECONDS = 1800
+
+
+def _sessionize_user(key, pdf_iter, state):
+    """applyInPandasWithState fn: per-user 30-min-gap sessions.
+
+    Emits every closed session; an open session is kept in state and
+    flushed on event-time timeout (watermark passing last_seen + gap).
+    """
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n, value = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "total_value": [round(value, 2)],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdf_iter)).sort_values("ts")
+    ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
+    vals = rows["value"].tolist()
+
+    if state.exists:
+        start_us, last_us, n, value = state.get
+    else:
+        start_us, last_us, n, value = None, None, 0, 0.0
+
+    closed = []
+    for t, v in zip(ts_us.tolist(), vals):
+        if start_us is None:
+            start_us, last_us, n, value = t, t, 1, v
+        elif t - last_us > GAP_SECONDS * 1_000_000:
+            closed.append((start_us, last_us, n, value))
+            start_us, last_us, n, value = t, t, 1, v
+        else:
+            last_us, n, value = t, n + 1, value + v
+
+    state.update((start_us, last_us, n, value))
+    state.setTimeoutTimestamp(last_us // 1000 + GAP_SECONDS * 1000)  # ms watermark timeout
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in closed],
+                "n_events": [n for *_, n, _ in closed],
+                "total_value": [round(v, 2) for *_, v in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: gap-based sessions via
+    applyInPandasWithState (event-time timeout keyed per user)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_user,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession, mode: str = "update") -> DataFrame:
+    """Drain a stream with availableNow into an in-memory table (tests/bench)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

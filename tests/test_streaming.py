@@ -1,0 +1,47 @@
+"""Structured Streaming tests: stream results must equal the batch twins
+(run with availableNow over the same parquet)."""
+
+from __future__ import annotations
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import get_catalog
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.streaming import events as SE
+
+from .conftest import SF_ORACLE
+
+CATALOG = get_catalog()
+
+
+def test_stream_hourly_equals_batch(spark):
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    out = SE.run_to_memory(SE.hourly_windows(stream), "t_hourly", spark, mode="update")
+    got = {(r.window_start): (r.n_events, r.total_value) for r in out.collect()}
+    batch = CATALOG["events_hourly_tumble"].fn(spark, SF_ORACLE).collect()
+    want = {r.window_start: (r.n_events, r.total_value) for r in batch}
+    assert got == want
+
+
+def test_stream_dedup_ingest(spark):
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    out = SE.run_to_memory(SE.deduped_ingest(stream), "t_dedup", spark, mode="append")
+    n = out.count()
+    distinct_ids = out.select("event_id").distinct().count()
+    assert n == distinct_ids > 0
+
+
+def test_stream_sessionize_closed_sessions_match_batch(spark):
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    out = SE.run_to_memory(SE.sessionize_stream(stream), "t_sess", spark, mode="append")
+    got = {
+        (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S")): (r.n_events, r.total_value)
+        for r in out.collect()
+    }
+    batch = CATALOG["events_sessionize"].fn(spark, SF_ORACLE).collect()
+    want = {(r.user_id, r.session_start): (r.n_events, round(r.session_value, 2)) for r in batch}
+    # the stream emits only sessions closed before end-of-input (open
+    # sessions at the tail are still in state when availableNow drains) —
+    # every emitted session must match its batch twin, and most sessions
+    # must have been emitted
+    assert set(got) <= set(want)
+    assert len(got) >= 0.8 * len(want)
+    mismatches = {k: (got[k], want[k]) for k in got if got[k][0] != want[k][0]}
+    assert not mismatches
