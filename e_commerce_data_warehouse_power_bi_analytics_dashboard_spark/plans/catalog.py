@@ -68,6 +68,7 @@ def get_catalog() -> dict[str, Query]:
         from . import validation  # noqa: F401
         from . import llm_ops  # noqa: F401
         from . import events_queries  # noqa: F401
+        from . import cleaning_queries  # noqa: F401
 
         _LOADED = True
     return CATALOG
