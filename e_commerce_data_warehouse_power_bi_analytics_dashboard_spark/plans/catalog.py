@@ -69,6 +69,7 @@ def get_catalog() -> dict[str, Query]:
         from . import llm_ops  # noqa: F401
         from . import events_queries  # noqa: F401
         from . import cleaning_queries  # noqa: F401
+        from . import multimodal_queries  # noqa: F401
 
         _LOADED = True
     return CATALOG

@@ -1,0 +1,134 @@
+"""Multimodal catalog entries: binary payload columns with typed
+metadata, Arrow-batched feature extraction, and frame sampling
+(beyond-reference extension — see operators/multimodal.py).
+
+Oracle strategy: the test documents are pure ASCII (asserted in
+tests/test_multimodal.py), so byte semantics are replicated in DuckDB
+with string functions (length==octet_length, sha256(VARCHAR) hashes the
+UTF-8 bytes) — a genuinely independent computation path from the Spark
+side's real ``binary`` processing in pandas. Entropy is rounded to 6
+decimals on both sides (summation order differs across engines at the
+last bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from ..sources.tpch import read_table
+from .catalog import register
+
+_FRAME, _EVERY = 256, 4
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.attach_payload(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_attach_metadata",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+               CAST(64 + (doc_id % 16) * 32 AS INT) AS width,
+               CAST(64 + (doc_id % 9) * 32 AS INT) AS height,
+               CAST(n_chars * 10 AS BIGINT) AS duration_ms
+        FROM documents
+    """,
+    tags=("multimodal", "binary", "schema"),
+    doc="Binary payload + typed metadata struct attachment; metadata "
+        "filters stay Catalyst-side (payload column pruned)",
+)
+def mm_attach_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _with_payload(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("byte_len"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@register(
+    "mm_feature_extract",
+    oracle="""
+        WITH counts AS (
+            SELECT doc_id, ch, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) t
+            GROUP BY doc_id, ch
+        ),
+        entropy AS (
+            SELECT c.doc_id,
+                   round(-sum((c.c * 1.0 / d.n_chars) * log2(c.c * 1.0 / d.n_chars)), 6)
+                       AS byte_entropy
+            FROM counts c JOIN documents d USING (doc_id)
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS byte_len,
+               sha256(d.text) AS sha256,
+               lower(hex(encode(substring(d.text, 1, 4)))) AS magic,
+               e.byte_entropy
+        FROM documents d JOIN entropy e USING (doc_id)
+    """,
+    tags=("multimodal", "binary", "mapInPandas"),
+    doc="Arrow-batched per-payload feature extraction (digest, magic "
+        "bytes, byte entropy) — the real decode/featurize plumbing shape",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = MM.extract_features(_with_payload(spark, sf_dir))
+    return feats.withColumn("byte_entropy", F.round("byte_entropy", 6))
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, text, CAST(ceil(length(text) / {_FRAME}.0) AS INT) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(f.frame_idx AS INT) AS frame_idx,
+               CAST(length(substring(text, f.frame_idx * {_FRAME} + 1, {_FRAME})) AS BIGINT)
+                   AS frame_len,
+               sha256(substring(text, f.frame_idx * {_FRAME} + 1, {_FRAME})) AS frame_sha256
+        FROM p, unnest(range(0, p.n_frames, {_EVERY})) AS f(frame_idx)
+    """,
+    tags=("multimodal", "binary", "mapInPandas", "explode"),
+    doc=f"Frame sampling: {_FRAME}-byte virtual frames, every {_EVERY}th kept "
+        "(1→N row-expanding mapInPandas — the video frame-sample shape)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.sample_frames(_with_payload(spark, sf_dir), frame_size=_FRAME, every=_EVERY)
+
+
+@register(
+    "mm_modality_stats",
+    oracle="""
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+               COUNT(*) AS n_docs,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MAX(64 + (doc_id % 16) * 32) AS INT) AS max_width,
+               CAST(MAX(n_chars * 10) AS BIGINT) AS max_duration_ms
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("multimodal", "binary", "A6"),
+    doc="Modality rollup over metadata only — Catalyst prunes the payload "
+        "column so the scan never reads the blobs",
+)
+def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _with_payload(spark, sf_dir)
+    return df.groupBy(F.col("meta.mime").alias("mime")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+        F.max("meta.width").alias("max_width"),
+        F.max("meta.duration_ms").alias("max_duration_ms"),
+    )
