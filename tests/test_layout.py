@@ -1,0 +1,98 @@
+"""Layout-layer tests: beyond the oracle value checks, assert the PLAN
+properties that make each layout pay off at scale — partition pruning,
+parquet filter pushdown, and exchange-free bucketed joins."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import layout as L
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+    read_table,
+)
+
+from .conftest import SF_SMOKE
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pruned_read(spark):
+    path = L.scratch_path(SF_SMOKE, "orders_by_year")
+    orders = read_table(spark, SF_SMOKE, "orders").withColumn("o_year", F.year("o_orderdate"))
+    L.write_partitioned(orders, path, ["o_year"], sort_cols=["o_orderdate"])
+    return spark.read.parquet(path).filter(F.col("o_year") == 1995)
+
+
+def test_partition_pruning_in_plan(pruned_read):
+    plan = explain_str(pruned_read.groupBy().count())
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_partition_prune_reads_single_partition(pruned_read, spark):
+    # the pruned scan must touch only the 1995 directory
+    files = [r[0] for r in pruned_read.select(F.input_file_name()).distinct().collect()]
+    assert files and all("o_year=1995" in f for f in files)
+
+
+def test_rowgroup_pushdown_in_plan(spark):
+    path = L.scratch_path(SF_SMOKE, "lineitem_by_shipdate")
+    L.write_range_sorted(read_table(spark, SF_SMOKE, "lineitem"), path, ["l_shipdate"])
+    back = spark.read.parquet(path).filter(
+        F.col("l_shipdate").between("1995-01-01", "1995-03-31")
+    )
+    plan = explain_str(back.groupBy().count())
+    pushed = plan.split("PushedFilters", 1)
+    assert len(pushed) == 2, f"no PushedFilters in plan:\n{plan}"
+    assert "GreaterThanOrEqual(l_shipdate" in pushed[1][:400]
+    # range-sort means the matching files form a contiguous subset
+    files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
+    all_files = {
+        r[0]
+        for r in spark.read.parquet(path).select(F.input_file_name()).distinct().collect()
+    }
+    assert len(files) < len(all_files)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    ot, ct = "t_orders_b", "t_customer_b"
+    L.write_bucketed(
+        read_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice"),
+        ot, L.scratch_path(SF_SMOKE, "t_orders_bucketed"), "o_custkey",
+    )
+    L.write_bucketed(
+        read_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment"),
+        ct, L.scratch_path(SF_SMOKE, "t_customer_bucketed"), "c_custkey",
+    )
+    # at test scale the planner would broadcast (rightly); force the
+    # large-large strategy bucketing exists for and assert no shuffle
+    joined = spark.table(ot).hint("merge").join(
+        spark.table(ct).hint("merge"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    plan = explain_str(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert joined.count() == spark.table(ot).count()
+
+
+def test_mv_refresh_roundtrip_equals_recompute(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.insights import (
+        mv_monthly_category_sales,
+    )
+
+    path = L.refresh_gold_table(spark, SF_SMOKE)
+    persisted = spark.read.parquet(path)
+    fresh = mv_monthly_category_sales(spark, SF_SMOKE)
+    assert sorted(persisted.columns) == sorted(fresh.columns)
+    assert persisted.count() == fresh.count()
+    assert persisted.exceptAll(fresh.select(*persisted.columns)).count() == 0
