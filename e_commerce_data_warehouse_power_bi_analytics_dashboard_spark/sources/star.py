@@ -144,13 +144,22 @@ def _smart_date_key(ts_col: F.Column) -> F.Column:
     return F.date_format(ts_col, "yyyyMMddHHmmss").cast("long")
 
 
+#: session-scoped persisted star tables, keyed by (application, sf_dir,
+#: table). The reference's architecture loads the DW once and serves all
+#: OLAP/DAX queries from the loaded tables (README.md:25-42,170-173);
+#: this cache is the Spark analog — the conformance joins/distincts run
+#: once per session, every query after that reads persisted columnar
+#: batches. At 100 TB the same role is played by writing silver parquet
+#: via plans/layout.py writers; the query plans are identical either way.
+_PERSIST_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 class StarSchema:
     """Conformed star-schema DataFrames over one scale-factor directory.
 
-    All four tables are lazily-built logical plans (no materialization);
-    callers that reuse them across many queries may ``.cache()`` the dims
-    (small) — the fact stays a streamed parquet scan so filters/column
-    pruning push down to the scan.
+    Tables are lazily-built logical plans, persisted (memory+disk) on
+    first use per (session, sf_dir) so repeated queries don't rebuild the
+    conformance layer — see ``_PERSIST_CACHE``.
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str):
@@ -161,9 +170,22 @@ class StarSchema:
     def raw(self, name: str) -> DataFrame:
         return read_table(self.spark, self.sf_dir, name)
 
+    def _persisted(self, name: str, df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        key = (self.spark.sparkContext.applicationId, self.sf_dir, name)
+        cached = _PERSIST_CACHE.get(key)
+        if cached is None:
+            cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+            _PERSIST_CACHE[key] = cached
+        return cached
+
     # -- dims ----------------------------------------------------------------
     @property
     def dim_customer(self) -> DataFrame:
+        return self._persisted("dim_customer", self._dim_customer())
+
+    def _dim_customer(self) -> DataFrame:
         c, n, r = self.raw("customer"), self.raw("nation"), self.raw("region")
         return (
             c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -181,6 +203,9 @@ class StarSchema:
 
     @property
     def dim_product(self) -> DataFrame:
+        return self._persisted("dim_product", self._dim_product())
+
+    def _dim_product(self) -> DataFrame:
         return self.raw("part").select(
             F.col("p_partkey").alias("product_key"),
             F.col("p_partkey").cast("string").alias("stockcode"),
@@ -193,6 +218,9 @@ class StarSchema:
 
     @property
     def dim_date(self) -> DataFrame:
+        return self._persisted("dim_date", self._dim_date())
+
+    def _dim_date(self) -> DataFrame:
         # UNION (deduplicating) of the two timestamp domains — SURVEY §2.7 U1.
         ts = (
             self.raw("orders")
@@ -220,6 +248,9 @@ class StarSchema:
 
     @property
     def fact_sales(self) -> DataFrame:
+        return self._persisted("fact_sales", self._fact_sales())
+
+    def _fact_sales(self) -> DataFrame:
         li, o = self.raw("lineitem"), self.raw("orders")
         joined = li.join(o, li.l_orderkey == o.o_orderkey)
         price = F.col("l_extendedprice").cast("decimal(12,2)")
