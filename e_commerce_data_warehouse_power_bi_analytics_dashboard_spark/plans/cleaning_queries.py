@@ -206,7 +206,7 @@ def _oracle(body: str, *, products: bool = False, sales: bool = False) -> str:
 @register(
     "clean_products_conform",
     oracle=_oracle("SELECT * FROM products_clean", products=True),
-    tags=("cleaning", "P1", "P2", "P8", "F1", "F2", "F3", "F5", "F6", "F7", "A9", "A13"),
+    tags=("cleaning", "P1", "P2", "P8", "F1", "F2", "F3", "F5", "F6", "F7", "A9", "A13", "S6"),
     doc="Product conforming pipeline: TRIM/INITCAP/NULLIF, currency-strip "
         "regex-gated cast, DISTINCT, exact-median fallback — ETL.sql:117-143",
 )
@@ -294,7 +294,7 @@ def staging_dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sales_clean s
         JOIN products_clean p USING (stockcode)
     """, sales=True),
-    tags=("cleaning", "S4", "J4", "F9", "A12"),
+    tags=("cleaning", "S4", "J4", "F9", "A12", "F15"),
     doc="Fact load with dimension lookup and null-timestamp smart-key "
         "default 19700101000000 — ETL.sql:334-351 / ELT.sql:249-264",
 )
@@ -322,7 +322,7 @@ def staging_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN products_clean p USING (stockcode)
         WHERE p.stockcode IS NULL
     """, sales=True),
-    tags=("cleaning", "S8", "J7"),
+    tags=("cleaning", "S8", "J7", "F20"),
     doc="Reject quarantine: anti-join rows failing the product-dimension "
         "lookup, with reason (JSON payload covered in tests/test_cleaning.py) "
         "— ETL.sql:373-394, ELT.sql:296-320",

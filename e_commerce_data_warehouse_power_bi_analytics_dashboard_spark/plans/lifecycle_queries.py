@@ -1,0 +1,126 @@
+"""Table-lifecycle catalog entries: CSV bronze ingest, schema cloning,
+upsert (ON CONFLICT DO UPDATE), and sample inspection — the SURVEY §2.1
+rows (S1, S3, S5, S9/T3) not already exercised by the cleaning pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import latest_wins
+from ..sources.ingest import clone_schema, read_staging_csv, write_staging_csv
+from ..sources.tpch import read_table
+from .catalog import register
+from .layout import scratch_path
+
+
+@register(
+    "staging_csv_ingest",
+    oracle="""
+        SELECT CAST(p_partkey AS VARCHAR) AS stockcode,
+               p_name AS description,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS unitprice,
+               p_type AS category
+        FROM part
+    """,
+    tags=("lifecycle", "S1", "csv", "bronze"),
+    doc="CSV bronze round-trip: write part as staging CSV, read back with "
+        "an explicit all-string schema (no inference pass) — ETL.sql:22-62. "
+        "Values survive the trip byte-exactly incl. NULL-vs-empty.",
+)
+def staging_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_path(sf_dir, "stg_part_csv")
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("stockcode"),
+        F.col("p_name").alias("description"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("string").alias("unitprice"),
+        F.col("p_type").alias("category"),
+    )
+    write_staging_csv(part, path)
+    return read_staging_csv(
+        spark, path, ["stockcode", "description", "unitprice", "category"]
+    )
+
+
+@register(
+    "schema_clone_columns",
+    oracle="""
+        SELECT column_name, lower(column_type) AS column_type
+        FROM (DESCRIBE SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+              FROM lineitem)
+
+    """,
+    tags=("lifecycle", "S3"),
+    doc="CREATE TABLE ... WITH NO DATA (ELT.sql:30-40): clone a schema "
+        "without rows; returns the cloned (name, type) catalog so the "
+        "oracle can verify the shape survived",
+)
+def schema_clone_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    empty = clone_schema(spark, src)
+    assert empty.count() == 0  # WITH NO DATA
+    # Spark simpleString → DuckDB DESCRIBE spelling
+    type_map = {
+        "bigint": "bigint", "long": "bigint", "int": "integer",
+        "double": "double", "string": "varchar", "date": "date",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    }
+    rows = [(f.name, type_map[f.dataType.simpleString()]) for f in empty.schema.fields]
+    return spark.createDataFrame(rows, ["column_name", "column_type"])
+
+
+@register(
+    "upsert_dim_product",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(p_partkey AS VARCHAR) AS stockcode, p_name AS description,
+                   CAST(p_retailprice AS DECIMAL(12,2)) AS unitprice, 1 AS version
+            FROM part
+        ),
+        updates AS (
+            SELECT stockcode, upper(description) AS description,
+                   CAST(unitprice + 1 AS DECIMAL(12,2)) AS unitprice, 2 AS version
+            FROM base WHERE CAST(stockcode AS BIGINT) % 10 = 0
+        ),
+        merged AS (
+            SELECT *, row_number() OVER (PARTITION BY stockcode
+                                         ORDER BY version DESC) AS rn
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+        )
+        SELECT stockcode, description, CAST(unitprice AS DOUBLE) AS unitprice, version
+        FROM merged WHERE rn = 1
+    """,
+    tags=("lifecycle", "S5", "W1", "T4"),
+    doc="Upsert ON CONFLICT (stockcode) DO UPDATE (ETL.sql:304-315): "
+        "last-write-wins merge of an update batch into the product dim via "
+        "window dedup — the plain-parquet upsert strategy",
+)
+def upsert_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("stockcode"),
+        F.col("p_name").alias("description"),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("unitprice"),
+        F.lit(1).alias("version"),
+    )
+    updates = base.filter(F.col("stockcode").cast("long") % 10 == 0).select(
+        "stockcode",
+        F.upper("description").alias("description"),
+        (F.col("unitprice") + 1).cast("decimal(12,2)").alias("unitprice"),
+        F.lit(2).alias("version"),
+    )
+    merged = latest_wins(base.unionByName(updates), "stockcode", "version", "version")
+    return merged.withColumn("unitprice", F.col("unitprice").cast("double"))
+
+
+@register(
+    "sample_rows_inspection",
+    oracle=None,  # LIMIT-n sample: rows-only stability check by design
+    tags=("lifecycle", "S9", "T3"),
+    doc="SELECT * ... LIMIT 5 spot check (ETL.sql:366-369, ELT.sql:62-65): "
+        "arbitrary-but-stable sample; driver records a rows-only check",
+)
+def sample_rows_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").limit(5)

@@ -40,7 +40,7 @@ from .catalog import register
                CAST(total_quantity AS DOUBLE) / n_fact_customers AS avg_order_size_per_customer
         FROM kpis, custs
     """),
-    tags=("measures", "dax1-7", "dax11", "dax14"),
+    tags=("measures", "dax1-7", "dax11", "dax14", "F16", "F22"),
     doc="Dashboard KPI row: DAX measures 1-7, 11, 14 in one scalar row — "
         "Group No.6_DAX.txt.docx m.1-7, AdvancedDAX m.11/14; ground-truth "
         "values in BASELINE.md 'Dashboard ground truth'",

@@ -38,7 +38,7 @@ from .catalog import register
         LEFT JOIN dim_customer c USING (customer_key)
         GROUP BY d.year, d.month, COALESCE(c.country, 'UNKNOWN')
     """.format(rev=o_money_sum("f.totalamount"), qty=o_int_sum("f.quantity"))),
-    tags=("olap", "J1", "J3", "A1", "A6", "F4"),
+    tags=("olap", "J1", "J3", "A1", "A6", "F4", "T1"),
     doc="OLAP 1 monthly sales by country — Group No.6_OLAP.sql:10-24",
 )
 def olap_monthly_revenue_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,7 +189,7 @@ def olap_daily_revenue_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN dim_product p USING (product_key)
         GROUP BY p.stockcode, p.description
     """.format(avg=o_avg2("f.unitprice"), rev=o_money_sum("f.totalamount"), qty=o_int_sum("f.quantity"))),
-    tags=("olap", "A4", "A1", "J1"),
+    tags=("olap", "A4", "A1", "J1", "F16", "F21"),
     doc="OLAP 5 product price vs revenue — Group No.6_OLAP.sql:81-89",
 )
 def olap_product_price_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
