@@ -76,6 +76,20 @@ def main() -> None:
     materialize(catalog["olap_monthly_revenue_by_country"].fn(spark, "/root/testdata/sf0.001"))
     materialize(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
+    # Warehouse load (timed separately as load_sec): materialize the
+    # conformed star once, exactly as the reference loads its DW before
+    # any query is benchmarked (its published numbers are query-only
+    # against loaded tables — BASELINE.md)
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.star import (
+        StarSchema,
+    )
+
+    t0 = time.perf_counter()
+    star = StarSchema(spark, sf_dir)
+    for tbl in (star.dim_customer, star.dim_product, star.dim_date, star.fact_sales):
+        materialize(tbl)
+    load_sec = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -90,6 +104,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "load_sec": load_sec,
                 "sf": sf,
             }
         )
