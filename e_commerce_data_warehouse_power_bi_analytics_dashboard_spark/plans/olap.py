@@ -125,16 +125,35 @@ def olap_top10_products_last3m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(left join keeps zero-revenue customers)",
 )
 def olap_cltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # aggregate BELOW the outer join: per-customer rollup of the fact
+    # first (fact-cardinality → customer-cardinality), then the dim left
+    # joins the small aggregate — broadcastable, where dim-LEFT-JOIN-fact
+    # would force a sort-merge of the full fact (LeftOuter can't
+    # broadcast-build its preserved side). Same result by outer-join
+    # algebra; the win grows with fact size.
     s = StarSchema(spark, sf_dir)
+    per_customer = (
+        s.fact_sales.select("customer_key", "totalamount", "invoiceid", "date_key")
+        .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key", "left")
+        .groupBy("customer_key")
+        .agg(
+            F.sum("totalamount").alias("_rev"),
+            F.max("full_date").alias("_last_date"),
+            F.countDistinct("invoiceid").alias("_orders"),
+        )
+    )
     return (
         s.dim_customer.select("customer_key", "customerid", "customername")
-        .join(s.fact_sales.select("customer_key", "totalamount", "invoiceid", "date_key"), "customer_key", "left")
-        .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key", "left")
-        .groupBy("customer_key", "customerid", "customername")
-        .agg(
-            money_sum0("totalamount").alias("lifetime_revenue"),
-            iso_date(F.max("full_date")).alias("last_purchase_date"),
-            F.countDistinct("invoiceid").alias("order_count"),
+        .join(F.broadcast(per_customer), "customer_key", "left")
+        .select(
+            "customer_key",
+            "customerid",
+            "customername",
+            F.round(F.coalesce(F.col("_rev"), F.lit(0)), 2)
+            .cast("double")
+            .alias("lifetime_revenue"),
+            iso_date(F.col("_last_date")).alias("last_purchase_date"),
+            F.coalesce(F.col("_orders"), F.lit(0)).cast("long").alias("order_count"),
         )
     )
 
