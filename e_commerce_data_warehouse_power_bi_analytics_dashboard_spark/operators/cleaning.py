@@ -44,22 +44,29 @@ def _clean_str(c: str) -> F.Column:
 
 
 def parse_money(c: str) -> F.Column:
-    """Regex-gated currency parse: strip symbols, cast if numeric, else NULL."""
+    """Regex-gated currency parse: strip symbols, cast if numeric, else NULL.
+
+    try_cast, not cast: the gate checks SHAPE only — a shape-valid value
+    can still overflow DECIMAL(12,2) (15-digit garbage), which must
+    quarantine as NULL, not kill the job under ANSI casts.
+    """
     stripped = F.regexp_replace(F.trim(F.col(c)), CURRENCY_STRIP, "")
-    return F.when(stripped.rlike(NUMERIC_GATE), stripped.cast("decimal(12,2)"))
+    return F.when(stripped.rlike(NUMERIC_GATE), stripped.try_cast("decimal(12,2)"))
 
 
 def parse_int(c: str) -> F.Column:
     stripped = F.regexp_replace(F.trim(F.col(c)), INT_STRIP, "")
-    return F.when(stripped.rlike(INT_GATE), stripped.cast("int"))
+    return F.when(stripped.rlike(INT_GATE), stripped.try_cast("int"))
 
 
 def parse_ts(c: str) -> F.Column:
-    """Two accepted formats (ISO and DD/MM/YYYY), gated by regex, else NULL."""
+    """Two accepted formats (ISO and DD/MM/YYYY), gated by regex, else
+    NULL. try_* variants: shape-valid inputs with impossible field
+    values (month 45, hour 99) must yield NULL, not raise."""
     t = F.trim(F.col(c))
     return (
-        F.when(t.rlike(ISO_TS_GATE), t.cast("timestamp"))
-        .when(t.rlike(DMY_TS_GATE), F.to_timestamp(t, "dd/MM/yyyy HH:mm:ss"))
+        F.when(t.rlike(ISO_TS_GATE), t.try_cast("timestamp"))
+        .when(t.rlike(DMY_TS_GATE), F.try_to_timestamp(t, F.lit("dd/MM/yyyy HH:mm:ss")))
     )
 
 
@@ -81,7 +88,7 @@ def clean_customers(stg: DataFrame) -> DataFrame:
             _clean_str("country").alias("country"),
             F.when(
                 F.trim(F.col("signupdate")).rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
-                F.trim(F.col("signupdate")).cast("date"),
+                F.trim(F.col("signupdate")).try_cast("date"),
             ).alias("signupdate"),
         )
     )

@@ -244,17 +244,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return votes.select("doc", sim.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 6, bits: int = 32) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    All-pairs here (fine ≤ ~100k docs); the scale path blocks on band
-    bytes of the simhash first (same LSH trick as minhash).
+    Pigeonhole blocking (the scale path — never all-pairs): split the
+    ``bits``-bit signature into ``max_hamming + 1`` blocks; two
+    signatures within the radius MUST agree exactly on at least one
+    block, so an equi-join per (block_idx, block_value) bounds the
+    candidate space, then the exact hamming filter verifies. Exact —
+    blocking is lossless by the pigeonhole principle.
+
+    Tradeoffs: 32-bit signatures with radius 6 force 7 small (4-5 bit)
+    blocks, so buckets are coarse and skewed at small corpus sizes —
+    brute-force all-pairs can win below ~10⁵ docs, but blocking is the
+    only shape that survives 10⁸+: candidates grow with bucket occupancy,
+    not n². At production scale widen the signature (64/128-bit via two
+    hash words) so blocks get 8-16 bits each, and rely on AQE skew-join
+    splitting for residual hot buckets.
     """
-    a = sim.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = sim.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    # block widths, e.g. 32 bits / 7 blocks -> [5,5,5,5,4,4,4]
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("simhash", offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    exploded = sim.select("doc", "simhash", F.explode(blocks).alias("b")).select(
+        "doc", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    a = exploded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "blk", "val")
+    b = exploded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "blk", "val")
     return (
-        a.crossJoin(b)
+        a.join(b, ["blk", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -160,7 +160,7 @@ products_base AS (
         {_o_clean_str('brand')} AS brand,
         CASE WHEN regexp_replace(trim(unitprice), '{C.CURRENCY_STRIP}', '', 'g')
                   ~ '{C.NUMERIC_GATE}'
-             THEN CAST(regexp_replace(trim(unitprice), '{C.CURRENCY_STRIP}', '', 'g')
+             THEN TRY_CAST(regexp_replace(trim(unitprice), '{C.CURRENCY_STRIP}', '', 'g')
                        AS DECIMAL(12,2)) END AS unitprice_raw
     FROM stg_products
     WHERE coalesce(trim(stockcode), '') <> ''
@@ -183,18 +183,18 @@ sales_parsed AS (
         trim(invoiceid) AS invoiceid,
         trim(stockcode) AS stockcode,
         trim(customerid) AS customerid,
-        CASE WHEN trim(date) ~ '{C.ISO_TS_GATE}' THEN CAST(trim(date) AS TIMESTAMP)
-             WHEN trim(date) ~ '{C.DMY_TS_GATE}' THEN strptime(trim(date), '%d/%m/%Y %H:%M:%S')
+        CASE WHEN trim(date) ~ '{C.ISO_TS_GATE}' THEN TRY_CAST(trim(date) AS TIMESTAMP)
+             WHEN trim(date) ~ '{C.DMY_TS_GATE}' THEN try_strptime(trim(date), '%d/%m/%Y %H:%M:%S')
         END AS dt_ts,
         CASE WHEN regexp_replace(trim(quantity), '{C.INT_STRIP}', '', 'g') ~ '{C.INT_GATE}'
-             THEN CAST(regexp_replace(trim(quantity), '{C.INT_STRIP}', '', 'g') AS INT)
+             THEN TRY_CAST(regexp_replace(trim(quantity), '{C.INT_STRIP}', '', 'g') AS INT)
         END AS quantity_num,
         CASE WHEN regexp_replace(trim(unitprice), '{C.CURRENCY_STRIP}', '', 'g') ~ '{C.NUMERIC_GATE}'
-             THEN CAST(CAST(regexp_replace(trim(unitprice), '{C.CURRENCY_STRIP}', '', 'g')
+             THEN CAST(TRY_CAST(regexp_replace(trim(unitprice), '{C.CURRENCY_STRIP}', '', 'g')
                        AS DECIMAL(12,2)) AS DOUBLE)
         END AS unitprice_num,
         CASE WHEN regexp_replace(trim(totalamount), '{C.CURRENCY_STRIP}', '', 'g') ~ '{C.NUMERIC_GATE}'
-             THEN CAST(regexp_replace(trim(totalamount), '{C.CURRENCY_STRIP}', '', 'g')
+             THEN TRY_CAST(regexp_replace(trim(totalamount), '{C.CURRENCY_STRIP}', '', 'g')
                        AS DECIMAL(18,2))
         END AS totalamount_num
     FROM stg_sales
