@@ -46,6 +46,12 @@ HEADLINE = [
     "measure_yoy_growth",
     # ETL-vs-ELT differential validation (ELT.sql D1-D10)
     "validation_kpi_summary",
+    # cumulative-revenue window (DAX time intelligence)
+    "measure_cumulative_revenue",
+    # physical layout: partitioned write + pruned read round-trip
+    "layout_partition_pruned_revenue",
+    # multimodal: Arrow-batched binary feature extraction
+    "mm_feature_extract",
     # full cleaning/staging pipeline end-to-end (ETL.sql)
     "staging_fact_build",
     # LLM-data-pipeline operators (beyond-reference north star)
