@@ -33,6 +33,11 @@ TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # every catalog query reads through here: pin the runtime confs the
+    # engine's determinism contract needs (UTC date arithmetic — the
+    # testdata timestamps are naive; a non-UTC caller session would shift
+    # every derived date_key/window), independent of the caller's session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark rejects
         # unless nanos arrive as longs; set at runtime so the engine
