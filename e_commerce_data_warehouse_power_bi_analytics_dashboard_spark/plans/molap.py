@@ -338,3 +338,33 @@ def molap_vs_olap_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("month"), F.asc("country"))
         .limit(20)
     )
+
+
+@register(
+    "molap_year_quarter_summary",
+    oracle=with_star("""
+        SELECT d.year, d.quarter,
+               {rev} AS total_revenue,
+               {qty} AS total_quantity,
+               COUNT(DISTINCT f.invoiceid) AS order_count
+        FROM fact_sales f
+        JOIN dim_date d USING (date_key)
+        GROUP BY d.year, d.quarter
+    """.format(rev=o_money_sum("f.totalamount"), qty=o_int_sum("f.quantity"))),
+    tags=("molap", "A6", "F11"),
+    doc="Yearly/quarterly revenue summary cube — the remaining MOLAP "
+        "rollup the reference README claims (README.md:92 'Yearly and "
+        "quarterly revenue summaries'; quarter column from Schema.sql:53)",
+)
+def molap_year_quarter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    return (
+        s.fact_sales.select("date_key", "totalamount", "quantity", "invoiceid")
+        .join(F.broadcast(s.dim_date.select("date_key", "year", "quarter")), "date_key")
+        .groupBy("year", "quarter")
+        .agg(
+            money_sum("totalamount").alias("total_revenue"),
+            int_sum("quantity").alias("total_quantity"),
+            F.countDistinct("invoiceid").alias("order_count"),
+        )
+    )
