@@ -168,3 +168,48 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_value")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH stages AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT COUNT(t_view) AS viewed,
+               CAST(SUM(CASE WHEN t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT)
+                   AS clicked_after_view,
+               CAST(SUM(CASE WHEN t_purchase >= t_click AND t_click >= t_view
+                             THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+        FROM stages
+    """,
+    tags=("events", "A8", "funnel"),
+    doc="view→click→purchase conversion funnel: first-touch ordering per "
+        "user via conditional min-aggregation — one shuffle on user_id, "
+        "then a scalar rollup (beyond-reference event analytics)",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("t_view").alias("viewed"),
+        F.sum(
+            F.when(F.col("t_click") >= F.col("t_view"), 1).otherwise(0)
+        ).cast("long").alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") >= F.col("t_click"))
+                & (F.col("t_click") >= F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("purchased_after_click"),
+    )
