@@ -77,17 +77,33 @@ def assign_centroids(
 
 def ivf_topk(
     emb: DataFrame, centroids: DataFrame, query_pred: str, k: int = 3,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's centroid bucket (nprobe=1).
+    """Approximate top-k: search the query's ``nprobe`` nearest centroid
+    buckets (nprobe=1 = classic IVF; higher nprobe trades scan volume for
+    recall — the standard knob at scale).
 
     ``query_pred`` is a SQL predicate over the id column selecting the
     query set (kept as a predicate so the assignment pass is shared).
     """
     assigned = assign_centroids(emb, centroids, id_col, vec_col)
-    qs = assigned.filter(F.expr(query_pred.replace(id_col, "vid"))).select(
-        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("centroid_id")
-    )
+    if nprobe <= 1:
+        qs = assigned.filter(F.expr(query_pred.replace(id_col, "vid"))).select(
+            F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("centroid_id")
+        )
+    else:
+        vecs = _with_dvec(emb, id_col, vec_col, "vid", "v").filter(
+            F.expr(query_pred.replace(id_col, "vid"))
+        )
+        cents = _with_dvec(centroids, id_col, vec_col, "centroid_id", "cv")
+        w = Window.partitionBy("vid").orderBy(F.desc(F.col("cos")), F.asc("centroid_id"))
+        qs = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vid", "v", "centroid_id", F.expr(s_cosine("v", "cv")).alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "centroid_id")
+        )
     scored = (
         assigned.join(F.broadcast(qs), "centroid_id")
         .filter(F.col("vid") != F.col("query_id"))

@@ -235,3 +235,34 @@ def layout_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def layout_mv_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = refresh_gold_table(spark, sf_dir)
     return spark.read.parquet(path)
+
+
+@register(
+    "skew_salted_join_agg",
+    oracle="""
+        SELECT c_mktsegment AS mktsegment,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    tags=("layout", "skew", "salting", "J1"),
+    doc="Skew-safe salted join (operators/skew.py): big side salted on "
+        "pmod(hash(row), 8), small side replicated per salt, join on "
+        "(key, salt) — result identical to the plain join, hot keys "
+        "spread over 8 reducers. Oracle is the UNSALTED join: equality "
+        "proves the rewrite is semantics-preserving.",
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(orders, customer, "c_custkey", n_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )

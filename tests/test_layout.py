@@ -96,3 +96,46 @@ def test_mv_refresh_roundtrip_equals_recompute(spark):
     assert sorted(persisted.columns) == sorted(fresh.columns)
     assert persisted.count() == fresh.count()
     assert persisted.exceptAll(fresh.select(*persisted.columns)).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.skew import (
+        salted_join,
+    )
+
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    cust = read_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    salted = salted_join(orders, cust, "k", n_salts=4)
+    plain = orders.join(cust, "k")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain.select(*salted.columns)).count() == 0
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """nprobe=2 recall vs brute force must be >= nprobe=1 recall."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    centroids = emb.filter("vec_id % 17 = 0")
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, centroids, "vec_id < 10", k=3, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert 0 <= r1 <= r2 <= 1
