@@ -357,3 +357,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.similar_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, single
+#: punctuation — the GPT-2-style split shape, written in the
+#: Java/RE2-common regex subset so both engines agree
+_BPE_ISH = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len({T.o_tokens('text')}) AS BIGINT) AS n_ws_tokens
+        FROM documents
+    """,
+    tags=("llm", "text", "tokenize"),
+    doc="BPE-ish regex token count (letter runs / single digits / "
+        "punctuation, the GPT-2 pre-tokenizer shape) next to the "
+        "whitespace count — per-token-budget accounting for training-data "
+        "pipelines, pure JVM regex",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{_BPE_ISH}', 0))")
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.expr(f"size({T.s_tokens('text')})").cast("long").alias("n_ws_tokens"),
+    )
