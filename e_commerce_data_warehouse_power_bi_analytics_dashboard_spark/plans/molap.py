@@ -368,3 +368,81 @@ def molap_year_quarter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("invoiceid").alias("order_count"),
         )
     )
+
+
+@register(
+    "olap_cube_year_mktsegment",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS year,
+               c_mktsegment AS mktsegment,
+               CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE (year(o_orderdate), c_mktsegment)
+    """,
+    tags=("molap", "cube", "A6"),
+    doc="True OLAP CUBE over (year, mktsegment): all 4 grouping-set "
+        "combinations incl. grand total, with GROUPING() flags — the "
+        "reference discusses 'OLAP CUBE' only conceptually "
+        "(Schema_Justification.sql:59, Final Report §4); Spark's cube() "
+        "materializes it in one pass with partial aggregation per set",
+)
+def olap_cube_year_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.year("o_orderdate").alias("year"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return joined.cube("year", "mktsegment").agg(
+        F.grouping("year").cast("int").alias("g_year"),
+        F.grouping("mktsegment").cast("int").alias("g_seg"),
+        money_sum("price").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "sketch_distinct_comparison",
+    oracle="""
+        SELECT 'customers_with_orders' AS entity,
+               COUNT(DISTINCT o_custkey) AS exact_distinct,
+               true AS sketch_within_5pct
+        FROM orders
+        UNION ALL
+        SELECT 'invoices', COUNT(DISTINCT o_orderkey), true FROM orders
+    """,
+    tags=("molap", "sketch", "A3"),
+    doc="HLL++ sketch vs exact distinct: approx_count_distinct(rsd=2%) "
+        "must land within 5% of the exact count (the boolean IS the "
+        "oracle contract — a drifting sketch fails the hash match). The "
+        "sketch is the 100 TB path: mergeable, fixed memory, one pass, "
+        "no exact-distinct shuffle",
+)
+def sketch_distinct_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+
+    def row(entity: str, col: str) -> DataFrame:
+        return orders.agg(
+            F.countDistinct(col).alias("exact_distinct"),
+            F.approx_count_distinct(col, rsd=0.02).alias("_approx"),
+        ).select(
+            F.lit(entity).alias("entity"),
+            "exact_distinct",
+            (
+                F.abs(F.col("_approx") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("sketch_within_5pct"),
+        )
+
+    return row("customers_with_orders", "o_custkey").unionByName(row("invoices", "o_orderkey"))
