@@ -388,3 +388,64 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_tokens"),
         F.expr(f"size({T.s_tokens('text')})").cast("long").alias("n_ws_tokens"),
     )
+
+
+@register(
+    "llm_corpus_curation",
+    oracle=f"""
+        WITH quality AS (
+            SELECT doc_id, text,
+                   least(CAST(len({T.o_tokens('text')}) AS BIGINT), 100) / 100.0 * 0.5
+                     + CAST({T.o_stopword_count('text')} AS DOUBLE)
+                       / len({T.o_tokens('text')}) * 0.5 AS q
+            FROM documents
+        ),
+        passed AS (SELECT doc_id, text FROM quality WHERE q >= 0.5),
+        exact_keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM passed
+            GROUP BY md5({T.o_normalize('text')})
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS doc, unnest({T.o_shingles('text', 2)}) AS g
+            FROM passed WHERE doc_id IN (SELECT doc_id FROM exact_keep)
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+        near_drop AS (
+            SELECT DISTINCT b.doc AS doc_id
+            FROM (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+                  GROUP BY 1, 2) p
+            JOIN sizes sa ON sa.doc = p.da
+            JOIN sizes sb ON sb.doc = p.db
+            JOIN (SELECT doc FROM sh GROUP BY doc) b ON b.doc = p.db
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        )
+        SELECT e.doc_id
+        FROM exact_keep e
+        WHERE e.doc_id NOT IN (SELECT doc_id FROM near_drop)
+    """,
+    tags=("llm", "pipeline", "dedup", "text"),
+    doc="End-to-end corpus curation: quality filter (score >= 0.5) -> "
+        "exact dedup (min-id survivor per normalized fingerprint) -> "
+        "near-dup removal (Jaccard >= 0.5, higher doc_id dropped) -> "
+        "surviving doc_ids. The canonical training-data pipeline as ONE "
+        "composed DataFrame plan - every stage is an already-verified "
+        "operator",
+)
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    q = (
+        F.least(F.expr(f"size({T.s_tokens('text')})").cast("long"), F.lit(100)) / 100.0 * 0.5
+        + F.expr(T.s_stopword_count("text")).cast("double")
+        / F.expr(f"size({T.s_tokens('text')})") * 0.5
+    )
+    passed = docs.filter(q >= 0.5).select("doc_id", "text")
+    exact_keep = (
+        D.exact_dedup_groups(passed, "doc_id", "text")
+        .select(F.col("keep_doc_id").alias("doc_id"))
+    )
+    survivors = passed.join(exact_keep, "doc_id", "left_semi")
+    near = D.minhash_lsh_near_dups(survivors, "doc_id", "text", threshold=0.5)
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact_keep.join(drop, "doc_id", "left_anti")
