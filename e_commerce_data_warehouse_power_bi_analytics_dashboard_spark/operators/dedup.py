@@ -154,6 +154,13 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band become a
     candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b."""
     sig_cols = [c for c in signatures.columns if c.startswith("m")]
+    if bands < 1 or len(sig_cols) % bands != 0 or len(sig_cols) // bands < 1:
+        raise ValueError(
+            f"bands={bands} must evenly divide the {len(sig_cols)}-hash signature "
+            "with at least 1 row per band: bands > n_hashes would make every band "
+            "hash md5('') (all-pairs explosion), and a non-divisor would silently "
+            "ignore trailing signature components"
+        )
     rows = len(sig_cols) // bands
     band_exprs = [
         F.md5(F.concat_ws(",", *[F.col(f"m{b * rows + r}") for r in range(rows)])).alias(f"band{b}")

@@ -75,20 +75,30 @@ def evaluate(
     measures = measures or list(SCALAR_MEASURES)
     wants_arpc = "arpc" in measures
     measures = [m for m in measures if m != "arpc"]
-    for f in filters or []:
-        fact = fact.filter(f)
-    aggs = [SCALAR_MEASURES[m]().alias(m) for m in measures]
-    out = fact.groupBy(*(group_cols or [])).agg(*aggs) if (group_cols or aggs) else fact
+
+    # validate the whole measure list BEFORE constructing any plan so
+    # every contract violation surfaces as the friendly ValueError, not
+    # an unresolved-column AnalysisException from a half-built plan
+    unknown = [m for m in measures if m not in SCALAR_MEASURES]
+    if unknown:
+        raise ValueError(f"unknown measures: {unknown}; available: {sorted(SCALAR_MEASURES)}")
     if wants_arpc:
         if dim_customer is None:
             raise ValueError("measure 'arpc' requires dim_customer")
         if group_cols:
             raise ValueError("arpc is defined against the whole customer dim; evaluate it ungrouped")
-        n_cust = dim_customer.agg(F.countDistinct("customerid").alias("_n_customers"))
-        out = out.crossJoin(F.broadcast(n_cust)).withColumn(
-            "arpc", safe_divide(F.col("total_revenue"), F.col("_n_customers"))
-        )
-        if "total_revenue" not in (measures or []):
+        if "total_revenue" not in measures:
             raise ValueError("arpc needs total_revenue in the same evaluation")
-        out = out.drop("_n_customers")
+
+    for f in filters or []:
+        fact = fact.filter(f)
+    aggs = [SCALAR_MEASURES[m]().alias(m) for m in measures]
+    out = fact.groupBy(*(group_cols or [])).agg(*aggs) if (group_cols or aggs) else fact
+    if wants_arpc:
+        n_cust = dim_customer.agg(F.countDistinct("customerid").alias("_n_customers"))
+        out = (
+            out.crossJoin(F.broadcast(n_cust))
+            .withColumn("arpc", safe_divide(F.col("total_revenue"), F.col("_n_customers")))
+            .drop("_n_customers")
+        )
     return out

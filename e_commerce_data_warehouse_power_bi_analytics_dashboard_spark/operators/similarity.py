@@ -85,16 +85,21 @@ def ivf_topk(
 
     ``query_pred`` is a SQL predicate over the id column selecting the
     query set (kept as a predicate so the assignment pass is shared).
+    The predicate is always applied on a frame that still carries the
+    original ``id_col`` name — never via string surgery on the predicate
+    text, which would corrupt any predicate where the id name occurs as
+    a substring of another identifier or inside a literal.
     """
     assigned = assign_centroids(emb, centroids, id_col, vec_col)
     if nprobe <= 1:
-        qs = assigned.filter(F.expr(query_pred.replace(id_col, "vid"))).select(
+        # evaluate the predicate on the ORIGINAL frame (it may reference
+        # any emb column), then semi-join the ids into the assignment
+        q_ids = emb.filter(F.expr(query_pred)).select(F.col(id_col).alias("vid"))
+        qs = assigned.join(F.broadcast(q_ids), "vid").select(
             F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("centroid_id")
         )
     else:
-        vecs = _with_dvec(emb, id_col, vec_col, "vid", "v").filter(
-            F.expr(query_pred.replace(id_col, "vid"))
-        )
+        vecs = _with_dvec(emb.filter(F.expr(query_pred)), id_col, vec_col, "vid", "v")
         cents = _with_dvec(centroids, id_col, vec_col, "centroid_id", "cv")
         w = Window.partitionBy("vid").orderBy(F.desc(F.col("cos")), F.asc("centroid_id"))
         qs = (

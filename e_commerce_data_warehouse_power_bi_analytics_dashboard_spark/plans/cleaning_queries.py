@@ -128,10 +128,17 @@ def _products_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sales_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT persisted: the parse is one streaming pass over the fact-sized
-    # input — materializing it costs more than a single query saves, and
-    # filters/pruning keep pushing into the scan when it stays lazy
-    return C.clean_sales(_stg_sales_df(spark, sf_dir), _products_clean(spark, sf_dir))
+    # Persisted like the products pipeline: five catalog entries (typed
+    # view, dim_date build, fact build, rejects, reconciliation) share
+    # this frame, and the regex parse of the fact-sized input is the
+    # single most expensive projection in the repo (~5s at sf0.1).
+    # Materializing it once per (session, sf_dir) mirrors the
+    # reference's persisted staging.sales_clean table (ETL.sql:155-194
+    # writes the cleaned staging ONCE; every downstream load reads it).
+    return _cached(
+        spark, sf_dir, "sales",
+        lambda: C.clean_sales(_stg_sales_df(spark, sf_dir), _products_clean(spark, sf_dir)),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -86,7 +86,8 @@ def events_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         flagged AS (
             SELECT *, CASE WHEN prev_ts IS NULL
-                             OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                           THEN 1 ELSE 0 END AS new_sess
             FROM ordered
         ),
         sess AS (
@@ -112,11 +113,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.col("value").cast("decimal(12,2)").alias("v")
     )
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compared in MICROSECONDS on both sides (oracle: epoch_us), the
+    # same precision the streaming twin uses — a second-truncated cast
+    # sessionizes fractional-second gaps straddling the 1800s boundary
+    # differently across the three implementations
     flagged = ev.withColumn(
         "new_sess",
         F.when(
             F.lag("ts").over(order).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(order).cast("long") > 1800),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order)) > 1_800_000_000),
             1,
         ).otherwise(0),
     )

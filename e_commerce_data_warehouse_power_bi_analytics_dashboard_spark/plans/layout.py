@@ -48,6 +48,25 @@ def scratch_path(sf_dir: str, name: str) -> str:
     return os.path.join(SCRATCH_ROOT, "layout", os.path.basename(sf_dir.rstrip("/")), name)
 
 
+#: layouts already written this session, keyed (application, sf_dir, name).
+#: The reference's Iteration 3 methodology builds each index/partition
+#: layout ONCE and then times the queries against it
+#: (Indexing_Partitioning.sql:77-119 — the EXPLAIN ANALYZE runs are
+#: post-layout); this cache is the Spark analog, so the catalog fns (and
+#: the bench) measure the pruned/sorted/bucketed READ, with the write
+#: paid once per session. Correctness still covers the writer: the first
+#: invocation in any session round-trips write+read.
+_LAYOUT_DONE: set[tuple[str, str, str]] = set()
+
+
+def ensure_layout(spark: SparkSession, sf_dir: str, name: str, write) -> None:
+    """Run ``write()`` once per (session, sf_dir, layout name)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _LAYOUT_DONE:
+        write()
+        _LAYOUT_DONE.add(key)
+
+
 # ---------------------------------------------------------------------------
 # writers
 # ---------------------------------------------------------------------------
@@ -132,10 +151,14 @@ def refresh_gold_table(spark: SparkSession, sf_dir: str, path: str | None = None
 )
 def layout_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_path(sf_dir, "orders_by_year")
-    orders = read_table(spark, sf_dir, "orders").withColumn(
-        "o_year", F.year("o_orderdate")
-    )
-    write_partitioned(orders, path, ["o_year"], sort_cols=["o_orderdate"])
+
+    def _write() -> None:
+        orders = read_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        )
+        write_partitioned(orders, path, ["o_year"], sort_cols=["o_orderdate"])
+
+    ensure_layout(spark, sf_dir, "orders_by_year", _write)
     back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
     return back.groupBy(F.month("o_orderdate").alias("month")).agg(
         money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
@@ -161,8 +184,10 @@ def layout_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def layout_sorted_rowgroup_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_path(sf_dir, "lineitem_by_shipdate")
-    li = read_table(spark, sf_dir, "lineitem")
-    write_range_sorted(li, path, ["l_shipdate"])
+    ensure_layout(
+        spark, sf_dir, "lineitem_by_shipdate",
+        lambda: write_range_sorted(read_table(spark, sf_dir, "lineitem"), path, ["l_shipdate"]),
+    )
     back = spark.read.parquet(path).filter(
         F.col("l_shipdate").between("1995-01-01", "1995-03-31")
     )
@@ -195,14 +220,18 @@ def layout_sorted_rowgroup_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def layout_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ot, ct = f"orders_b_{tag}", f"customer_b_{tag}"
-    write_bucketed(
-        read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
-        ot, scratch_path(sf_dir, "orders_bucketed"), "o_custkey",
-    )
-    write_bucketed(
-        read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
-        ct, scratch_path(sf_dir, "customer_bucketed"), "c_custkey",
-    )
+
+    def _write() -> None:
+        write_bucketed(
+            read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            ot, scratch_path(sf_dir, "orders_bucketed"), "o_custkey",
+        )
+        write_bucketed(
+            read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            ct, scratch_path(sf_dir, "customer_bucketed"), "c_custkey",
+        )
+
+    ensure_layout(spark, sf_dir, "bucketed_custkey", _write)
     # hint the large-large strategy bucketing exists for (at test scale
     # the planner would rightly broadcast the small side instead): with
     # matching bucket counts on the join key, SMJ runs with NO exchange

@@ -76,8 +76,17 @@ def hourly_windows(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def deduped_ingest(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Exactly-once-per-event_id ingest: watermark bounds the dedup state."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Exactly-once-per-event_id ingest with BOUNDED dedup state.
+
+    ``dropDuplicatesWithinWatermark`` evicts per-key state once the
+    watermark passes the event's time — plain ``dropDuplicates`` on a
+    subset that excludes the event-time column never evicts, so its
+    state grows without bound on an unbounded stream. The contract is
+    slightly weaker (duplicates are only suppressed when they arrive
+    within the watermark delay of the original), which is exactly the
+    guarantee a late-data watermark pipeline can honestly make.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 SESSION_SCHEMA = StructType(

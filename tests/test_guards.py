@@ -1,0 +1,87 @@
+"""Input-validation and predicate-hygiene guards (ADVICE r1 fixes):
+misuse must fail loudly with ValueError before any plan is built, and
+ivf_topk predicates must survive id-name substrings in other
+identifiers/literals (no string surgery on predicate text)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+    dedup as D,
+)
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+    measures as M,
+)
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+    similarity as S,
+)
+
+
+def _sigs(spark, n_hashes):
+    cols = [F.lit(i).alias(f"m{i}") for i in range(n_hashes)]
+    return spark.range(4).select(F.col("id").alias("doc"), *cols)
+
+
+def test_lsh_rejects_bands_exceeding_hashes(spark):
+    with pytest.raises(ValueError, match="bands"):
+        D.lsh_candidate_pairs(_sigs(spark, 8), bands=16)
+
+
+def test_lsh_rejects_non_divisor_bands(spark):
+    with pytest.raises(ValueError, match="bands"):
+        D.lsh_candidate_pairs(_sigs(spark, 32), bands=5)
+
+
+def test_lsh_accepts_exact_banding(spark):
+    assert D.lsh_candidate_pairs(_sigs(spark, 8), bands=4).count() >= 0
+
+
+@pytest.fixture()
+def fact(spark):
+    return spark.createDataFrame(
+        [("i1", 10, 5.0, 100.0), ("i2", 20, 2.0, 40.0)],
+        "invoiceid string, customer_key int, quantity double, totalamount double",
+    )
+
+
+def test_measures_unknown_measure_is_value_error(fact):
+    with pytest.raises(ValueError, match="unknown measures"):
+        M.evaluate(fact, measures=["not_a_measure"])
+
+
+def test_measures_arpc_alone_is_value_error(fact):
+    dim = fact.sparkSession.createDataFrame([("c1",)], "customerid string")
+    with pytest.raises(ValueError, match="total_revenue"):
+        M.evaluate(fact, measures=["arpc"], dim_customer=dim)
+
+
+def test_measures_arpc_without_dim_is_value_error(fact):
+    with pytest.raises(ValueError, match="dim_customer"):
+        M.evaluate(fact, measures=["arpc", "total_revenue"])
+
+
+def test_measures_arpc_with_revenue_works(fact):
+    dim = fact.sparkSession.createDataFrame(
+        [("c1",), ("c2",)], "customerid string"
+    )
+    row = M.evaluate(fact, measures=["total_revenue", "arpc"], dim_customer=dim).collect()[0]
+    assert row["arpc"] == row["total_revenue"] / 2
+
+
+def test_ivf_predicate_survives_idname_in_literal_and_identifier(spark):
+    # 'vec_id' appears both as a literal value in the label column and as
+    # a prefix of another column name — the old substring replace turned
+    # "label <> 'vec_id'" into "label <> 'vid'" silently
+    rows = [(i, f"v{i}", [1.0, float(i % 3)], "vec_id" if i == 1 else "ok") for i in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, vec_id_tag string, embedding array<double>, label string"
+    )
+    cents = emb.filter("vec_id % 3 = 0")
+    pred = "vec_id < 3 AND label <> 'vec_id'"
+    for nprobe in (1, 2):
+        got = S.ivf_topk(emb, cents, pred, k=2, nprobe=nprobe)
+        queries = {r["query_id"] for r in got.collect()}
+        assert queries <= {0, 2}  # vec_id 1 excluded by the label literal
+        assert 0 in queries
