@@ -198,9 +198,23 @@ def build_dim_date(date_strings: DataFrame, sales_clean: DataFrame) -> DataFrame
 def build_fact_with_rejects(
     sales_clean: DataFrame, products_clean: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """ETL.sql:334-351 + 373-394: dimension lookup; rows that miss the
-    product dim divert to the reject frame with a reason and a JSON
-    payload of the source row (to_json(struct(*)) ≙ to_jsonb(row))."""
+    """ETL.sql:334-351 + ELT.sql:296-320: dimension lookup plus the
+    classified error log.
+
+    ``fact``: rows passing the product-dimension lookup load with the
+    null-timestamp smart-key default and quantity coalesced to 0
+    (ETL.sql:334-351).
+
+    ``rejects``: the reference's error-log semantics — an INDEPENDENT
+    classified log, not the set-complement of fact (ELT.sql:296-320
+    logs any row whose product/date mapping fails or whose quantity is
+    unparseable, even when the fact load still accepts it with a
+    default). Reasons follow the reference's CASE priority
+    (combined-miss first, then product, then date, then quantity), and
+    each row carries a JSON payload of its business keys
+    (to_json(struct(...)) ≙ to_jsonb(row), ETL.sql:385) plus a
+    rejected_at audit timestamp.
+    """
     p = F.broadcast(products_clean.select("stockcode").withColumn("_p_hit", F.lit(1)))
     joined = sales_clean.join(p, "stockcode", "left")
     fact = joined.filter(F.col("_p_hit").isNotNull()).select(
@@ -213,12 +227,21 @@ def build_fact_with_rejects(
         F.col("totalamount_num").alias("totalamount"),
         F.current_timestamp().alias("load_ts"),
     )
+    p_miss = F.col("_p_hit").isNull()
+    dt_miss = F.col("dt_ts").isNull()
+    qty_miss = F.col("quantity_num").isNull()
     rejects = (
-        joined.filter(F.col("_p_hit").isNull())
+        joined.filter(p_miss | dt_miss | qty_miss)
+        .withColumn(
+            "reject_reason",
+            F.when(p_miss & dt_miss, "Missing product AND date mapping")
+            .when(p_miss, "Missing product mapping")
+            .when(dt_miss, "Missing date mapping")
+            .otherwise("Missing quantity"),
+        )
         .drop("_p_hit")
         .select(
             "*",
-            F.lit("missing product dimension").alias("reject_reason"),
             F.to_json(F.struct("invoiceid", "stockcode", "customerid")).alias("source_row"),
             F.current_timestamp().alias("rejected_at"),
         )

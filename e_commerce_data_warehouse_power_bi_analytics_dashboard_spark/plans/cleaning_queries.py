@@ -352,21 +352,33 @@ def staging_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "staging_rejects",
     oracle=_oracle("""
         SELECT s.invoiceid, s.stockcode, s.customerid,
-               'missing product dimension' AS reject_reason
+               CASE WHEN p.stockcode IS NULL AND s.dt_ts IS NULL
+                        THEN 'Missing product AND date mapping'
+                    WHEN p.stockcode IS NULL THEN 'Missing product mapping'
+                    WHEN s.dt_ts IS NULL THEN 'Missing date mapping'
+                    ELSE 'Missing quantity' END AS reject_reason,
+               to_json(struct_pack(invoiceid := s.invoiceid,
+                                   stockcode := s.stockcode,
+                                   customerid := s.customerid))::VARCHAR AS source_row
         FROM sales_clean s
         LEFT JOIN products_clean p USING (stockcode)
-        WHERE p.stockcode IS NULL
+        WHERE p.stockcode IS NULL OR s.dt_ts IS NULL OR s.quantity_num IS NULL
     """, sales=True),
     tags=("cleaning", "S8", "J7", "F20"),
-    doc="Reject quarantine: anti-join rows failing the product-dimension "
-        "lookup, with reason (JSON payload covered in tests/test_cleaning.py) "
-        "— ETL.sql:373-394, ELT.sql:296-320",
+    doc="Classified reject log: CASE-classified reason with the "
+        "reference's priority (product-and-date / product / date / "
+        "quantity) plus the to_json(struct(...)) source-row payload — "
+        "ELT.sql:296-320, ETL.sql:373-394. An independent log, not the "
+        "fact complement: a defaulted-date row loads AND is logged, "
+        "exactly as the reference's error-log insert behaves.",
 )
 def staging_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     products = _products_clean(spark, sf_dir)
     sales = _sales_clean(spark, sf_dir)
     _, rejects = C.build_fact_with_rejects(sales, products)
-    return rejects.select("invoiceid", "stockcode", "customerid", "reject_reason")
+    return rejects.select(
+        "invoiceid", "stockcode", "customerid", "reject_reason", "source_row"
+    )
 
 
 @register(
@@ -394,6 +406,10 @@ def staging_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     products = _products_clean(spark, sf_dir)
     sales = _sales_clean(spark, sf_dir)
     fact, rejects = C.build_fact_with_rejects(sales, products)
+    # the fact's set-complement is the product-dimension misses; the
+    # wider reject log also carries date/quantity advisories for rows
+    # the fact load accepted with defaults (ELT.sql error-log semantics)
+    skipped = rejects.filter(F.col("reject_reason").startswith("Missing product"))
 
     def metrics(df: DataFrame, label: str, col: str) -> DataFrame:
         return df.agg(
@@ -404,5 +420,5 @@ def staging_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         metrics(sales, "sales_clean", "totalamount_num")
         .unionByName(metrics(fact, "fact", "totalamount"))
-        .unionByName(metrics(rejects, "rejects", "totalamount_num"))
+        .unionByName(metrics(skipped, "rejects", "totalamount_num"))
     )

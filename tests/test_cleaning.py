@@ -34,12 +34,36 @@ def test_reject_json_payload_roundtrips(spark):
         payload = json.loads(r["source_row"])
         assert payload["invoiceid"] == r["invoiceid"]
         assert payload["stockcode"] == r["stockcode"]
-        assert r["reject_reason"] == "missing product dimension"
+        assert r["reject_reason"].startswith("Missing")
+
+
+def test_reject_reasons_classified_per_cause(spark):
+    _, sales, _, rejects = _pipeline(spark)
+    reasons = {r["reject_reason"] for r in rejects.select("reject_reason").distinct().collect()}
+    # the dirt generator plants all three failure classes
+    assert {"Missing product mapping", "Missing date mapping", "Missing quantity"} <= reasons
+    # the log covers every failing row, classified by the CASE priority
+    p_miss = F.col("reject_reason").startswith("Missing product")
+    n_date = rejects.filter(~p_miss & (F.col("reject_reason") == "Missing date mapping")).count()
+    want_date = (
+        sales.join(
+            rejects.filter(p_miss).select("invoiceid", "stockcode").distinct(),
+            ["invoiceid", "stockcode"],
+            "left_anti",
+        )
+        .filter(F.col("dt_ts").isNull())
+        .count()
+    )
+    assert n_date == want_date > 0
 
 
 def test_conservation_fact_plus_rejects(spark):
     _, sales, fact, rejects = _pipeline(spark)
-    assert sales.count() == fact.count() + rejects.count()
+    # the fact's complement is the product-miss subset of the log; the
+    # log additionally carries date/quantity advisories for loaded rows
+    skipped = rejects.filter(F.col("reject_reason").startswith("Missing product"))
+    assert sales.count() == fact.count() + skipped.count()
+    assert rejects.count() >= skipped.count()
 
 
 def test_parse_gates(spark):
