@@ -82,6 +82,17 @@ def o_md5_long(expr: str, hex_digits: int = 7) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {hex_digits})) AS BIGINT)"
 
 
+def s_md5_long_at(expr: str, start: int, hex_digits: int) -> str:
+    """Like :func:`s_md5_long` but from a 1-based offset into the md5 hex
+    — independent hash words from one digest (e.g. 64-bit SimHash uses
+    chars 1-8 and 9-16 as two 32-bit words)."""
+    return f"CAST(conv(substring(md5({expr}), {start}, {hex_digits}), 16, 10) AS BIGINT)"
+
+
+def o_md5_long_at(expr: str, start: int, hex_digits: int) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), {start}, {hex_digits})) AS BIGINT)"
+
+
 # -- heuristics --------------------------------------------------------------
 
 def _words_list() -> str:

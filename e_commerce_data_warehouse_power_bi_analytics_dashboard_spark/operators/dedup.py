@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import s_md5_long, s_normalize, s_shingles, s_tokens  # noqa: F401  (s_shingles re-exported for oracle parity)
+from ..functions.text import (  # noqa: F401  (s_shingles re-exported for oracle parity)
+    s_md5_long,
+    s_md5_long_at,
+    s_normalize,
+    s_shingles,
+    s_tokens,
+)
 
 # 2^31-1 (prime). Multipliers stay < 2^31 and shingle hashes are 28-bit,
 # so (a*h + b) < 2^59 — no int64 overflow anywhere in the plan.
@@ -186,6 +192,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
 def minhash_lsh_near_dups(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 2, n_hashes: int = 32, bands: int = 16, threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→exact-verify near-dup pipeline.
 
@@ -204,8 +211,13 @@ def minhash_lsh_near_dups(
          16×2 banding lets through, so the exact-verify join touches only
          near-real pairs. The 2σ margin keeps the added miss probability
          below the banding's own ~1e-4 at j ≥ τ.
+
+    ``shingles``: an already-persisted (doc, g) frame to reuse — callers
+    computing several dedup flavors over the same corpus should derive
+    the shingle set once (e.g. plans/llm_ops.py's session cache) so
+    tokenization is paid once, not per catalog entry.
     """
-    sh = shingle_set(df, id_col, text_col, k).persist()
+    sh = shingles if shingles is not None else shingle_set(df, id_col, text_col, k).persist()
     sigs = minhash_signatures_from_shingles(sh, n_hashes)
     cands = lsh_candidate_pairs(sigs, bands)
 
@@ -228,75 +240,130 @@ def minhash_lsh_near_dups(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """Token-frequency-weighted SimHash: (doc, simhash bigint).
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """Token-frequency-weighted SimHash as two 32-bit words:
+    (doc, simhash_hi, simhash_lo), each a bigint holding 32 signature
+    bits (``simhash_hi`` is 0 when ``bits=32``).
 
-    One explode over tokens + one groupBy with ``bits`` conditional sums
-    (per-bit ±1 votes); the final bit-assembly is a pure projection.
+    The two words come from independent 32-bit slices of one md5 digest
+    (hex chars 1-8 and 9-16), so widening to 64 bits costs no extra hash
+    invocation. One explode over tokens + one groupBy with ``bits``
+    conditional sums (per-bit ±1 votes, partial-aggregated map-side);
+    the final bit-assembly is a pure projection. 64-bit default per the
+    round-1 review: 32-bit signatures force 4-5-bit pigeonhole blocks
+    whose buckets skew at scale.
     """
+    if bits not in (32, 64):
+        raise ValueError(f"bits={bits} must be 32 or 64 (two 32-bit md5 words)")
+    lo_bits, hi_bits = 32, bits - 32
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.expr(f"split({s_normalize(text_col)}, ' ')")).alias("w"),
-    ).select("doc", F.expr(s_md5_long("w", 8)).alias("h"))
+    ).select(
+        "doc",
+        F.expr(s_md5_long_at("w", 1, 8)).alias("h_lo"),
+        F.expr(s_md5_long_at("w", 9, 8)).alias("h_hi"),
+    )
     votes = toks.groupBy("doc").agg(
         *[
-            F.sum(F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)).alias(f"v{b}")
-            for b in range(bits)
+            F.sum(F.when(F.expr(f"(shiftright(h_lo, {b}) & 1) = 1"), 1).otherwise(-1)).alias(f"vl{b}")
+            for b in range(lo_bits)
+        ],
+        *[
+            F.sum(F.when(F.expr(f"(shiftright(h_hi, {b}) & 1) = 1"), 1).otherwise(-1)).alias(f"vh{b}")
+            for b in range(hi_bits)
+        ],
+    )
+
+    def _word(prefix: str, n: int) -> F.Column:
+        if n == 0:
+            return F.lit(0).cast("long")
+        return functools.reduce(
+            operator.add,
+            [F.when(F.col(f"{prefix}{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(n)],
+        ).cast("long")
+
+    return votes.select(
+        "doc", _word("vh", hi_bits).alias("simhash_hi"), _word("vl", lo_bits).alias("simhash_lo")
+    )
+
+
+def simhash_block_table(sim: DataFrame, max_hamming: int = 6, bits: int = 64) -> DataFrame:
+    """Exploded pigeonhole blocks: (doc, simhash_hi, simhash_lo, blk, val).
+
+    The ``max_hamming + 1`` blocks partition the signature bits,
+    word-aligned (no block spans the hi/lo boundary), distributed
+    proportionally: 64-bit radius-6 → 4 lo-blocks of 8 bits + 3
+    hi-blocks of 10-11 bits; 32-bit → the coarse 4-5-bit blocks.
+    Exposed separately so tests can assert bucket occupancy.
+    """
+    n_blocks = max_hamming + 1
+    lo_bits, hi_bits = 32, bits - 32
+    nb_lo = n_blocks if hi_bits == 0 else max(1, round(n_blocks * lo_bits / bits))
+    nb_hi = n_blocks - nb_lo
+
+    def _widths(width_bits: int, n: int) -> list[int]:
+        base, extra = divmod(width_bits, n)
+        return [base + (1 if i < extra else 0) for i in range(n)]
+
+    specs: list[tuple[str, int, int]] = []  # (word col, offset, width)
+    for col, wbits, n in (("simhash_lo", lo_bits, nb_lo), ("simhash_hi", hi_bits, nb_hi)):
+        if n <= 0:
+            continue
+        off = 0
+        for w in _widths(wbits, n):
+            specs.append((col, off, w))
+            off += w
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(col, off).bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
+            )
+            for i, (col, off, w) in enumerate(specs)
         ]
     )
-    sim = functools.reduce(
-        operator.add,
-        [F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(bits)],
+    return sim.select("doc", "simhash_hi", "simhash_lo", F.explode(blocks).alias("b")).select(
+        "doc", "simhash_hi", "simhash_lo",
+        F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
     )
-    return votes.select("doc", sim.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 6, bits: int = 32) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 6, bits: int = 64) -> DataFrame:
+    """Pairs with hamming(sig_a, sig_b) <= max_hamming over the two-word
+    signature (hamming = popcount(xor hi) + popcount(xor lo)).
 
     Pigeonhole blocking (the scale path — never all-pairs): split the
     ``bits``-bit signature into ``max_hamming + 1`` blocks; two
     signatures within the radius MUST agree exactly on at least one
     block, so an equi-join per (block_idx, block_value) bounds the
     candidate space, then the exact hamming filter verifies. Exact —
-    blocking is lossless by the pigeonhole principle.
-
-    Tradeoffs: 32-bit signatures with radius 6 force 7 small (4-5 bit)
-    blocks, so buckets are coarse and skewed at small corpus sizes —
-    brute-force all-pairs can win below ~10⁵ docs, but blocking is the
-    only shape that survives 10⁸+: candidates grow with bucket occupancy,
-    not n². At production scale widen the signature (64/128-bit via two
-    hash words) so blocks get 8-16 bits each, and rely on AQE skew-join
-    splitting for residual hot buckets.
+    blocking is lossless by the pigeonhole principle. At 64 bits the
+    blocks are 8-11 bits wide (256-2048 buckets each), so candidate
+    growth tracks bucket occupancy, not n²; residual hot buckets are
+    AQE skew-join territory.
     """
-    n_blocks = max_hamming + 1
-    base, extra = divmod(bits, n_blocks)
-    # block widths, e.g. 32 bits / 7 blocks -> [5,5,5,5,4,4,4]
-    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
-    offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright("simhash", offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("val"),
-            )
-            for i in range(n_blocks)
-        ]
+    exploded = simhash_block_table(sim, max_hamming, bits)
+    a = exploded.select(
+        F.col("doc").alias("doc_a"),
+        F.col("simhash_hi").alias("hi_a"), F.col("simhash_lo").alias("lo_a"),
+        "blk", "val",
     )
-    exploded = sim.select("doc", "simhash", F.explode(blocks).alias("b")).select(
-        "doc", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    b = exploded.select(
+        F.col("doc").alias("doc_b"),
+        F.col("simhash_hi").alias("hi_b"), F.col("simhash_lo").alias("lo_b"),
+        "blk", "val",
     )
-    a = exploded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "blk", "val")
-    b = exploded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "blk", "val")
     return (
         a.join(b, ["blk", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

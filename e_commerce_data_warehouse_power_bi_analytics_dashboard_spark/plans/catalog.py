@@ -72,6 +72,7 @@ def get_catalog() -> dict[str, Query]:
         from . import multimodal_queries  # noqa: F401
         from . import layout  # noqa: F401
         from . import lifecycle_queries  # noqa: F401
+        from . import rewrite  # noqa: F401
 
         _LOADED = True
     return CATALOG

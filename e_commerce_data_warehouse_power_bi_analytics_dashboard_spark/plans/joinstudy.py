@@ -4,10 +4,11 @@
 The reference toggles PostgreSQL planner flags (enable_nestloop /
 enable_mergejoin / enable_hashjoin) over one 4-table star join. The
 Spark analog is join *hints*: broadcast (default best for star),
-merge (SortMergeJoin), shuffle_hash (ShuffledHashJoin); the plan-shape
-assertions live in tests/test_plans.py. All three variants must return
-identical results — each is registered with the same oracle, which IS
-the study's correctness claim.
+merge (SortMergeJoin), shuffle_hash (ShuffledHashJoin), and a forced
+BroadcastNestedLoopJoin via a degenerate non-equi band (enable_nestloop's
+analog); the plan-shape assertions live in tests/test_plans.py. All four
+variants must return identical results — each is registered with the
+same oracle, which IS the study's correctness claim.
 """
 
 from __future__ import annotations
@@ -111,12 +112,50 @@ def join_study_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_study_nested_loop",
+    oracle=_STAR_AGG_ORACLE,
+    tags=("joinstudy", "J11"),
+    doc="Nested-loop flavor (JoinPerformance.sql:19-32, enable_nestloop): "
+        "the dim_date probe is forced to BroadcastNestedLoopJoin via a "
+        "degenerate non-equi band (key BETWEEN k AND k — Catalyst extracts "
+        "no equi keys, so the broadcast side is nested-loop scanned per fact "
+        "row, the closest Spark analog of the reference's index-NLJ inner "
+        "scan). The 12-month bound is pushed into the broadcast dim before "
+        "the loop, as Postgres pushes the date filter into the inner index "
+        "scan. Identical oracle to the other three flavors — the study's "
+        "correctness claim.",
+)
+def join_study_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    bound = _min_date_bound(spark, sf_dir)
+    dp = F.broadcast(s.dim_product.select("product_key", "stockcode"))
+    dc = F.broadcast(s.dim_customer.select("customer_key"))
+    dd = (
+        s.dim_date.select(F.col("date_key").alias("d_date_key"), "full_date")
+        .crossJoin(F.broadcast(bound))
+        .filter(F.col("full_date") >= F.col("min_date"))
+        .select("d_date_key")
+    )
+    nlj_cond = F.col("date_key").between(F.col("d_date_key"), F.col("d_date_key"))
+    return (
+        s.fact_sales.select("product_key", "date_key", "customer_key", "totalamount")
+        .join(dp, "product_key")
+        .join(dc, "customer_key")
+        .join(F.broadcast(dd), nlj_cond)
+        .groupBy("product_key", "stockcode")
+        .agg(money_sum("totalamount").alias("revenue"))
+        .orderBy(F.desc("revenue"), "product_key")
+        .limit(50)
+    )
+
+
+@register(
     "join_study_shuffle_hash",
     oracle=_STAR_AGG_ORACLE,
     tags=("joinstudy", "J11"),
-    doc="Shuffled-hash-join flavor (shuffle_hash hint) — JoinPerformance.sql:19-32 "
-        "(NLJ has no efficient equi-join analog in Spark; BroadcastNestedLoop is "
-        "exercised by the non-equi J5 queries instead)",
+    doc="Shuffled-hash-join flavor (shuffle_hash hint): the fourth Spark "
+        "strategy, alongside broadcast/merge/nested-loop — completes the "
+        "JoinPerformance.sql study surface",
 )
 def join_study_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _star_agg(spark, sf_dir, "shuffle_hash")

@@ -138,6 +138,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deduplication
 # ---------------------------------------------------------------------------
 
+#: session-scoped persisted 2-word shingle set over the documents table,
+#: keyed (application, sf_dir) — the Jaccard, MinHash-LSH, and corpus-
+#: curation entries all start from the same (doc, g) frame, and the
+#: tokenize+explode+distinct is the expensive part of every one of them.
+#: Same pattern as sources/star.py::_PERSIST_CACHE; at 100 TB this
+#: persist becomes a parquet checkpoint feeding every dedup consumer.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        sh = D.shingle_set(
+            read_table(spark, sf_dir, "documents"), "doc_id", "text", k=2
+        ).persist()
+        _SHINGLE_CACHE[key] = sh
+    return sh
+
 
 @register(
     "dedup_exact_documents",
@@ -212,7 +231,10 @@ _O_JACCARD = f"""
         "shingle index self-join",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_pairs(read_table(spark, sf_dir, "documents"), "doc_id", "text", k=2, threshold=0.5)
+    return D.jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", k=2, threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
 @register(
@@ -229,48 +251,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_near_dups(
         read_table(spark, sf_dir, "documents"), "doc_id", "text",
         k=2, n_hashes=32, bands=16, threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
     )
 
 
-def _o_simhash_cte(bits: int = 32) -> str:
-    votes = ",\n".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+def _o_simhash_cte() -> str:
+    """64-bit two-word SimHash twin: words from md5 hex chars 1-8 / 9-16."""
+    vl = ",\n".join(
+        f"SUM(CASE WHEN (h_lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS vl{b}" for b in range(32)
     )
-    assemble = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    vh = ",\n".join(
+        f"SUM(CASE WHEN (h_hi >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS vh{b}" for b in range(32)
+    )
+    lo = " + ".join(f"(CASE WHEN vl{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32))
+    hi = " + ".join(f"(CASE WHEN vh{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32))
     return f"""
         WITH toks AS (
             SELECT doc_id AS doc, unnest({T.o_tokens('text')}) AS w FROM documents
         ),
-        h AS (SELECT doc, {T.o_md5_long('w', 8)} AS h FROM toks),
-        votes AS (SELECT doc, {votes} FROM h GROUP BY doc),
-        sim AS (SELECT doc, CAST({assemble} AS BIGINT) AS simhash FROM votes)
+        h AS (SELECT doc, {T.o_md5_long_at('w', 1, 8)} AS h_lo,
+                     {T.o_md5_long_at('w', 9, 8)} AS h_hi FROM toks),
+        votes AS (SELECT doc, {vl}, {vh} FROM h GROUP BY doc),
+        sim AS (SELECT doc, CAST({hi} AS BIGINT) AS simhash_hi,
+                       CAST({lo} AS BIGINT) AS simhash_lo FROM votes)
     """
 
 
 @register(
     "dedup_simhash_signatures",
-    oracle=_o_simhash_cte() + "SELECT doc, simhash FROM sim",
+    oracle=_o_simhash_cte() + "SELECT doc, simhash_hi, simhash_lo FROM sim",
     tags=("llm", "dedup"),
-    doc="32-bit token-frequency SimHash signature per document",
+    doc="64-bit token-frequency SimHash signature per document, as two "
+        "32-bit words from independent md5 slices (operators/dedup.py)",
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return D.simhash(read_table(spark, sf_dir, "documents"), "doc_id", "text", bits=64)
 
 
 @register(
     "dedup_simhash_near_pairs",
     oracle=_o_simhash_cte() + """
         SELECT a.doc AS doc_a, b.doc AS doc_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+               CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+                    + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INT) AS hamming
         FROM sim a JOIN sim b ON a.doc < b.doc
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+              + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 6
     """,
     tags=("llm", "dedup"),
-    doc="SimHash near-dup pairs: hamming distance ≤ 6 of 32 bits",
+    doc="SimHash near-dup pairs: hamming ≤ 6 of 64 bits via word-aligned "
+        "8-11-bit pigeonhole blocks (lossless, never all-pairs); the "
+        "oracle is the brute-force all-pairs answer",
 )
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = D.simhash(read_table(spark, sf_dir, "documents"), "doc_id", "text")
-    return D.simhash_near_pairs(sim, max_hamming=6).withColumn(
+    sim = D.simhash(read_table(spark, sf_dir, "documents"), "doc_id", "text", bits=64)
+    return D.simhash_near_pairs(sim, max_hamming=6, bits=64).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
 
@@ -446,6 +481,13 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("keep_doc_id").alias("doc_id"))
     )
     survivors = passed.join(exact_keep, "doc_id", "left_semi")
-    near = D.minhash_lsh_near_dups(survivors, "doc_id", "text", threshold=0.5)
+    # restrict the session shingle cache to the surviving docs — a
+    # doc's shingle set is independent of which other docs survive, so
+    # the semi-join is exactly shingle_set(survivors) without re-running
+    # tokenization
+    sh = _doc_shingles(spark, sf_dir).join(
+        survivors.select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+    )
+    near = D.minhash_lsh_near_dups(survivors, "doc_id", "text", threshold=0.5, shingles=sh)
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
     return exact_keep.join(drop, "doc_id", "left_anti")

@@ -59,15 +59,63 @@ def test_minhash_lsh_equals_exact(docs):
 
 
 def test_simhash_near_for_near_dups(docs):
-    sim = D.simhash(docs, "doc_id", "text")
-    vals = {r.doc: r.simhash for r in sim.collect()}
+    sim = D.simhash(docs, "doc_id", "text", bits=64)
+    vals = {r.doc: (r.simhash_hi << 32) | r.simhash_lo for r in sim.collect()}
     assert vals[1] == vals[2] == vals[3]          # identical content → identical hash
     ham14 = bin(vals[1] ^ vals[4]).count("1")
     ham15 = bin(vals[1] ^ vals[5]).count("1")
     assert ham14 < ham15                          # near dup closer than far doc
-    near = D.simhash_near_pairs(sim, max_hamming=6)
+    near = D.simhash_near_pairs(sim, max_hamming=6, bits=64)
     got = {(r.doc_a, r.doc_b) for r in near.collect()}
     assert (1, 2) in got and (1, 3) in got
+
+
+def test_simhash_blocking_is_lossless_vs_bruteforce(docs):
+    """Pigeonhole blocking must return EXACTLY the brute-force pair set."""
+    sim = D.simhash(docs, "doc_id", "text", bits=64)
+    rows = sim.collect()
+    vals = {r.doc: (r.simhash_hi << 32) | r.simhash_lo for r in rows}
+    ids = sorted(vals)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(vals[a] ^ vals[b]).count("1") <= 6
+    }
+    blocked = {
+        (r.doc_a, r.doc_b) for r in D.simhash_near_pairs(sim, max_hamming=6, bits=64).collect()
+    }
+    assert blocked == brute
+
+
+def test_simhash64_blocks_finer_than_32(spark):
+    """The round-1 upgrade rationale, asserted: 64-bit word-aligned
+    blocks are >= 8 bits wide and their worst bucket is no fuller than
+    the 32-bit layout's worst 4-5-bit bucket on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+        read_table,
+    )
+
+    from .conftest import SF_ORACLE
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+
+    def max_occupancy(bits):
+        sim = D.simhash(docs, "doc_id", "text", bits=bits)
+        blocks = D.simhash_block_table(sim, max_hamming=6, bits=bits)
+        return (
+            blocks.groupBy("blk", "val").agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("m")).collect()[0]["m"]
+        )
+
+    occ64, occ32 = max_occupancy(64), max_occupancy(32)
+    assert occ64 <= occ32
+    # 64-bit layout: 4 lo-blocks of 8 bits + 3 hi-blocks of 10-11 bits
+    sim = D.simhash(docs.limit(1), "doc_id", "text", bits=64)
+    n_blocks = D.simhash_block_table(sim, 6, 64).count()
+    assert n_blocks == 7
 
 
 def test_latest_wins_keeps_newest(spark):

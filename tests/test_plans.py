@@ -78,8 +78,10 @@ def test_hinted_join_strategies_differ(spark):
             "join_study_broadcast_hash",
             "join_study_sort_merge",
             "join_study_shuffle_hash",
+            "join_study_nested_loop",
         )
     }
     assert "BroadcastHashJoin" in plans["join_study_broadcast_hash"]
     assert "SortMergeJoin" in plans["join_study_sort_merge"]
     assert "ShuffledHashJoin" in plans["join_study_shuffle_hash"]
+    assert "BroadcastNestedLoopJoin" in plans["join_study_nested_loop"]
