@@ -28,3 +28,26 @@ def s_cosine(a: str, b: str) -> str:
 def o_cosine(a: str, b: str) -> str:
     """DuckDB twin (embedding cast to DOUBLE[] by the caller)."""
     return f"list_cosine_similarity({a}, {b})"
+
+
+def srp_planes(nbits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane matrix for signed-random-
+    projection LSH (Charikar 2002): entry (b, j) is the parity of
+    md5("srp:b:j"). Hash-derived so the Spark plan and the DuckDB oracle
+    materialize bit-identical planes with no shared RNG state."""
+    import hashlib
+
+    return [
+        [1 if hashlib.md5(f"srp:{b}:{j}".encode()).digest()[0] & 1 else -1 for j in range(dim)]
+        for b in range(nbits)
+    ]
+
+
+def s_plane_array(signs: list[int]) -> str:
+    """Spark SQL literal double[] for one hyperplane."""
+    return "array(" + ", ".join("1.0D" if s > 0 else "-1.0D" for s in signs) + ")"
+
+
+def o_plane_array(signs: list[int]) -> str:
+    """DuckDB twin literal."""
+    return "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in signs) + "]::DOUBLE[]"

@@ -368,3 +368,66 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 6, bits: int = 64) -> 
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Transitive near-dup clustering: (node, component) where component
+    is the MIN node id reachable through ``edges`` — pair lists alone
+    don't dedupe (a~b, b~c must collapse into ONE keep decision), so
+    this closes them into clusters.
+
+    Min-label propagation: each iteration every node takes the smallest
+    label among itself and its neighbors — one shuffle join + one
+    partial-aggregated min per iteration, converging in graph-diameter
+    iterations (near-dup graphs are unions of near-cliques, so 2-4 in
+    practice). ``localCheckpoint`` truncates lineage per iteration (on a
+    cluster use a reliable ``checkpoint`` dir); the driver's only action
+    is a LIMIT-1 convergence probe, never data. This is the standard
+    large-graph CC shape (cf. GraphFrames/Pregel) expressed as plain
+    DataFrame ops.
+
+    ``edges``: (doc_a, doc_b) undirected pairs. ``nodes``: one ``node``
+    column holding every member incl. singletons (which map to
+    themselves).
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("b"), "component"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("node", F.col("component").alias("old")), "node")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    sym.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations "
+        "(graph diameter exceeds the bound — raise max_iters)"
+    )

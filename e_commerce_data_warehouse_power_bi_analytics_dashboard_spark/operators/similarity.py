@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import s_cosine, s_to_double
+from ..functions.vectors import s_cosine, s_dot, s_plane_array, s_to_double, srp_planes
 
 
 def _with_dvec(emb: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
@@ -140,5 +140,98 @@ def similar_pairs(
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.expr(s_cosine("va", "vb")).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def srp_signatures(
+    emb: DataFrame, nbits: int = 32, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection (SRP) LSH signature per vector:
+    (doc, srp_sig) with bit b = [v · plane_b >= 0].
+
+    P[bits agree] = 1 - angle(u,v)/π, so hamming distance over the
+    signature estimates cosine — the embedding analog of SimHash. Planes
+    are deterministic ±1 Rademacher rows (functions/vectors.py::
+    srp_planes), and each dot product is the same sequential zip_with
+    fold the exact-cosine path uses, so signatures are bit-identical to
+    the DuckDB oracle. All JVM-side; at very large batch sizes a
+    numpy-matmul Pandas UDF computes all nbits projections in one GEMM,
+    but the codegen path wins until memory bandwidth dominates.
+    """
+    planes = srp_planes(nbits, dim)
+    sig = " + ".join(
+        f"(CASE WHEN ({s_dot('v', s_plane_array(p))}) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return emb.select(
+        F.col(id_col).alias("doc"), F.expr(s_to_double(vec_col)).alias("v")
+    ).select("doc", F.expr(f"CAST({sig} AS BIGINT)").alias("srp_sig"))
+
+
+def _hamming_block_table(sig: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """Single-word pigeonhole blocks (doc, srp_sig, blk, val): two sigs
+    within the radius must agree on >= 1 of the max_hamming+1 blocks."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("srp_sig", offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    return sig.select("doc", "srp_sig", F.explode(blocks).alias("b")).select(
+        "doc", "srp_sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+
+
+def srp_near_pairs(
+    emb: DataFrame, nbits: int = 32, dim: int = 64,
+    max_hamming: int = 8, threshold: float = 0.4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH: pigeonhole-blocked hamming
+    screen (lossless for the radius — never all-pairs) + exact-cosine
+    verify. Output (id_a, id_b, hamming, score).
+
+    The hamming screen is itself approximate w.r.t. cosine: radius 8 of
+    32 bits accepts pair angles up to ~45° with high probability, so at
+    a production near-dup threshold (cos >= 0.9, E[hamming] ≈ 4.6) recall
+    is near-1 while the candidate floor stays ~0.3% of all pairs. On a
+    corpus of weakly-similar vectors (this testdata: max cos ≈ 0.51) the
+    same radius intentionally keeps only the hamming-closest slice of
+    τ=0.4 pairs — the precision/recall knob is max_hamming, and the
+    exact-cosine verify makes every emitted pair exact.
+    """
+    sigs = srp_signatures(emb, nbits, dim, id_col, vec_col)
+    ex = _hamming_block_table(sigs, nbits, max_hamming)
+    a = ex.select(F.col("doc").alias("id_a"), F.col("srp_sig").alias("sig_a"), "blk", "val")
+    b = ex.select(F.col("doc").alias("id_b"), F.col("srp_sig").alias("sig_b"), "blk", "val")
+    cands = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    v = emb.select(F.col(id_col).alias("vid"), F.expr(s_to_double(vec_col)).alias("vv"))
+    return (
+        cands.join(v.withColumnsRenamed({"vid": "id_a", "vv": "va"}), "id_a")
+        .join(v.withColumnsRenamed({"vid": "id_b", "vv": "vb"}), "id_b")
+        .select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"),
+            F.expr(s_cosine("va", "vb")).alias("score"),
+        )
         .filter(F.col("score") >= threshold)
     )

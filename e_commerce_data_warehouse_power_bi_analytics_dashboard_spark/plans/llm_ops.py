@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
+from ..functions import vectors as V
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..sources.tpch import read_table
@@ -203,8 +204,11 @@ def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-_O_JACCARD = f"""
-    WITH sh AS (
+#: shared CTE text: exact 2-shingle Jaccard pairs at τ=0.5 as `jpairs`
+#: (reused by the pair entries and as the edge set of the clustering
+#: oracle's transitive closure)
+_O_JACCARD_CTES = f"""
+    sh AS (
         SELECT DISTINCT doc_id AS doc, unnest({T.o_shingles('text', 2)}) AS g
         FROM documents
     ),
@@ -213,14 +217,18 @@ _O_JACCARD = f"""
         SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
         FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
         GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
     )
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc = doc_a
-    JOIN sizes sb ON sb.doc = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
 """
+
+_O_JACCARD = f"WITH {_O_JACCARD_CTES} SELECT doc_a, doc_b, jaccard FROM jpairs"
 
 
 @register(
@@ -310,6 +318,43 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+        WITH RECURSIVE {_O_JACCARD_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jpairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM jpairs
+        ),
+        reach(node, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+        )
+        SELECT node AS doc_id, MIN(m) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+    tags=("llm", "dedup", "cluster"),
+    doc="Transitive near-dup clustering: LSH pairs closed into connected "
+        "components (min-label propagation, operators/dedup.py::"
+        "connected_components); cluster_id = min doc_id reachable, "
+        "singletons map to themselves. The oracle computes the same "
+        "closure via a recursive CTE over the exact-Jaccard edge set — "
+        "pairs alone don't dedupe (a~b, b~c must share one keep decision).",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_near_dups(
+        docs, "doc_id", "text", k=2, n_hashes=32, bands=16, threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
+    comp = D.connected_components(
+        pairs.select("doc_a", "doc_b"), docs.select(F.col("doc_id").alias("node"))
+    )
+    return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -375,6 +420,58 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), "vec_id < 10", k=3)
+
+
+def _o_srp_sig_cte(nbits: int = 32, dim: int = 64) -> str:
+    """DuckDB twin of operators/similarity.py::srp_signatures — same
+    hash-derived ±1 planes, same sequential dot-product fold."""
+    planes = V.srp_planes(nbits, dim)
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {V.o_plane_array(p)}) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS ({_O_EMB}),
+        sig AS (SELECT vec_id AS doc, v, CAST({sig} AS BIGINT) AS srp_sig FROM e)
+    """
+
+
+@register(
+    "ann_srp_signatures",
+    oracle=_o_srp_sig_cte() + "SELECT doc AS vec_id, srp_sig FROM sig",
+    tags=("llm", "similarity", "lsh"),
+    doc="32-bit signed-random-projection LSH signature per embedding "
+        "(deterministic Rademacher hyperplanes; bit b = [v·plane_b >= 0])",
+)
+def ann_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.srp_signatures(read_table(spark, sf_dir, "embeddings")).select(
+        F.col("doc").alias("vec_id"), "srp_sig"
+    )
+
+
+@register(
+    "ann_srp_near_pairs",
+    oracle=_o_srp_sig_cte() + """
+        SELECT a.doc AS id_a, b.doc AS id_b,
+               CAST(bit_count(xor(a.srp_sig, b.srp_sig)) AS INT) AS hamming,
+               list_cosine_similarity(a.v, b.v) AS score
+        FROM sig a JOIN sig b ON a.doc < b.doc
+        WHERE bit_count(xor(a.srp_sig, b.srp_sig)) <= 8
+          AND list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    tags=("llm", "similarity", "lsh"),
+    doc="SRP-LSH near-pair search: pigeonhole-blocked hamming<=8 screen "
+        "(9 blocks of 3-4 bits — lossless for the radius, never "
+        "all-pairs) + exact-cosine verify at τ=0.4; the label-free "
+        "scale path for embedding near-dup (operators/similarity.py::"
+        "srp_near_pairs). Oracle = brute-force over the same "
+        "deterministic signatures.",
+)
+def ann_srp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.srp_near_pairs(
+        read_table(spark, sf_dir, "embeddings"), nbits=32, dim=64,
+        max_hamming=8, threshold=0.4,
+    )
 
 
 @register(

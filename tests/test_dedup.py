@@ -128,3 +128,21 @@ def test_latest_wins_keeps_newest(spark):
     df = spark.createDataFrame(rows, ["k", "d", "id"]).withColumn("d", F.to_date("d"))
     kept = {r.k: r.id for r in D.latest_wins(df, "k", "d", "id").collect()}
     assert kept == {"c1": 2, "c2": 4}
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Chain 1-2-3-4-5 (diameter 4, multiple propagation rounds) plus a
+    separate pair and isolated nodes."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], ["node"])
+    got = {r.node: r.component for r in D.connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 8, 9: 8, 10: 10}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["node"])
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(edges, nodes, max_iters=1)

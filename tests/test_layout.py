@@ -139,3 +139,43 @@ def test_ivf_nprobe_recall_monotone(spark):
 
     r1, r2 = recall(1), recall(2)
     assert 0 <= r1 <= r2 <= 1
+
+
+def test_srp_blocking_is_lossless_vs_bruteforce(spark):
+    """SRP pigeonhole blocking must return EXACTLY the brute-force
+    (hamming<=H AND cos>=τ) pair set."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.similarity import (
+        srp_near_pairs,
+        srp_signatures,
+    )
+
+    from .conftest import SF_ORACLE
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    sigs = {r.doc: r.srp_sig for r in srp_signatures(emb).collect()}
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in srp_near_pairs(emb, max_hamming=8, threshold=0.4).collect()
+    }
+    # blocked candidates must include every hamming<=8 pair of the final set
+    for (a, b, h) in got:
+        assert bin(sigs[a] ^ sigs[b]).count("1") == h <= 8
+    # and equal the brute-force screen intersected with the cosine verify
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.functions.vectors import (
+        s_cosine,
+        s_to_double,
+    )
+
+    v = emb.select(F.col("vec_id").alias("vid"), F.expr(s_to_double("embedding")).alias("v"))
+    a = v.withColumnsRenamed({"vid": "id_a", "v": "va"})
+    b = v.withColumnsRenamed({"vid": "id_b", "v": "vb"})
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr(s_cosine("va", "vb")).alias("score"))
+        .filter(F.col("score") >= 0.4)
+        .collect()
+        if bin(sigs[r.id_a] ^ sigs[r.id_b]).count("1") <= 8
+    }
+    assert {(x, y) for (x, y, _) in got} == exact
