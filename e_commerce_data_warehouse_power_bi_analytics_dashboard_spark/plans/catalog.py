@@ -73,6 +73,9 @@ def get_catalog() -> dict[str, Query]:
         from . import layout  # noqa: F401
         from . import lifecycle_queries  # noqa: F401
         from . import rewrite  # noqa: F401
+        from . import sampling  # noqa: F401
+        from . import profiling  # noqa: F401
+        from . import scd_queries  # noqa: F401
 
         _LOADED = True
     return CATALOG

@@ -1,0 +1,178 @@
+"""Deterministic corpus sampling, mixture weighting, and token-budget
+packing over the documents table — the selection layer of a training-data
+pipeline (beyond the reference's surface, per the LLM-ops north star).
+
+Everything is HASH-deterministic, never rand(): a sample must be stable
+across retries, executors, and engine versions, and re-runnable on the
+oracle — the same reason the dedup layer keys on md5. At 100 TB each of
+these is one scan + one (or zero) shuffles: Bernoulli sampling is a
+map-side filter, stratified top-k is a single window per stratum, and
+mixture planning aggregates per-lang counts (a few hundred groups) before
+a broadcast of the tiny weight table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..sources.tpch import read_table
+from .catalog import register
+
+#: stable per-doc hash in [0, 100): the sampling coin. 8 hex chars of
+#: md5(doc_id) — uniform, engine-independent, and independent of the
+#: 7-char dedup hashes (different width ⇒ different modulus stream).
+_S_COIN = f"({T.s_md5_long('CAST(doc_id AS STRING)', 8)}) % 100"
+_O_COIN = f"({T.o_md5_long('CAST(doc_id AS VARCHAR)', 8)}) % 100"
+
+
+@register(
+    "sample_bernoulli_hash",
+    oracle=f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_O_COIN} < 10
+    """,
+    tags=("llm", "sampling"),
+    doc="Stable 10% Bernoulli sample: md5(doc_id) mod 100 < 10 — "
+        "deterministic across retries/executors (unlike rand()-based "
+        "TABLESAMPLE), map-side only, no shuffle",
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.expr(_S_COIN) < 10)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "sample_stratified_source",
+    oracle=f"""
+        SELECT doc_id, source, strat_rank FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {_O_COIN}, doc_id) AS strat_rank
+            FROM documents
+        ) WHERE strat_rank <= 3
+    """,
+    tags=("llm", "sampling"),
+    doc="Stratified sample: 3 docs per source stratum in hash order "
+        "(equal-allocation stratified sampling; hash order makes the "
+        "within-stratum pick uniform AND stable). One window per stratum.",
+)
+def sample_stratified_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.expr(_S_COIN).asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("strat_rank"))
+        .filter(F.col("strat_rank") <= 3)
+    )
+
+
+#: target language mixture for corpus assembly (weights sum to 1)
+MIXTURE_WEIGHTS = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+        WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        w(lang, weight) AS (VALUES {", ".join(
+            f"('{k}', CAST({v} AS DOUBLE))" for k, v in MIXTURE_WEIGHTS.items()
+        )}),
+        j AS (SELECT lang, n_docs, weight FROM counts JOIN w USING (lang)),
+        corpus AS (SELECT MIN(FLOOR(n_docs / weight)) AS c FROM j)
+        SELECT lang, n_docs, weight,
+               CAST(FLOOR(weight * c) AS BIGINT) AS take_n,
+               CAST(FLOOR(weight * c) AS DOUBLE) / n_docs AS sample_rate
+        FROM j, corpus
+    """,
+    tags=("llm", "sampling"),
+    doc="Mixture planning: given target per-language weights, the largest "
+        "corpus achievable WITHOUT upsampling is min over langs of "
+        "floor(n/w); emit per-lang take_n and sample_rate. The binding "
+        "(rate=1) language is the mixture bottleneck. Aggregates to a "
+        "handful of groups then broadcasts the weight literal — the "
+        "planning step ahead of a hash-threshold sampling pass.",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [(k, float(v)) for k, v in MIXTURE_WEIGHTS.items()], ["lang", "weight"]
+    )
+    j = (
+        docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(weights), "lang")
+    )
+    corpus = j.agg(F.min(F.floor(F.col("n_docs") / F.col("weight"))).alias("c"))
+    return (
+        j.crossJoin(F.broadcast(corpus))
+        .select(
+            "lang", "n_docs", "weight",
+            F.floor(F.col("weight") * F.col("c")).cast("long").alias("take_n"),
+            (F.floor(F.col("weight") * F.col("c")).cast("double") / F.col("n_docs"))
+            .alias("sample_rate"),
+        )
+    )
+
+
+TOKEN_BUDGET = 2000
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len({T.o_tokens('text')}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS cum_before
+            FROM toks
+        )
+        SELECT source,
+               CAST(FLOOR(cum_before / {TOKEN_BUDGET}) AS BIGINT) AS bin_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM cum
+        GROUP BY 1, 2
+    """,
+    tags=("llm", "sampling", "packing"),
+    doc=f"Sequence packing for training batches: greedy sequential "
+        f"bin-packing of docs into ~{TOKEN_BUDGET}-token bins per source "
+        "(bin = floor(cumulative-tokens-before / budget) over a doc_id-"
+        "ordered window). One window + one group-by, both partitioned by "
+        "source — packing never crosses the stratum, so partitions stay "
+        "independent at scale.",
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.expr(f"size({T.s_tokens('text')})").cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / TOKEN_BUDGET).cast("long").alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
