@@ -1,0 +1,216 @@
+"""Customer/product analytics layer: RFM segmentation, Pareto/ABC
+classification, market-basket affinity.
+
+These are the dashboard-analytics staples a Power-BI user of the
+reference warehouse builds on top of the star schema (the reference's
+DAX layer stops at the 14 registered measures; these extend the same
+semantic surface — SURVEY.md §2.10 note on the ADAX iteration).
+
+Scale design notes (100 TB):
+  - RFM and Pareto both window over *aggregated* frames (|customers| and
+    |products|), 3-5 orders of magnitude smaller than the fact; the
+    single-partition global window is on that reduced frame only. At
+    extreme dim cardinality the ntile/cume boundaries would instead be
+    computed as approx-quantile cut points broadcast back — the catalog
+    keeps the exact form because its oracle is exact.
+  - The basket self-join is keyed on invoiceid (co-partitioned shuffle,
+    no broadcast of the fact); fan-out is bounded by per-order line
+    count (≤ 7 in TPC-H-shaped data), so the pair explosion is linear
+    in fact size with a small constant, then TakeOrderedAndProject
+    caps the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.star import StarSchema, with_star
+from ._helpers import int_sum, money_sum, o_int_sum, o_money_sum
+from .catalog import register
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=with_star("""
+        , base AS (
+            SELECT f.customer_key,
+                   date_diff('day', MAX(d.full_date),
+                             (SELECT MAX(full_date) FROM dim_date)) AS recency_days,
+                   CAST(COUNT(DISTINCT f.invoiceid) AS BIGINT) AS frequency,
+                   {m} AS monetary
+            FROM fact_sales f
+            JOIN dim_date d USING (date_key)
+            GROUP BY f.customer_key
+        ),
+        scored AS (
+            SELECT *,
+                   ntile(4) OVER (ORDER BY recency_days ASC,  customer_key) AS r_score,
+                   ntile(4) OVER (ORDER BY frequency    DESC, customer_key) AS f_score,
+                   ntile(4) OVER (ORDER BY monetary     DESC, customer_key) AS m_score
+            FROM base
+        )
+        SELECT customer_key, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                 || CAST(m_score AS VARCHAR) AS rfm_code,
+               CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                    WHEN r_score >= 3 AND f_score <= 2 THEN 'at_risk'
+                    WHEN r_score <= 2 AND f_score >= 3 THEN 'recent_low_freq'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    """.format(m=o_money_sum("f.totalamount"))),
+    tags=("analytics", "W1", "A3", "A6"),
+    doc="RFM segmentation: recency/frequency/monetary quartiles per customer "
+        "(score 1 = best). Extends the DAX measure layer (Iteration 4); "
+        "ntile ties broken by customer_key so both engines agree.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    per_cust = (
+        s.fact_sales
+        .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
+        .groupBy("customer_key")
+        .agg(
+            F.max("full_date").alias("last_date"),
+            F.countDistinct("invoiceid").cast("long").alias("frequency"),
+            money_sum("totalamount").alias("monetary"),
+        )
+    )
+    anchor = (
+        s.dim_date.agg(F.max("full_date").alias("anchor_date"))
+    )
+    base = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .select(
+            "customer_key",
+            F.datediff("anchor_date", "last_date").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "*",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("customer_key"))).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("customer_key"))).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("customer_key"))).alias("m_score"),
+    )
+    return scored.select(
+        "customer_key", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        F.concat(F.col("r_score").cast("string"),
+                 F.col("f_score").cast("string"),
+                 F.col("m_score").cast("string")).alias("rfm_code"),
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "recent_low_freq")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+
+
+@register(
+    "pareto_product_abc",
+    oracle=with_star("""
+        , rev AS (
+            SELECT p.category, f.product_key,
+                   SUM(f.totalamount) AS rev_dec
+            FROM fact_sales f
+            JOIN dim_product p USING (product_key)
+            GROUP BY p.category, f.product_key
+        ),
+        cum AS (
+            SELECT category, product_key,
+                   CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+                   CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, product_key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS cum_share
+            FROM rev
+        )
+        SELECT category, product_key, revenue, cum_share,
+               CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
+    """),
+    tags=("analytics", "W2", "W3", "A10"),
+    doc="Pareto/ABC product classification: cumulative revenue share over "
+        "products ranked desc (80/95 cut). Cumulative sums are exact "
+        "DECIMAL; only the terminal shares are IEEE doubles.",
+)
+def pareto_product_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    rev = (
+        s.fact_sales
+        .join(F.broadcast(s.dim_product.select("product_key", "category")), "product_key")
+        .groupBy("category", "product_key")
+        .agg(F.sum("totalamount").alias("rev_dec"))
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev_dec"), F.asc("product_key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = rev.select(
+        "category",
+        "product_key",
+        F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
+        (
+            F.sum("rev_dec").over(w_cum).cast("double")
+            / F.sum("rev_dec").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )
+    return cum.select(
+        "category", "product_key", "revenue", "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@register(
+    "basket_product_pairs",
+    oracle=with_star("""
+        , items AS (
+            SELECT DISTINCT invoiceid, product_key FROM fact_sales
+        ),
+        pairs AS (
+            SELECT a.product_key AS product_a, b.product_key AS product_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_baskets
+            FROM items a
+            JOIN items b ON a.invoiceid = b.invoiceid
+                        AND a.product_key < b.product_key
+            GROUP BY a.product_key, b.product_key
+        )
+        SELECT product_a, product_b, n_baskets
+        FROM pairs
+        ORDER BY n_baskets DESC, product_a, product_b
+        LIMIT 20
+    """),
+    tags=("analytics", "J4", "T2", "A13"),
+    doc="Market-basket affinity: top-20 product pairs co-occurring in one "
+        "invoice. Self-join co-partitioned on invoiceid; fan-out bounded "
+        "by per-order line count.",
+)
+def basket_product_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    items = s.fact_sales.select("invoiceid", "product_key").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.invoiceid") == F.col("b.invoiceid"))
+            & (F.col("a.product_key") < F.col("b.product_key")),
+        )
+        .groupBy(
+            F.col("a.product_key").alias("product_a"),
+            F.col("b.product_key").alias("product_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+    )
+    return pairs.orderBy(
+        F.desc("n_baskets"), F.asc("product_a"), F.asc("product_b")
+    ).limit(20)

@@ -76,6 +76,8 @@ def get_catalog() -> dict[str, Query]:
         from . import sampling  # noqa: F401
         from . import profiling  # noqa: F401
         from . import scd_queries  # noqa: F401
+        from . import analytics  # noqa: F401
+        from . import curation  # noqa: F401
 
         _LOADED = True
     return CATALOG

@@ -1,0 +1,226 @@
+"""Training-data curation operators: chunking, PII redaction, benchmark
+decontamination, intra-document repetition scoring.
+
+These extend the LLM-pipeline layer (plans/llm_ops.py) with the
+remaining curation stages of a Dolma/C4-style corpus pipeline. All four
+are pure JVM expression plans (higher-order functions / regex / one
+inverted-index join) — no Python UDFs — so whole-stage codegen applies
+and each has an exact DuckDB oracle twin.
+
+Scale notes (100 TB):
+  - chunking and repetition are map-side only (no shuffle): array ops on
+    the token list per row;
+  - redaction is map-side regex;
+  - decontamination is an inverted-index equi-join on the n-gram hash —
+    the benchmark side is tiny (benchmark suites are ~1e5 docs) and is
+    broadcast; the corpus side streams through. Group sizes are bounded
+    by n-gram document frequency.
+
+The synthetic corpus contains no natural PII, so the redaction query
+deterministically injects synthetic emails/phones (keyed on doc_id) as a
+fixture step *inside the query*, then redacts them — the regexes are
+exercised non-vacuously and both engines build the identical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.tpch import read_table
+from .catalog import register
+
+# sliding-window chunking parameters (tokens)
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # = CHUNK_TOKENS - overlap(10)
+
+# 4-word shingles: measured at sf0.01, planted near-dup pairs sit at
+# containment 1.0 vs background <= 0.15 (see tests/test_curation.py)
+DECONTAM_K = 4
+DECONTAM_TAU = 0.5
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+@register(
+    "curation_doc_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {T.o_tokens('text')} AS t FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   unnest([{{'chunk_idx': (i - 1) // {CHUNK_STRIDE},
+                            'chunk_text': array_to_string(t[i:i+{CHUNK_TOKENS - 1}], ' ')}}
+                           for i in range(1, greatest(len(t), 1) + 1, {CHUNK_STRIDE})]) AS u
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(u.chunk_idx AS INT) AS chunk_idx,
+               u.chunk_text AS chunk_text,
+               CAST(len(string_split(u.chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens
+        FROM chunks
+    """,
+    tags=("llm", "curation"),
+    doc=f"Sliding-window chunking: {CHUNK_TOKENS}-token chunks, stride "
+        f"{CHUNK_STRIDE} (10-token overlap). Map-side only: tokenize, "
+        "sequence of starts, slice — no shuffle.",
+)
+def curation_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(T.s_tokens("text")).alias("t"))
+    starts = f"sequence(1, greatest(size(t), 1), {CHUNK_STRIDE})"
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform({starts}, i -> array_join(slice(t, i, {CHUNK_TOKENS}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.expr("size(split(chunk_text, ' '))").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "curation_pii_redact",
+    oracle=f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' call 555-123-4567 now' ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+               CAST(length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                          '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS n_chars_redacted
+        FROM injected
+    """,
+    tags=("llm", "curation", "F5", "F6"),
+    doc="PII scrubbing: email/phone regex redaction with per-document "
+        "redaction counts. Synthetic PII injected deterministically "
+        "(doc_id-keyed) because the corpus is clean — see module doc.",
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, " call 555-123-4567 now").otherwise(""),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
+    )
+
+
+@register(
+    "curation_decontam_overlap",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct({T.o_shingles('text', DECONTAM_K)})) AS ng
+            FROM documents
+        ),
+        b AS (SELECT doc_id AS bench_id, ng FROM g WHERE doc_id % 25 = 0),
+        bn AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench FROM b GROUP BY bench_id),
+        c AS (SELECT doc_id, ng FROM g WHERE doc_id % 25 <> 0),
+        ov AS (
+            SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS overlap
+            FROM c JOIN b USING (ng) GROUP BY c.doc_id, b.bench_id
+        )
+        SELECT ov.doc_id, ov.bench_id, overlap, n_bench,
+               CAST(overlap AS DOUBLE) / n_bench AS containment,
+               CAST(overlap AS DOUBLE) / n_bench >= {DECONTAM_TAU} AS is_contaminated
+        FROM ov JOIN bn USING (bench_id)
+    """,
+    tags=("llm", "curation", "J8"),
+    doc=f"Benchmark decontamination: {DECONTAM_K}-gram containment of each "
+        "corpus doc against a benchmark set (doc_id % 25 = 0 stands in "
+        "for the eval suite). Inverted-index equi-join on the n-gram; "
+        "benchmark side broadcast at scale.",
+)
+def curation_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(T.s_shingles("text", DECONTAM_K)))
+        ).alias("ng"),
+    )
+    bench = grams.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"), "ng"
+    )
+    bench_n = bench.groupBy("bench_id").agg(
+        F.count("*").cast("long").alias("n_bench")
+    )
+    corpus = grams.filter(F.col("doc_id") % 25 != 0)
+    overlap = (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    out = overlap.join(F.broadcast(bench_n), "bench_id")
+    containment = F.col("overlap").cast("double") / F.col("n_bench")
+    return out.select(
+        "doc_id", "bench_id", "overlap", "n_bench",
+        containment.alias("containment"),
+        (containment >= DECONTAM_TAU).alias("is_contaminated"),
+    )
+
+
+@register(
+    "curation_repetition_score",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, {T.o_shingles('text', 3)} AS grams FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique,
+               1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ratio
+        FROM g
+    """,
+    tags=("llm", "curation", "text"),
+    doc="Gopher-style repetition signal: duplicate-trigram ratio per "
+        "document. Pure map-side (array_distinct on the shingle list), "
+        "zero shuffle.",
+)
+def curation_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.expr(T.s_shingles("text", 3)).alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+        ).alias("dup_ratio"),
+    )
