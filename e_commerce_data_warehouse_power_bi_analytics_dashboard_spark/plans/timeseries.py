@@ -1,0 +1,192 @@
+"""Time-series operators over the star schema: date-spine gap filling,
+trailing-window anomaly scoring, distribution percentiles.
+
+Determinism across engines (the catalog's oracle contract):
+  - every windowed statistic is computed from *exact DECIMAL* window
+    sums (sum and sum-of-squares), cast to DOUBLE only inside the final
+    closed-form expression — so the IEEE arithmetic is identical on both
+    engines regardless of window-aggregation association order (DuckDB
+    uses segment trees for sliding frames; Spark accumulates in frame
+    order — float window sums would drift by ulps);
+  - percentiles use percentile_disc (picks an actual value) rather than
+    interpolating percentile_cont, whose x0+(x1-x0)*f vs x0*(1-f)+x1*f
+    formulations differ in the last ulp between engines.
+
+Scale notes: all three plans aggregate the fact to a per-day / per-group
+frame first (|days| or |categories| rows), so the global windows run on
+a reduced frame; the date spine is generated from a 1-row min/max agg,
+never materialized driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.star import StarSchema, with_star
+from .catalog import register
+
+# daily revenue as exact DECIMAL, reused by both time-series plans
+_DAILY_CTE = """
+    , daily AS (
+        SELECT d.full_date AS day,
+               CAST(SUM(f.totalamount) AS DECIMAL(18,2)) AS rev_dec
+        FROM fact_sales f
+        JOIN dim_date d USING (date_key)
+        GROUP BY d.full_date
+    )
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    return (
+        s.fact_sales
+        .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
+        .groupBy(F.col("full_date").alias("day"))
+        .agg(F.sum("totalamount").cast("decimal(18,2)").alias("rev_dec"))
+    )
+
+
+@register(
+    "ts_gapfill_daily_revenue",
+    oracle=with_star(_DAILY_CTE + """
+        , spine AS (
+            SELECT CAST(unnest(generate_series(
+                       (SELECT MIN(day) FROM daily),
+                       (SELECT MAX(day) FROM daily),
+                       INTERVAL 1 DAY)) AS DATE) AS day
+        )
+        SELECT strftime(s.day, '%Y-%m-%d') AS day,
+               CAST(COALESCE(d.rev_dec, 0) AS DOUBLE) AS revenue_filled,
+               CAST(last_value(d.rev_dec IGNORE NULLS)
+                    OVER (ORDER BY s.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS revenue_carry,
+               d.rev_dec IS NULL AS is_gap
+        FROM spine s
+        LEFT JOIN daily d USING (day)
+    """),
+    tags=("timeseries", "W3", "F14"),
+    doc="Date-spine gap filling: dense daily calendar from min..max, "
+        "zero-fill and last-observation-carried-forward revenue. The "
+        "spine is sequence()-generated from a 1-row agg — no driver loop.",
+)
+def ts_gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = spine.join(daily, "day", "left")
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("rev_dec"), F.lit(0)).cast("double").alias("revenue_filled"),
+        F.last("rev_dec", ignorenulls=True).over(w).cast("double").alias("revenue_carry"),
+        F.col("rev_dec").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "ts_anomaly_zscore_daily",
+    oracle=with_star(_DAILY_CTE + """
+        , cents AS (
+            SELECT day, rev_dec, CAST(rev_dec * 100 AS BIGINT) AS c FROM daily
+        ),
+        win AS (
+            SELECT day, rev_dec, c,
+                   COUNT(*) OVER w AS n,
+                   SUM(c) OVER w AS s_c,
+                   SUM(c * c) OVER w AS sq_c
+            FROM cents
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CASE WHEN n = 30 THEN
+                   (CAST(c AS DOUBLE) - CAST(s_c AS DOUBLE) / n)
+                   / sqrt(greatest(
+                       (CAST(sq_c AS DOUBLE)
+                        - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n)
+                       / (n - 1), 1e-12))
+               END AS zscore,
+               CASE WHEN n = 30 THEN
+                   abs((CAST(c AS DOUBLE) - CAST(s_c AS DOUBLE) / n)
+                   / sqrt(greatest(
+                       (CAST(sq_c AS DOUBLE)
+                        - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n)
+                       / (n - 1), 1e-12))) > 3.0
+               END AS is_anomaly
+        FROM win
+    """),
+    tags=("timeseries", "W4", "A10"),
+    doc="Trailing-30-day z-score anomaly flag on daily revenue. The "
+        "z-score is scale-invariant, so it is computed in integer cents: "
+        "window sums stay exact int64 (a DECIMAL(38,4)->DOUBLE cast "
+        "double-rounds in DuckDB, int64->double rounds once in both "
+        "engines), then one closed-form double expression. At magnitudes "
+        "where daily cents^2 sums would overflow int64, switch c to "
+        "DECIMAL — the catalog keeps int64 for cross-engine exactness.",
+)
+def ts_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    cents = daily.select(
+        "day", "rev_dec", (F.col("rev_dec") * 100).cast("long").alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    win = cents.select(
+        "day",
+        "rev_dec",
+        "c",
+        F.count("*").over(w).alias("n"),
+        F.sum("c").over(w).alias("s_c"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("sq_c"),
+    )
+    x = F.col("c").cast("double")
+    s = F.col("s_c").cast("double")
+    sq = F.col("sq_c").cast("double")
+    n = F.col("n")
+    mean = s / n
+    var = F.greatest((sq - s * s / n) / (n - 1), F.lit(1e-12))
+    z = (x - mean) / F.sqrt(var)
+    full = F.col("n") == 30
+    return win.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.when(full, z).alias("zscore"),
+        F.when(full, F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
+@register(
+    "stats_category_percentiles",
+    oracle=with_star("""
+        SELECT p.category,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(f.totalamount AS DOUBLE)) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(f.totalamount AS DOUBLE)) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(f.totalamount AS DOUBLE)) AS p75,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY CAST(f.totalamount AS DOUBLE)) AS p90
+        FROM fact_sales f
+        JOIN dim_product p USING (product_key)
+        GROUP BY p.category
+    """),
+    tags=("timeseries", "A9", "A6"),
+    doc="Per-category line-amount distribution via percentile_disc "
+        "(actual order statistics — no interpolation, so both engines "
+        "agree bit-for-bit).",
+)
+def stats_category_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    base = s.fact_sales.join(
+        F.broadcast(s.dim_product.select("product_key", "category")), "product_key"
+    ).select("category", F.col("totalamount").cast("double").alias("amt"))
+    return base.groupBy("category").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY amt)").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY amt)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY amt)").alias("p75"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY amt)").alias("p90"),
+    )

@@ -1,0 +1,55 @@
+"""Edge-semantics tests for the time-series layer (oracle gate covers
+cross-engine equality; these pin the operator semantics themselves)."""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import get_catalog
+
+from .conftest import SF_ORACLE
+
+CATALOG = get_catalog()
+
+
+def test_gapfill_spine_is_dense_and_carries_forward(spark):
+    rows = (
+        CATALOG["ts_gapfill_daily_revenue"].fn(spark, SF_ORACLE)
+        .orderBy("day")
+        .collect()
+    )
+    days = [date.fromisoformat(r.day) for r in rows]
+    assert all(b - a == timedelta(days=1) for a, b in zip(days, days[1:]))
+    gaps = [i for i, r in enumerate(rows) if r.is_gap]
+    assert gaps, "expected at least one calendar gap in the spine"
+    for i in gaps:
+        assert rows[i].revenue_filled == 0.0
+        # LOCF: carry equals the nearest previous non-gap day's revenue
+        j = i - 1
+        while rows[j].is_gap:
+            j -= 1
+        assert rows[i].revenue_carry == rows[j].revenue_carry == rows[j].revenue_filled
+
+
+def test_zscore_warmup_and_flag_consistency(spark):
+    df = CATALOG["ts_anomaly_zscore_daily"].fn(spark, SF_ORACLE).cache()
+    # first 29 days have no full trailing window -> null score and flag
+    first30 = df.orderBy("day").limit(30).collect()
+    assert all(r.zscore is None and r.is_anomaly is None for r in first30[:29])
+    assert first30[29].zscore is not None
+    # the flag is exactly |z| > 3
+    bad = df.filter(
+        F.col("zscore").isNotNull()
+        & (F.col("is_anomaly") != (F.abs("zscore") > 3.0))
+    ).count()
+    assert bad == 0
+    df.unpersist()
+
+
+def test_percentiles_are_order_statistics(spark):
+    rows = CATALOG["stats_category_percentiles"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.p25 <= r.p50 <= r.p75 <= r.p90
