@@ -79,6 +79,7 @@ def get_catalog() -> dict[str, Query]:
         from . import analytics  # noqa: F401
         from . import curation  # noqa: F401
         from . import timeseries  # noqa: F401
+        from . import incremental  # noqa: F401
 
         _LOADED = True
     return CATALOG

@@ -218,3 +218,41 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("purchased_after_click"),
     )
+
+
+@register(
+    "events_enriched_segment_daily",
+    oracle="""
+        SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+               c.c_mktsegment AS mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    tags=("events", "streaming-shape", "J1"),
+    doc="Stream-static enrichment, batch twin: events joined to the "
+        "customer dim (broadcast — the static side of a stream-static "
+        "join never shuffles the stream), daily value per market "
+        "segment. Streaming twin: streaming/events.py::"
+        "enriched_segment_daily; equivalence in tests/test_streaming.py.",
+)
+def events_enriched_segment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    ev = read_events(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double").alias("total_value"),
+        )
+    )

@@ -195,3 +195,38 @@ def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession, mode: st
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def enriched_segment_daily(events: DataFrame, customers: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Stream-static join + windowed aggregate: enrich the event stream
+    with the (static, broadcast) customer dim, then a watermarked daily
+    tumbling aggregate per market segment.
+
+    Stream-static joins need no stream-side state: each micro-batch
+    probes the static side (broadcast here — the dim is small), so the
+    only stateful operator is the windowed agg, bounded by the
+    watermark. Batch twin: plans/events_queries.py::
+    events_enriched_segment_daily.
+    """
+    cust = customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(cust), "user_id")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )

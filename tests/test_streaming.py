@@ -45,3 +45,17 @@ def test_stream_sessionize_closed_sessions_match_batch(spark):
     assert len(got) >= 0.8 * len(want)
     mismatches = {k: (got[k], want[k]) for k in got if got[k][0] != want[k][0]}
     assert not mismatches
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import read_table
+
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    cust = read_table(spark, SF_ORACLE, "customer")
+    out = SE.run_to_memory(
+        SE.enriched_segment_daily(stream, cust), "t_enrich", spark, mode="update"
+    )
+    got = {(r.day, r.mktsegment): (r.n_events, r.total_value) for r in out.collect()}
+    batch = CATALOG["events_enriched_segment_daily"].fn(spark, SF_ORACLE).collect()
+    want = {(r.day, r.mktsegment): (r.n_events, r.total_value) for r in batch}
+    assert got == want
