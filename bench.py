@@ -40,7 +40,11 @@ BASELINE_REF_SEC = {
     "olap_monthly_revenue_by_country": 1.200,  # DSS aggregate
     "join_study_broadcast_hash": 0.355,        # hash join
     "join_study_sort_merge": 0.665,            # sort-merge join
-    "join_study_nested_loop": 0.342,           # nested-loop join
+    # join_study_nested_loop (ref 0.342s) is intentionally absent: the
+    # reference's number is an INDEXED nested loop (B-tree probe per
+    # row); Spark's analog of that probe pattern is the broadcast-hash
+    # entry above, while BroadcastNestedLoopJoin is a forced-degradation
+    # study (correctness-checked in the catalog, not a headline ratio).
     "layout_partition_pruned_revenue": 0.128,  # pruned range query
 }
 
@@ -75,6 +79,14 @@ HEADLINE = [
     "text_quality_score",
     # event-stream batch analytics
     "events_sessionize",
+    # round-2 additions: dashboard analytics, temporal, curation, layout
+    "rfm_customer_segments",
+    "basket_product_pairs",
+    "mv_incremental_refresh",
+    "ts_anomaly_zscore_daily",
+    "scd2_asof_lineitem_price",
+    "curation_decontam_overlap",
+    "layout_zorder_skip",
 ]
 
 

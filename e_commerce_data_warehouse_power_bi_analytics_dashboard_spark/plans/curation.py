@@ -167,13 +167,15 @@ def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "benchmark side broadcast at scale.",
 )
 def curation_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_set
+
     docs = read_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.expr(T.s_shingles("text", DECONTAM_K)))
-        ).alias("ng"),
-    )
+    # shingle_set materializes the tokenize regexes ONCE per row before
+    # the shingle lambda (inlining them re-runs the regex per element —
+    # ~10x slower) and dedups to the distinct (doc, gram) set
+    grams = shingle_set(docs, "doc_id", "text", k=DECONTAM_K).withColumnRenamed(
+        "doc", "doc_id"
+    ).withColumnRenamed("g", "ng")
     bench = grams.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("bench_id"), "ng"
     )

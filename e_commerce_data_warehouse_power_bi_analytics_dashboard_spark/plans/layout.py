@@ -295,3 +295,83 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton-curve) multi-dimensional clustering
+# ---------------------------------------------------------------------------
+
+
+def zvalue(a: str, b: str, bits: int = 16) -> F.Column:
+    """Morton z-value: interleave the low ``bits`` bits of two non-negative
+    int columns (a's bits land on odd positions). Pure JVM higher-order
+    expression — whole-stage-codegen'd, no UDF.
+
+    Sorting by z-value clusters rows that are close in BOTH dimensions,
+    so parquet min/max row-group stats prune on either predicate — the
+    multi-dim analog of write_range_sorted's single-dim index, and the
+    same layout trick Delta/Iceberg expose as OPTIMIZE ZORDER BY.
+    """
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+        f"acc | shiftleft(shiftright(CAST({a} AS BIGINT), i) & 1, 2*i+1)"
+        f"    | shiftleft(shiftright(CAST({b} AS BIGINT), i) & 1, 2*i))"
+    )
+
+
+def write_zordered(df: DataFrame, path: str, a: str, b: str, files: int = 8) -> None:
+    """Z-order-clustered parquet: range-partition + sort on the Morton
+    value of (a, b) so row-group min/max stats are selective on both
+    columns at once."""
+    z = df.withColumn("_z", zvalue(a, b))
+    (
+        z.repartitionByRange(files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@register(
+    "layout_zorder_skip",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 200
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+    tags=("layout", "zorder", "P5"),
+    doc="Z-order clustering: orders rewritten sorted by the Morton value "
+        "of (custkey, order-day), then a two-dimensional range predicate "
+        "— row-group stats prune on BOTH columns, where a linear sort "
+        "helps only its leading column. Oracle is the same query on the "
+        "raw table: layout never changes results. Write paid once per "
+        "session (ensure_layout), matching Iteration 3's "
+        "build-once-then-measure methodology.",
+)
+def layout_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_path(sf_dir, "orders_zorder")
+
+    def write() -> None:
+        orders = read_table(spark, sf_dir, "orders").withColumn(
+            "_day", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        )
+        write_zordered(orders, path, "o_custkey", "_day")
+
+    ensure_layout(spark, sf_dir, "orders_zorder", write)
+    orders = spark.read.parquet(path)
+    return (
+        orders.filter(
+            F.col("o_custkey").between(100, 200)
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )

@@ -92,15 +92,15 @@ def ts_gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_anomaly_zscore_daily",
     oracle=with_star(_DAILY_CTE + """
-        , cents AS (
-            SELECT day, rev_dec, CAST(rev_dec * 100 AS BIGINT) AS c FROM daily
+        , units AS (
+            SELECT day, rev_dec, CAST(FLOOR(rev_dec) AS BIGINT) AS c FROM daily
         ),
         win AS (
             SELECT day, rev_dec, c,
                    COUNT(*) OVER w AS n,
                    SUM(c) OVER w AS s_c,
                    SUM(c * c) OVER w AS sq_c
-            FROM cents
+            FROM units
             WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
         )
         SELECT strftime(day, '%Y-%m-%d') AS day,
@@ -123,20 +123,22 @@ def ts_gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """),
     tags=("timeseries", "W4", "A10"),
     doc="Trailing-30-day z-score anomaly flag on daily revenue. The "
-        "z-score is scale-invariant, so it is computed in integer cents: "
-        "window sums stay exact int64 (a DECIMAL(38,4)->DOUBLE cast "
-        "double-rounds in DuckDB, int64->double rounds once in both "
-        "engines), then one closed-form double expression. At magnitudes "
-        "where daily cents^2 sums would overflow int64, switch c to "
-        "DECIMAL — the catalog keeps int64 for cross-engine exactness.",
+        "z-score is unit-invariant, so it is computed on whole-dollar "
+        "FLOORed daily revenue: window sums stay exact int64 (a "
+        "DECIMAL(38,4)->DOUBLE cast double-rounds in DuckDB; "
+        "int64->double rounds once in both engines), then one "
+        "closed-form double expression. Int64 headroom: 30-day "
+        "sum-of-squares stays exact up to ~$5e8/day; beyond that, "
+        "coarsen the unit (z is invariant) or switch to sketch-based "
+        "anomaly scoring.",
 )
 def ts_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily(spark, sf_dir)
-    cents = daily.select(
-        "day", "rev_dec", (F.col("rev_dec") * 100).cast("long").alias("c")
+    units = daily.select(
+        "day", "rev_dec", F.floor("rev_dec").cast("long").alias("c")
     )
     w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
-    win = cents.select(
+    win = units.select(
         "day",
         "rev_dec",
         "c",

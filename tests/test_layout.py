@@ -15,7 +15,7 @@ from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch i
     read_table,
 )
 
-from .conftest import SF_SMOKE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 
 def explain_str(df, mode: str = "formatted") -> str:
@@ -179,3 +179,49 @@ def test_srp_blocking_is_lossless_vs_bruteforce(spark):
         if bin(sigs[r.id_a] ^ sigs[r.id_b]).count("1") <= 8
     }
     assert {(x, y) for (x, y, _) in got} == exact
+
+
+def test_zvalue_interleaves_bits(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.layout import zvalue
+
+    def py_z(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    rows = [(0, 0), (1, 0), (0, 1), (5, 9), (65535, 65535), (1234, 4321)]
+    df = spark.createDataFrame(rows, "a INT, b INT").select(
+        "a", "b", zvalue("a", "b").alias("z")
+    )
+    for r in df.collect():
+        assert r.z == py_z(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_layout_clusters_both_dims(spark):
+    """Row-group stats payoff: within each z-sorted file, BOTH dimension
+    ranges are much narrower than the global range (a linear sort only
+    narrows its leading column)."""
+    import pyspark.sql.functions as F
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import get_catalog
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.layout import scratch_path
+
+    get_catalog()["layout_zorder_skip"].fn(spark, SF_ORACLE).collect()  # ensures layout
+    files = spark.read.parquet(scratch_path(SF_ORACLE, "orders_zorder")).withColumn(
+        "f", F.input_file_name()
+    )
+    stats = files.groupBy("f").agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("day_span"),
+    ).collect()
+    glob = files.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dd"),
+    ).first()
+    assert len(stats) >= 4
+    avg_ck = sum(r.ck_span for r in stats) / len(stats)
+    avg_dd = sum(r.day_span for r in stats) / len(stats)
+    # each z-run should cover well under the full span of each dimension
+    assert avg_ck < 0.75 * glob.ck
+    assert avg_dd < 0.75 * glob.dd
