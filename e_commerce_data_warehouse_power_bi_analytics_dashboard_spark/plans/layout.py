@@ -312,6 +312,10 @@ def zvalue(a: str, b: str, bits: int = 16) -> F.Column:
     multi-dim analog of write_range_sorted's single-dim index, and the
     same layout trick Delta/Iceberg expose as OPTIMIZE ZORDER BY.
     """
+    if not 1 <= bits <= 31:
+        # 2*bits interleaved bits must fit a signed int64 (and the
+        # shifted bit positions 2*i+1 stay < 63)
+        raise ValueError(f"bits={bits} must be in [1, 31]")
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
         f"acc | shiftleft(shiftright(CAST({a} AS BIGINT), i) & 1, 2*i+1)"

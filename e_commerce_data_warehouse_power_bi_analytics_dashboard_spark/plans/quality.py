@@ -1,0 +1,160 @@
+"""Data-quality + interchange layer: declarative constraint audit over
+the dirty staging feed, JSONL export/import roundtrip, small-file
+compaction.
+
+  - The constraint audit is the warehouse's "CHECK constraint report":
+    one scan of the raw staging rows, every rule a conditional count in
+    a single wide aggregate, unpivoted to (constraint, n_violations) —
+    1 pass regardless of rule count (plans/profiling.py's discipline).
+    Rules mirror what the reference's ETL rejects on
+    (Iteration 1/Group No.6_ETL.sql:296-385): blank keys, unparseable
+    timestamps, non-positive quantities, malformed prices.
+  - JSONL is the lingua franca of training-data interchange; the
+    roundtrip entry proves the sink+source preserve every column
+    bit-for-bit (oracle reads the original parquet).
+  - Compaction rewrites a deliberately-fragmented table into few large
+    files — the small-files pathology is the #1 operational failure of
+    100 TB parquet lakes (NameNode/listing pressure, per-file open
+    cost, tiny row groups defeating min/max skipping).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import read_table
+from .catalog import register
+from .cleaning_queries import _dirty_sales_sql, _stg_sales_df
+from .layout import ensure_layout, scratch_path
+
+
+@register(
+    "dq_constraint_audit",
+    oracle="WITH " + _dirty_sales_sql(False) + """
+        , checks AS (
+            SELECT
+                CAST(SUM(CASE WHEN trim(invoiceid) = '' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS blank_invoiceid,
+                CAST(SUM(CASE WHEN try_strptime(date, '%Y-%m-%d %H:%M:%S') IS NULL
+                              AND try_strptime(date, '%d/%m/%Y %H:%M:%S') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS unparseable_date,
+                CAST(SUM(CASE WHEN TRY_CAST(quantity AS INTEGER) IS NULL
+                                OR TRY_CAST(quantity AS INTEGER) <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+                CAST(SUM(CASE WHEN TRY_CAST(unitprice AS DECIMAL(12,2)) IS NULL
+                                OR TRY_CAST(unitprice AS DECIMAL(12,2)) <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_unitprice,
+                CAST(SUM(CASE WHEN NOT regexp_matches(stockcode, '^P[0-9]+$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS malformed_stockcode,
+                CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM stg_sales
+        )
+        SELECT u.constraint_name, u.n_violations, checks.n_rows
+        FROM checks,
+             LATERAL (VALUES ('blank_invoiceid', blank_invoiceid),
+                             ('unparseable_date', unparseable_date),
+                             ('bad_quantity', bad_quantity),
+                             ('bad_unitprice', bad_unitprice),
+                             ('malformed_stockcode', malformed_stockcode))
+                 AS u(constraint_name, n_violations)
+    """,
+    tags=("quality", "A8", "P3", "F6"),
+    doc="Declarative constraint audit of the dirty staging sales feed: "
+        "every rule a conditional count in ONE wide aggregate, stack-"
+        "unpivoted to (constraint, n_violations, n_rows). Mirrors the "
+        "reject rules of ETL.sql:296-385 as an auditable report.",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = _stg_sales_df(spark, sf_dir)
+    iso = F.expr("try_to_timestamp(date, 'yyyy-MM-dd HH:mm:ss')")
+    dmy = F.expr("try_to_timestamp(date, 'dd/MM/yyyy HH:mm:ss')")
+    qty = F.expr("try_cast(quantity AS INT)")
+    price = F.expr("try_cast(unitprice AS DECIMAL(12,2))")
+    one = stg.agg(
+        F.sum((F.trim("invoiceid") == "").cast("long")).alias("blank_invoiceid"),
+        F.sum((iso.isNull() & dmy.isNull()).cast("long")).alias("unparseable_date"),
+        F.sum((qty.isNull() | (qty <= 0)).cast("long")).alias("bad_quantity"),
+        F.sum((price.isNull() | (price <= 0)).cast("long")).alias("bad_unitprice"),
+        F.sum((~F.col("stockcode").rlike("^P[0-9]+$")).cast("long")).alias(
+            "malformed_stockcode"
+        ),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    names = [
+        "blank_invoiceid",
+        "unparseable_date",
+        "bad_quantity",
+        "bad_unitprice",
+        "malformed_stockcode",
+    ]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return one.select(
+        F.expr(f"stack({len(names)}, {stack}) AS (constraint_name, n_violations)"),
+        "n_rows",
+    )
+
+
+@register(
+    "export_jsonl_roundtrip",
+    oracle="""
+        SELECT doc_id, lang, source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               md5(text) AS text_md5
+        FROM documents
+    """,
+    tags=("quality", "S1", "sink"),
+    doc="JSONL interchange roundtrip: documents written as JSON-lines "
+        "(the training-data exchange format), read back with an explicit "
+        "schema, every column proven identical to the parquet source "
+        "(oracle reads the original). Write paid once per session.",
+)
+def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_path(sf_dir, "documents_jsonl")
+
+    def write() -> None:
+        read_table(spark, sf_dir, "documents").write.mode("overwrite").json(path)
+
+    ensure_layout(spark, sf_dir, "documents_jsonl", write)
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(path)
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+@register(
+    "layout_compact_roundtrip",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_extended
+        FROM lineitem
+    """,
+    tags=("quality", "layout", "compaction"),
+    doc="Small-file compaction: lineitem deliberately fragmented into 64 "
+        "files, then compacted to 4 large ones (read -> repartition -> "
+        "rewrite, the OPTIMIZE/compact maintenance job of a parquet "
+        "lake). Oracle proves the rewrite is lossless; "
+        "tests/test_quality.py asserts the file-count collapse.",
+)
+def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frag = scratch_path(sf_dir, "lineitem_fragmented")
+    compact = scratch_path(sf_dir, "lineitem_compacted")
+
+    def write() -> None:
+        li = read_table(spark, sf_dir, "lineitem")
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+
+    ensure_layout(spark, sf_dir, "lineitem_compaction", write)
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_extended"),
+    )
