@@ -143,7 +143,7 @@ def main() -> None:
     #   3. median of n>=3 timed executions of the FULL physical plan
     #      (every scan/shuffle/broadcast re-runs per rep; only the
     #      result transfer is elided via the noop sink).
-    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = catalog[name].fn(spark, sf_dir)

@@ -214,3 +214,84 @@ def basket_product_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("n_baskets"), F.asc("product_a"), F.asc("product_b")
     ).limit(20)
+
+
+@register(
+    "retention_cohort_matrix",
+    oracle=with_star("""
+        , activity AS (
+            SELECT DISTINCT f.customer_key,
+                   date_trunc('month', d.full_date)::DATE AS act_month
+            FROM fact_sales f
+            JOIN dim_date d USING (date_key)
+        ),
+        cohorts AS (
+            SELECT customer_key, MIN(act_month) AS cohort_month
+            FROM activity GROUP BY customer_key
+        ),
+        sizes AS (
+            SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS n_cohort
+            FROM cohorts GROUP BY cohort_month
+        ),
+        cells AS (
+            SELECT c.cohort_month,
+                   CAST(date_diff('month', c.cohort_month, a.act_month) AS INT)
+                       AS month_offset,
+                   CAST(COUNT(DISTINCT a.customer_key) AS BIGINT) AS n_active
+            FROM activity a
+            JOIN cohorts c USING (customer_key)
+            GROUP BY 1, 2
+        )
+        SELECT strftime(cells.cohort_month, '%Y-%m') AS cohort_month,
+               month_offset, n_active, n_cohort,
+               CAST(n_active AS DOUBLE) / n_cohort AS retention_rate
+        FROM cells
+        JOIN sizes USING (cohort_month)
+        WHERE month_offset <= 11
+    """),
+    tags=("analytics", "A3", "A6", "J1", "cohort"),
+    doc="Cohort retention matrix: customers bucketed by first-purchase "
+        "month, retention_rate = active/cohort-size per month offset "
+        "(0..11). Extends olap_cohort_first_purchase to the full "
+        "triangle. Activity is reduced to distinct customer-months "
+        "before any join, so the matrix build touches |customers x "
+        "active months|, not the fact.",
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    activity = (
+        s.fact_sales
+        .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
+        .select(
+            "customer_key",
+            F.date_trunc("month", "full_date").cast("date").alias("act_month"),
+        )
+        .distinct()
+    )
+    cohorts = activity.groupBy("customer_key").agg(
+        F.min("act_month").alias("cohort_month")
+    )
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    cells = (
+        activity.join(cohorts, "customer_key")
+        .select(
+            "cohort_month",
+            F.months_between("act_month", "cohort_month").cast("int").alias("month_offset"),
+            "customer_key",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.countDistinct("customer_key").cast("long").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_month")
+        .filter(F.col("month_offset") <= 11)
+        .select(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+            "month_offset",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention_rate"),
+        )
+    )

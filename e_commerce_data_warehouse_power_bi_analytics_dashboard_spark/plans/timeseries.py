@@ -80,7 +80,7 @@ def ts_gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("lo", "hi")).alias("day"))
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined = spine.join(daily, "day", "left")
+    joined = spine.join(F.broadcast(daily), "day", "left")
     return joined.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.coalesce(F.col("rev_dec"), F.lit(0)).cast("double").alias("revenue_filled"),
