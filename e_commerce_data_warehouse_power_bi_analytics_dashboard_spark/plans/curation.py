@@ -226,3 +226,51 @@ def curation_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
         ).alias("dup_ratio"),
     )
+
+
+@register(
+    "curation_version_diff",
+    oracle="""
+        WITH v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]' ELSE text END AS text
+            FROM documents
+            WHERE doc_id % 31 <> 0
+        ),
+        matched AS (
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents a
+            FULL OUTER JOIN v2 b USING (doc_id)
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM matched GROUP BY status
+    """,
+    tags=("llm", "curation", "J3", "U2"),
+    doc="Corpus version diff: v1 vs v2 full-outer joined on doc_id, each "
+        "doc classified added/removed/changed/unchanged by content hash. "
+        "The v2 snapshot is derived in-query (deterministic doc_id-keyed "
+        "edits/deletes) so both engines diff identical inputs. One "
+        "co-partitioned join at scale; hashes computed map-side.",
+)
+def curation_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = docs.filter(F.col("doc_id") % 31 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" [edited]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    a = docs.select("doc_id", F.md5("text").alias("h1"))
+    b = v2.select("doc_id", F.md5("text").alias("h2"))
+    matched = a.join(b, "doc_id", "full_outer").select(
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return matched.groupBy("status").agg(F.count("*").cast("long").alias("n_docs"))

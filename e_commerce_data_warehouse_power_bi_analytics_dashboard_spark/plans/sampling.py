@@ -176,3 +176,28 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "sample_training_order",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY {T.o_md5_long("'ep1:' || CAST(doc_id AS VARCHAR)", 12)},
+                            doc_id) AS BIGINT) AS train_pos
+        FROM documents
+    """,
+    tags=("llm", "sampling", "T1"),
+    doc="Deterministic global training order: rank by md5('ep1:'||id) — "
+        "a seeded, reproducible shuffle of the corpus (change the epoch "
+        "prefix for a fresh permutation). At scale the total order is a "
+        "range-partitioned sort on the hash; emitting shard_id = "
+        "train_pos div shard_size turns it into the shard writer.",
+)
+def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    key = T.s_md5_long("concat('ep1:', CAST(doc_id AS STRING))", 12)
+    w = Window.orderBy(F.expr(key), F.col("doc_id"))
+    return docs.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("train_pos")
+    )
