@@ -85,3 +85,23 @@ def test_hinted_join_strategies_differ(spark):
     assert "SortMergeJoin" in plans["join_study_sort_merge"]
     assert "ShuffledHashJoin" in plans["join_study_shuffle_hash"]
     assert "BroadcastNestedLoopJoin" in plans["join_study_nested_loop"]
+
+
+def test_round2_plan_shapes(spark):
+    """Scale-shape pins for the round-2 operators: broadcasts where a
+    side is small, co-partitioned SMJ only where both sides are big."""
+    # decontam: benchmark gram side broadcast, corpus side streams
+    p = plan_of(CATALOG["curation_decontam_overlap"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    # basket: the self-join shuffles on invoiceid (both sides are the
+    # fact — broadcast would be wrong at scale)
+    p = plan_of(CATALOG["basket_product_pairs"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-20 without a global sort
+    # gapfill: per-day aggregate is broadcast into the spine join
+    p = plan_of(CATALOG["ts_gapfill_daily_revenue"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in p
+    # incremental MV: the delta-combine full-outer merge cannot
+    # broadcast; everything else (dims) must
+    p = plan_of(CATALOG["mv_incremental_refresh"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
