@@ -230,3 +230,60 @@ def enriched_segment_daily(events: DataFrame, customers: DataFrame,
             "total_value",
         )
     )
+
+
+def run_gold_delta_sink(events: DataFrame, path: str, spark: SparkSession) -> None:
+    """Streaming → incremental gold maintenance via ``foreachBatch``.
+
+    Each micro-batch is aggregated to (day, event_type) partial sums and
+    APPENDED as a delta partition keyed by the batch epoch — the gold
+    table is "base + deltas", combined on read by :func:`read_gold_daily`
+    (the same distributive-measure algebra as
+    plans/incremental.py::mv_incremental_refresh, driven by a stream).
+
+    Idempotence under retries: the write dynamically overwrites ONLY its
+    own ``epoch_id=<n>`` partition, so a replayed batch replaces rather
+    than double-counts itself — exactly-once at the sink without
+    read-modify-write of the whole gold table.
+    """
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        delta = (
+            batch.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("value_dec"),
+            )
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+        )
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(path)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_gold_daily(spark: SparkSession, path: str) -> DataFrame:
+    """Combine the delta partitions written by :func:`run_gold_delta_sink`
+    into the gold (day, event_type) aggregate — exact DECIMAL partial
+    sums make the combine lossless regardless of how batches split."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("value_dec"), 2).cast("double").alias("total_value"),
+        )
+    )

@@ -59,3 +59,14 @@ def test_stream_static_enrichment_equals_batch(spark):
     batch = CATALOG["events_enriched_segment_daily"].fn(spark, SF_ORACLE).collect()
     want = {(r.day, r.mktsegment): (r.n_events, r.total_value) for r in batch}
     assert got == want
+
+
+def test_foreachbatch_gold_delta_sink_equals_batch(spark, tmp_path):
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    path = str(tmp_path / "gold_events_daily")
+    SE.run_gold_delta_sink(stream, path, spark)
+    got = {(r.day, r.event_type): (r.n_events, r.total_value)
+           for r in SE.read_gold_daily(spark, path).collect()}
+    batch = CATALOG["events_type_daily"].fn(spark, SF_ORACLE).collect()
+    want = {(r.day, r.event_type): (r.n_events, r.total_value) for r in batch}
+    assert got == want
