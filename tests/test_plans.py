@@ -93,10 +93,18 @@ def test_round2_plan_shapes(spark):
     # decontam: benchmark gram side broadcast, corpus side streams
     p = plan_of(CATALOG["curation_decontam_overlap"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
-    # basket: the self-join shuffles on invoiceid (both sides are the
-    # fact — broadcast would be wrong at scale)
-    p = plan_of(CATALOG["basket_product_pairs"].fn(spark, SF_SMOKE))
+    # basket: at smoke scale Catalyst may legitimately broadcast the tiny
+    # distinct-fact side; the property that must hold at 100 TB is that
+    # with broadcast off the self-join degrades to an equi shuffle join
+    # (SMJ/SHJ on invoiceid), never a cartesian
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan_of(CATALOG["basket_product_pairs"].fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p  # top-20 without a global sort
     # gapfill: per-day aggregate is broadcast into the spine join
     p = plan_of(CATALOG["ts_gapfill_daily_revenue"].fn(spark, SF_SMOKE))
