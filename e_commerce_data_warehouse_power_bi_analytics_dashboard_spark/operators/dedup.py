@@ -283,8 +283,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
             [F.when(F.col(f"{prefix}{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(n)],
         ).cast("long")
 
+    # tag the frame with its signature width so block-table consumers can
+    # reject a mismatched `bits` argument: a 32-bit sim frame processed
+    # as 64-bit would put the whole corpus in one hi-word bucket per
+    # block (simhash_hi = 0 everywhere) — an all-pairs explosion the
+    # schema alone cannot reveal
     return votes.select(
-        "doc", _word("vh", hi_bits).alias("simhash_hi"), _word("vl", lo_bits).alias("simhash_lo")
+        "doc",
+        _word("vh", hi_bits).alias("simhash_hi", metadata={"simhash_bits": bits}),
+        _word("vl", lo_bits).alias("simhash_lo"),
     )
 
 
@@ -297,6 +304,16 @@ def simhash_block_table(sim: DataFrame, max_hamming: int = 6, bits: int = 64) ->
     hi-blocks of 10-11 bits; 32-bit → the coarse 4-5-bit blocks.
     Exposed separately so tests can assert bucket occupancy.
     """
+    tagged = next(
+        (f.metadata.get("simhash_bits") for f in sim.schema.fields if f.name == "simhash_hi"),
+        None,
+    )
+    if tagged is not None and tagged != bits:
+        raise ValueError(
+            f"signature frame was built with bits={tagged} but blocks requested "
+            f"bits={bits}: a width mismatch degrades pigeonhole blocking to "
+            f"all-pairs (every hi-word block collides on 0)"
+        )
     n_blocks = max_hamming + 1
     lo_bits, hi_bits = 32, bits - 32
     nb_lo = n_blocks if hi_bits == 0 else max(1, round(n_blocks * lo_bits / bits))

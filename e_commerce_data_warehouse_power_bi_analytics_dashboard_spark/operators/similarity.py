@@ -160,6 +160,11 @@ def srp_signatures(
     numpy-matmul Pandas UDF computes all nbits projections in one GEMM,
     but the codegen path wins until memory bandwidth dominates.
     """
+    if not 1 <= nbits <= 63:
+        # bit b contributes 1 << b; b = 63 overflows the signed BIGINT
+        # signature word (and 1..63 distinct powers sum to 2^63 - 1, the
+        # BIGINT max, so 63 is the exact single-word ceiling)
+        raise ValueError(f"nbits={nbits} must be in [1, 63] for a single BIGINT signature")
     planes = srp_planes(nbits, dim)
     sig = " + ".join(
         f"(CASE WHEN ({s_dot('v', s_plane_array(p))}) >= 0 THEN {1 << b} ELSE 0 END)"

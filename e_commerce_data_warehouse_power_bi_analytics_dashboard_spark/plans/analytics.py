@@ -267,6 +267,12 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", "full_date").cast("date").alias("act_month"),
         )
         .distinct()
+        # referenced three times below (cells directly, cohorts, sizes);
+        # Catalyst does not dedupe common subtrees, so without this the
+        # fact scan + distinct would run 3x per execution. |customers x
+        # active months| rows — small; CacheManager keys on the
+        # canonicalized plan, so repeat calls share one entry.
+        .persist()
     )
     cohorts = activity.groupBy("customer_key").agg(
         F.min("act_month").alias("cohort_month")

@@ -304,13 +304,19 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def zvalue(a: str, b: str, bits: int = 16) -> F.Column:
     """Morton z-value: interleave the low ``bits`` bits of two non-negative
-    int columns (a's bits land on odd positions). Pure JVM higher-order
-    expression — whole-stage-codegen'd, no UDF.
+    int SQL expressions (a's bits land on odd positions). Pure JVM
+    higher-order expression — whole-stage-codegen'd, no UDF.
 
     Sorting by z-value clusters rows that are close in BOTH dimensions,
     so parquet min/max row-group stats prune on either predicate — the
     multi-dim analog of write_range_sorted's single-dim index, and the
     same layout trick Delta/Iceberg expose as OPTIMIZE ZORDER BY.
+
+    Size ``bits`` to cover the key domain: values wider than ``bits``
+    alias onto their low bits (e.g. custkey 100 and 100 + 2**bits
+    interleave identically), which never changes query RESULTS — the
+    layout only affects clustering — but silently destroys the per-file
+    min/max locality the z-order exists to create.
     """
     if not 1 <= bits <= 31:
         # 2*bits interleaved bits must fit a signed int64 (and the
@@ -323,11 +329,15 @@ def zvalue(a: str, b: str, bits: int = 16) -> F.Column:
     )
 
 
-def write_zordered(df: DataFrame, path: str, a: str, b: str, files: int = 8) -> None:
+def write_zordered(
+    df: DataFrame, path: str, a: str, b: str, files: int = 8, bits: int = 16
+) -> None:
     """Z-order-clustered parquet: range-partition + sort on the Morton
     value of (a, b) so row-group min/max stats are selective on both
-    columns at once."""
-    z = df.withColumn("_z", zvalue(a, b))
+    columns at once. ``a``/``b`` may be arbitrary SQL expressions —
+    derived sort dimensions need never exist as columns in the written
+    table."""
+    z = df.withColumn("_z", zvalue(a, b, bits))
     (
         z.repartitionByRange(files, F.col("_z"))
         .sortWithinPartitions("_z")
@@ -361,10 +371,16 @@ def layout_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_path(sf_dir, "orders_zorder")
 
     def write() -> None:
-        orders = read_table(spark, sf_dir, "orders").withColumn(
-            "_day", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        # the day ordinal is an inline sort expression, so the written
+        # table keeps exactly the source orders schema; bits=21 covers
+        # custkeys up to ~2M (sf10) — wider keys would alias onto their
+        # low bits and quietly destroy clustering locality (see zvalue)
+        orders = read_table(spark, sf_dir, "orders")
+        write_zordered(
+            orders, path,
+            "o_custkey", "datediff(o_orderdate, DATE '1992-01-01')",
+            bits=21,
         )
-        write_zordered(orders, path, "o_custkey", "_day")
 
     ensure_layout(spark, sf_dir, "orders_zorder", write)
     orders = spark.read.parquet(path)

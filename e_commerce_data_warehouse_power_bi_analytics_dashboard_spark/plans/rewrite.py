@@ -166,7 +166,11 @@ def rewrite_country_rollup_from_gold(spark: SparkSession, sf_dir: str) -> DataFr
     df, source = monthly_rollup(
         spark, sf_dir, ["country"], ["total_revenue", "total_quantity", "order_count"]
     )
-    assert source == "gold"
+    if source != "gold":
+        # the routing decision IS this entry's claim (both paths return
+        # equal rows, so the oracle alone can't catch a mis-route); a
+        # bare assert would vanish under python -O
+        raise RuntimeError(f"router served country rollup from {source!r}, expected gold")
     return df
 
 
@@ -191,5 +195,6 @@ def rewrite_segment_rollup_fallback(spark: SparkSession, sf_dir: str) -> DataFra
     df, source = monthly_rollup(
         spark, sf_dir, ["mktsegment"], ["total_revenue", "order_count"]
     )
-    assert source == "fact"
+    if source != "fact":
+        raise RuntimeError(f"router served segment rollup from {source!r}, expected fact")
     return df

@@ -107,6 +107,9 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
         .join(F.broadcast(weights), "lang")
+        # |langs| rows, referenced by both the corpus min-agg and the
+        # final select — persist so the documents scan runs once
+        .persist()
     )
     corpus = j.agg(F.min(F.floor(F.col("n_docs") / F.col("weight"))).alias("c"))
     return (

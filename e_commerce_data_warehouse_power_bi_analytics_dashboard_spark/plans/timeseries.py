@@ -46,6 +46,11 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
         .groupBy(F.col("full_date").alias("day"))
         .agg(F.sum("totalamount").cast("decimal(18,2)").alias("rev_dec"))
+        # |days| rows; gapfill references it twice (spine min/max agg +
+        # the broadcast join) and both time-series entries share the
+        # same canonical plan, so one cache entry serves them all —
+        # without it each reference re-runs the fact scan + groupBy
+        .persist()
     )
 
 

@@ -70,6 +70,28 @@ def test_measures_arpc_with_revenue_works(fact):
     assert row["arpc"] == row["total_revenue"] / 2
 
 
+def test_simhash_block_table_rejects_width_mismatch(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")], "doc_id int, text string"
+    )
+    sim32 = D.simhash(docs, "doc_id", "text", bits=32)
+    with pytest.raises(ValueError, match="bits=32"):
+        D.simhash_block_table(sim32, bits=64)
+    with pytest.raises(ValueError, match="bits=32"):
+        D.simhash_near_pairs(sim32, bits=64)
+    # matching widths pass through
+    assert D.simhash_block_table(sim32, bits=32).count() > 0
+
+
+def test_srp_signatures_rejects_overflowing_nbits(spark):
+    emb = spark.createDataFrame([(1, [1.0, -1.0])], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="nbits"):
+        S.srp_signatures(emb, nbits=64, dim=2)
+    with pytest.raises(ValueError, match="nbits"):
+        S.srp_signatures(emb, nbits=0, dim=2)
+    assert S.srp_signatures(emb, nbits=63, dim=2).count() == 1
+
+
 def test_ivf_predicate_survives_idname_in_literal_and_identifier(spark):
     # 'vec_id' appears both as a literal value in the label column and as
     # a prefix of another column name — the old substring replace turned
