@@ -204,6 +204,69 @@ def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: the incremental-batch coin: stable per-doc hash in [0, 100); 9 hex
+#: chars so the stream is independent of both the 7-char dedup hashes
+#: and the 8-char sampling coin
+_S_BATCH_COIN = f"({T.s_md5_long('CAST(doc_id AS STRING)', 9)}) % 100"
+_O_BATCH_COIN = f"({T.o_md5_long('CAST(doc_id AS VARCHAR)', 9)}) % 100"
+
+
+@register(
+    "dedup_incremental_new_batch",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, md5({T.o_normalize('text')}) AS fingerprint
+            FROM documents WHERE {_O_BATCH_COIN} < 10
+        ),
+        c AS (
+            SELECT DISTINCT md5({T.o_normalize('text')}) AS fingerprint
+            FROM documents WHERE {_O_BATCH_COIN} >= 10
+        ),
+        r AS (
+            SELECT b.doc_id, b.fingerprint,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.fingerprint ORDER BY b.doc_id) AS rn,
+                   c.fingerprint IS NOT NULL AS in_corpus
+            FROM b LEFT JOIN c USING (fingerprint)
+        )
+        SELECT doc_id, fingerprint,
+               CASE WHEN in_corpus THEN 'dup_of_corpus'
+                    WHEN rn > 1 THEN 'dup_within_batch'
+                    ELSE 'new' END AS status
+        FROM r
+    """,
+    tags=("llm", "dedup", "incremental"),
+    doc="Incremental dedup of an arriving batch against the standing "
+        "corpus — the shape every continuously-ingesting training "
+        "pipeline runs (new crawl vs. what's already in the lake). A "
+        "deterministic 10% hash-split stands in for the batch; each "
+        "batch doc is classified new / dup_within_batch (latest-wins "
+        "inside the batch) / dup_of_corpus (fingerprint already in the "
+        "corpus). One left join on 16-byte fingerprints + one window "
+        "over the batch only; at 100 TB the corpus side is a "
+        "fingerprint-bucketed table so the probe is exchange-free.",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.expr(f"md5({T.s_normalize('text')})").alias("fingerprint")
+    coin = F.expr(_S_BATCH_COIN)
+    batch = docs.filter(coin < 10).select("doc_id", fp)
+    corpus_fps = docs.filter(coin >= 10).select(fp).distinct()
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        batch.withColumn("rn", F.row_number().over(w))
+        .join(corpus_fps.withColumn("in_corpus", F.lit(True)), "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("rn") > 1, F.lit("dup_within_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 #: shared CTE text: exact 2-shingle Jaccard pairs at τ=0.5 as `jpairs`
 #: (reused by the pair entries and as the edge set of the clustering
 #: oracle's transitive closure)

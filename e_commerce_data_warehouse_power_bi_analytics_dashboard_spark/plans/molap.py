@@ -446,3 +446,51 @@ def sketch_distinct_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row("customers_with_orders", "o_custkey").unionByName(row("invoices", "o_orderkey"))
+
+
+@register(
+    "sketch_quantile_comparison",
+    oracle="""
+        SELECT 'o_totalprice' AS metric,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE))
+                   AS exact_p50,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE))
+                   AS exact_p95,
+               true AS sketch_p50_within_1pct,
+               true AS sketch_p95_within_1pct
+        FROM orders
+    """,
+    tags=("molap", "sketch", "A9"),
+    doc="KLL-style quantile sketch vs exact order statistic: "
+        "approx_percentile(accuracy=10000) must land within 1% of the "
+        "exact percentile_disc value (the booleans ARE the oracle "
+        "contract — sketch drift fails the hash match, exactly like the "
+        "HLL entry). The sketch is the 100 TB path: mergeable partial "
+        "sketches, fixed memory, one pass — where the exact order "
+        "statistic needs a full sort or single-point aggregation.",
+)
+def sketch_quantile_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    amt = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.col("o_totalprice").cast("double").alias("amt"))
+    )
+    agg = amt.agg(
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY amt)").alias("exact_p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY amt)").alias("exact_p95"),
+        F.expr("approx_percentile(amt, array(0.50, 0.95), 10000)").alias("_ap"),
+    )
+    return agg.select(
+        F.lit("o_totalprice").alias("metric"),
+        "exact_p50",
+        "exact_p95",
+        (
+            F.abs(F.element_at("_ap", 1) - F.col("exact_p50"))
+            <= 0.01 * F.abs(F.col("exact_p50"))
+        ).alias("sketch_p50_within_1pct"),
+        (
+            F.abs(F.element_at("_ap", 2) - F.col("exact_p95"))
+            <= 0.01 * F.abs(F.col("exact_p95"))
+        ).alias("sketch_p95_within_1pct"),
+    )

@@ -127,6 +127,100 @@ def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_key_skew_profile",
+    oracle="""
+        WITH per_key AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(n) AS BIGINT) AS max_n,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS median_n
+            FROM per_key
+        ),
+        top3 AS (
+            SELECT o_custkey, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, o_custkey) AS rk
+            FROM per_key
+        )
+        SELECT t.rk AS rank, t.o_custkey AS hot_key, t.n AS n_rows,
+               s.n_keys, s.max_n,
+               CAST(s.max_n AS DOUBLE) / s.median_n AS skew_factor
+        FROM top3 t, stats s
+        WHERE t.rk <= 3
+    """,
+    tags=("quality", "skew", "A6", "W6"),
+    doc="Join-key skew profiler: per-key counts of the fact join key, "
+        "max/median skew factor, top-3 hottest keys — the diagnostic "
+        "that decides whether a join needs salting (operators/skew.py) "
+        "or AQE skew-split before it runs. One partial-aggregated "
+        "groupBy on the key (the same shuffle the join itself would "
+        "pay), then a 1-row stats frame broadcast under the top-3.",
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    per_key = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        # referenced by stats and top3 — one shuffle, not two
+        .persist()
+    )
+    stats = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").alias("median_n"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("o_custkey"))
+    top3 = (
+        per_key.select(F.col("o_custkey"), "n", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+    return top3.crossJoin(F.broadcast(stats)).select(
+        F.col("rk").alias("rank"),
+        F.col("o_custkey").alias("hot_key"),
+        F.col("n").alias("n_rows"),
+        "n_keys",
+        "max_n",
+        (F.col("max_n").cast("double") / F.col("median_n")).alias("skew_factor"),
+    )
+
+
+@register(
+    "export_orc_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        FROM orders
+    """,
+    tags=("quality", "S1", "sink", "orc"),
+    doc="ORC interchange roundtrip: orders written as ORC (the second "
+        "columnar lake format Spark ships a native vectorized reader "
+        "for), read back and proven identical to the parquet source — "
+        "incl. the timestamp column, the classic cross-format drift "
+        "spot. Write paid once per session.",
+)
+def export_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_path(sf_dir, "orders_orc")
+
+    def write() -> None:
+        read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+
+    ensure_layout(spark, sf_dir, "orders_orc", write)
+    back = spark.read.orc(path)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+@register(
     "layout_compact_roundtrip",
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
