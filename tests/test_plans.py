@@ -113,3 +113,12 @@ def test_round2_plan_shapes(spark):
     # broadcast; everything else (dims) must
     p = plan_of(CATALOG["mv_incremental_refresh"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    # incremental dedup: batch-vs-corpus is an equi join on the
+    # fingerprint, never a cartesian; window runs on the batch side only
+    p = plan_of(CATALOG["dedup_incremental_new_batch"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "fingerprint" in p
+    # skew profiler: the per-key agg partial-aggregates before its
+    # exchange; the 1-row stats frame is broadcast under the top-3
+    p = plan_of(CATALOG["dq_key_skew_profile"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
