@@ -87,6 +87,8 @@ HEADLINE = [
     "scd2_asof_lineitem_price",
     "curation_decontam_overlap",
     "layout_zorder_skip",
+    "dedup_incremental_new_batch",
+    "dq_key_skew_profile",
 ]
 
 
