@@ -7,12 +7,13 @@ DAX layer stops at the 14 registered measures; these extend the same
 semantic surface — SURVEY.md §2.10 note on the ADAX iteration).
 
 Scale design notes (100 TB):
-  - RFM and Pareto both window over *aggregated* frames (|customers| and
-    |products|), 3-5 orders of magnitude smaller than the fact; the
-    single-partition global window is on that reduced frame only. At
-    extreme dim cardinality the ntile/cume boundaries would instead be
-    computed as approx-quantile cut points broadcast back — the catalog
-    keeps the exact form because its oracle is exact.
+  - RFM scores map-side against broadcast percentile_disc cutpoints — no
+    window at all, so customer cardinality never bottlenecks a single
+    partition. Pareto windows over the *product*-grain frame only
+    (bounded catalog cardinality, 3-5 orders of magnitude smaller than
+    the fact) — the acceptable global-window shape; at extreme dim
+    cardinality its cume boundaries would likewise become broadcast
+    approx-quantile cut points.
   - The basket self-join is keyed on invoiceid (co-partitioned shuffle,
     no broadcast of the fact); fan-out is bounded by per-order line
     count (≤ 7 in TPC-H-shaped data), so the pair explosion is linear
@@ -22,7 +23,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -44,12 +45,31 @@ from .catalog import register
             JOIN dim_date d USING (date_key)
             GROUP BY f.customer_key
         ),
-        scored AS (
-            SELECT *,
-                   ntile(4) OVER (ORDER BY recency_days ASC,  customer_key) AS r_score,
-                   ntile(4) OVER (ORDER BY frequency    DESC, customer_key) AS f_score,
-                   ntile(4) OVER (ORDER BY monetary     DESC, customer_key) AS m_score
+        cuts AS (
+            SELECT
+                percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS r1,
+                percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days) AS r2,
+                percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS r3,
+                percentile_disc(0.25) WITHIN GROUP (ORDER BY -frequency)   AS f1,
+                percentile_disc(0.50) WITHIN GROUP (ORDER BY -frequency)   AS f2,
+                percentile_disc(0.75) WITHIN GROUP (ORDER BY -frequency)   AS f3,
+                percentile_disc(0.25) WITHIN GROUP (ORDER BY -monetary)    AS m1,
+                percentile_disc(0.50) WITHIN GROUP (ORDER BY -monetary)    AS m2,
+                percentile_disc(0.75) WITHIN GROUP (ORDER BY -monetary)    AS m3
             FROM base
+        ),
+        scored AS (
+            SELECT b.*,
+                   1 + CASE WHEN recency_days > r1 THEN 1 ELSE 0 END
+                     + CASE WHEN recency_days > r2 THEN 1 ELSE 0 END
+                     + CASE WHEN recency_days > r3 THEN 1 ELSE 0 END AS r_score,
+                   1 + CASE WHEN -frequency > f1 THEN 1 ELSE 0 END
+                     + CASE WHEN -frequency > f2 THEN 1 ELSE 0 END
+                     + CASE WHEN -frequency > f3 THEN 1 ELSE 0 END AS f_score,
+                   1 + CASE WHEN -monetary > m1 THEN 1 ELSE 0 END
+                     + CASE WHEN -monetary > m2 THEN 1 ELSE 0 END
+                     + CASE WHEN -monetary > m3 THEN 1 ELSE 0 END AS m_score
+            FROM base b, cuts
         )
         SELECT customer_key, recency_days, frequency, monetary,
                r_score, f_score, m_score,
@@ -62,9 +82,12 @@ from .catalog import register
         FROM scored
     """.format(m=o_money_sum("f.totalamount"))),
     tags=("analytics", "W1", "A3", "A6"),
-    doc="RFM segmentation: recency/frequency/monetary quartiles per customer "
-        "(score 1 = best). Extends the DAX measure layer (Iteration 4); "
-        "ntile ties broken by customer_key so both engines agree.",
+    doc="RFM segmentation: recency/frequency/monetary quartile scores per "
+        "customer (score 1 = best; equal values share a score). Extends "
+        "the DAX measure layer (Iteration 4). Scored MAP-SIDE against "
+        "exact percentile_disc cutpoints from one 1-row aggregation — no "
+        "global window touches the customer frame, so the scoring stage "
+        "is embarrassingly parallel at any cardinality.",
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = StarSchema(spark, sf_dir)
@@ -89,12 +112,38 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # customer-grain frame read by the cutpoint agg AND the scorer —
+        # persist so the fact aggregation runs once
+        .persist()
     )
-    scored = base.select(
-        "*",
-        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("customer_key"))).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("customer_key"))).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("customer_key"))).alias("m_score"),
+
+    # one 1-row frame with all nine quartile boundaries (exact
+    # percentile_disc keeps the DuckDB oracle bit-identical; at extreme
+    # distinct-value cardinality swap in approx_percentile — same shape)
+    def _disc(q: float, order_expr: str) -> Column:
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {order_expr})")
+
+    cuts = base.agg(
+        *[
+            _disc(q, expr).alias(f"{tag}{i}")
+            for tag, expr in (("r", "recency_days"), ("f", "-frequency"), ("m", "-monetary"))
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def _score(value: Column, tag: str) -> Column:
+        return (
+            F.lit(1)
+            + (value > F.col(f"{tag}1")).cast("int")
+            + (value > F.col(f"{tag}2")).cast("int")
+            + (value > F.col(f"{tag}3")).cast("int")
+        )
+
+    scored = base.crossJoin(F.broadcast(cuts)).select(
+        "customer_key", "recency_days", "frequency", "monetary",
+        _score(F.col("recency_days"), "r").alias("r_score"),
+        _score(-F.col("frequency"), "f").alias("f_score"),
+        _score(-F.col("monetary"), "m").alias("m_score"),
     )
     return scored.select(
         "customer_key", "recency_days", "frequency", "monetary",

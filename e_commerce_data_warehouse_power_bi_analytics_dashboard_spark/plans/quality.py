@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.ranking import top_k_ranked
 from ..sources.tpch import read_table
 from .catalog import register
 from .cleaning_queries import _dirty_sales_sql, _stg_sales_df
@@ -156,11 +157,11 @@ def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "that decides whether a join needs salting (operators/skew.py) "
         "or AQE skew-split before it runs. One partial-aggregated "
         "groupBy on the key (the same shuffle the join itself would "
-        "pay), then a 1-row stats frame broadcast under the top-3.",
+        "pay); the top-3 is TakeOrderedAndProject + a 3-row rank join "
+        "(operators/ranking.py) — the profiler itself must not be "
+        "skew-fragile, so no global window anywhere.",
 )
 def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     per_key = (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -173,11 +174,7 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("max_n"),
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").alias("median_n"),
     )
-    w = Window.orderBy(F.desc("n"), F.asc("o_custkey"))
-    top3 = (
-        per_key.select(F.col("o_custkey"), "n", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 3)
-    )
+    top3 = top_k_ranked(per_key, [("n", "desc"), ("o_custkey", "asc")], 3, out="rk")
     return top3.crossJoin(F.broadcast(stats)).select(
         F.col("rk").alias("rank"),
         F.col("o_custkey").alias("hot_key"),

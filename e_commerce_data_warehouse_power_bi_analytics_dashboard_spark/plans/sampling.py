@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
+from ..operators.ranking import uniform_key_global_rank
 from ..sources.tpch import read_table
 from .catalog import register
 
@@ -84,19 +85,23 @@ MIXTURE_WEIGHTS = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
         w(lang, weight) AS (VALUES {", ".join(
             f"('{k}', CAST({v} AS DOUBLE))" for k, v in MIXTURE_WEIGHTS.items()
         )}),
-        j AS (SELECT lang, n_docs, weight FROM counts JOIN w USING (lang)),
+        j AS (SELECT w.lang, CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs, weight
+              FROM w LEFT JOIN counts USING (lang)),
         corpus AS (SELECT MIN(FLOOR(n_docs / weight)) AS c FROM j)
         SELECT lang, n_docs, weight,
                CAST(FLOOR(weight * c) AS BIGINT) AS take_n,
-               CAST(FLOOR(weight * c) AS DOUBLE) / n_docs AS sample_rate
+               CASE WHEN n_docs = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(FLOOR(weight * c) AS DOUBLE) / n_docs END AS sample_rate
         FROM j, corpus
     """,
     tags=("llm", "sampling"),
     doc="Mixture planning: given target per-language weights, the largest "
         "corpus achievable WITHOUT upsampling is min over langs of "
         "floor(n/w); emit per-lang take_n and sample_rate. The binding "
-        "(rate=1) language is the mixture bottleneck. Aggregates to a "
-        "handful of groups then broadcasts the weight literal — the "
+        "(rate=1) language is the mixture bottleneck; a weighted language "
+        "with NO corpus docs pins the whole plan to take_n=0 (left join "
+        "from the weight table — it must not silently drop out of the "
+        "min). Aggregates to a handful of groups then broadcasts — the "
         "planning step ahead of a hash-threshold sampling pass.",
 )
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,9 +109,16 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = spark.createDataFrame(
         [(k, float(v)) for k, v in MIXTURE_WEIGHTS.items()], ["lang", "weight"]
     )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     j = (
-        docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-        .join(F.broadcast(weights), "lang")
+        # weights drives the join: a weighted lang absent from the corpus
+        # stays in frame with n_docs=0 and becomes the binding constraint
+        weights.join(F.broadcast(counts), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            "weight",
+        )
         # |langs| rows, referenced by both the corpus min-agg and the
         # final select — persist so the documents scan runs once
         .persist()
@@ -117,7 +129,10 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang", "n_docs", "weight",
             F.floor(F.col("weight") * F.col("c")).cast("long").alias("take_n"),
-            (F.floor(F.col("weight") * F.col("c")).cast("double") / F.col("n_docs"))
+            F.when(F.col("n_docs") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(F.col("weight") * F.col("c")).cast("double") / F.col("n_docs")
+            )
             .alias("sample_rate"),
         )
     )
@@ -193,14 +208,21 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "sampling", "T1"),
     doc="Deterministic global training order: rank by md5('ep1:'||id) — "
         "a seeded, reproducible shuffle of the corpus (change the epoch "
-        "prefix for a fresh permutation). At scale the total order is a "
-        "range-partitioned sort on the hash; emitting shard_id = "
-        "train_pos div shard_size turns it into the shard writer.",
+        "prefix for a fresh permutation). Computed DISTRIBUTED: the hash "
+        "is uniform, so its high 8 bits are 256 balanced, order-preserving "
+        "blocks — rank within block (partitioned window) + broadcast "
+        "block offsets = the exact global row_number, with no single-"
+        "partition stage (operators/ranking.py). Emitting shard_id = "
+        "train_pos div shard_size turns this into the shard writer.",
 )
 def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    key = T.s_md5_long("concat('ep1:', CAST(doc_id AS STRING))", 12)
-    w = Window.orderBy(F.expr(key), F.col("doc_id"))
-    return docs.select(
-        "doc_id", F.row_number().over(w).cast("long").alias("train_pos")
-    )
+    key = F.expr(T.s_md5_long("concat('ep1:', CAST(doc_id AS STRING))", 12))
+    return uniform_key_global_rank(
+        docs.select("doc_id"),
+        key,
+        [F.col("doc_id")],
+        key_bits=48,  # 12 md5 hex chars
+        block_bits=8,
+        out="train_pos",
+    ).select("doc_id", "train_pos")

@@ -122,3 +122,27 @@ def test_round2_plan_shapes(spark):
     p = plan_of(CATALOG["dq_key_skew_profile"].fn(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_no_single_partition_global_windows(spark):
+    """Round-3 pins for the r2 'weak' trio: none may funnel the full frame
+    through one partition (the `WindowExec: No Partition Defined` shape).
+
+    - sample_training_order keeps a window but it MUST be partitioned
+      (by the hash high-bits block) — so the pin is zero single-partition
+      exchanges anywhere in the plan;
+    - rfm_customer_segments scores against broadcast percentile cutpoints
+      and dq_key_skew_profile ranks via TakeOrderedAndProject + tiny
+      self-join — neither may contain a window at all. (Their ungrouped
+      1-row stats aggregations legitimately finish on one partition, so
+      the window check, not an exchange count, is the right pin there.)
+    """
+    p = plan_of(CATALOG["sample_training_order"].fn(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in p, f"global-rank funnels:\n{p}"
+    assert "windowspecdefinition" in p  # the partitioned per-block window
+    for name in ("rfm_customer_segments", "dq_key_skew_profile"):
+        p = plan_of(CATALOG[name].fn(spark, SF_SMOKE))
+        assert "windowspecdefinition" not in p, f"{name} regained a window:\n{p}"
+    # top-3 selection stays TakeOrderedAndProject, never a global sort
+    p = plan_of(CATALOG["dq_key_skew_profile"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p

@@ -1,0 +1,81 @@
+"""Distributed-global-rank operators (operators/ranking.py): guards fail
+loudly, and the block-decomposed / top-k-join implementations are
+bit-identical to the single-partition window they replace."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.ranking import (
+    top_k_ranked,
+    uniform_key_global_rank,
+)
+
+
+def _hashed(spark, n=500):
+    # uniform 48-bit key from md5, matching the training-order shape
+    return spark.range(n).select(
+        F.col("id"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("k"),
+    )
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    df = _hashed(spark)
+    got = uniform_key_global_rank(df, F.col("k"), [F.col("id")], key_bits=48, out="rn")
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("k"), F.col("id"))).cast("long")
+    )
+    assert got.select("id", "rn").exceptAll(want.select("id", "rn")).count() == 0
+    assert want.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0
+
+
+def test_global_rank_is_dense_from_one(spark):
+    got = uniform_key_global_rank(
+        _hashed(spark, 100), F.col("k"), [F.col("id")], key_bits=48, block_bits=4
+    )
+    rows = got.agg(
+        F.min("rn"), F.max("rn"), F.countDistinct("rn"), F.count("*")
+    ).first()
+    assert tuple(rows) == (1, 100, 100, 100)
+
+
+def test_global_rank_guards(spark):
+    df = _hashed(spark, 10)
+    with pytest.raises(ValueError, match="block_bits"):
+        uniform_key_global_rank(df, F.col("k"), [], key_bits=8, block_bits=8)
+    with pytest.raises(ValueError, match="collide"):
+        uniform_key_global_rank(
+            df.withColumn("_rank_block", F.lit(1)), F.col("k"), [], key_bits=48
+        )
+    with pytest.raises(ValueError, match="collide"):  # out-name collision
+        uniform_key_global_rank(df, F.col("k"), [], key_bits=48, out="k")
+
+
+def test_top_k_ranked_matches_window_with_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 9), ("d", 1), ("e", 7)], ["key", "n"]
+    )
+    got = top_k_ranked(df, [("n", "desc"), ("key", "asc")], 3, out="rk")
+    want = (
+        df.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key"))),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_top_k_ranked_guards(spark):
+    df = spark.range(3).select(F.col("id"), F.lit(1).alias("n"))
+    with pytest.raises(ValueError, match="positive"):
+        top_k_ranked(df, [("n", "desc")], 0)
+    with pytest.raises(ValueError, match="direction"):
+        top_k_ranked(df, [("n", "down")], 2)
+    with pytest.raises(ValueError, match="already present"):
+        top_k_ranked(df, [("n", "desc")], 2, out="id")
