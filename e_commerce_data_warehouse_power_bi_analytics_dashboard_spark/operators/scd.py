@@ -69,7 +69,22 @@ def asof_join(
     Union-and-carry-forward plan: one shuffle on ``key``, one sort per
     key timeline, no non-equi join — the shape that survives hot keys at
     100 TB.
+
+    Preconditions: ``_t``/``_side``/``_ver`` are reserved working names
+    (ValueError on collision). If ``dim`` carries several versions of a
+    key at the SAME ``dim_time``, the one sorting last by attribute
+    struct wins — deterministic, but callers who care which one should
+    dedupe upstream (the attrs must be orderable types for the
+    tie-break; they are for every SCD dimension in this repo).
     """
+    reserved = {"_t", "_side", "_ver"}
+    for side, df in (("fact", fact), ("dim", dim)):
+        hit = reserved.intersection(df.columns)
+        if hit:
+            raise ValueError(
+                f"asof_join: {side} columns {sorted(hit)} collide with "
+                f"reserved working names {sorted(reserved)} — rename them first"
+            )
     # one non-null STRUCT per dim row (not one column per attr): carrying
     # the whole version forward keeps an attr that is legitimately NULL
     # in a newer version from falling through to an older version's value
@@ -80,10 +95,12 @@ def asof_join(
     marked_fact = fact.withColumn("_t", F.col(fact_time)).withColumn("_side", F.lit(1))
     u = marked_fact.unionByName(marked_dim, allowMissingColumns=True)
     # dim rows (_side=0) sort before fact rows at equal _t, so a version
-    # effective exactly at the event time is already visible
+    # effective exactly at the event time is already visible; _ver as the
+    # final sort key makes duplicate same-timestamp versions resolve
+    # deterministically (struct-wise max wins) instead of by task order
     w = (
         Window.partitionBy(key)
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", F.col("_ver").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

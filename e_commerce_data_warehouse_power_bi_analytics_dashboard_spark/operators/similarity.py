@@ -166,12 +166,22 @@ def srp_signatures(
         # BIGINT max, so 63 is the exact single-word ceiling)
         raise ValueError(f"nbits={nbits} must be in [1, 63] for a single BIGINT signature")
     planes = srp_planes(nbits, dim)
+    # row-level width assert: a vector shorter/longer than the planes
+    # would null-pad the zip_with dot product and every affected bit
+    # would silently resolve to 0 — fail the job loudly instead. JVM-side
+    # per-row check, no extra action, so it also holds at full scale.
+    width_ok = (
+        f"IF(size({vec_col}) = {dim}, {s_to_double(vec_col)}, "
+        f"raise_error(concat('srp_signatures: embedding width ', "
+        f"CAST(size({vec_col}) AS STRING), "
+        f"' != dim {dim} for {id_col}=', CAST({id_col} AS STRING))))"
+    )
     sig = " + ".join(
         f"(CASE WHEN ({s_dot('v', s_plane_array(p))}) >= 0 THEN {1 << b} ELSE 0 END)"
         for b, p in enumerate(planes)
     )
     return emb.select(
-        F.col(id_col).alias("doc"), F.expr(s_to_double(vec_col)).alias("v")
+        F.col(id_col).alias("doc"), F.expr(width_ok).alias("v")
     ).select("doc", F.expr(f"CAST({sig} AS BIGINT)").alias("srp_sig"))
 
 

@@ -92,6 +92,60 @@ def test_srp_signatures_rejects_overflowing_nbits(spark):
     assert S.srp_signatures(emb, nbits=63, dim=2).count() == 1
 
 
+def test_srp_signatures_fails_loudly_on_width_mismatch(spark):
+    # a vector narrower than dim used to null-pad the dot product and
+    # silently resolve every affected bit to 0 — now the job raises
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5]), (2, [1.0, -1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="embedding width"):
+        S.srp_signatures(emb, nbits=8, dim=3).collect()
+    # uniform widths pass through untouched
+    ok = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5]), (2, [0.0, 2.0, -1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    assert S.srp_signatures(ok, nbits=8, dim=3).count() == 2
+
+
+def test_asof_join_rejects_reserved_column_names(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+        scd as SCD,
+    )
+
+    fact = spark.createDataFrame([(1, 10, "x")], "k int, t int, _ver string")
+    dim = spark.createDataFrame([(1, 5, 9.0)], "k int, vt int, price double")
+    with pytest.raises(ValueError, match="_ver"):
+        SCD.asof_join(fact, dim, "k", "t", "vt", ["price"])
+    dim_bad = spark.createDataFrame([(1, 5, 9.0)], "k int, _t int, price double")
+    fact_ok = spark.createDataFrame([(1, 10)], "k int, t int")
+    with pytest.raises(ValueError, match="_t"):
+        SCD.asof_join(fact_ok, dim_bad, "k", "t", "_t", ["price"])
+
+
+def test_asof_join_duplicate_timestamp_versions_resolve_deterministically(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+        scd as SCD,
+    )
+
+    fact = spark.createDataFrame([(1, 10), (1, 4)], "k int, t int")
+    # two versions of key 1 effective at the same instant: struct-wise
+    # max (price 9.0) must win on every run; facts before the first
+    # version keep NULL
+    dim = spark.createDataFrame(
+        [(1, 5, 2.0), (1, 5, 9.0)], "k int, vt int, price double"
+    )
+    for _ in range(3):
+        got = {r["t"]: r["price"] for r in SCD.asof_join(
+            fact, dim, "k", "t", "vt", ["price"]
+        ).collect()}
+        assert got == {10: 9.0, 4: None}
+
+
 def test_ivf_predicate_survives_idname_in_literal_and_identifier(spark):
     # 'vec_id' appears both as a literal value in the label column and as
     # a prefix of another column name — the old substring replace turned
