@@ -47,20 +47,39 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper TimestampType.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to a proper TimestampType regardless of how the
+    parquet file encoded it.  The testdata has drifted across driver
+    rounds, so all three physical encodings are handled:
 
-    The file stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
-    nanosecond longs, converted here by integer-dividing to micros —
-    the same truncation DuckDB applies, so oracles agree.
+    - parquet TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
+      the column arrives as nanosecond ``bigint``; integer-divide to
+      micros (the same truncation DuckDB applies, so oracles agree).
+    - parquet ``timestamp[us]`` with no zone: Spark 4 reads it as
+      TIMESTAMP_NTZ (``inferTimestampNTZ``); the session timezone is
+      pinned UTC at the read chokepoint, so ``cast("timestamp")`` is
+      value-preserving.
+    - already TIMESTAMP: pass through.
+
+    Batch (``read_events``) and streaming (streaming/events.py) both go
+    through this one helper so the two paths cannot drift.
     """
     from pyspark.sql import functions as F
 
-    df = read_table(spark, sf_dir, "events")
-    if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if dtype == "timestamp":
+        return df
+    raise TypeError(f"events.ts arrived as unsupported dtype {dtype!r}")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a proper TimestampType (see
+    :func:`normalize_events_ts` for the encodings handled)."""
+    return normalize_events_ts(read_table(spark, sf_dir, "events"))
 
 
 def load_raw(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

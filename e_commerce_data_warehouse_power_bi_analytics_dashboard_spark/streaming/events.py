@@ -23,36 +23,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
 )
 
-#: schema of the raw parquet (ts arrives as nanosecond long under
-#: spark.sql.legacy.parquet.nanosAsLong)
-RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of events with typed timestamps."""
+    """File-source stream of events with typed timestamps.
+
+    The file source needs an explicit schema; rather than hard-coding
+    one (the testdata's physical ts encoding has drifted across rounds:
+    TIMESTAMP(NANOS)-as-long vs timestamp[us]-as-NTZ), take it from a
+    batch footer read of the same file, then normalize ``ts`` through
+    the exact helper the batch path uses — stream and batch cannot
+    disagree on timestamp semantics.
+    """
+    from ..sources.tpch import normalize_events_ts, read_table
+
+    raw_schema = read_table(spark, sf_dir, "events").schema
     raw = (
-        spark.readStream.schema(RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         # file source wants a directory; the sf dir holds all tables, so
         # glob-filter down to the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def hourly_windows(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -72,15 +72,53 @@ def test_repetition_ratio_bounds(spark):
     assert bad == 0
 
 
-def test_rfm_scores_balanced_quartiles(spark):
+def test_rfm_scores_tie_aware_quartiles(spark):
+    """The r3 rewrite scores against broadcast percentile_disc cutpoints
+    (map-side, no global window).  That trades ntile's within-1 bucket
+    balance for tie consistency; assert the properties the cutpoint
+    semantics actually promise:
+
+    - every customer gets all three scores, each in 1..4;
+    - equal metric values always get equal scores (ntile can split ties);
+    - percentile_disc(q) bounds: at least q of the population scores
+      <= s for the cut at s (score s means value <= the s'th cutpoint).
+    """
     df = CATALOG["rfm_customer_segments"].fn(spark, SF_ORACLE).cache()
     n = df.count()
-    for col in ("r_score", "f_score", "m_score"):
+    assert n > 0
+    for metric, col, sign in (
+        ("recency_days", "r_score", 1),
+        ("frequency", "f_score", -1),
+        ("monetary", "m_score", -1),
+    ):
         counts = {r[col]: r["cnt"] for r in df.groupBy(col).agg(F.count("*").alias("cnt")).collect()}
-        assert set(counts) == {1, 2, 3, 4}
-        # ntile keeps bucket sizes within 1 of each other
-        assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
-    assert n == sum(counts.values())
+        assert set(counts) <= {1, 2, 3, 4} and 1 in counts, (col, counts)
+        assert sum(counts.values()) == n
+        # percentile_disc lower bound: >= 25*s % of customers score <= s
+        running = 0
+        for s in (1, 2, 3):
+            running += counts.get(s, 0)
+            assert running >= 0.25 * s * n - 1e-9, (col, s, counts)
+        # ties score equally: one distinct score per distinct metric value
+        tied = (
+            df.groupBy(metric)
+            .agg(F.countDistinct(col).alias("k"))
+            .agg(F.max("k").alias("mx"))
+            .first()
+            .mx
+        )
+        assert tied == 1, (metric, col)
+        # scores are monotone in the (signed) metric: the max metric value
+        # inside score s never exceeds the min inside score s+1
+        bounds = {
+            r[col]: (r.lo, r.hi)
+            for r in df.groupBy(col)
+            .agg(F.min(F.col(metric) * sign).alias("lo"), F.max(F.col(metric) * sign).alias("hi"))
+            .collect()
+        }
+        ordered = sorted(bounds)
+        for a, b in zip(ordered, ordered[1:]):
+            assert bounds[a][1] < bounds[b][0], (col, bounds)
     df.unpersist()
 
 
