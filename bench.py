@@ -129,6 +129,11 @@ HEADLINE = [
     "composite_filter_sum",
     "layout_mv_refresh_roundtrip",
     "seqscan_sum_total",
+    # round-4 additions: the r3/r4 distributed-rank rewrites (never
+    # benchmarked before) and the list-partition pruned read
+    "sample_training_order",
+    "pareto_product_abc",
+    "layout_list_partition_pruned",
 ]
 
 

@@ -129,3 +129,80 @@ def top_k_ranked(
         .groupBy(*[F.col(f"a.{c}").alias(c) for c in cols])
         .agg((F.count(F.col(f"b.{cols[0]}")) + 1).cast("int").alias(out))
     )
+
+
+#: internal columns of ordered_prefix_sum; inputs must not collide.
+_PS_RESERVED = ("_ps_pid", "_ps_local", "_ps_total", "_ps_offset")
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order: Sequence[tuple[str, str]],
+    value: str,
+    *,
+    out: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out`` = running sum of ``value`` under ``ORDER BY`` the
+    given ``(column, 'asc'|'desc')`` spec — distributed, never a
+    single-partition ``WindowExec``.
+
+    The global cumulative sum decomposes over a RANGE partitioning of the
+    order key (unlike :func:`uniform_key_global_rank` the key need not be
+    a uniform hash — ``repartitionByRange`` samples the data to pick
+    balanced bounds):
+
+    1. ``repartitionByRange`` on the order spec — partition *i* holds a
+       contiguous, ordered slice; ``spark_partition_id()`` is then itself
+       the block id, already in order;
+    2. per-partition running sum — an ordinary partitioned window;
+    3. per-partition totals (≤P rows) → offsets by broadcast non-equi
+       self-join, exactly the block-offset step of
+       :func:`uniform_key_global_rank`;
+    4. global running sum = offset + local running sum.
+
+    The order spec must place ties where the caller wants them summed
+    together-or-apart; like any running sum over a non-strict order, rows
+    tied on the FULL spec receive order-dependent values, so include a
+    tie-break column for determinism (same caveat as the window this
+    replaces). No stage holds more than ~N/P rows in one task; P follows
+    ``spark.sql.shuffle.partitions`` unless ``num_partitions`` is given.
+    """
+    bad = [d for _, d in order if d not in ("asc", "desc")]
+    if bad:
+        raise ValueError(f"order directions must be 'asc'|'desc', got {bad}")
+    clash = [c for c in df.columns if c in _PS_RESERVED or c == out]
+    if clash:
+        raise ValueError(f"input columns collide with prefix-sum internals: {clash}")
+
+    sort_cols = [F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order]
+    parts = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        if num_partitions
+        else df.repartitionByRange(*sort_cols)
+    )
+    with_pid = parts.withColumn("_ps_pid", F.spark_partition_id())
+
+    w = (
+        Window.partitionBy("_ps_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_pid.withColumn("_ps_local", F.sum(value).over(w))
+
+    # per-partition totals: ≤P rows after a map-side partial agg; offsets
+    # by broadcast non-equi self-join over that tiny frame (range
+    # partition ids are ordered by construction, so pid < pid is "ahead")
+    totals = with_pid.groupBy("_ps_pid").agg(F.sum(value).alias("_ps_total"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._ps_pid") < F.col("a._ps_pid"), "left")
+        .groupBy(F.col("a._ps_pid").alias("_ps_pid"))
+        .agg(F.coalesce(F.sum("b._ps_total"), F.lit(0)).alias("_ps_offset"))
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "_ps_pid")
+        .withColumn(out, F.col("_ps_offset") + F.col("_ps_local"))
+        .drop(*_PS_RESERVED)
+    )

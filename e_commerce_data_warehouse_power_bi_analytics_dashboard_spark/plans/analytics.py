@@ -9,11 +9,10 @@ semantic surface — SURVEY.md §2.10 note on the ADAX iteration).
 Scale design notes (100 TB):
   - RFM scores map-side against broadcast percentile_disc cutpoints — no
     window at all, so customer cardinality never bottlenecks a single
-    partition. Pareto windows over the *product*-grain frame only
-    (bounded catalog cardinality, 3-5 orders of magnitude smaller than
-    the fact) — the acceptable global-window shape; at extreme dim
-    cardinality its cume boundaries would likewise become broadcast
-    approx-quantile cut points.
+    partition. The Pareto cumulative share is a range-partitioned
+    prefix sum (operators/ranking.py::ordered_prefix_sum) — no
+    single-partition window even at catalog-scale (millions of
+    products); the grand total is a broadcast 1-row frame.
   - The basket self-join is keyed on invoiceid (co-partitioned shuffle,
     no broadcast of the fact); fan-out is bounded by per-order line
     count (≤ 7 in TPC-H-shaped data), so the pair explosion is linear
@@ -27,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.ranking import ordered_prefix_sum
 from ..sources.star import StarSchema, with_star
 from ._helpers import int_sum, money_sum, o_int_sum, o_money_sum
 from .catalog import register
@@ -195,19 +195,27 @@ def pareto_product_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s.dim_product.select("product_key", "category")), "product_key")
         .groupBy("category", "product_key")
         .agg(F.sum("totalamount").alias("rev_dec"))
+        # product-grain frame read by the prefix sum AND the grand total —
+        # persist so the fact aggregation runs once (bench evicts per rep)
+        .persist()
     )
-    w_cum = (
-        Window.orderBy(F.desc("rev_dec"), F.asc("product_key"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # distributed cumulative revenue: range-partitioned prefix sum
+    # (operators/ranking.py) — the plain Window.orderBy twin funnels the
+    # whole catalog through one partition, the shape r3 eliminated from
+    # the training-order sampler; (rev_dec, product_key) is a strict order
+    ranked = ordered_prefix_sum(
+        rev,
+        [("rev_dec", "desc"), ("product_key", "asc")],
+        "rev_dec",
+        out="_cum_dec",
     )
-    w_all = Window.partitionBy()
-    cum = rev.select(
+    grand = rev.agg(F.sum("rev_dec").alias("_grand_dec"))
+    cum = ranked.crossJoin(F.broadcast(grand)).select(
         "category",
         "product_key",
         F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
         (
-            F.sum("rev_dec").over(w_cum).cast("double")
-            / F.sum("rev_dec").over(w_all).cast("double")
+            F.col("_cum_dec").cast("double") / F.col("_grand_dec").cast("double")
         ).alias("cum_share"),
     )
     return cum.select(

@@ -167,6 +167,40 @@ def layout_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "layout_list_partition_pruned",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    """,
+    tags=("layout", "partitioning", "P6"),
+    doc="LIST partitioning: write orders hive-partitioned by the "
+        "low-cardinality o_orderpriority channel and read back exactly "
+        "one partition — PartitionFilters prune 4/5 of the files at the "
+        "file index, before any IO. The Spark analog of PARTITION BY "
+        "LIST (Iteration 3/Group No.6_Indexing_Partitioning.sql:362-384); "
+        "completes the partitioning matrix (range/list/hash/vertical).",
+)
+def layout_list_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_path(sf_dir, "orders_by_priority")
+
+    def _write() -> None:
+        orders = read_table(spark, sf_dir, "orders")
+        write_partitioned(orders, path, ["o_orderpriority"])
+
+    ensure_layout(spark, sf_dir, "orders_by_priority", _write)
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.count("*").alias("n_orders"),
+        money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+
+
+@register(
     "layout_sorted_rowgroup_skip",
     oracle="""
         SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -117,10 +117,30 @@ def upsert_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_rows_inspection",
-    oracle=None,  # LIMIT-n sample: rows-only stability check by design
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 5
+    """,
     tags=("lifecycle", "S9", "T3"),
-    doc="SELECT * ... LIMIT 5 spot check (ETL.sql:366-369, ELT.sql:62-65): "
-        "arbitrary-but-stable sample; driver records a rows-only check",
+    doc="SELECT * ... LIMIT 5 spot check (ETL.sql:366-369, ELT.sql:62-65). "
+        "Pinned to ORDER BY the key so the sample is deterministic and "
+        "oracle-checkable; at scale the sort is TakeOrderedAndProject "
+        "(per-partition top-5 merge), never a global sort.",
 )
 def sample_rows_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "orders").limit(5)
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy("o_orderkey")
+        .limit(5)
+    )

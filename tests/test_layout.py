@@ -45,6 +45,24 @@ def test_partition_prune_reads_single_partition(pruned_read, spark):
     assert files and all("o_year=1995" in f for f in files)
 
 
+def test_list_partition_pruning_in_plan(spark):
+    """LIST-partitioned layout (by o_orderpriority): the catalog entry's
+    scan prunes at the file index — PartitionFilters carries the priority
+    equality, and only the one partition directory is touched."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import (
+        get_catalog,
+    )
+
+    df = get_catalog()["layout_list_partition_pruned"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters", 1)[1][:300]
+    path = L.scratch_path(SF_SMOKE, "orders_by_priority")
+    pruned = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert files and all("o_orderpriority=1-URGENT" in f for f in files)
+
+
 def test_rowgroup_pushdown_in_plan(spark):
     path = L.scratch_path(SF_SMOKE, "lineitem_by_shipdate")
     L.write_range_sorted(read_table(spark, SF_SMOKE, "lineitem"), path, ["l_shipdate"])

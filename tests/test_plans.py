@@ -146,3 +146,25 @@ def test_no_single_partition_global_windows(spark):
     # top-3 selection stays TakeOrderedAndProject, never a global sort
     p = plan_of(CATALOG["dq_key_skew_profile"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p
+
+
+def test_pareto_prefix_sum_is_distributed(spark):
+    """Round-4 pin: pareto_product_abc's cumulative share runs as a
+    range-partitioned prefix sum (operators/ranking.py::ordered_prefix_sum)
+    — a rangepartitioning exchange plus a partitioned window, never the
+    single-partition `Window.orderBy` funnel it replaced."""
+    p = plan_of(CATALOG["pareto_product_abc"].fn(spark, SF_SMOKE))
+    assert "rangepartitioning" in p, f"prefix sum lost its range exchange:\n{p}"
+    # every window is partitioned by the range-block id, never global
+    n_windows = p.count("windowspecdefinition")
+    assert n_windows > 0 and n_windows == p.count("windowspecdefinition(_ps_pid"), (
+        f"pareto regained a global window:\n{p}"
+    )
+    # the only SinglePartition exchanges are scalar aggregates (the grand
+    # total) — P partial-sum rows, not the data; never a Sort/Window feed
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "HashAggregate(keys=[], functions=[partial_sum" in lines[i + 1], (
+                f"non-scalar single-partition exchange:\n{p}"
+            )

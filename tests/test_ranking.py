@@ -79,3 +79,36 @@ def test_top_k_ranked_guards(spark):
         top_k_ranked(df, [("n", "down")], 2)
     with pytest.raises(ValueError, match="already present"):
         top_k_ranked(df, [("n", "desc")], 2, out="id")
+
+
+def test_ordered_prefix_sum_matches_single_partition_window(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    df = spark.range(777).select(
+        F.col("id"),
+        # non-uniform values incl. negatives and ties
+        ((F.col("id") % 37) - 5).cast("decimal(12,2)").alias("v"),
+    )
+    got = ordered_prefix_sum(df, [("v", "desc"), ("id", "asc")], "v", out="cs")
+    w = Window.orderBy(F.desc("v"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cs", F.sum("v").over(w))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_ordered_prefix_sum_guards(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    df = spark.range(5).select(F.col("id"), F.lit(1).alias("v"))
+    with pytest.raises(ValueError, match="directions"):
+        ordered_prefix_sum(df, [("v", "down")], "v")
+    with pytest.raises(ValueError, match="collide"):
+        ordered_prefix_sum(df.withColumn("_ps_pid", F.lit(1)), [("v", "asc")], "v")
+    with pytest.raises(ValueError, match="collide"):
+        ordered_prefix_sum(df, [("v", "asc")], "v", out="id")
