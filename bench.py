@@ -130,10 +130,12 @@ HEADLINE = [
     "layout_mv_refresh_roundtrip",
     "seqscan_sum_total",
     # round-4 additions: the r3/r4 distributed-rank rewrites (never
-    # benchmarked before) and the list-partition pruned read
+    # benchmarked before), the list-partition pruned read, and the
+    # stream-stream interval-join batch twin
     "sample_training_order",
     "pareto_product_abc",
     "layout_list_partition_pruned",
+    "events_view_purchase_pairs",
 ]
 
 

@@ -252,23 +252,31 @@ def pareto_product_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by per-order line count.",
 )
 def basket_product_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one shuffle on invoiceid (collect_set partial-aggregates AND dedups
+    # map-side), pairs generated map-side from the sorted per-basket
+    # array — no self-join, so the r2/r3 plan's second invoiceid
+    # exchange and the SMJ disappear. Per-basket fan-out is bounded by
+    # order line count (≤7 in TPC-H-shaped data), so the array and the
+    # k·(k-1)/2 pair explosion stay O(1) per row at 100 TB.
     s = StarSchema(spark, sf_dir)
-    items = s.fact_sales.select("invoiceid", "product_key").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.invoiceid") == F.col("b.invoiceid"))
-            & (F.col("a.product_key") < F.col("b.product_key")),
-        )
-        .groupBy(
-            F.col("a.product_key").alias("product_a"),
-            F.col("b.product_key").alias("product_b"),
-        )
-        .agg(F.count("*").cast("long").alias("n_baskets"))
+    per_invoice = (
+        s.fact_sales.select("invoiceid", "product_key")
+        .groupBy("invoiceid")
+        .agg(F.array_sort(F.collect_set("product_key")).alias("ps"))
     )
-    return pairs.orderBy(
+    pairs = per_invoice.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS product_a, y AS product_b))))"
+            )
+        ).alias("p")
+    ).select("p.product_a", "p.product_b")
+    counts = pairs.groupBy("product_a", "product_b").agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    return counts.orderBy(
         F.desc("n_baskets"), F.asc("product_a"), F.asc("product_b")
     ).limit(20)
 

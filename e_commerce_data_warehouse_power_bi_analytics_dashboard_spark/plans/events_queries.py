@@ -256,3 +256,54 @@ def events_enriched_segment_daily(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "events_view_purchase_pairs",
+    oracle="""
+        SELECT v.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(ROUND(SUM(CAST(p.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS conv_value
+        FROM events v
+        JOIN events p ON p.user_id = v.user_id
+                     AND v.event_type = 'view'
+                     AND p.event_type = 'purchase'
+                     AND p.ts >= v.ts
+                     AND p.ts <= v.ts + INTERVAL 1 HOUR
+        GROUP BY 1
+    """,
+    tags=("events", "streaming-shape", "J6"),
+    doc="Interval (time-band) self-join: every view paired with the same "
+        "user's purchases within the following hour, aggregated per user "
+        "— the batch twin of the stream-stream join in "
+        "streaming/events.py::view_purchase_join (equivalence pinned in "
+        "tests/test_streaming.py). Both sides shuffle once on user_id "
+        "(co-partitioned sort-merge self-join); the band predicate "
+        "bounds per-user fan-out by events-per-hour, so the pair "
+        "explosion stays linear at 100 TB. Beyond-reference: the "
+        "reference lists real-time pipelines as future work "
+        "(README:178-183).",
+)
+def events_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    pairs = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("conv_value"),
+    )

@@ -554,6 +554,76 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.similar_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@register(
+    "ann_knn_label_consistency",
+    oracle=f"""
+        WITH e AS ({_O_EMB}),
+        q AS (SELECT * FROM e WHERE vec_id < 20),
+        scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label,
+                   list_cosine_similarity(q.v, e.v) AS score
+            FROM e, q WHERE e.vec_id <> q.vec_id
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id, label FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        ),
+        votes AS (
+            SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM topk GROUP BY 1, 2
+        ),
+        top_vote AS (
+            SELECT query_id, label AS knn_label, n_votes FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY n_votes DESC, label) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        )
+        SELECT t.query_id, q.label AS true_label, t.knn_label, t.n_votes,
+               CAST(t.knn_label = q.label AS INT) AS label_match
+        FROM top_vote t JOIN q ON t.query_id = q.vec_id
+    """,
+    tags=("llm", "similarity", "eval"),
+    doc="kNN label-consistency evaluation: majority label of each query's "
+        "exact cosine top-5 vs its own label — the embedding-space purity "
+        "diagnostic a training-data pipeline runs before trusting "
+        "embedding-based dedup/filtering. The vote aggregation and "
+        "majority window run over the q×k pair frame (tiny at any corpus "
+        "size); neighbor labels come from a broadcast of that frame "
+        "against the corpus, so the full embedding table is never "
+        "shuffled.",
+)
+def ann_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    topk = S.brute_force_topk(emb, queries, k=5)
+    labeled = emb.select(F.col("vec_id").alias("neighbor_id"), "label").join(
+        F.broadcast(topk.select("query_id", "neighbor_id")), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    top_vote = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("query_id", F.col("label").alias("knn_label"), "n_votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return top_vote.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "knn_label",
+        "n_votes",
+        (F.col("knn_label") == F.col("true_label")).cast("int").alias("label_match"),
+    )
+
+
 #: BPE-ish pre-tokenizer: letter runs, single digits, single
 #: punctuation — the GPT-2-style split shape, written in the
 #: Java/RE2-common regex subset so both engines agree

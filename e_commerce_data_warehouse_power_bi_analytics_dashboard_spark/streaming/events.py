@@ -9,6 +9,9 @@ Shapes provided:
   - custom stateful sessionization via applyInPandasWithState (the one
     place Python state handling is genuinely needed; everything else
     stays JVM-side)
+  - stream-static enrichment join (broadcast dim probe per micro-batch)
+  - stream-stream interval join with two-sided watermark state eviction
+    (view→purchase conversions)
 
 At scale these run against a Kafka/file source with the same plan; the
 parquet file source here is the test harness. Watermark of 2 hours
@@ -283,3 +286,46 @@ def read_gold_daily(spark: SparkSession, path: str) -> DataFrame:
             F.round(F.sum("value_dec"), 2).cast("double").alias("total_value"),
         )
     )
+
+
+def view_purchase_join(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each view matched to the same user's
+    purchases within the following hour (pair grain).
+
+    Both sides carry a watermark and the join condition bounds
+    ``purchase_ts`` relative to ``view_ts``, so Spark derives state
+    eviction for BOTH buffers: a buffered view can be dropped once the
+    purchase watermark passes ``view_ts + 1h``, a buffered purchase once
+    the view watermark passes ``purchase_ts``. Without the time-band
+    condition the join state would grow without bound — the stream-stream
+    analog of the dropDuplicatesWithinWatermark contract above.
+
+    Batch twin: plans/events_queries.py::events_view_purchase_pairs
+    (equivalence pinned in tests/test_streaming.py).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).drop("p_user_id")

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import get_catalog
 from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.streaming import events as SE
 
@@ -69,4 +71,25 @@ def test_foreachbatch_gold_delta_sink_equals_batch(spark, tmp_path):
            for r in SE.read_gold_daily(spark, path).collect()}
     batch = CATALOG["events_type_daily"].fn(spark, SF_ORACLE).collect()
     want = {(r.day, r.event_type): (r.n_events, r.total_value) for r in batch}
+    assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream interval join (view→purchase within 1h) aggregated
+    per user equals the batch twin's per-user pair counts/values."""
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    pairs = SE.run_to_memory(SE.view_purchase_join(stream), "t_ssj", spark, mode="append")
+    got = {
+        (r.user_id): (r.n_pairs, r.conv_value)
+        for r in pairs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("conv_value"),
+        )
+        .collect()
+    }
+    batch = CATALOG["events_view_purchase_pairs"].fn(spark, SF_ORACLE).collect()
+    want = {r.user_id: (r.n_pairs, r.conv_value) for r in batch}
     assert got == want
