@@ -1,16 +1,31 @@
-"""Catalog-wide plan-build smoke (VERDICT r3 item 6): every catalog
-entry must ANALYZE cleanly at sf0.001 — ``fn(spark, sf)`` plus a
-``.schema`` touch, no execution of the result.
+"""Catalog-wide plan-build smoke + scale-shape guard.
 
-Round 3 shipped a bench that crashed at plan-build time
-(`events_sessionize` threw DATATYPE_MISMATCH after the testdata's
-physical ts encoding drifted); this would have caught it in
-milliseconds.  Any future testdata drift that breaks analysis — a
-renamed column, a re-typed field, a lost table — goes red here before
-the oracle suite or the bench ever run.
+Plan-build (VERDICT r3 item 6): every catalog entry must ANALYZE
+cleanly at sf0.001 — ``fn(spark, sf)`` plus a ``.schema`` touch, no
+execution of the result.  Round 3 shipped a bench that crashed at
+plan-build time (`events_sessionize` threw DATATYPE_MISMATCH after the
+testdata's physical ts encoding drifted); this catches that class of
+drift in milliseconds.
+
+Scale shape (r4): the same pass scans each entry's physical plan for
+the two shapes that kill a 100× scale-up —
+
+- ``Exchange SinglePartition`` funneling DATA through one task.  The
+  only allowed producer is an ungrouped (scalar) aggregate, whose
+  exchange moves one partial row per upstream partition, plus a short
+  documented allowlist of calendar-grain windows (cardinality bounded
+  by days/months, not data size).
+- ``CartesianProduct`` — every cross join in the engine must broadcast
+  a scalar/1-row bound (BroadcastNestedLoopJoin), never materialize a
+  true cartesian.  ``join_study_nested_loop`` is the one deliberate
+  exception (a forced-degradation study, capped input).
 """
 
 from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
 
 import pytest
 
@@ -20,8 +35,52 @@ from .conftest import SF_SMOKE
 
 CATALOG = get_catalog()
 
+#: entries whose plans legitimately contain a non-scalar-aggregate
+#: single-partition stage: global windows over CALENDAR-grain aggregates
+#: (≤ a few thousand rows at any corpus size — documented in
+#: operators/windows.py and plans/timeseries.py).
+SINGLE_PARTITION_OK = {
+    "measure_cumulative_revenue",   # month grain
+    "measure_rolling_3m_revenue",   # month grain
+    "measure_yoy_growth",           # year grain
+    "revenue_share_by_category",    # category grain (single digits)
+    "ts_anomaly_zscore_daily",      # day grain
+    "ts_gapfill_daily_revenue",     # day grain
+    "stats_category_percentiles",   # category grain
+}
+
+#: forced-degradation join study — the only entry allowed a true
+#: cartesian (its input is capped; the point is to DEMONSTRATE the
+#: strategy the planner must otherwise never pick).
+CARTESIAN_OK = {"join_study_nested_loop"}
+
+#: an ungrouped aggregate directly under the exchange: its exchange
+#: carries one partial row per upstream partition, not the data.
+_SCALAR_AGG = re.compile(r"(Hash|SortA|ObjectHashA|A)ggregate\(keys?=\[\]")
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
-def test_catalog_entry_builds(spark, name):
+def test_catalog_entry_builds_and_scales(spark, name):
     df = CATALOG[name].fn(spark, SF_SMOKE)
     assert df.schema.fields, f"{name} produced an empty schema"
+
+    plan = _plan_of(df)
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+    if name not in SINGLE_PARTITION_OK:
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            assert _SCALAR_AGG.search(nxt), (
+                f"{name} funnels data through one partition "
+                f"(non-scalar-agg SinglePartition exchange):\n{plan}"
+            )
