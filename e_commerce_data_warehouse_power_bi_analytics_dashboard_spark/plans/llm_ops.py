@@ -418,6 +418,53 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
 
 
+@register(
+    "dedup_canonical_keep",
+    oracle=f"""
+        WITH RECURSIVE {_O_JACCARD_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jpairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM jpairs
+        ),
+        reach(node, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+        ),
+        comp AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node)
+        SELECT c.doc_id, c.cluster_id,
+               CAST(row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id) = 1 AS INT) AS keep
+        FROM comp c JOIN documents d USING (doc_id)
+    """,
+    tags=("llm", "dedup", "cluster"),
+    doc="Dedup last-mile: canonical-document selection per near-dup "
+        "cluster — keep the longest doc (ties → lowest id), flag the "
+        "rest for purge. Composes the LSH pair mining and connected-"
+        "components closure with a CLUSTER-partitioned window (cluster "
+        "sizes are bounded by the dedup radius, so the window never "
+        "degenerates); the purge filter is then `keep = 0`.",
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_near_dups(
+        docs, "doc_id", "text", k=2, n_hashes=32, bands=16, threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
+    comp = D.connected_components(
+        pairs.select("doc_a", "doc_b"), docs.select(F.col("doc_id").alias("node"))
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -485,16 +532,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), "vec_id < 10", k=3)
 
 
-def _o_srp_sig_cte(nbits: int = 32, dim: int = 64) -> str:
+def _o_srp_sig_cte(nbits: int = 32, dim: int = 64, lead: str = "WITH") -> str:
     """DuckDB twin of operators/similarity.py::srp_signatures — same
-    hash-derived ±1 planes, same sequential dot-product fold."""
+    hash-derived ±1 planes, same sequential dot-product fold.
+    ``lead=","`` lets callers splice these CTEs into an existing WITH."""
     planes = V.srp_planes(nbits, dim)
     sig = " + ".join(
         f"(CASE WHEN list_dot_product(v, {V.o_plane_array(p)}) >= 0 THEN {1 << b} ELSE 0 END)"
         for b, p in enumerate(planes)
     )
     return f"""
-        WITH e AS ({_O_EMB}),
+        {lead} e AS ({_O_EMB}),
         sig AS (SELECT vec_id AS doc, v, CAST({sig} AS BIGINT) AS srp_sig FROM e)
     """
 
@@ -552,6 +600,66 @@ def ann_srp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.similar_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=f"""
+        WITH {_O_JACCARD_CTES}
+        {_o_srp_sig_cte(lead=",")},
+        epairs AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b
+            FROM sig a JOIN sig b ON a.doc < b.doc
+            WHERE bit_count(xor(a.srp_sig, b.srp_sig)) <= 8
+              AND list_cosine_similarity(a.v, b.v) >= 0.4
+        ),
+        u AS (
+            SELECT t.doc_a IS NOT NULL AS in_text,
+                   e2.doc_a IS NOT NULL AS in_emb
+            FROM jpairs t
+            FULL OUTER JOIN epairs e2
+              ON t.doc_a = e2.doc_a AND t.doc_b = e2.doc_b
+        )
+        SELECT CASE WHEN in_text AND in_emb THEN 'both'
+                    WHEN in_text THEN 'text_only'
+                    ELSE 'embedding_only' END AS method,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM u GROUP BY 1
+    """,
+    tags=("llm", "dedup", "eval"),
+    doc="Dedup-method agreement audit: near-dup pairs found by exact "
+        "2-shingle Jaccard (τ=0.5) vs SRP-LSH embedding near-pairs "
+        "(cos≥0.4, hamming≤8), bucketed both / text_only / "
+        "embedding_only — the cross-method QA a pipeline runs before "
+        "trusting either dedup signal alone. Both pair frames are the "
+        "already-bounded candidate outputs (inverted index / pigeonhole "
+        "blocks), so the full-outer join is pair-grain, never "
+        "corpus-grain.",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text_p = D.jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=2, threshold=0.5, shingles=_doc_shingles(spark, sf_dir),
+    ).select("doc_a", "doc_b", F.lit(True).alias("in_text"))
+    emb_p = S.srp_near_pairs(
+        read_table(spark, sf_dir, "embeddings"), nbits=32, dim=64,
+        max_hamming=8, threshold=0.4,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit(True).alias("in_emb"),
+    )
+    return (
+        text_p.join(emb_p, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.when(F.col("in_text").isNotNull() & F.col("in_emb").isNotNull(), "both")
+            .when(F.col("in_text").isNotNull(), "text_only")
+            .otherwise("embedding_only")
+            .alias("method")
+        )
+        .groupBy("method")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
 
 
 @register(

@@ -226,3 +226,54 @@ def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_bits=8,
         out="train_pos",
     ).select("doc_id", "train_pos")
+
+
+@register(
+    "sample_shard_manifest",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (
+                       ORDER BY {T.o_md5_long("'ep1:' || CAST(doc_id AS VARCHAR)", 12)},
+                                doc_id) AS train_pos
+            FROM documents
+        )
+        SELECT CAST((train_pos - 1) % 8 AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(bit_xor({T.o_md5_long('CAST(doc_id AS VARCHAR)', 12)}) AS BIGINT)
+                   AS content_hash
+        FROM ranked GROUP BY 1
+    """,
+    tags=("llm", "sampling", "A6"),
+    doc="Balanced training-shard manifest: round-robin shard assignment "
+        "over the deterministic training order (8 shards, within-1 "
+        "balanced by construction) with per-shard doc counts, char "
+        "totals, and an order-insensitive bit_xor content checksum — "
+        "what a shard writer publishes so a trainer can verify every "
+        "shard before reading it. Rank is the distributed block rank "
+        "(operators/ranking.py), the manifest is one tiny groupBy; at "
+        "100 TB this is partitionBy(shard_id) on the write plus this "
+        "exact aggregate.",
+)
+def sample_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.expr(T.s_md5_long("concat('ep1:', CAST(doc_id AS STRING))", 12))
+    ranked = uniform_key_global_rank(
+        docs.select("doc_id", "n_chars"),
+        key,
+        [F.col("doc_id")],
+        key_bits=48,
+        block_bits=8,
+        out="train_pos",
+    )
+    doc_hash = F.expr(T.s_md5_long("CAST(doc_id AS STRING)", 12))
+    return (
+        ranked.withColumn("shard_id", (F.col("train_pos") - 1) % 8)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.bit_xor(doc_hash).cast("long").alias("content_hash"),
+        )
+    )

@@ -93,17 +93,15 @@ def test_round2_plan_shapes(spark):
     # decontam: benchmark gram side broadcast, corpus side streams
     p = plan_of(CATALOG["curation_decontam_overlap"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
-    # basket: at smoke scale Catalyst may legitimately broadcast the tiny
-    # distinct-fact side; the property that must hold at 100 TB is that
-    # with broadcast off the self-join degrades to an equi shuffle join
-    # (SMJ/SHJ on invoiceid), never a cartesian
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        p = plan_of(CATALOG["basket_product_pairs"].fn(spark, SF_SMOKE))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    # basket (r4 rewrite): JOIN-FREE — one hash exchange on invoiceid for
+    # the per-basket collect_set, pairs exploded map-side from the sorted
+    # array, then the pair aggregation; there is no self-join left to
+    # degrade, so the pins are the exchange key, the explode, and top-20
+    # via TakeOrderedAndProject (never a global sort)
+    p = plan_of(CATALOG["basket_product_pairs"].fn(spark, SF_SMOKE))
+    assert "hashpartitioning(invoiceid" in p, f"basket lost its invoice exchange:\n{p}"
+    assert "explode" in p.lower()
+    assert "SortMergeJoin [invoiceid" not in p and "ShuffledHashJoin [invoiceid" not in p
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p  # top-20 without a global sort
     # gapfill: per-day aggregate is broadcast into the spine join
