@@ -494,3 +494,44 @@ def sketch_quantile_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01 * F.abs(F.col("exact_p95"))
         ).alias("sketch_p95_within_1pct"),
     )
+
+
+@register(
+    "molap_pivot_month_returnflag",
+    oracle=with_star(_O_MONTH_CTE + """
+        SELECT strftime(m.month, '%Y-%m') AS month,
+               CAST(SUM(CASE WHEN f.returnflag = 'A' THEN f.quantity ELSE 0 END) AS BIGINT) AS qty_a,
+               CAST(SUM(CASE WHEN f.returnflag = 'N' THEN f.quantity ELSE 0 END) AS BIGINT) AS qty_n,
+               CAST(SUM(CASE WHEN f.returnflag = 'R' THEN f.quantity ELSE 0 END) AS BIGINT) AS qty_r
+        FROM fact_sales f JOIN date_month m USING (date_key)
+        GROUP BY 1
+    """),
+    tags=("molap", "A8", "pivot"),
+    doc="Cross-tab via the explicit pivot operator: monthly quantity by "
+        "return flag, pivoted to one column per flag. The value list is "
+        "DECLARED (['A','N','R']) so the plan is a single pass with "
+        "conditional partial aggregates — an undeclared pivot would "
+        "first run a distinct scan to discover values, a second job the "
+        "declared form avoids at 100 TB. Same semantics as the A8 "
+        "conditional aggregation the cohort queries use; this entry "
+        "pins the dedicated DataFrame.pivot API.",
+)
+def molap_pivot_month_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    months = s.dim_date.select(
+        "date_key",
+        F.date_format(F.date_trunc("month", "full_date"), "yyyy-MM").alias("month"),
+    )
+    pivoted = (
+        s.fact_sales.join(F.broadcast(months), "date_key")
+        .groupBy("month")
+        .pivot("returnflag", ["A", "N", "R"])
+        .agg(F.sum("quantity"))
+    )
+    return pivoted.select(
+        "month",
+        *[
+            F.coalesce(F.col(flag), F.lit(0)).cast("long").alias(f"qty_{flag.lower()}")
+            for flag in ("A", "N", "R")
+        ],
+    )
