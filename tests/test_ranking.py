@@ -112,3 +112,28 @@ def test_ordered_prefix_sum_guards(spark):
         ordered_prefix_sum(df.withColumn("_ps_pid", F.lit(1)), [("v", "asc")], "v")
     with pytest.raises(ValueError, match="collide"):
         ordered_prefix_sum(df, [("v", "asc")], "v", out="id")
+
+
+def test_ordered_prefix_sum_property(spark):
+    """Property check over adversarial value patterns: all-equal values
+    (every row lands in one range partition), alternating signs, and a
+    two-value skew — the prefix sum must equal the single-partition
+    window on each."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    patterns = {
+        "all_equal": F.lit(7).cast("decimal(10,2)"),
+        "alternating": (F.when(F.col("id") % 2 == 0, 1).otherwise(-1)).cast("decimal(10,2)"),
+        "skewed": (F.when(F.col("id") % 10 == 0, 1000).otherwise(1)).cast("decimal(10,2)"),
+    }
+    for label, expr in patterns.items():
+        df = spark.range(311).select("id", expr.alias("v"))
+        got = ordered_prefix_sum(df, [("v", "asc"), ("id", "desc")], "v", out="cs")
+        w = Window.orderBy(F.asc("v"), F.desc("id")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = df.withColumn("cs", F.sum("v").over(w))
+        assert got.exceptAll(want).count() == 0, label
+        assert want.exceptAll(got).count() == 0, label
