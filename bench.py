@@ -244,6 +244,7 @@ def main() -> None:
     micro_cutoff = 0.3
     micro_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_REPS", "15")))
     timings: dict[str, float] = {}
+    samples_taken: dict[str, int] = {}
     evicted: list[str] = []
     for name in HEADLINE:
         base_ids = persistent_rdd_ids(spark)
@@ -270,6 +271,7 @@ def main() -> None:
             evicted.append(name)
             evict_rdds(spark, leftover)
         timings[name] = round(statistics.median(samples), 3)
+        samples_taken[name] = len(samples)
 
     baseline = {
         name: {
@@ -290,6 +292,11 @@ def main() -> None:
                 "queries": timings,
                 "load_sec": load_sec,
                 "reps": reps,
+                # per-query sample counts where the adaptive micro-rep
+                # extension kicked in (everything absent here ran `reps`)
+                "extended_reps": {
+                    n: k for n, k in samples_taken.items() if k != reps
+                },
                 "baseline_vs_ref": baseline,
                 "cache_policy": {
                     "session_artifacts_in_load_sec": sorted(session_artifacts),

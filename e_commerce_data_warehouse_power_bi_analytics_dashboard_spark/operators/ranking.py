@@ -171,6 +171,8 @@ def ordered_prefix_sum(
     bad = [d for _, d in order if d not in ("asc", "desc")]
     if bad:
         raise ValueError(f"order directions must be 'asc'|'desc', got {bad}")
+    if out in _PS_RESERVED:
+        raise ValueError(f"out={out!r} collides with prefix-sum internals")
     clash = [c for c in df.columns if c in _PS_RESERVED or c == out]
     if clash:
         raise ValueError(f"input columns collide with prefix-sum internals: {clash}")
@@ -181,7 +183,15 @@ def ordered_prefix_sum(
         if num_partitions
         else df.repartitionByRange(*sort_cols)
     )
-    with_pid = parts.withColumn("_ps_pid", F.spark_partition_id())
+    # persist so the window branch and the totals branch read ONE
+    # materialization of the range exchange: spark_partition_id() is only
+    # meaningful per-materialization (RangePartitioner samples per run,
+    # AQE may coalesce), so without the pin the two branches could
+    # observe different partition bounds whenever exchange reuse is
+    # disabled or the plans diverge — silently corrupting the offsets.
+    # The cache is query-internal (bench evicts it per timed rep); at
+    # petabyte scale it becomes a checkpoint, same shape.
+    with_pid = parts.withColumn("_ps_pid", F.spark_partition_id()).persist()
 
     w = (
         Window.partitionBy("_ps_pid")

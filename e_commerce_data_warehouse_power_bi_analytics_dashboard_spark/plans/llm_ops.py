@@ -449,8 +449,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_near_dups(
-        docs, "doc_id", "text", k=2, n_hashes=32, bands=16, threshold=0.5,
+    # exact-Jaccard pairs (inverted shingle index), not the LSH miner:
+    # the per-cluster argmax amplifies a single missed edge into wrong
+    # keep flags for the whole cluster, so this entry keeps the pair
+    # source exact and bit-identical to the oracle's edge set (the LSH
+    # recall trade-off is exercised by dedup_cluster_components instead)
+    pairs = D.jaccard_pairs(
+        docs, "doc_id", "text", k=2, threshold=0.5,
         shingles=_doc_shingles(spark, sf_dir),
     )
     comp = D.connected_components(

@@ -56,7 +56,7 @@ CARTESIAN_OK = {"join_study_nested_loop"}
 
 #: an ungrouped aggregate directly under the exchange: its exchange
 #: carries one partial row per upstream partition, not the data.
-_SCALAR_AGG = re.compile(r"(Hash|SortA|ObjectHashA|A)ggregate\(keys?=\[\]")
+_SCALAR_AGG = re.compile(r"(Hash|Sort|ObjectHash)?Aggregate\(keys?=\[\]")
 
 
 def _plan_of(df) -> str:

@@ -163,6 +163,7 @@ def test_pareto_prefix_sum_is_distributed(spark):
     lines = p.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
-            assert "HashAggregate(keys=[], functions=[partial_sum" in lines[i + 1], (
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "HashAggregate(keys=[], functions=[partial_sum" in nxt, (
                 f"non-scalar single-partition exchange:\n{p}"
             )

@@ -137,3 +137,13 @@ def test_ordered_prefix_sum_property(spark):
         want = df.withColumn("cs", F.sum("v").over(w))
         assert got.exceptAll(want).count() == 0, label
         assert want.exceptAll(got).count() == 0, label
+
+
+def test_ordered_prefix_sum_rejects_reserved_out(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    df = spark.range(5).select(F.col("id"), F.lit(1).alias("v"))
+    with pytest.raises(ValueError, match="collides"):
+        ordered_prefix_sum(df, [("v", "asc")], "v", out="_ps_local")
