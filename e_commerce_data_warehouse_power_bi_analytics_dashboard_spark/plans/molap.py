@@ -535,3 +535,60 @@ def molap_pivot_month_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             for flag in ("A", "N", "R")
         ],
     )
+
+
+@register(
+    "sketch_mergeable_rollup",
+    oracle=with_star(_O_MONTH_CTE + """
+        SELECT strftime(dm.month, '%Y-%m') AS month,
+               COUNT(DISTINCT f.customer_key) AS exact_distinct,
+               true AS merged_sketch_within_5pct
+        FROM fact_sales f
+        JOIN date_month dm USING (date_key)
+        GROUP BY 1
+    """),
+    tags=("molap", "sketch", "A3"),
+    doc="Mergeable-sketch rollup: distinct counts CANNOT be summed "
+        "across cube cells, which is why MOLAP rollups at scale carry "
+        "sketches — build one HLL sketch per (month, country) cell "
+        "(hll_sketch_agg, lgConfigK=14), union the cells up to per-month "
+        "sketches (hll_union_agg), and gate the merged estimate within "
+        "5% of the exact per-month distinct-customer count (the boolean "
+        "IS the oracle contract). At 100 TB the cell sketches live in "
+        "the gold cube and every coarser grain is a cheap union — no "
+        "re-scan of the fact.",
+)
+def sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    dm = _month_dates(s)
+    base = (
+        s.fact_sales
+        .join(F.broadcast(dm), "date_key")
+        .join(
+            F.broadcast(s.dim_customer.select("customer_key", "country")),
+            "customer_key",
+            "left",
+        )
+        .select(
+            month_str("month").alias("month"),
+            F.coalesce("country", F.lit("UNKNOWN")).alias("country"),
+            "customer_key",
+        )
+    )
+    cells = base.groupBy("month", "country").agg(
+        F.expr("hll_sketch_agg(customer_key, 14)").alias("sk")
+    )
+    rolled = cells.groupBy("month").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("_approx")
+    )
+    exact = base.groupBy("month").agg(
+        F.countDistinct("customer_key").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(rolled), "month").select(
+        "month",
+        "exact_distinct",
+        (
+            F.abs(F.col("_approx") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("merged_sketch_within_5pct"),
+    )
