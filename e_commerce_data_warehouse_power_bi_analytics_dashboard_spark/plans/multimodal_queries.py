@@ -132,3 +132,43 @@ def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("meta.width").alias("max_width"),
         F.max("meta.duration_ms").alias("max_duration_ms"),
     )
+
+
+@register(
+    "mm_png_header_parse",
+    oracle="""
+        SELECT doc_id,
+               CAST(64 + (doc_id % 16) * 32 AS BIGINT) AS width,
+               CAST(64 + (doc_id % 9) * 32 AS BIGINT) AS height
+        FROM documents
+        WHERE doc_id % 3 = 0
+    """,
+    tags=("multimodal", "binary", "parse"),
+    doc="Real wire-format header parsing, no codec needed: frame each "
+        "image payload with a correct PNG preamble (8-byte signature + "
+        "IHDR length/type + big-endian width/height) built JVM-side from "
+        "the metadata, then parse the dimensions BACK out of the raw "
+        "bytes with substring/hex/conv byte arithmetic — the exact "
+        "parser a pipeline runs over real PNG blobs to get dimensions "
+        "without decoding pixels (pixel decode stays codec-gated in "
+        "operators/multimodal.py). The payload bytes are synthesized "
+        "because the container ships no image files; the PARSER side is "
+        "the real operator, oracle-checked against the independent "
+        "metadata formula.",
+)
+def mm_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    png = _with_payload(spark, sf_dir).filter(F.col("meta.mime") == "image/png")
+    # 89 50 4E 47 0D 0A 1A 0A | len(IHDR data)=13 | 'IHDR' | width BE | height BE
+    framed = png.select(
+        "doc_id",
+        F.expr(
+            "concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), unhex('49484452'), "
+            "unhex(lpad(hex(meta.width), 8, '0')), "
+            "unhex(lpad(hex(meta.height), 8, '0')), payload)"
+        ).alias("png_bytes"),
+    )
+    return framed.select(
+        "doc_id",
+        F.expr("CAST(conv(hex(substring(png_bytes, 17, 4)), 16, 10) AS BIGINT)").alias("width"),
+        F.expr("CAST(conv(hex(substring(png_bytes, 21, 4)), 16, 10) AS BIGINT)").alias("height"),
+    )
