@@ -201,6 +201,50 @@ def layout_list_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_dynamic_partition_pruned_join",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        JOIN region r ON year(o.o_orderdate) = r.r_regionkey + 1995
+        WHERE r.r_name = 'ASIA'
+    """,
+    tags=("layout", "partitioning", "J1"),
+    doc="DYNAMIC partition pruning: the year partition to read is not "
+        "known at plan time — it comes from joining the partitioned "
+        "fact to a FILTERED dim (region mapped onto years) — so Catalyst "
+        "injects a dynamicpruning subquery that reuses the dim's "
+        "broadcast to prune the fact's partition scan at runtime. The "
+        "cluster-scale complement of the static pruning demo: at 100 TB "
+        "this is what keeps star joins from scanning every partition "
+        "when the filter lives on the dim. Plan pin in tests/"
+        "test_layout.py asserts the dynamicpruning expression reaches "
+        "PartitionFilters.",
+)
+def layout_dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_path(sf_dir, "orders_by_year")
+
+    def _write() -> None:
+        orders = read_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        )
+        write_partitioned(orders, path, ["o_year"], sort_cols=["o_orderdate"])
+
+    ensure_layout(spark, sf_dir, "orders_by_year", _write)
+    fact = spark.read.parquet(path)
+    year_dim = (
+        read_table(spark, sf_dir, "region")
+        .select((F.col("r_regionkey") + 1995).cast("int").alias("o_year"), "r_name")
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return fact.join(year_dim, "o_year").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+
+
+@register(
     "layout_sorted_rowgroup_skip",
     oracle="""
         SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -63,6 +63,18 @@ def test_list_partition_pruning_in_plan(spark):
     assert files and all("o_orderpriority=1-URGENT" in f for f in files)
 
 
+def test_dynamic_partition_pruning_in_plan(spark):
+    """The DPP entry's fact scan must carry a dynamicpruning expression
+    in PartitionFilters — runtime pruning fed by the filtered dim."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import (
+        get_catalog,
+    )
+
+    df = get_catalog()["layout_dynamic_partition_pruned_join"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan}"
+
+
 def test_rowgroup_pushdown_in_plan(spark):
     path = L.scratch_path(SF_SMOKE, "lineitem_by_shipdate")
     L.write_range_sorted(read_table(spark, SF_SMOKE, "lineitem"), path, ["l_shipdate"])
