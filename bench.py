@@ -1,6 +1,9 @@
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+compact JSON line {"metric", "value", "unit", "queries", "load_sec",
+"worst_baseline_ratio", "sf"} sized to fit the driver's tail-capture
+window; the full per-query detail (p50/p95 from the per-rep samples,
+baseline ratios, cache policy) is written to BENCH_DETAIL.json.
 
 Each query is fully materialized executor-side via the noop sink (no
 driver collect — measures the distributed plan, not result transfer).
@@ -244,6 +247,7 @@ def main() -> None:
     micro_cutoff = 0.3
     micro_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_REPS", "15")))
     timings: dict[str, float] = {}
+    percentiles: dict[str, dict[str, float]] = {}
     samples_taken: dict[str, int] = {}
     evicted: list[str] = []
     for name in HEADLINE:
@@ -271,6 +275,12 @@ def main() -> None:
             evicted.append(name)
             evict_rdds(spark, leftover)
         timings[name] = round(statistics.median(samples), 3)
+        srt = sorted(samples)
+        percentiles[name] = {
+            "p50": timings[name],
+            # nearest-rank p95 over the honest per-rep sample (5 or 15)
+            "p95": round(srt[max(0, -(-95 * len(srt) // 100) - 1)], 3),
+        }
         samples_taken[name] = len(samples)
 
     baseline = {
@@ -283,13 +293,22 @@ def main() -> None:
         if name in timings
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    worst = max((b["ratio"] for b in baseline.values()), default=None)
+
+    # Full detail → file (r4 verdict #1/#7: the one-line stdout contract
+    # had outgrown the driver's 2000-char tail capture, so the round's
+    # perf proof was machine-invisible). Everything an auditor wants —
+    # per-query p50/p95 from the per-rep samples, baseline ratios, cache
+    # policy — lives here; stdout carries only the compact contract line.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "percentiles": percentiles,
                 "load_sec": load_sec,
                 "reps": reps,
                 # per-query sample counts where the adaptive micro-rep
@@ -298,14 +317,37 @@ def main() -> None:
                     n: k for n, k in samples_taken.items() if k != reps
                 },
                 "baseline_vs_ref": baseline,
+                "worst_baseline_ratio": worst,
                 "cache_policy": {
                     "session_artifacts_in_load_sec": sorted(session_artifacts),
                     "internal_caches_evicted": evicted,
                 },
                 "sf": sf,
-            }
+            },
+            f,
+            indent=1,
         )
-    )
+
+    # ONE compact final line for the driver (must fit its ~2000-char tail
+    # window WITH margin for trailing runtime noise): metric + per-query
+    # medians per the driver contract. If the headline set ever grows the
+    # line past the budget, per-query timings fall back to the detail
+    # file rather than silently truncating the JSON.
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "load_sec": load_sec,
+        "worst_baseline_ratio": worst,
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
+        compact["queries"] = {"_see": "BENCH_DETAIL.json"}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

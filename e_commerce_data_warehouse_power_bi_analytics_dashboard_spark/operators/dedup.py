@@ -90,35 +90,91 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 2) -> DataFr
     return toks.select("doc", F.explode(F.expr(shingles)).alias("g")).distinct()
 
 
+def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Lossless prefix-filter candidate pairs for exact Jaccard ≥ threshold
+    over a (doc, g) shingle set — the AllPairs/PPJoin bound (Bayardo et al.
+    WWW'07; Xiao et al. WWW'08) that keeps the inverted-index self-join off
+    hot posting lists.
+
+    Global shingle order = ascending document frequency, (df, g) tiebreak —
+    a deterministic total order putting the RAREST shingles first. Each
+    doc joins only on the first ``ceil((1-t)*sz) + 1`` shingles of its set
+    under that order (its *prefix*).
+
+    Losslessness: let J(A,B) ≥ t and let c be the smallest-ordered element
+    of A∩B. |A∩B| ≥ t·|A∪B| ≥ t·|A|. If c were outside A's prefix, ALL of
+    A∩B would sit in A's suffix of size sz_a − (⌈(1−t)·sz_a⌉ + 1)
+    ≤ t·sz_a − 1 < |A∩B| — contradiction; so c is in A's prefix, and by
+    the symmetric argument in B's prefix. The pair therefore surfaces from
+    the prefix-only join on g = c. No qualifying pair is lost.
+
+    Scale: a stop-word shingle with document frequency D contributes D²
+    rows to the naive inverted-index join but — being globally frequent —
+    falls OUTSIDE every non-trivial prefix, so its posting list never
+    self-joins. Join volume is Σ_g df_prefix(g)² over the rare tail only
+    (property-tested: a shingle shared by ALL docs yields zero candidate
+    rows through it — tests/test_dedup_properties.py).
+
+    Shuffle shape: one groupBy(g) for document frequencies, one window
+    shuffle on doc to rank each doc's shingles, one equi-join on the
+    pruned prefixes. All partial-aggregated; no driver action.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
+    dfreq = sh.groupBy("g").agg(F.count("*").alias("_gdf"))
+    w_doc = Window.partitionBy("doc").orderBy(F.col("_gdf").asc(), F.col("g").asc())
+    ranked = (
+        sh.join(dfreq, "g")
+        .select(
+            "doc", "g",
+            F.row_number().over(w_doc).alias("_pos"),
+            F.count("*").over(Window.partitionBy("doc")).alias("_sz"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("_pos") <= F.ceil(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+    ).select("doc", "g")
+    a = prefix.select(F.col("doc").alias("doc_a"), "g")
+    b = prefix.select(F.col("doc").alias("doc_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 2, threshold: float = 0.5,
     candidates: DataFrame | None = None, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram (k-word shingle) Jaccard near-dup pairs (doc_a < doc_b).
 
-    Without ``candidates`` this is the all-pairs-via-inverted-index plan:
-    shingle self-join → per-pair intersection counts → filter. With a
-    candidates frame (from LSH) the intersection is computed ONLY for
-    candidate pairs — candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b) —
-    so the work is O(|candidates| · shingles/doc), never the inverted
-    index. That is the 100 TB path. ``shingles`` lets the caller pass a
-    precomputed (persisted) shingle set to avoid re-deriving it.
+    Without ``candidates`` the pair space is bounded by LOSSLESS prefix
+    filtering (:func:`prefix_filtered_candidates`): the inverted-index
+    self-join touches only each doc's ⌈(1−t)·sz⌉+1 globally-rarest
+    shingles, so a hot shingle (stop-word bigram) never explodes the
+    join — output still EXACT at the threshold. With a candidates frame
+    (from LSH) that stage is skipped entirely. Either way the
+    intersection is computed ONLY for candidate pairs — candidates ⋈
+    shingles(doc_a) ⋈ shingles(doc_b) — so the verify work is
+    O(|candidates| · shingles/doc), never all-pairs. That is the 100 TB
+    path. ``shingles`` lets the caller pass a precomputed (persisted)
+    shingle set to avoid re-deriving it.
     """
     sh = shingles if shingles is not None else shingle_set(df, id_col, text_col, k)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc").alias("doc_a"), "g")
     b = sh.select(F.col("doc").alias("doc_b"), "g")
-    if candidates is not None:
-        inter = (
-            candidates.select("doc_a", "doc_b")
-            .join(a, "doc_a")
-            .join(b, ["doc_b", "g"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
-        )
-    else:
-        pairs = a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b"))
-        inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    if candidates is None:
+        candidates = prefix_filtered_candidates(sh, threshold)
+    inter = (
+        candidates.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
     return (
         inter
         .join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")

@@ -203,17 +203,24 @@ def layout_list_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "layout_dynamic_partition_pruned_join",
     oracle="""
+        WITH yd AS (
+            SELECT DISTINCT CAST(year(full_datetime) AS INT) AS o_year
+            FROM (SELECT o_orderdate AS full_datetime FROM orders
+                  UNION
+                  SELECT l_shipdate FROM lineitem) t
+            WHERE month(full_datetime) = 2 AND day(full_datetime) = 29
+        )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
                    AS revenue
-        FROM orders o
-        JOIN region r ON year(o.o_orderdate) = r.r_regionkey + 1995
-        WHERE r.r_name = 'ASIA'
+        FROM orders o JOIN yd ON year(o.o_orderdate) = yd.o_year
     """,
     tags=("layout", "partitioning", "J1"),
-    doc="DYNAMIC partition pruning: the year partition to read is not "
-        "known at plan time — it comes from joining the partitioned "
-        "fact to a FILTERED dim (region mapped onto years) — so Catalyst "
+    doc="DYNAMIC partition pruning over a real star dim (r5 — the r4 "
+        "demo fabricated its year dim from r_regionkey+1995): the year "
+        "partitions to read are not known at plan time — they are the "
+        "LEAP years actually present in dim_date (a Feb-29 attribute "
+        "filter on the date dimension, 2 of 7 years) — so Catalyst "
         "injects a dynamicpruning subquery that reuses the dim's "
         "broadcast to prune the fact's partition scan at runtime. The "
         "cluster-scale complement of the static pruning demo: at 100 TB "
@@ -234,9 +241,10 @@ def layout_dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> Da
     ensure_layout(spark, sf_dir, "orders_by_year", _write)
     fact = spark.read.parquet(path)
     year_dim = (
-        read_table(spark, sf_dir, "region")
-        .select((F.col("r_regionkey") + 1995).cast("int").alias("o_year"), "r_name")
-        .filter(F.col("r_name") == "ASIA")
+        StarSchema(spark, sf_dir).dim_date
+        .filter((F.col("month") == 2) & (F.col("day") == 29))
+        .select(F.col("year").alias("o_year"))
+        .distinct()
     )
     return fact.join(year_dim, "o_year").agg(
         F.count("*").cast("long").alias("n_orders"),

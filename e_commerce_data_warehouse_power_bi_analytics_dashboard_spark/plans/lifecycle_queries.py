@@ -61,7 +61,11 @@ def schema_clone_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
     )
     empty = clone_schema(spark, src)
-    assert empty.count() == 0  # WITH NO DATA
+    # WITH NO DATA — plan-time guarantees, zero Spark jobs (r4 verdict
+    # #8): the clone is an empty LocalRelation by construction, so the
+    # schema identity check is the whole contract; counting it would
+    # launch a job just to confirm a constant.
+    assert empty.schema == src.schema
     # Spark simpleString → DuckDB DESCRIBE spelling
     type_map = {
         "bigint": "bigint", "long": "bigint", "int": "integer",

@@ -66,6 +66,29 @@ def _plan_of(df) -> str:
     return buf.getvalue()
 
 
+def _node_offset(line: str) -> int:
+    """Column where the node NAME starts, past the tree art (spaces,
+    ``:``, ``+-``). Art chars never begin a node name."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _child_node(lines: list[str], i: int) -> str:
+    """The actual child of the tree node at ``lines[i]``, found by
+    indentation depth (a child's name starts exactly 3 columns deeper) —
+    NOT by literal line adjacency, which AQE wrappers / ReusedExchange /
+    multi-child siblings can break (ADVICE r4)."""
+    off = _node_offset(lines[i])
+    for nxt in lines[i + 1 :]:
+        if not nxt.strip() or nxt.startswith("="):
+            break  # end of this plan tree / subquery separator
+        noff = _node_offset(nxt)
+        if noff == off + 3:
+            return nxt
+        if noff <= off:
+            break  # climbed back to a sibling/ancestor: node has no child
+    return ""
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_catalog_entry_builds_and_scales(spark, name):
     df = CATALOG[name].fn(spark, SF_SMOKE)
@@ -79,8 +102,8 @@ def test_catalog_entry_builds_and_scales(spark, name):
         for i, ln in enumerate(lines):
             if "Exchange SinglePartition" not in ln:
                 continue
-            nxt = lines[i + 1] if i + 1 < len(lines) else ""
-            assert _SCALAR_AGG.search(nxt), (
+            child = _child_node(lines, i)
+            assert _SCALAR_AGG.search(child), (
                 f"{name} funnels data through one partition "
-                f"(non-scalar-agg SinglePartition exchange):\n{plan}"
+                f"(non-scalar-agg SinglePartition exchange; child={child!r}):\n{plan}"
             )

@@ -8,9 +8,13 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.dedup import (
     exact_dedup_groups,
+    jaccard_pairs,
     latest_wins,
+    prefix_filtered_candidates,
 )
 
 _KEYS = st.sampled_from(["k1", "k2", "k3", "k4"])
@@ -63,3 +67,100 @@ def test_exact_dedup_partitions_input(spark, texts):
     keeps = [r["keep_doc_id"] for r in groups]
     assert len(set(keeps)) == len(keeps)
     assert all(0 <= k < len(texts) for k in keeps)
+
+
+# ---------------------------------------------------------------------------
+# prefix filtering (r5): lossless at the threshold, and bounded on hot keys
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_jaccard(shingle_sets: dict[int, set], threshold: float):
+    out = set()
+    ids = sorted(shingle_sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingle_sets[a], shingle_sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out.add((a, b))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=2, max_size=24), min_size=2, max_size=16
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_filtered_jaccard_is_exact(spark, texts, threshold):
+    """The prefix-filtered inverted index loses NO pair at the threshold:
+    jaccard_pairs == brute-force all-pairs Jaccard over 1-word shingles."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(df, "doc_id", "text", k=1, threshold=threshold).collect()
+    }
+    sets = {i: set(t.split()) - {""} for i, t in enumerate(texts)}
+    assert got == _brute_force_jaccard(sets, threshold)
+
+
+def test_prefix_filter_excludes_universal_hot_shingle(spark):
+    """A shingle shared by ALL docs (the stop-word-bigram hazard: df = n,
+    naive posting-list self-join = n² rows) must fall outside every doc's
+    prefix — the candidate join sees ZERO pairs through it, so the join
+    input stays o(n²)."""
+    n, uniq = 40, 9  # sz=10, t=0.8 -> prefix = ceil(0.2*10)+1 = 3 rarest
+    rows = [
+        (i, g) for i in range(n) for g in [f"u{i}_{j}" for j in range(uniq)] + ["hot"]
+    ]
+    sh = spark.createDataFrame(rows, ["doc", "g"])
+    cands = prefix_filtered_candidates(sh, threshold=0.8)
+    # every doc's unique shingles have df=1 < df(hot)=n, so all prefixes
+    # consist of unique shingles only -> no candidate pairs at all,
+    # versus n(n-1)/2 = 780 through the hot posting list naively
+    assert cands.count() == 0
+
+
+def test_prefix_filter_still_joins_on_shared_rare_shingles(spark):
+    """Sanity inverse: docs that really are near-dups (share most rare
+    shingles) DO surface as candidates despite the hot shingle."""
+    rows = []
+    for i in range(6):
+        shared = [f"s{j}" for j in range(9)]  # same 9 rare-ish shingles
+        rows += [(i, g) for g in shared + [f"only{i}", "hot" * 1]]
+    # plus 20 unrelated docs carrying 'hot' to make it globally frequent
+    for i in range(100, 120):
+        rows += [(i, g) for g in [f"x{i}_{j}" for j in range(10)] + ["hot"]]
+    sh = spark.createDataFrame(rows, ["doc", "g"]).distinct()
+    cands = prefix_filtered_candidates(sh, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    expected = {(a, b) for a in range(6) for b in range(a + 1, 6)}
+    assert expected <= got
+
+
+def test_prefix_join_volume_bounded_under_hot_key(spark):
+    """Plan-level pin for the r4 verdict's scale hazard: with a universal
+    hot shingle, the rows entering the candidate equi-join (the pruned
+    prefix frames) exclude the hot posting list entirely."""
+    n = 30
+    rows = [
+        (i, g) for i in range(n) for g in [f"u{i}_{j}" for j in range(9)] + ["hot"]
+    ]
+    sh = spark.createDataFrame(rows, ["doc", "g"])
+    dfreq = sh.groupBy("g").agg(F.count("*").alias("_gdf"))
+    # reproduce the operator's prefix frame and measure what would join
+    from pyspark.sql.window import Window
+
+    w_doc = Window.partitionBy("doc").orderBy(F.col("_gdf").asc(), F.col("g").asc())
+    ranked = sh.join(dfreq, "g").select(
+        "doc", "g",
+        F.row_number().over(w_doc).alias("_pos"),
+        F.count("*").over(Window.partitionBy("doc")).alias("_sz"),
+    )
+    prefix = ranked.filter(F.col("_pos") <= F.ceil(F.lit(1.0 - 0.8) * F.col("_sz")) + 1)
+    hot_rows = prefix.filter(F.col("g") == "hot").count()
+    assert hot_rows == 0  # the n²-risk posting list never enters the join
+    assert prefix.count() == n * 3  # ceil(0.2*10)+1 = 3 per doc
