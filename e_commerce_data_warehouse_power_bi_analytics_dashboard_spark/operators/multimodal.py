@@ -10,10 +10,13 @@ Design for 100 TB:
   - metadata lives in a typed struct column so filters on
     mime/width/height are plain Catalyst predicates (pushed to the scan,
     never touching the payload bytes — column pruning drops the blob);
-  - decode/resize steps that need codec libraries (PIL/ffmpeg — not in
-    this container) are STUBS behind an import-gate raising
-    ``NotImplementedError``; everything around them (schema, batch
-    iteration, frame-slicing arithmetic, hashing) is real and tested.
+  - PNG (grayscale-8) and WAV (16-bit PCM mono) are decoded FOR REAL
+    with stdlib-only wire-format codecs (zlib/struct: CRC-checked
+    chunks, DEFLATE scanlines with all five PNG filters, RIFF chunk
+    walk) — see encode_png/decode_png/decode_wav below. Only the color
+    configurations that genuinely need a codec package (PIL/ffmpeg —
+    not in this container) raise ``NotImplementedError``, from inside
+    the decoders where the unsupported header is detected.
 
 The test corpus has no real media files, so ``attach_payload`` fabricates
 a deterministic payload (UTF-8 document bytes) + metadata from the
@@ -157,27 +160,340 @@ def sample_frames(with_payload: DataFrame, frame_size: int = 256, every: int = 4
 
 
 # ---------------------------------------------------------------------------
-# codec-dependent steps — stubbed (no PIL/ffmpeg in this container)
+# real PNG wire format — stdlib-only (zlib + struct), no codec package
+# ---------------------------------------------------------------------------
+#
+# Grayscale 8-bit PNG (color type 0, bit depth 8) needs nothing beyond
+# zlib: signature, CRC-checked chunks, DEFLATE'd scanlines, per-row
+# filters 0-4. encode_png/decode_png below implement that subset for
+# real — byte-identical to what libpng would produce/accept — so the
+# pixel-level decode path is no longer a stub. Other color types / bit
+# depths stay gated on PIL (absent here).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: list[list[int]], filter_of_row) -> bytes:
+    """Encode a grayscale-8 pixel grid as a real PNG byte stream.
+
+    ``filter_of_row(y)`` picks the scanline filter (0=None 1=Sub 2=Up
+    3=Average 4=Paeth) so a corpus exercises every decoder branch.
+    Runs inside the Arrow-batched synthesis UDF — never on the driver.
+    """
+    import struct
+    import zlib as _z
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    raw = bytearray()
+    prev = [0] * w
+    for y in range(h):
+        row = pixels[y]
+        ft = filter_of_row(y) % 5
+        raw.append(ft)
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            v = row[x]
+            if ft == 0:
+                raw.append(v)
+            elif ft == 1:
+                raw.append((v - left) & 0xFF)
+            elif ft == 2:
+                raw.append((v - up) & 0xFF)
+            elif ft == 3:
+                raw.append((v - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((v - _paeth(left, up, ul)) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, list[list[int]]]:
+    """Parse a PNG byte stream → (width, height, pixel grid).
+
+    Real decoder for the grayscale-8 subset: walks chunks, VERIFIES each
+    CRC, concatenates IDATs, zlib-inflates, and reverses all five
+    scanline filters (None/Sub/Up/Average/Paeth). Raises on corrupt CRCs
+    or unsupported color configurations (those need PIL — absent here).
+    """
+    import struct
+    import zlib as _z
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, 0
+    h = bitdepth = colortype = -1
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if _z.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, bitdepth, colortype = struct.unpack(">IIBB", body[:10])
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if (bitdepth, colortype) != (8, 0):
+        raise NotImplementedError(
+            f"PNG bitdepth={bitdepth} colortype={colortype} needs a codec "
+            "library (PIL, absent here); stdlib path covers grayscale-8"
+        )
+    raw = _z.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("corrupt PNG: scanline payload size mismatch")
+    grid: list[list[int]] = []
+    prev = [0] * w
+    for y in range(h):
+        line = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        ft, fdata = line[0], line[1:]
+        row: list[int] = []
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            v = fdata[x]
+            if ft == 1:
+                v = (v + left) & 0xFF
+            elif ft == 2:
+                v = (v + up) & 0xFF
+            elif ft == 3:
+                v = (v + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                v = (v + _paeth(left, up, ul)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"corrupt PNG: unknown filter {ft}")
+            row.append(v)
+        grid.append(row)
+        prev = row
+    return w, h, grid
+
+
+#: deterministic synthetic pixel formula shared with the SQL oracle
+def _pixel(doc_id: int, x: int, y: int) -> int:
+    return (doc_id * 7 + y * 3 + x) % 256
+
+
+def synthesize_png_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, png binary): real PNG files (CRCs, DEFLATE,
+    per-row filter cycling through all five types) built per-partition in
+    mapInPandas. Dims/pixels are closed-form in doc_id so a SQL oracle
+    can reproduce the decoded output without ever seeing the bytes."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 6), 4 * (1 + d % 5)
+                grid = [[_pixel(d, x, y) for x in range(w)] for y in range(h)]
+                rows.append((d, encode_png(grid, lambda y, d=d: d + y)))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def decode_image(with_png: DataFrame) -> DataFrame:
+    """Decode PNG payloads to pixel stats — REAL for grayscale-8 (stdlib
+    zlib decoder above, CRC-verified, all five filters); other color
+    types raise inside decode_png and would need PIL. Arrow-batched
+    mapInPandas; payload pruned from the output."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, grid = decode_png(bytes(png))
+                n = w * h
+                mean = sum(sum(r) for r in grid) / n if n else 0.0
+                rows.append((int(doc_id), w, h, n, mean))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return with_png.select("doc_id", "png").mapInPandas(dec, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def resize_image(with_png: DataFrame, factor: int = 2) -> DataFrame:
+    """Box-average downsample by an integer ``factor`` over the DECODED
+    grid (real pixels from decode_png, not metadata) — one output row per
+    output pixel, value = mean of the factor×factor source block. The
+    numpy reshape-mean runs per Arrow batch; dims must divide by factor
+    (the synthesizer guarantees it for factor=2)."""
+
+    def rz(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, grid = decode_png(bytes(png))
+                if w % factor or h % factor:
+                    raise ValueError(f"dims {w}x{h} not divisible by {factor}")
+                a = np.array(grid, dtype=np.float64)
+                small = a.reshape(h // factor, factor, w // factor, factor).mean(axis=(1, 3))
+                for y in range(small.shape[0]):
+                    for x in range(small.shape[1]):
+                        rows.append((int(doc_id), x, y, float(small[y, x])))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return with_png.select("doc_id", "png").mapInPandas(rz, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real WAV wire format — stdlib-only (struct), 16-bit PCM mono
 # ---------------------------------------------------------------------------
 
-
-def decode_image(with_payload: DataFrame) -> DataFrame:
-    """Decode image payloads to pixel arrays. STUB: requires PIL."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:  # pragma: no cover - PIL never present here
-        raise NotImplementedError(
-            "image decode requires pillow; this environment has no codec "
-            "libraries. The surrounding plumbing (attach_payload → "
-            "mapInPandas batch iteration) is exercised by extract_features."
-        ) from e
-    raise NotImplementedError("real decode path not implemented")  # pragma: no cover
+_WAV_RATE = 8000
 
 
-def resize_image(with_payload: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize decoded images. STUB: requires PIL."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("image resize requires pillow") from e
-    raise NotImplementedError("real resize path not implemented")  # pragma: no cover
+def _sample(doc_id: int, i: int) -> int:
+    """Deterministic int16 sample in [-10000, 10000], closed-form in
+    doc_id so the SQL oracle reproduces the decoded signal."""
+    return ((doc_id * 131 + i * 37) % 20001) - 10000
+
+
+def synthesize_wav_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): real RIFF/WAVE files (fmt +
+    data chunks, 16-bit little-endian PCM mono @ 8 kHz) built
+    per-partition in mapInPandas."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 50 + (d % 20) * 25
+                pcm = struct.pack(f"<{n}h", *[_sample(d, i) for i in range(n)])
+                fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_wav(with_wav: DataFrame) -> DataFrame:
+    """Parse RIFF/WAVE payloads and decode the PCM samples — real chunk
+    walk (handles any chunk order/extras), fmt validation, int16-LE
+    sample decode, RMS over the signal. Raises NotImplementedError for
+    non-PCM encodings (those need ffmpeg, absent here)."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math as _m
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                b = bytes(wav)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE stream")
+                pos, rate, pcm = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                    body = b[pos + 8 : pos + 8 + clen]
+                    if cid == b"fmt ":
+                        audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                        bits = struct.unpack("<H", body[14:16])[0]
+                        if (audio_fmt, channels, bits) != (1, 1, 16):
+                            raise NotImplementedError(
+                                f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
+                                "only 16-bit PCM mono decodable without ffmpeg"
+                            )
+                    elif cid == b"data":
+                        pcm = body
+                    pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+                if rate is None or pcm is None:
+                    raise ValueError("WAV missing fmt or data chunk")
+                n = len(pcm) // 2
+                samples = struct.unpack(f"<{n}h", pcm[: n * 2])
+                rms = _m.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+                rows.append((int(doc_id), int(rate), n, n * 1000.0 / rate, rms))
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_SCHEMA.fields])
+
+    return with_wav.select("doc_id", "wav").mapInPandas(dec, WAV_SCHEMA)

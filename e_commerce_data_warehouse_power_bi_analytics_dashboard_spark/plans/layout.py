@@ -383,6 +383,75 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deliberately skewed join key: 80% of orders collapse onto nation 0,
+#: the rest spread over nations 1-24 — shared by the Spark entry, the
+#: DuckDB oracle, and the salted-twin cross-check test.
+SKEW_KEY_SQL = (
+    "CASE WHEN o_orderkey % 10 < 8 THEN 0 ELSE CAST(o_custkey % 24 AS INT) + 1 END"
+)
+
+
+def skewed_orders_nation_join(
+    spark: SparkSession, sf_dir: str, fan_mappers: int | None = None
+) -> DataFrame:
+    """The bare skewed join (no downstream agg): orders on the hot
+    ``SKEW_KEY_SQL`` key ⋈ nation, sort-merge forced via the ``merge``
+    hint so AQE's OptimizeSkewedJoin (skewJoin.enabled, on in
+    session.py) can split the oversized partition at runtime.
+
+    ``fan_mappers`` round-robins the fact side over N tasks first.
+    AQE can only split a skewed reduce partition at MAPPER boundaries
+    (``ShufflePartitionsUtil.createSkewPartitionSpecs`` returns None if
+    one mapper wrote the whole partition) — a single-row-group test
+    parquet has one effective mapper, so the split silently cannot
+    happen, whereas a 100 TB fact table always has thousands. The test
+    pin passes fan_mappers to emulate the real-scale mapper layout; the
+    catalog entry leaves it None (no extra exchange in the plan).
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.expr(SKEW_KEY_SQL).alias("skew_key"), "o_totalprice"
+    )
+    if fan_mappers:
+        orders = orders.repartition(fan_mappers)
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return orders.join(nation.hint("merge"), orders.skew_key == nation.n_nationkey)
+
+
+@register(
+    "skew_aqe_join_agg",
+    oracle="""
+        WITH skewed AS (
+            SELECT CASE WHEN o_orderkey % 10 < 8 THEN 0
+                        ELSE CAST(o_custkey % 24 AS INT) + 1 END AS skew_key,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {rev} AS revenue
+        FROM skewed JOIN nation ON n_nationkey = skew_key
+        GROUP BY 1
+    """.format(rev=o_money_sum("o_totalprice")),
+    tags=("layout", "skew", "AQE", "J1"),
+    doc="AQE skew-join twin of skew_salted_join_agg: the SAME hot-key "
+        "problem handled by Spark's built-in runtime mitigation instead "
+        "of a manual rewrite — sort-merge join on a key where 80% of "
+        "rows hit one nation; adaptive skew-join splitting "
+        "(spark.sql.adaptive.skewJoin) breaks the oversized partition "
+        "into advisory-size pieces and replicates the matching dim rows. "
+        "Results are config-independent (oracle is the plain join); the "
+        "plan-level proof (skew=true SMJ marker under low thresholds) is "
+        "pinned in tests/test_plans.py, and a twin test checks row-level "
+        "equality against the salted rewrite.",
+)
+def skew_aqe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = skewed_orders_nation_join(spark, sf_dir)
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_orders"),
+        money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton-curve) multi-dimensional clustering
 # ---------------------------------------------------------------------------

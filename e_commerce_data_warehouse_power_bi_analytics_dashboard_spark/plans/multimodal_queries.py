@@ -172,3 +172,109 @@ def mm_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(conv(hex(substring(png_bytes, 17, 4)), 16, 10) AS BIGINT)").alias("width"),
         F.expr("CAST(conv(hex(substring(png_bytes, 21, 4)), 16, 10) AS BIGINT)").alias("height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# real pixel/sample decode — stdlib wire-format codecs (no PIL/ffmpeg)
+# ---------------------------------------------------------------------------
+#
+# The container ships no media files or codec packages, so the PAYLOADS
+# are synthesized (real PNG/WAV byte streams with correct CRCs, DEFLATE
+# scanlines, RIFF chunk layout, from closed-form pixel/sample formulas in
+# doc_id) — but the DECODERS are the real operator under test: they parse
+# the wire format byte-for-byte (operators/multimodal.py encode_png/
+# decode_png/decode_wav) and would accept libpng/ffmpeg-produced files of
+# the same subset. The oracle recomputes the expected decoded output from
+# the same closed-form formulas without ever touching the bytes — a
+# genuinely independent path that fails if any filter/CRC/inflate step
+# decodes wrong.
+
+_IMG_DOCS = "SELECT doc_id, 8*(1 + doc_id % 6) AS w, 4*(1 + doc_id % 5) AS h FROM documents WHERE doc_id % 3 = 0"
+
+
+@register(
+    "mm_png_pixel_decode",
+    oracle=f"""
+        WITH img AS ({_IMG_DOCS}),
+        px AS (
+            SELECT i.doc_id, i.w, i.h, (i.doc_id * 7 + y.y * 3 + x.x) % 256 AS v
+            FROM img i
+            JOIN range(0, 20) y(y) ON y.y < i.h
+            JOIN range(0, 48) x(x) ON x.x < i.w
+        )
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(avg(v), 6) AS mean_pixel
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+    doc="REAL PNG pixel decode, stdlib-only: synthesize valid grayscale-8 "
+        "PNG files (CRC'd chunks, zlib IDAT, scanline filters cycling "
+        "None/Sub/Up/Average/Paeth), then decode them back — chunk walk, "
+        "CRC verify, inflate, de-filter — in Arrow-batched mapInPandas. "
+        "Oracle reproduces the expected pixels from the closed-form "
+        "formula without touching the bytes.",
+)
+def mm_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    decoded = MM.decode_image(MM.synthesize_png_payloads(docs))
+    return decoded.withColumn("mean_pixel", F.round("mean_pixel", 6))
+
+
+@register(
+    "mm_image_resize_box",
+    oracle=f"""
+        WITH img AS ({_IMG_DOCS}),
+        px AS (
+            SELECT i.doc_id, CAST(x.x // 2 AS INT) AS x, CAST(y.y // 2 AS INT) AS y,
+                   (i.doc_id * 7 + y.y * 3 + x.x) % 256 AS v
+            FROM img i
+            JOIN range(0, 20) y(y) ON y.y < i.h
+            JOIN range(0, 48) x(x) ON x.x < i.w
+        )
+        SELECT doc_id, x, y, round(avg(v), 6) AS value
+        FROM px GROUP BY doc_id, x, y
+    """,
+    tags=("multimodal", "binary", "decode", "resize", "mapInPandas"),
+    doc="Image resize over REAL decoded pixels: 2x box-average downsample "
+        "(numpy reshape-mean per Arrow batch) of the stdlib-decoded "
+        "grayscale grid; one row per output pixel, oracle-checked "
+        "blockwise.",
+)
+def mm_image_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    resized = MM.resize_image(MM.synthesize_png_payloads(docs), factor=2)
+    return resized.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "mm_wav_pcm_decode",
+    oracle="""
+        WITH aud AS (
+            SELECT doc_id, 50 + (doc_id % 20) * 25 AS n
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        s AS (
+            SELECT a.doc_id, a.n, ((a.doc_id * 131 + i.i * 37) % 20001) - 10000 AS v
+            FROM aud a JOIN range(0, 525) i(i) ON i.i < a.n
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               round(n * 1000.0 / 8000, 6) AS duration_ms,
+               round(sqrt(avg(v * v)), 6) AS rms
+        FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "mapInPandas"),
+    doc="REAL WAV PCM decode, stdlib-only: synthesize valid RIFF/WAVE "
+        "files (fmt + data chunks, int16-LE mono @ 8 kHz), then chunk-walk "
+        "and decode the samples in mapInPandas, emitting rate/duration/RMS. "
+        "Non-PCM encodings raise from the fmt parse (would need ffmpeg).",
+)
+def mm_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    decoded = MM.decode_wav(MM.synthesize_wav_payloads(docs))
+    return decoded.select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+    )

@@ -73,8 +73,98 @@ def test_frame_idx_multiples(payloads):
     assert bad == 0
 
 
-def test_decode_stub_raises(payloads):
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(payloads)
-    with pytest.raises(NotImplementedError):
-        MM.resize_image(payloads, 32, 32)
+# ---------------------------------------------------------------------------
+# stdlib wire-format codecs: PNG (grayscale-8) and WAV (16-bit PCM mono)
+# ---------------------------------------------------------------------------
+
+
+def _grid(d, w, h):
+    return [[MM._pixel(d, x, y) for x in range(w)] for y in range(h)]
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_each_filter(ft):
+    grid = _grid(13, 24, 12)
+    w, h, out = MM.decode_png(MM.encode_png(grid, lambda y: ft))
+    assert (w, h, out) == (24, 12, grid)
+
+
+def test_png_roundtrip_mixed_filters():
+    grid = _grid(7, 40, 16)
+    _, _, out = MM.decode_png(MM.encode_png(grid, lambda y: y))  # cycles 0..4
+    assert out == grid
+
+
+def test_png_crc_detects_corruption():
+    png = bytearray(MM.encode_png(_grid(1, 8, 8), lambda y: 0))
+    png[40] ^= 0xFF  # inside IDAT body
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_png(bytes(png))
+
+
+def test_png_unsupported_colortype_is_codec_gated():
+    import struct
+    import zlib
+
+    # IHDR declaring RGB (colortype 2): needs PIL, raises from the parse
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    png = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 13)))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="colortype"):
+        MM.decode_png(png)
+
+
+def test_png_pixel_decode_spark(spark):
+    docs = read_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") % 3 == 0).limit(6)
+    rows = {r.doc_id: r for r in MM.decode_image(MM.synthesize_png_payloads(docs)).collect()}
+    for d, r in rows.items():
+        w, h = 8 * (1 + d % 6), 4 * (1 + d % 5)
+        grid = _grid(d, w, h)
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.mean_pixel == pytest.approx(sum(map(sum, grid)) / (w * h))
+
+
+def test_resize_preserves_doc_mean(spark):
+    # equal-size 2x2 boxes => mean of box means == global mean
+    docs = read_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") % 3 == 0).limit(4)
+    payloads_df = MM.synthesize_png_payloads(docs)
+    small = (
+        MM.resize_image(payloads_df, factor=2)
+        .groupBy("doc_id")
+        .agg(F.avg("value").alias("m"), F.count("*").alias("n"))
+    )
+    full = MM.decode_image(payloads_df).select("doc_id", "mean_pixel", "n_pixels")
+    joined = small.join(full, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r.m == pytest.approx(r.mean_pixel)
+        assert r.n * 4 == r.n_pixels
+
+
+def test_wav_decode_spark(spark):
+    docs = read_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") % 3 == 1).limit(6)
+    rows = {r.doc_id: r for r in MM.decode_wav(MM.synthesize_wav_payloads(docs)).collect()}
+    import math
+
+    for d, r in rows.items():
+        n = 50 + (d % 20) * 25
+        samples = [MM._sample(d, i) for i in range(n)]
+        assert (r.sample_rate, r.n_samples) == (8000, n)
+        assert r.duration_ms == pytest.approx(n * 1000.0 / 8000)
+        assert r.rms == pytest.approx(math.sqrt(sum(s * s for s in samples) / n))
+
+
+def test_wav_non_pcm_is_codec_gated(spark):
+    import struct
+
+    # fmt chunk declaring IEEE-float (code 3): needs ffmpeg, gate fires
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, wav binary")
+    with pytest.raises(Exception, match="NotImplementedError"):
+        MM.decode_wav(df).collect()

@@ -167,3 +167,76 @@ def test_pareto_prefix_sum_is_distributed(spark):
             assert "HashAggregate(keys=[], functions=[partial_sum" in nxt, (
                 f"non-scalar single-partition exchange:\n{p}"
             )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Round-5 pin: AQE's OptimizeSkewedJoin handles the deliberately
+    skewed orders⋈nation key (80% of rows on one nation) — the final
+    adaptive plan carries the ``skew=true`` SMJ marker and a skewed
+    AQEShuffleRead. Thresholds are lowered because the test data is
+    tiny; fan_mappers emulates the many-mapper layout a real fact table
+    has (AQE can only split a partition at mapper boundaries)."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.layout import (
+        skewed_orders_nation_join,
+    )
+
+    from .conftest import SF_ORACLE
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = skewed_orders_nation_join(spark, SF_ORACLE, fan_mappers=16)
+        j.collect()  # materialize so AQE reaches the final plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not mark the join skewed:\n{plan}"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_skew_aqe_entry_matches_salted_twin(spark):
+    """The AQE entry's answer equals the manual salted-join rewrite of
+    the same skewed query — the two mitigations are interchangeable."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.skew import (
+        salted_join,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans._helpers import (
+        money_sum,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.layout import (
+        SKEW_KEY_SQL,
+    )
+
+    aqe_rows = sorted(
+        tuple(r) for r in CATALOG["skew_aqe_join_agg"].fn(spark, SF_SMOKE).collect()
+    )
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        F.expr(SKEW_KEY_SQL).alias("n_nationkey"), "o_totalprice"
+    )
+    nation = read_table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    salted = (
+        salted_join(orders, nation, "n_nationkey", n_salts=4)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+    assert aqe_rows == sorted(tuple(r) for r in salted.collect())
