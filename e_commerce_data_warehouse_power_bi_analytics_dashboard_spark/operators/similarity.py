@@ -144,6 +144,46 @@ def similar_pairs(
     )
 
 
+def semdedup_keep(
+    emb: DataFrame, centroids: DataFrame, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings (nearest member of
+    ``centroids``, cosine), then WITHIN each cluster drop every vector
+    that has a semantic near-duplicate (cosine >= threshold) with a
+    smaller id. Returns (id, centroid_id, keep).
+
+    Scale shape: the quadratic pair search is confined to clusters
+    (the paper's core trick — k ≈ √N clusters make expected cluster
+    size √N, so pair work is N^1.5 not N², and embarrassingly parallel
+    per cluster); the corpus is shuffled once on centroid_id and never
+    all-pairs joined. Deviation from the paper, documented: the paper
+    keeps the example with LOWEST similarity to its centroid inside
+    each duplicate group; this implementation keeps the smallest id —
+    deterministic, oracle-checkable, and the same canonical-selection
+    rule the text dedup entries use.
+    """
+    assigned = assign_centroids(emb, centroids, id_col, vec_col)
+    a = assigned.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "centroid_id")
+    b = assigned.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "centroid_id")
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(s_cosine("va", "vb")) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_dropped", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "centroid_id",
+            F.col("_dropped").isNull().alias("keep"),
+        )
+    )
+
+
 def srp_signatures(
     emb: DataFrame, nbits: int = 32, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",

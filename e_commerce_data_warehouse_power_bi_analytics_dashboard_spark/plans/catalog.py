@@ -81,6 +81,7 @@ def get_catalog() -> dict[str, Query]:
         from . import timeseries  # noqa: F401
         from . import incremental  # noqa: F401
         from . import quality  # noqa: F401
+        from . import text_mining  # noqa: F401
 
         _LOADED = True
     return CATALOG

@@ -452,6 +452,53 @@ def skew_aqe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_filtered_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ urgent orders, shaped for runtime bloom-filter
+    injection: a selective filter on the creation side (orders) and a
+    shuffle join (merge hint) on the application side. With
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` Catalyst builds
+    a bloom filter from the filtered o_orderkey set and injects
+    ``might_contain(...)`` into the lineitem scan — rows that cannot
+    join are dropped BEFORE the shuffle, the row-level complement of
+    dynamic partition pruning (which needs a partitioned layout). The
+    default application-side threshold (10 GB scanned) means the filter
+    only appears at real scale; tests/test_plans.py pins the plan shape
+    under a lowered threshold."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return li.join(urgent.hint("merge"), li.l_orderkey == urgent.o_orderkey)
+
+
+@register(
+    "bloom_runtime_filter_join",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {rev} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+    """.format(rev=o_money_sum("l_extendedprice")),
+    tags=("layout", "bloom", "runtime-filter", "J1"),
+    doc="Runtime bloom-filter join pruning: revenue of urgent-order "
+        "line items through a shuffle join whose application side is "
+        "prunable by a bloom filter built from the selective dim "
+        "filter at runtime — rows are dropped before the shuffle, "
+        "complementing DPP for non-partitioned layouts. Results are "
+        "config-independent (the filter only changes the plan); the "
+        "might_contain/bloom_filter_agg plan pin lives in "
+        "tests/test_plans.py.",
+)
+def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = bloom_filtered_lineitem_join(spark, sf_dir)
+    return j.agg(
+        F.count("*").alias("n_lines"),
+        money_sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton-curve) multi-dimensional clustering
 # ---------------------------------------------------------------------------

@@ -613,6 +613,40 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_cluster_keep",
+    oracle=f"""
+        WITH e AS ({_O_EMB}),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        assigned AS (
+            SELECT vid, v, centroid_id FROM (
+                SELECT e.vec_id AS vid, e.v, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+                FROM e, c
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vid
+            FROM assigned a JOIN assigned b USING (centroid_id)
+            WHERE a.vid < b.vid AND list_cosine_similarity(a.v, b.v) >= 0.4
+        )
+        SELECT a.vid AS vec_id, a.centroid_id, d.vid IS NULL AS keep
+        FROM assigned a LEFT JOIN dropped d ON a.vid = d.vid
+    """,
+    tags=("llm", "similarity", "dedup"),
+    doc="SemDeDup-style semantic dedup (arXiv:2303.09540): coarse "
+        "cosine clustering (centroids = vec_id%50==0), then drop "
+        "within-cluster semantic near-dups (cos >= 0.4, min-id "
+        "survivor). Pair search confined to clusters — N^1.5 total "
+        "work at k≈√N clusters, never a corpus-wide all-pairs join "
+        "(operators/similarity.py::semdedup_keep).",
+)
+def semdedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.semdedup_keep(emb, emb.filter("vec_id % 50 = 0"), threshold=0.4)
+
+
+@register(
     "dedup_method_agreement",
     oracle=f"""
         WITH {_O_JACCARD_CTES}

@@ -1,0 +1,233 @@
+"""Text-mining / retrieval operators over the documents corpus
+(beyond-reference LLM-data extensions): BM25 ranked search, TF-IDF term
+extraction, and a BPE vocabulary-induction step.
+
+All three are pure JVM expression pipelines over the shared tokenizer
+(functions/text.py s_tokens/o_tokens — identical normalization in Spark
+and the DuckDB oracle). Scale design:
+
+  - term statistics flow through vocabulary-sized shuffles (term keys),
+    never document-pair joins;
+  - BPE pair counting runs on the word-TYPE table (distinct word ×
+    frequency), the classic trick that makes merge-step cost independent
+    of corpus token count;
+  - query-term tables are broadcast (a query has a handful of terms);
+  - scores are rounded to 6 decimals BEFORE ranking so the top-k cut is
+    engine-stable (Spark and DuckDB sum per-term doubles in different
+    orders; ULP drift must not reorder the boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import o_tokens, s_tokens
+from ..sources.tpch import read_table
+from .catalog import register
+
+#: Okapi BM25 constants (standard defaults)
+_K1, _B = 1.2, 0.75
+
+#: fixed demo query — terms chosen from the corpus vocabulary
+QUERY_TERMS = ("spark", "merge", "vector")
+
+
+def _term_freqs(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl): per-document term frequency + doc length.
+    One explode + one (term, doc) shuffle; dl rides along map-side."""
+    toks = docs.select(
+        "doc_id",
+        F.expr(s_tokens("text")).alias("toks"),
+    ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    return toks.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
+
+
+def bm25_topk(
+    docs: DataFrame, terms: tuple[str, ...] = QUERY_TERMS, k: int = 10
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag-of-terms query.
+
+    idf = ln(1 + (N - df + .5)/(df + .5));
+    score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Shuffles: (term,doc) tf agg → term-keyed df agg (vocab-sized) →
+    doc-keyed score agg; corpus scalars (N, avgdl) broadcast.
+    """
+    spark = docs.sparkSession
+    tf = _term_freqs(docs)
+    qt = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
+    # N and avgdl over the whole corpus: single-row broadcast
+    stats = F.broadcast(
+        docs.select(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg(F.size(F.expr(s_tokens("text")))).alias("avgdl"),
+        )
+    )
+    df_ = tf.join(qt, "term").groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(qt, "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(stats)
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (_K1 + 1))
+                / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def _o_bm25_ctes(terms: tuple[str, ...]) -> str:
+    qlist = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        toks AS (
+            SELECT doc_id, len({o_tokens("text")}) AS dl,
+                   unnest({o_tokens("text")}) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, dl, count(*) AS tf
+            FROM toks WHERE term IN (SELECT term FROM (VALUES {qlist}) q(term))
+            GROUP BY doc_id, term, dl
+        ),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n_docs,
+                   avg(len({o_tokens("text")})) AS avgdl
+            FROM documents
+        ),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+    """
+
+
+@register(
+    "bm25_topk_search",
+    oracle=f"""
+        WITH {_o_bm25_ctes(QUERY_TERMS)}
+        SELECT doc_id, score FROM (
+            SELECT t.doc_id,
+                   round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (t.tf * ({_K1} + 1))
+                       / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl / s.avgdl))
+                   ), 6) AS score
+            FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+            GROUP BY t.doc_id
+        )
+        ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    tags=("llm", "text", "search", "T2"),
+    doc="Okapi BM25 ranked retrieval (k1=1.2, b=0.75) for a broadcast "
+        "bag-of-terms query over the documents corpus — term-keyed "
+        "(vocab-sized) statistics shuffles only, top-10 via "
+        "TakeOrderedAndProject; scores rounded before ranking so the "
+        "cut is engine-stable.",
+)
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({o_tokens("text")}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term,
+                   round(t.tf * ln(n.n_docs / d.df), 6) AS tfidf
+            FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3 AND doc_id < 20
+    """,
+    tags=("llm", "text", "W6"),
+    doc="TF-IDF top-3 characteristic terms per document (docs 0-19): "
+        "document frequency computed over the FULL corpus (global df is "
+        "the point of idf), per-doc ranking via a doc-partitioned "
+        "window — never a global sort.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(s_tokens("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    n = F.broadcast(docs.select(F.count("*").cast("double").alias("n_docs")))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(n)
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 20))
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@register(
+    "bpe_pair_merge_step",
+    oracle=f"""
+        WITH words AS (
+            SELECT w, count(*) AS freq FROM (
+                SELECT unnest({o_tokens("text")}) AS w FROM documents
+            ) GROUP BY w
+        ),
+        pairs AS (
+            -- range can't be laterally correlated in DuckDB: enumerate a
+            -- fixed positions table and filter to each word's length
+            SELECT substring(w, i.i::INT, 2) AS pair, freq
+            FROM words JOIN range(1, 64) i(i) ON i.i < len(words.w)
+            WHERE len(w) >= 2
+        )
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 20
+    """,
+    tags=("llm", "text", "bpe"),
+    doc="One BPE vocabulary-induction step: most frequent adjacent "
+        "character pairs across the corpus. Counted on the word-TYPE "
+        "table (distinct word × corpus frequency) so the pair explosion "
+        "is vocabulary-sized, independent of corpus token count — the "
+        "standard trick that makes BPE training feasible at 100 TB. "
+        "Pure JVM transform/sequence expressions, no UDFs.",
+)
+def bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(s_tokens("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

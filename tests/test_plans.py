@@ -240,3 +240,40 @@ def test_skew_aqe_entry_matches_salted_twin(spark):
         )
     )
     assert aqe_rows == sorted(tuple(r) for r in salted.collect())
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """Round-5 pin: with the runtime bloom filter enabled and the
+    application-side size threshold lowered to test scale, Catalyst
+    builds a bloom filter from the selective orders filter and injects
+    might_contain() into the lineitem side — row-level pre-shuffle
+    pruning, the non-partitioned complement of the DPP pin."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.layout import (
+        bloom_filtered_lineitem_join,
+    )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = bloom_filtered_lineitem_join(spark, SF_SMOKE)
+        # injection is a compile-time logical rewrite — no action needed
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p, f"bloom filter not injected:\n{p}"
+        assert "bloom_filter_agg" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
