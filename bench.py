@@ -139,6 +139,12 @@ HEADLINE = [
     "pareto_product_abc",
     "layout_list_partition_pruned",
     "events_view_purchase_pairs",
+    # round-5 additions: real PNG pixel decode (Arrow/mapInPandas path),
+    # BM25 retrieval, SemDeDup cluster dedup, AQE-skew join demo
+    "mm_png_pixel_decode",
+    "bm25_topk_search",
+    "semdedup_cluster_keep",
+    "skew_aqe_join_agg",
 ]
 
 

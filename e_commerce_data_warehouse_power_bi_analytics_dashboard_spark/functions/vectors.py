@@ -25,6 +25,21 @@ def s_cosine(a: str, b: str) -> str:
     return f"({s_dot(a, b)}) / (sqrt({s_dot(a, a)}) * sqrt({s_dot(b, b)}))"
 
 
+def s_norm(a: str) -> str:
+    """Spark SQL: euclidean norm — the exact sub-expression s_cosine uses."""
+    return f"sqrt({s_dot(a, a)})"
+
+
+def s_cosine_prenorm(a: str, b: str, na: str, nb: str) -> str:
+    """Cosine with PRE-COMPUTED norms: bit-identical to ``s_cosine``
+    (same fold for the dot, same sqrt-then-multiply divisor, same IEEE
+    op order) but the two self-dot folds are hoisted out of the pair
+    loop — in an n×k cross/self-join each vector's norm is computed
+    once instead of per pair, cutting ~2/3 of the fold work. Use this
+    in every pair-heavy path; keep ``s_cosine`` for one-shot scoring."""
+    return f"({s_dot(a, b)}) / ({na} * {nb})"
+
+
 def o_cosine(a: str, b: str) -> str:
     """DuckDB twin (embedding cast to DOUBLE[] by the caller)."""
     return f"list_cosine_similarity({a}, {b})"

@@ -22,13 +22,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import s_cosine, s_dot, s_plane_array, s_to_double, srp_planes
+from ..functions.vectors import (
+    s_cosine_prenorm,
+    s_dot,
+    s_norm,
+    s_plane_array,
+    s_to_double,
+    srp_planes,
+)
 
 
-def _with_dvec(emb: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
-    return emb.select(
-        F.col(id_col).alias(out_id), F.expr(s_to_double(vec_col)).alias(out_vec)
-    )
+def _with_dvec(
+    emb: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str,
+    norm_col: str | None = None,
+) -> DataFrame:
+    """id + double-widened vector (+ optionally its precomputed norm —
+    hoisting the norm out of pair loops is the main cosine cost lever,
+    see functions/vectors.py::s_cosine_prenorm)."""
+    cols = [F.col(id_col).alias(out_id), F.expr(s_to_double(vec_col)).alias(out_vec)]
+    if norm_col:
+        cols.append(F.expr(s_norm(s_to_double(vec_col))).alias(norm_col))
+    return emb.select(*cols)
 
 
 def brute_force_topk(
@@ -40,11 +54,14 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, rank, score), rank 1..k by
     (score desc, neighbor_id) — fully deterministic.
     """
-    corpus = _with_dvec(emb, id_col, vec_col, "neighbor_id", "nv")
-    qs = _with_dvec(queries, id_col, vec_col, "query_id", "qv")
+    corpus = _with_dvec(emb, id_col, vec_col, "neighbor_id", "nv", norm_col="nn")
+    qs = _with_dvec(queries, id_col, vec_col, "query_id", "qv", norm_col="qn")
     scored = (
         corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.expr(s_cosine("qv", "nv")).alias("score"))
+        .select(
+            "query_id", "neighbor_id",
+            F.expr(s_cosine_prenorm("qv", "nv", "qn", "nn")).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -59,20 +76,33 @@ def assign_centroids(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: nearest centroid per vector
-    (cosine, deterministic tiebreak on centroid id). One broadcast join +
-    one window over ncentroids rows per vector."""
-    vecs = _with_dvec(emb, id_col, vec_col, "vid", "v")
-    cents = _with_dvec(centroids, id_col, vec_col, "centroid_id", "cv")
-    w = Window.partitionBy("vid").orderBy(
-        F.desc(F.col("cos")), F.asc("centroid_id")
-    )
-    return (
+    (cosine, deterministic tiebreak on centroid id). One broadcast join,
+    then a map-side-combinable max_by argmax over the thin score frame
+    and a single vid-keyed join to reattach the vectors — output
+    (vid, v, vn, centroid_id) with the norm precomputed for downstream
+    pair work."""
+    vecs = _with_dvec(emb, id_col, vec_col, "vid", "v", norm_col="vn")
+    cents = _with_dvec(centroids, id_col, vec_col, "centroid_id", "cv", norm_col="cn")
+    # argmax via max_by over a THIN (vid, centroid_id, cos) frame: the
+    # N×k scores partial-aggregate map-side (near-zero shuffle), and the
+    # wide vector column rides only the final N-row vid join — versus a
+    # window that would shuffle all N×k rows WITH their vectors.
+    # max(struct(cos, -centroid_id)) == orderBy(cos DESC, centroid_id
+    # ASC) limit 1: same deterministic tiebreak as the old window.
+    best = (
         vecs.crossJoin(F.broadcast(cents))
-        .select("vid", "v", "centroid_id", F.expr(s_cosine("v", "cv")).alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vid"), "v", "centroid_id")
+        .select(
+            "vid", "centroid_id",
+            F.expr(s_cosine_prenorm("v", "cv", "vn", "cn")).alias("cos"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.expr(
+                "max_by(centroid_id, struct(cos AS c, -centroid_id AS nc))"
+            ).alias("centroid_id")
+        )
     )
+    return vecs.join(best, "vid").select("vid", "v", "vn", "centroid_id")
 
 
 def ivf_topk(
@@ -96,23 +126,33 @@ def ivf_topk(
         # any emb column), then semi-join the ids into the assignment
         q_ids = emb.filter(F.expr(query_pred)).select(F.col(id_col).alias("vid"))
         qs = assigned.join(F.broadcast(q_ids), "vid").select(
-            F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("centroid_id")
+            F.col("vid").alias("query_id"), F.col("v").alias("qv"),
+            F.col("vn").alias("qn"), F.col("centroid_id"),
         )
     else:
-        vecs = _with_dvec(emb.filter(F.expr(query_pred)), id_col, vec_col, "vid", "v")
-        cents = _with_dvec(centroids, id_col, vec_col, "centroid_id", "cv")
+        vecs = _with_dvec(emb.filter(F.expr(query_pred)), id_col, vec_col, "vid", "v", norm_col="vn")
+        cents = _with_dvec(centroids, id_col, vec_col, "centroid_id", "cv", norm_col="cn")
         w = Window.partitionBy("vid").orderBy(F.desc(F.col("cos")), F.asc("centroid_id"))
         qs = (
             vecs.crossJoin(F.broadcast(cents))
-            .select("vid", "v", "centroid_id", F.expr(s_cosine("v", "cv")).alias("cos"))
+            .select(
+                "vid", "v", "vn", "centroid_id",
+                F.expr(s_cosine_prenorm("v", "cv", "vn", "cn")).alias("cos"),
+            )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= nprobe)
-            .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "centroid_id")
+            .select(
+                F.col("vid").alias("query_id"), F.col("v").alias("qv"),
+                F.col("vn").alias("qn"), "centroid_id",
+            )
         )
     scored = (
         assigned.join(F.broadcast(qs), "centroid_id")
         .filter(F.col("vid") != F.col("query_id"))
-        .select("query_id", F.col("vid").alias("neighbor_id"), F.expr(s_cosine("qv", "v")).alias("score"))
+        .select(
+            "query_id", F.col("vid").alias("neighbor_id"),
+            F.expr(s_cosine_prenorm("qv", "v", "qn", "vn")).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -132,14 +172,16 @@ def similar_pairs(
     quadratic only within blocks — the standard all-pairs guard at scale.
     """
     base = emb.select(
-        F.col(id_col), F.col(block_col).alias("blk"), F.expr(s_to_double(vec_col)).alias("v")
+        F.col(id_col), F.col(block_col).alias("blk"),
+        F.expr(s_to_double(vec_col)).alias("v"),
+        F.expr(s_norm(s_to_double(vec_col))).alias("n"),
     )
-    a = base.select(F.col(id_col).alias("id_a"), "blk", F.col("v").alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), "blk", F.col("v").alias("vb"))
+    a = base.select(F.col(id_col).alias("id_a"), "blk", F.col("v").alias("va"), F.col("n").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), "blk", F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr(s_cosine("va", "vb")).alias("score"))
+        .select("id_a", "id_b", F.expr(s_cosine_prenorm("va", "vb", "na", "nb")).alias("score"))
         .filter(F.col("score") >= threshold)
     )
 
@@ -165,12 +207,18 @@ def semdedup_keep(
     rule the text dedup entries use.
     """
     assigned = assign_centroids(emb, centroids, id_col, vec_col)
-    a = assigned.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "centroid_id")
-    b = assigned.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "centroid_id")
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("vn").alias("na"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("vn").alias("nb"),
+        "centroid_id",
+    )
     dropped = (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.expr(s_cosine("va", "vb")) >= threshold)
+        .filter(F.expr(s_cosine_prenorm("va", "vb", "na", "nb")) >= threshold)
         .select(F.col("id_b").alias("vid"))
         .distinct()
     )
@@ -280,13 +328,17 @@ def srp_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    v = emb.select(F.col(id_col).alias("vid"), F.expr(s_to_double(vec_col)).alias("vv"))
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(s_to_double(vec_col)).alias("vv"),
+        F.expr(s_norm(s_to_double(vec_col))).alias("vn"),
+    )
     return (
-        cands.join(v.withColumnsRenamed({"vid": "id_a", "vv": "va"}), "id_a")
-        .join(v.withColumnsRenamed({"vid": "id_b", "vv": "vb"}), "id_b")
+        cands.join(v.withColumnsRenamed({"vid": "id_a", "vv": "va", "vn": "na"}), "id_a")
+        .join(v.withColumnsRenamed({"vid": "id_b", "vv": "vb", "vn": "nb"}), "id_b")
         .select(
             "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"),
-            F.expr(s_cosine("va", "vb")).alias("score"),
+            F.expr(s_cosine_prenorm("va", "vb", "na", "nb")).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

@@ -76,13 +76,18 @@ def _star_agg(spark: SparkSession, sf_dir: str, hint: str | None) -> DataFrame:
         dp, dd, dc = dp.hint(hint), dd.hint(hint), dc.hint(hint)
     else:
         dp, dd, dc = F.broadcast(dp), F.broadcast(dd), F.broadcast(dc)
+    # date dim first: the 12-month bound keeps ~1/7 of the fact (the
+    # data spans ~7 years), so the two remaining joins — three full
+    # fact-sized shuffle+sorts in the forced sort-merge flavor — run on
+    # the filtered slice instead of the whole fact. Inner joins + the
+    # filter commute, so every flavor computes the identical result.
     return (
         s.fact_sales.select("product_key", "date_key", "customer_key", "totalamount")
-        .join(dp, "product_key")
         .join(dd, "date_key")
-        .join(dc, "customer_key")
         .crossJoin(F.broadcast(bound))
         .filter(F.col("full_date") >= F.col("min_date"))
+        .join(dp, "product_key")
+        .join(dc, "customer_key")
         .groupBy("product_key", "stockcode")
         .agg(money_sum("totalamount").alias("revenue"))
         .orderBy(F.desc("revenue"), "product_key")

@@ -592,3 +592,44 @@ def sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).alias("merged_sketch_within_5pct"),
     )
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle="""
+        SELECT o_orderpriority AS key,
+               CAST(COUNT(*) AS BIGINT) AS exact_count,
+               true AS in_sketch
+        FROM orders GROUP BY 1
+        HAVING COUNT(*) > 0.1 * (SELECT COUNT(*) FROM orders)
+    """,
+    tags=("molap", "sketch", "heavy-hitters"),
+    doc="Heavy-hitters sketch gate: DataFrame.stat.freqItems "
+        "(single-pass, fixed-memory, mergeable Karp/Misra-Gries "
+        "collection) at support=0.1 must contain EVERY key whose exact "
+        "frequency exceeds the support — the sketch's formal guarantee, "
+        "turned into the oracle contract (in_sketch must hash-match the "
+        "oracle's literal true). Exact side is a key-cardinality "
+        "groupBy; sketch side is one pass with no shuffle of the data "
+        "rows — the 100 TB path for hot-key discovery feeding the "
+        "salting/AQE-skew mitigations.",
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderpriority")
+    sketch = orders.stat.freqItems(["o_orderpriority"], support=0.1)
+    exact = orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+    total = orders.agg(F.count("*").alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > 0.1 * F.col("n_total"))
+        .crossJoin(F.broadcast(sketch))
+        .select(
+            F.col("o_orderpriority").alias("key"),
+            F.col("cnt").cast("long").alias("exact_count"),
+            F.array_contains("o_orderpriority_freqItems", F.col("o_orderpriority")).alias(
+                "in_sketch"
+            ),
+        )
+    )

@@ -107,3 +107,20 @@ def test_catalog_entry_builds_and_scales(spark, name):
                 f"{name} funnels data through one partition "
                 f"(non-scalar-agg SinglePartition exchange; child={child!r}):\n{plan}"
             )
+
+
+def test_bench_headline_names_resolve():
+    """Every bench headline / baseline-ratio name must exist in the
+    catalog — a rename that orphans the bench should fail here in
+    milliseconds, not at driver bench time (r3's failure mode)."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in CATALOG]
+    assert not missing, f"bench.HEADLINE references unknown entries: {missing}"
+    assert set(bench.BASELINE_REF_SEC) <= set(bench.HEADLINE), (
+        "every baseline-ratio query must be benched"
+    )
+    # compact stdout contract: name lengths + ~10 chars of timing each
+    # must leave margin inside the driver's ~2000-char tail capture
+    est = 120 + sum(len(n) + 10 for n in bench.HEADLINE)
+    assert est < 1800, f"headline set too large for the one-line contract ({est} est. chars)"

@@ -1,0 +1,99 @@
+"""Targeted invariants for the round-5 text-mining / semantic-dedup
+operators (the full value-level check vs DuckDB lives in the oracle
+gate — these pin properties the gate can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+    similarity as S,
+)
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import get_catalog
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.text_mining import (
+    bm25_topk,
+)
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+    read_table,
+)
+
+from .conftest import SF_SMOKE
+
+CATALOG = get_catalog()
+
+
+def test_bm25_scores_positive_and_k_bounded(spark):
+    rows = CATALOG["bm25_topk_search"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.score > 0 for r in rows)
+
+
+def test_bm25_unknown_term_empty(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    assert bm25_topk(docs, terms=("zzzznotaword",)).count() == 0
+
+
+def test_bm25_more_occurrences_rank_higher(spark):
+    # two synthetic docs, same length, one with double the term count —
+    # tf monotonicity of the BM25 saturation curve
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark filler filler filler filler"),
+            (2, "spark filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25_topk(docs, terms=("spark",)).collect()}
+    assert got[1] > got[2] > 0
+
+
+def test_bpe_pairs_are_bigrams(spark):
+    rows = CATALOG["bpe_pair_merge_step"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert all(len(r.pair) == 2 for r in rows)
+    # counts sorted non-increasing under the deterministic tiebreak
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_semdedup_min_id_per_cluster_always_kept(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    flags = S.semdedup_keep(emb, emb.filter("vec_id % 50 = 0"), threshold=0.4)
+    per_cluster = flags.groupBy("centroid_id").agg(
+        F.min("vec_id").alias("min_id"),
+        F.min(F.when(F.col("keep"), F.col("vec_id"))).alias("min_kept"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.count("*").alias("n"),
+    )
+    for r in per_cluster.collect():
+        # the smallest id has no smaller near-dup, so it always survives,
+        # and every non-empty cluster keeps at least one vector
+        assert r.min_kept == r.min_id
+        assert 1 <= r.n_kept <= r.n
+
+
+def test_semdedup_drop_has_lower_id_witness(spark):
+    # every dropped vector has a same-cluster lower-id vector with
+    # cosine >= threshold (the rule, re-checked pairwise)
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.functions.vectors import (
+        s_cosine,
+        s_to_double,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    flags = S.semdedup_keep(emb, emb.filter("vec_id % 50 = 0"), threshold=0.4)
+    v = emb.select("vec_id", F.expr(s_to_double("embedding")).alias("v"))
+    dropped = flags.filter(~F.col("keep")).join(v, "vec_id").select(
+        F.col("vec_id").alias("id_b"), F.col("centroid_id"), F.col("v").alias("vb")
+    )
+    others = flags.join(v, "vec_id").select(
+        F.col("vec_id").alias("id_a"), F.col("centroid_id"), F.col("v").alias("va")
+    )
+    witnessed = (
+        dropped.join(others, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(s_cosine("va", "vb")) >= 0.4)
+        .select("id_b")
+        .distinct()
+    )
+    assert witnessed.count() == dropped.count()
