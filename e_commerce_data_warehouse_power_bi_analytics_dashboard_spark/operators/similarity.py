@@ -12,14 +12,19 @@ plain DataFrame plan (bucket equi-join, partition-prunable if the corpus
 is written partitioned by centroid id — plans/layout.py).
 
 All math is JVM-side double folds (functions/vectors.py) — bit-identical
-to the DuckDB oracle; a numpy/Pandas-UDF variant only pays off when the
-query batch is large enough to amortize Arrow transfer.
+to the DuckDB oracle. ``brute_force_topk_arrow`` is the numpy/Arrow GEMM
+variant for large query batches: one BLAS matmul per Arrow batch plus a
+per-partition top-k combiner; its scores differ from the fold only by
+float summation order, so it is equivalence-tested against the JVM path
+and its catalog entry hashes ids/ranks (deterministic) rather than raw
+scores.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions.vectors import (
@@ -66,6 +71,87 @@ def brute_force_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def brute_force_topk_arrow(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy GEMM variant of ``brute_force_topk``: the query
+    matrix is broadcast to every partition and each Arrow batch of the
+    corpus scores against ALL queries in one ``corpus_batch @ Q.T``
+    matmul (BLAS), then per-query top-k is reduced exactly as in the
+    JVM path.
+
+    This is the batch-friendly trade documented in the module header:
+    the JVM fold evaluates one pair per expression call, the GEMM
+    amortizes memory traffic over the whole query batch — it wins once
+    |queries| is large enough to pay for Arrow transfer (hundreds+).
+    Scores differ from the JVM/DuckDB fold only by float summation
+    order (BLAS accumulates pairwise), so this variant is equivalence-
+    tested against ``brute_force_topk`` (same ids/ranks, scores within
+    1e-9) rather than oracle-hashed; use the JVM path where
+    bit-reproducibility against the oracle matters.
+    """
+    q_rows = queries.select(id_col, vec_col).collect()  # query set is small by contract
+    if not q_rows:
+        return brute_force_topk(emb, queries, k, id_col, vec_col)
+    q_ids = [r[0] for r in q_rows]
+    q_mat = [[float(x) for x in r[1]] for r in q_rows]
+    sc = emb.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    from collections.abc import Iterator
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        ids, mat = bq.value
+        Q = np.asarray(mat, dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qid_arr = np.asarray(ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            scores = Cn @ Qn.T  # (batch, nq) — one GEMM per Arrow batch
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            rows = {
+                "query_id": np.repeat(qid_arr, len(nid)),
+                "neighbor_id": np.tile(nid, len(qid_arr)),
+                "score": scores.T.reshape(-1),
+            }
+            out = pd.DataFrame(rows)
+            out = out[out.query_id != out.neighbor_id]
+            # per-partition pre-reduction: only each query's local top-k
+            # survives Arrow → JVM (the classic combiner for top-k)
+            out = (
+                out.sort_values(["query_id", "score", "neighbor_id"],
+                                ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+            out["rank"] = 0  # final rank assigned JVM-side after the merge
+            yield out[["query_id", "neighbor_id", "rank", "score"]]
+
+    partial = emb.select(id_col, vec_col).mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )

@@ -508,6 +508,37 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_arrow",
+    oracle=f"""
+        WITH e AS ({_O_EMB}),
+        q AS (SELECT * FROM e WHERE vec_id < 10),
+        scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.v, e.v) AS score
+            FROM e, q WHERE e.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "arrow", "pandas-udf"),
+    doc="Arrow/numpy GEMM twin of ann_cosine_topk: per-Arrow-batch BLAS "
+        "matmul against the broadcast query matrix with a per-partition "
+        "top-k combiner (operators/similarity.py::brute_force_topk_arrow) "
+        "— the batch-amortized scale path for LARGE query sets. Output "
+        "hashes ids/ranks (deterministic across engines); raw scores are "
+        "float-summation-order-dependent and are equivalence-tested "
+        "against the JVM fold in tests/test_text_mining.py instead.",
+)
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    topk = S.brute_force_topk_arrow(emb, emb.filter("vec_id < 10"), k=5)
+    return topk.select("query_id", "neighbor_id", "rank")
+
+
+@register(
     "ann_ivf_topk",
     oracle=f"""
         WITH e AS ({_O_EMB}),

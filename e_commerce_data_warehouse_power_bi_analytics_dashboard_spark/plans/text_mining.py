@@ -34,13 +34,21 @@ _K1, _B = 1.2, 0.75
 QUERY_TERMS = ("spark", "merge", "vector")
 
 
-def _term_freqs(docs: DataFrame) -> DataFrame:
+def _term_freqs(docs: DataFrame, term_filter: DataFrame | None = None) -> DataFrame:
     """(doc_id, term, tf, dl): per-document term frequency + doc length.
-    One explode + one (term, doc) shuffle; dl rides along map-side."""
+    One explode + one (term, doc) shuffle; dl rides along map-side.
+
+    ``term_filter`` (a broadcast-sized (term) frame) is joined BEFORE
+    the aggregation, so non-matching tokens die map-side in the
+    broadcast hash join and the tf shuffle carries only the terms of
+    interest — for a handful of query terms that shrinks the shuffle by
+    the vocabulary ratio (~20× on this corpus)."""
     toks = docs.select(
         "doc_id",
         F.expr(s_tokens("text")).alias("toks"),
     ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    if term_filter is not None:
+        toks = toks.join(F.broadcast(term_filter), "term")
     return toks.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
 
 
@@ -56,8 +64,8 @@ def bm25_topk(
     doc-keyed score agg; corpus scalars (N, avgdl) broadcast.
     """
     spark = docs.sparkSession
-    tf = _term_freqs(docs)
-    qt = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+    tf = _term_freqs(docs, term_filter=qt)  # query terms only reach the shuffle
     # N and avgdl over the whole corpus: single-row broadcast
     stats = F.broadcast(
         docs.select(
@@ -65,10 +73,9 @@ def bm25_topk(
             F.avg(F.size(F.expr(s_tokens("text")))).alias("avgdl"),
         )
     )
-    df_ = tf.join(qt, "term").groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     scored = (
-        tf.join(qt, "term")
-        .join(F.broadcast(df_), "term")
+        tf.join(F.broadcast(df_), "term")
         .crossJoin(stats)
         .select(
             "doc_id",

@@ -168,3 +168,55 @@ def test_wav_non_pcm_is_codec_gated(spark):
     df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, wav binary")
     with pytest.raises(Exception, match="NotImplementedError"):
         MM.decode_wav(df).collect()
+
+
+# property-based codec round-trips (pure Python, no Spark)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 16),
+        seed=st.integers(0, 2**31),
+        data=st.data(),
+    )
+    def test_png_roundtrip_property(w, h, seed, data):
+        """encode->decode is the identity for ANY grid and ANY per-row
+        filter choice — the de-filter paths (None/Sub/Up/Average/Paeth)
+        must each perfectly invert their filter, including first
+        row/column edge handling."""
+        import random
+
+        rng = random.Random(seed)
+        grid = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+        out = MM.decode_png(MM.encode_png(grid, lambda y: filters[y]))
+        assert out == (w, h, grid)
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(2, 20), h=st.integers(2, 12), pos=st.integers(0, 10**6))
+    def test_png_single_byte_corruption_never_silent(w, h, pos):
+        """Flipping any single byte after the signature must raise
+        (CRC/structure check) — corruption can never silently decode.
+        Bytes in the 8-byte signature are caught by the signature check."""
+        grid = [[(x * 7 + y) % 256 for x in range(w)] for y in range(h)]
+        png = bytearray(MM.encode_png(grid, lambda y: y))
+        idx = pos % len(png)
+        png[idx] ^= 0xFF
+        try:
+            decoded = MM.decode_png(bytes(png))
+        except Exception:
+            return  # loud failure — the property holds
+        # zlib's checksumless inflate can't happen: IDAT CRC covers the
+        # compressed bytes, IHDR CRC covers dims — reaching here with a
+        # DIFFERENT result would be silent corruption
+        assert decoded == (w, h, grid), "corrupted PNG decoded to different pixels"

@@ -97,3 +97,17 @@ def test_semdedup_drop_has_lower_id_witness(spark):
         .distinct()
     )
     assert witnessed.count() == dropped.count()
+
+
+def test_arrow_gemm_topk_matches_jvm_fold(spark):
+    """The BLAS/Arrow brute-force variant must agree with the JVM fold
+    on ids and ranks exactly, and on scores to float-summation noise."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter("vec_id < 10")
+    jvm = {(r.query_id, r.rank): r for r in S.brute_force_topk(emb, q, k=5).collect()}
+    arw = {(r.query_id, r.rank): r for r in S.brute_force_topk_arrow(emb, q, k=5).collect()}
+    assert jvm.keys() == arw.keys() and jvm
+    for key, a in arw.items():
+        j = jvm[key]
+        assert a.neighbor_id == j.neighbor_id, key
+        assert abs(a.score - j.score) < 1e-9, key
