@@ -454,46 +454,58 @@ WAV_SCHEMA = T.StructType(
 )
 
 
+def parse_wav(b: bytes) -> tuple[int, tuple[int, ...]]:
+    """Parse a RIFF/WAVE byte stream → (sample_rate, int16 samples).
+
+    Real chunk walk: tolerates unknown chunks (LIST/INFO/...) in any
+    position, honors RIFF word alignment for odd-length bodies, and
+    validates fmt. Raises NotImplementedError for non-PCM/non-mono/
+    non-16-bit encodings (those need ffmpeg, absent here). Pure
+    function so the walker is property-testable without a session."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, pcm = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
+                    "only 16-bit PCM mono decodable without ffmpeg"
+                )
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    import struct as _s
+
+    n = len(pcm) // 2
+    return int(rate), _s.unpack(f"<{n}h", pcm[: n * 2])
+
+
 def decode_wav(with_wav: DataFrame) -> DataFrame:
-    """Parse RIFF/WAVE payloads and decode the PCM samples — real chunk
-    walk (handles any chunk order/extras), fmt validation, int16-LE
-    sample decode, RMS over the signal. Raises NotImplementedError for
-    non-PCM encodings (those need ffmpeg, absent here)."""
+    """Decode RIFF/WAVE payloads to rate/duration/RMS via ``parse_wav``
+    in Arrow-batched ``mapInPandas``."""
 
     def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math as _m
-        import struct
 
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
-                b = bytes(wav)
-                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-                    raise ValueError("not a RIFF/WAVE stream")
-                pos, rate, pcm = 12, None, None
-                while pos + 8 <= len(b):
-                    cid = b[pos : pos + 4]
-                    (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-                    body = b[pos + 8 : pos + 8 + clen]
-                    if cid == b"fmt ":
-                        audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
-                        bits = struct.unpack("<H", body[14:16])[0]
-                        if (audio_fmt, channels, bits) != (1, 1, 16):
-                            raise NotImplementedError(
-                                f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
-                                "only 16-bit PCM mono decodable without ffmpeg"
-                            )
-                    elif cid == b"data":
-                        pcm = body
-                    pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
-                if rate is None or pcm is None:
-                    raise ValueError("WAV missing fmt or data chunk")
-                n = len(pcm) // 2
-                samples = struct.unpack(f"<{n}h", pcm[: n * 2])
+                rate, samples = parse_wav(bytes(wav))
+                n = len(samples)
                 rms = _m.sqrt(sum(s * s for s in samples) / n) if n else 0.0
-                rows.append((int(doc_id), int(rate), n, n * 1000.0 / rate, rms))
+                rows.append((int(doc_id), rate, n, n * 1000.0 / rate, rms))
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_SCHEMA.fields])
 
     return with_wav.select("doc_id", "wav").mapInPandas(dec, WAV_SCHEMA)

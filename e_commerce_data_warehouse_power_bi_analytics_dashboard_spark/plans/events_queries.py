@@ -53,6 +53,45 @@ def events_hourly_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_15m",
+    oracle="""
+        -- each event belongs to exactly 4 sliding windows (1h window,
+        -- 15m hop, epoch-aligned starts — Spark's window() alignment):
+        -- start = floor(ts to 15m) - k*15m for k in 0..3
+        SELECT strftime(
+                   make_timestamp(
+                       (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000
+                   ), '%Y-%m-%d %H:%M') AS window_start,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM events, range(0, 4) k(k)
+        GROUP BY 1
+    """,
+    tags=("events", "streaming-shape", "W4"),
+    doc="Sliding 1-hour/15-minute window aggregate (each event in 4 "
+        "overlapping windows) — the batch twin of "
+        "streaming/events.py::sliding_windows; the trending-rate shape "
+        "tumbling windows cannot express",
+)
+def events_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "events_type_daily",
     oracle="""
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

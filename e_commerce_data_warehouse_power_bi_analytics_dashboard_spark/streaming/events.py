@@ -74,6 +74,30 @@ def hourly_windows(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def sliding_windows(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked SLIDING 1-hour/15-minute aggregate — each event
+    contributes to 4 overlapping windows (hop = 15 min), the trending /
+    moving-rate shape tumbling windows can't express. State per open
+    window, evicted once the watermark passes window end; late data
+    lands in every still-open window it belongs to. Batch twin:
+    plans/events_queries.py::events_sliding_15m."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def deduped_ingest(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-event_id ingest with BOUNDED dedup state.
 

@@ -220,3 +220,38 @@ if _HAVE_HYPOTHESIS:
         # compressed bytes, IHDR CRC covers dims — reaching here with a
         # DIFFERENT result would be silent corruption
         assert decoded == (w, h, grid), "corrupted PNG decoded to different pixels"
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n=st.integers(1, 64),
+        junk_len=st.integers(0, 9),  # odd lengths exercise word-align padding
+        junk_first=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def test_wav_chunk_walk_skips_unknown_chunks(n, junk_len, junk_first, seed):
+        """parse_wav must decode the same samples regardless of unknown
+        chunks (LIST/INFO/...) before or after fmt/data, honoring RIFF
+        word alignment for odd-length chunk bodies."""
+        import random
+        import struct
+
+        rng = random.Random(seed)
+        samples = [rng.randrange(-10000, 10001) for _ in range(n)]
+        pcm = struct.pack(f"<{n}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        junk_body = bytes(rng.randrange(256) for _ in range(junk_len))
+        junk = (
+            b"LIST" + struct.pack("<I", junk_len) + junk_body
+            + (b"\x00" if junk_len % 2 else b"")
+        )
+        core = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        body = b"WAVE" + (junk + core if junk_first else core + junk)
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        rate, got = MM.parse_wav(wav)
+        assert rate == 8000
+        assert list(got) == samples

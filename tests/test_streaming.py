@@ -93,3 +93,12 @@ def test_stream_stream_join_matches_batch(spark):
     batch = CATALOG["events_view_purchase_pairs"].fn(spark, SF_ORACLE).collect()
     want = {r.user_id: (r.n_pairs, r.conv_value) for r in batch}
     assert got == want
+
+
+def test_stream_sliding_equals_batch(spark):
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    out = SE.run_to_memory(SE.sliding_windows(stream), "t_sliding", spark, mode="update")
+    got = {r.window_start: (r.n_events, r.total_value) for r in out.collect()}
+    batch = CATALOG["events_sliding_15m"].fn(spark, SF_ORACLE).collect()
+    want = {r.window_start: (r.n_events, r.total_value) for r in batch}
+    assert got == want and len(want) > 0
