@@ -248,6 +248,124 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame, k: int = 8, iters: int = 3, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column → (centroid_id,
+    centroid double[], n_members). Cosine assignment (the same
+    ``assign_centroids`` argmax the IVF path uses), element-wise-mean
+    update. Returns the trained centroid table for IVF / SemDeDup.
+
+    Iterative-algorithm pattern (like the CC dedup loop): a bounded
+    driver loop of ``iters`` rounds; each round is one distributed
+    assignment (broadcast centroids, map-side argmax) plus one
+    dimension-keyed mean — the update posexplodes to THIN
+    (centroid, pos, value) rows so the shuffle carries N×dim scalars
+    with map-side partial aggregation, never grouped vector arrays.
+    The new centroid table (k×dim values) is ``localCheckpoint``ed per
+    round to cut the growing lineage. Seeding is deterministic (first
+    ``k`` vectors by id) and each iteration's means are rounded to 6
+    decimals, which re-synchronizes float reduction order — so the fit
+    is reproducible run-to-run AND cross-engine: the catalog entry
+    (plans/llm_ops.py::kmeans_train_clusters) hash-matches a DuckDB
+    oracle that unrolls the same iterations as chained CTEs. The
+    pytest invariants (monotone objective, size conservation) cover
+    the training dynamics.
+    """
+    # deterministic seed: the k smallest ids (TakeOrdered — never a
+    # full-data sort); the seed vector's own id doubles as centroid_id
+    # so no single-partition window is needed to number the centroids
+    seeds = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.expr(s_to_double(vec_col)).alias("cv"),
+        )
+    )
+    centroids = seeds.localCheckpoint(eager=True)
+    vecs = _with_dvec(emb, id_col, vec_col, "vid", "v", norm_col="vn").localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        cents = centroids.select(
+            "centroid_id", "cv", F.expr(s_norm("cv")).alias("cn")
+        )
+        best = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select(
+                "vid", "centroid_id",
+                F.expr(s_cosine_prenorm("v", "cv", "vn", "cn")).alias("cos"),
+            )
+            .groupBy("vid")
+            .agg(
+                F.expr(
+                    "max_by(centroid_id, struct(cos AS c, -centroid_id AS nc))"
+                ).alias("centroid_id")
+            )
+        )
+        # element-wise mean over thin (centroid, pos, value) rows
+        assigned = vecs.join(best, "vid")
+        dims = assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+        # means rounded to 6 decimals at each iteration boundary: the
+        # raw double means are reduction-order dependent (engines and
+        # partitionings differ at ~1e-13), and an ITERATIVE algorithm
+        # amplifies any divergence — rounding re-synchronizes the
+        # iteration inputs so the whole fit is reproducible and
+        # cross-engine oracle-checkable
+        means = (
+            dims.groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.expr("transform(pm, x -> x.m)").alias("cv"),
+            )
+        )
+        centroids = means.localCheckpoint(eager=True)
+    sizes = (
+        vecs.crossJoin(
+            F.broadcast(
+                centroids.select("centroid_id", "cv", F.expr(s_norm("cv")).alias("cn"))
+            )
+        )
+        .select(
+            "vid", "centroid_id",
+            F.expr(s_cosine_prenorm("v", "cv", "vn", "cn")).alias("cos"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.expr("max_by(centroid_id, struct(cos AS c, -centroid_id AS nc))").alias(
+                "centroid_id"
+            )
+        )
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_members"))
+    )
+    return centroids.join(sizes, "centroid_id", "left").select(
+        "centroid_id", "cv", F.coalesce("n_members", F.lit(0)).alias("n_members")
+    )
+
+
+def kmeans_objective(emb: DataFrame, centroids: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> float:
+    """Mean cosine of each vector to its nearest trained centroid —
+    the (maximization) objective Lloyd's improves monotonically;
+    used by the invariant tests."""
+    vecs = _with_dvec(emb, id_col, vec_col, "vid", "v", norm_col="vn")
+    cents = centroids.select(
+        "centroid_id", "cv", F.expr(s_norm("cv")).alias("cn")
+    )
+    best = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(F.expr(s_cosine_prenorm("v", "cv", "vn", "cn")).alias("cos"), "vid")
+        .groupBy("vid")
+        .agg(F.max("cos").alias("best"))
+    )
+    return best.agg(F.avg("best")).collect()[0][0]
+
+
 def similar_pairs(
     emb: DataFrame, threshold: float, block_col: str = "label",
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -643,6 +643,82 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.similar_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of operators/similarity.py::kmeans_fit — the same
+    deterministic seeding, cosine argmax assignment, and per-iteration
+    6-decimal-rounded element-wise mean, unrolled into chained CTEs.
+    The rounding at every iteration boundary is what makes an ITERATIVE
+    float algorithm cross-engine checkable: raw means differ at ~1e-13
+    (reduction order), but both engines agree after round(·, 6), so the
+    iterations never diverge."""
+    sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT {k})
+    """
+    prev = "m0"
+    for i in range(1, iters + 1):
+        sql += f""",
+        a{i} AS (
+            SELECT vid, centroid_id FROM (
+                SELECT e.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e, {prev} c
+            ) WHERE rn = 1
+        ),
+        m{i} AS (
+            SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
+                SELECT a.centroid_id, i.i AS pos, round(avg(e.v[i.i]), 6) AS m
+                FROM a{i} a JOIN e ON e.vec_id = a.vid
+                JOIN range(1, {dim + 1}) i(i) ON true
+                GROUP BY a.centroid_id, i.i
+            ) GROUP BY centroid_id
+        )"""
+        prev = f"m{i}"
+    return sql + f""",
+        afinal AS (
+            SELECT vid, centroid_id FROM (
+                SELECT e.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e, {prev} c
+            ) WHERE rn = 1
+        )
+        SELECT c.centroid_id,
+               CAST(COALESCE(s.n_members, 0) AS BIGINT) AS n_members,
+               round(sqrt(list_dot_product(c.cv, c.cv)), 6) AS centroid_norm
+        FROM {prev} c
+        LEFT JOIN (SELECT centroid_id, COUNT(*) AS n_members
+                   FROM afinal GROUP BY centroid_id) s USING (centroid_id)
+    """
+
+
+@register(
+    "kmeans_train_clusters",
+    oracle=_kmeans_oracle(),
+    tags=("llm", "similarity", "iterative", "kmeans"),
+    doc="Lloyd's k-means fit (k=8, 3 iterations, cosine assignment, "
+        "deterministic min-id seeding) over the embeddings — the "
+        "trained-centroid path for IVF/SemDeDup. Iterative driver loop "
+        "with localCheckpoint per round (the CC-dedup pattern); the "
+        "update shuffles THIN (centroid, dim, value) rows with map-side "
+        "partial means, never grouped vectors. Per-iteration 6-decimal "
+        "mean rounding re-synchronizes float reduction order so even an "
+        "iterative algorithm stays oracle-checkable "
+        "(operators/similarity.py::kmeans_fit).",
+)
+def kmeans_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    fit = S.kmeans_fit(emb, k=8, iters=3)
+    return fit.select(
+        "centroid_id",
+        "n_members",
+        F.round(F.expr(V.s_norm("cv")), 6).alias("centroid_norm"),
+    )
+
+
 @register(
     "semdedup_cluster_keep",
     oracle=f"""

@@ -111,3 +111,26 @@ def test_arrow_gemm_topk_matches_jvm_fold(spark):
         j = jvm[key]
         assert a.neighbor_id == j.neighbor_id, key
         assert abs(a.score - j.score) < 1e-9, key
+
+
+def test_kmeans_objective_monotone_and_sizes_conserved(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    prev = None
+    for iters in (1, 2, 3):
+        fit = S.kmeans_fit(emb, k=8, iters=iters)
+        rows = fit.collect()
+        assert sum(r.n_members for r in rows) == n  # every vector assigned
+        obj = S.kmeans_objective(emb, fit.select("centroid_id", "cv"))
+        if prev is not None:
+            # Lloyd's objective (mean best-cosine) never decreases;
+            # allow the 1e-6 centroid-rounding wobble
+            assert obj >= prev - 1e-5, (iters, prev, obj)
+        prev = obj
+
+
+def test_kmeans_deterministic_rerun(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a = sorted((r.centroid_id, r.n_members) for r in S.kmeans_fit(emb, k=8, iters=2).collect())
+    b = sorted((r.centroid_id, r.n_members) for r in S.kmeans_fit(emb, k=8, iters=2).collect())
+    assert a == b and len(a) == 8
