@@ -42,6 +42,15 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     catalog = get_catalog()
+    # optional name filter for fast iteration: any argv names (or substring
+    # with a trailing *) restrict the sweep AND suppress the artifact write
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if only:
+        names = [
+            n for n in catalog
+            if any(n == o or (o.endswith("*") and n.startswith(o[:-1])) for o in only)
+        ]
+        catalog = {n: catalog[n] for n in names}
     results: dict[str, dict] = {}
     t_start = time.perf_counter()
     for name in sorted(catalog):
@@ -96,8 +105,9 @@ def main() -> None:
         "rows_only": sum(1 for r in results.values() if r.get("rows_only")),
         "elapsed_sec": round(time.perf_counter() - t_start, 1),
     }
-    with open(OUT, "w") as f:
-        json.dump({"_summary": summary, **results}, f, indent=1)
+    if not only:  # partial sweeps never clobber the full artifact
+        with open(OUT, "w") as f:
+            json.dump({"_summary": summary, **results}, f, indent=1)
     print(json.dumps(summary))
     spark.stop()
     sys.exit(1 if n_bad else 0)

@@ -980,3 +980,57 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = D.minhash_lsh_near_dups(survivors, "doc_id", "text", threshold=0.5, shingles=sh)
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
     return exact_keep.join(drop, "doc_id", "left_anti")
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    oracle="""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(substr(a.text, 1, 120),
+                                substr(b.text, 1, 120)) AS INT) AS edit_dist
+        FROM documents a
+        JOIN documents b
+          ON substr(a.text, 1, 12) = substr(b.text, 1, 12)
+         AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 8
+        WHERE levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) <= 8
+    """,
+    tags=("llm", "dedup", "edit-distance"),
+    doc="Edit-distance near-dup: Levenshtein <= 8 over the first 120 "
+        "chars, candidates blocked by 12-char-prefix equality + length "
+        "band |Δchars| <= 8. The EQUI-join on the prefix block key is the "
+        "scale contract — the quadratic DP (O(120²) per pair, "
+        "JVM-side F.levenshtein with early-exit threshold) runs only "
+        "inside blocks, never all-pairs; a 100 TB corpus adds a "
+        "block-frequency cap exactly like the shingle df-cap in the "
+        "prefix-filtered Jaccard join. Prefix blocking trades recall for "
+        "boundedness (edits inside the first 12 chars move a doc out of "
+        "its block) — the documented standard tradeoff; the "
+        "MinHash/SimHash entries are the recall-robust alternatives.",
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 12).alias("block"),
+        F.substring("text", 1, 120).alias("head"),
+        "n_chars",
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"), 8)
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 8),
+        )
+        # thresholded levenshtein returns -1 past the bound (early exit —
+        # the DP row never fills), so the predicate is >= 0
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )

@@ -633,3 +633,55 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "molap_grouping_sets_country",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS year,
+               n_name AS country,
+               CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+               CAST(GROUPING(n_name) AS INT) AS g_country,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((year(o_orderdate), n_name),
+                                (year(o_orderdate)), (n_name))
+    """,
+    tags=("molap", "grouping-sets", "A6"),
+    doc="Explicit GROUPING SETS ((year,country),(year),(country)) — the "
+        "asymmetric multi-grain shape that is neither ROLLUP (no "
+        "hierarchy) nor CUBE (no grand total), completing the OLAP "
+        "grouping trio next to olap_cube_year_mktsegment. GROUPING() "
+        "flags disambiguate a NULL key from a rolled-up one. Spark 4's "
+        "DataFrame.groupingSets expands all three grains in ONE pass "
+        "with partial aggregation per set — never three scans.",
+)
+def molap_grouping_sets_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("year"),
+            F.col("n_name").alias("country"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    return joined.groupingSets(
+        [["year", "country"], ["year"], ["country"]], "year", "country"
+    ).agg(
+        F.grouping("year").cast("int").alias("g_year"),
+        F.grouping("country").cast("int").alias("g_country"),
+        money_sum("price").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )

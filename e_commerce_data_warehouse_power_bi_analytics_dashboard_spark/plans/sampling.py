@@ -277,3 +277,80 @@ def sample_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor(doc_hash).cast("long").alias("content_hash"),
         )
     )
+
+
+#: priority-sampling coin: 32-bit md5 word at offset 9 (independent of the
+#: 8-hex bernoulli coin and the 9-hex batch coin by width+offset), +1 so
+#: u ∈ [1, 2^32] is never zero
+_S_PRIO_U = f"({T.s_md5_long_at('CAST(doc_id AS STRING)', 9, 8)}) + 1"
+_O_PRIO_U = f"({T.o_md5_long_at('CAST(doc_id AS VARCHAR)', 9, 8)}) + 1"
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars,
+               CAST(n_chars * 4294967296 AS DOUBLE)
+                   / CAST({_O_PRIO_U} AS DOUBLE) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id
+        LIMIT 200
+    """,
+    tags=("llm", "sampling", "weighted", "T2"),
+    doc="Weight-proportional sample via priority sampling (Duffield-Lund-"
+        "Thorup): priority = w/u with w = n_chars and u a stable uniform "
+        "md5 coin in (0,1]; the top-k by priority is a fixed-size sample "
+        "whose inclusion probability is proportional to weight (long "
+        "docs oversampled — the char-budget-aware selection a token-"
+        "budget corpus cut needs). Priorities are ONE IEEE division of "
+        "exact integers (w·2^32 / u32) — no transcendentals, so no "
+        "cross-engine libm drift; selection is orderBy().limit() = "
+        "TakeOrderedAndProject, each partition keeps its local top-k.",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    prio = (F.col("n_chars") * F.lit(4294967296).cast("long")).cast("double") / F.expr(
+        _S_PRIO_U
+    ).cast("double")
+    return (
+        docs.select("doc_id", "lang", "n_chars", prio.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(200)
+    )
+
+
+@register(
+    "sample_train_val_test",
+    oracle=f"""
+        SELECT CASE WHEN {_O_COIN} < 90 THEN 'train'
+                    WHEN {_O_COIN} < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    tags=("llm", "sampling", "split"),
+    doc="Deterministic 90/5/5 train/val/test split manifest: the same "
+        "md5 coin as the bernoulli sampler thresholded at 90/95, so a "
+        "doc's split is a pure function of doc_id (stable across "
+        "retries, executors, and reruns — rand()-based randomSplit is "
+        "none of those). Output is the per-split per-language manifest "
+        "(counts + char totals) a data loader audits before training; "
+        "map-side coin, one ≤3·|lang| -row aggregate.",
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    coin = F.expr(_S_COIN)
+    split = (
+        F.when(coin < 90, "train").when(coin < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )

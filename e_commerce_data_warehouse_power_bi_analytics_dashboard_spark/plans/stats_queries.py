@@ -1,0 +1,448 @@
+"""Statistical-analytics layer: distribution windows (ntile / percent_rank /
+cume_dist), equi-width histograms, exact-sum linear regression, and
+market-basket association rules.
+
+These extend the reference's dashboard-analytics surface (the DAX layer,
+SURVEY.md §2.10) with the distribution/affinity views a Power-BI analyst
+builds next: customer-value deciles, order-size histograms, revenue trend
+lines, and product recommendation rules on top of the §2.11 basket pairs.
+
+Scale design notes (100 TB):
+  - The decile entry needs a GLOBAL rank over the customer frame — the one
+    window shape that collapses to a single partition.  It is computed with
+    ``operators/ranking.py::ordered_prefix_sum`` (range-partitioned prefix
+    sum of ones == row_number), so no stage holds more than ~N/P rows;
+    ntile/percent_rank/cume_dist are then pure MAP-SIDE arithmetic on
+    (rank, n) against a broadcast 1-row count.  The oracle runs the real
+    ``ntile(10)/percent_rank()/cume_dist()`` window functions, proving the
+    decomposition bit-identical to the engine builtins.
+  - The trend entry reduces the fact to calendar grain (bounded by the
+    date domain, the documented allowlisted shape) then to ONE row of
+    exact decimal/hugeint moment sums; the regression closed form runs on
+    those exact sums in identically-shaped IEEE double expressions in
+    both dialects, so no floating-point summation-order drift exists
+    anywhere.
+  - The histogram buckets map-side on exact integer cents (one shuffle to
+    the invoice grain, then a ≤n_buckets-row agg).
+  - Association rules reuse the basket-pairs shape (collect_set per
+    invoice, map-side pair explosion, fan-out bounded by order line
+    count); per-product supports are product-cardinality and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ranking import ordered_prefix_sum
+from ..sources.star import StarSchema, with_star
+from ._helpers import money_sum, o_money_sum
+from .catalog import register
+
+#: deciles knob (matches the oracle's ntile(10))
+_NTILE_K = 10
+
+#: histogram knob: 20 equi-width buckets of $25,000 over invoice totals
+#: (TPC-H-shaped order totals top out ~$500k)
+_HIST_W_CENTS = 2_500_000
+_HIST_NB = 20
+
+
+@register(
+    "window_customer_deciles",
+    oracle=with_star("""
+        , per_cust AS (
+            SELECT customer_key, {m} AS monetary
+            FROM fact_sales GROUP BY customer_key
+        )
+        SELECT customer_key, monetary,
+               CAST(ROW_NUMBER() OVER w AS BIGINT)      AS rn,
+               CAST(ntile({k}) OVER w AS INT)           AS decile,
+               percent_rank() OVER w                    AS pct_rank,
+               cume_dist() OVER w                       AS cume
+        FROM per_cust
+        WINDOW w AS (ORDER BY monetary DESC, customer_key)
+    """.format(m=o_money_sum("totalamount"), k=_NTILE_K)),
+    tags=("analytics", "W", "ntile", "T1"),
+    doc="Customer-value deciles: global rank, ntile(10) bucket, "
+        "percent_rank and cume_dist over per-customer revenue. The Spark "
+        "side never runs an unpartitioned window: rank is a "
+        "range-partitioned prefix sum of ones (ordered_prefix_sum), and "
+        "ntile/percent_rank/cume_dist are map-side closed forms on "
+        "(rank, n) vs a broadcast count — the oracle's engine-native "
+        "window functions pin the decomposition exactly. Extends the DAX "
+        "layer with the segmentation view (SURVEY §2.10); W-family "
+        "coverage for ntile/percent_rank/cume_dist.",
+)
+def window_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    per_cust = (
+        s.fact_sales.groupBy("customer_key")
+        .agg(money_sum("totalamount").alias("monetary"))
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = ordered_prefix_sum(
+        per_cust,
+        [("monetary", "desc"), ("customer_key", "asc")],
+        "_one",
+        out="rn",
+    ).drop("_one")
+    n1 = per_cust.groupBy().agg(F.count("*").alias("_n"))
+
+    rn = F.col("rn")
+    n = F.col("_n")
+    # ntile(k) closed form: the first (n % k) buckets take q+1 rows, the
+    # rest take q = n div k (SQL-standard semantics, both engines)
+    q = (n / _NTILE_K).cast("long")  # floor div (n, k positive)
+    rem = n % _NTILE_K
+    big = q + 1
+    in_big = rn <= rem * big
+    decile = F.when(in_big, ((rn - 1) / big).cast("long") + 1).otherwise(
+        rem + ((rn - rem * big - 1) / q).cast("long") + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            "customer_key",
+            "monetary",
+            rn.cast("long").alias("rn"),
+            decile.cast("int").alias("decile"),
+            # strict total order ⇒ rank == row_number, so the engine
+            # formulas reduce to these single IEEE divisions
+            ((rn - 1).cast("double") / (n - 1).cast("double")).alias("pct_rank"),
+            (rn.cast("double") / n.cast("double")).alias("cume"),
+        )
+    )
+
+
+@register(
+    "stats_daily_revenue_trend",
+    oracle=with_star("""
+        , daily AS (
+            SELECT d.full_date,
+                   CAST(SUM(f.totalamount) * 100 AS BIGINT) AS cents
+            FROM fact_sales f
+            JOIN dim_date d USING (date_key)
+            GROUP BY d.full_date
+        ),
+        xy AS (
+            SELECT CAST(date_diff('day', (SELECT MIN(full_date) FROM daily),
+                                  full_date) AS BIGINT) AS x,
+                   cents AS y
+            FROM daily
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT)          AS n,
+                   CAST(SUM(x) AS HUGEINT)            AS sx,
+                   CAST(SUM(y) AS HUGEINT)            AS sy,
+                   SUM(CAST(x AS HUGEINT) * y)        AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x)        AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y)        AS syy
+            FROM xy
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)     AS slope_cents_per_day,
+               (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE)                     AS intercept_cents,
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        FROM m
+    """),
+    tags=("analytics", "regression", "A11"),
+    doc="Least-squares revenue trend: slope/intercept/R² of daily revenue "
+        "(exact int cents) vs day index. Every moment sum (n, Σx, Σy, "
+        "Σxy, Σx², Σy²) is EXACT decimal/hugeint arithmetic — the closed "
+        "form then runs on one broadcast row in identically-shaped IEEE "
+        "double expressions in both dialects, so there is no "
+        "summation-order float drift anywhere (the same exactness "
+        "discipline as ts_anomaly_zscore_daily). Calendar-grain "
+        "intermediate (bounded by the date domain); final agg is a "
+        "scalar-aggregate SinglePartition, the allowlisted shape.",
+)
+def stats_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    daily = (
+        s.fact_sales
+        .join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
+        .groupBy("full_date")
+        .agg((F.sum("totalamount") * 100).cast("long").alias("cents"))
+    )
+    min_d = daily.groupBy().agg(F.min("full_date").alias("_d0"))
+    xy = daily.crossJoin(F.broadcast(min_d)).select(
+        F.datediff("full_date", "_d0").cast("long").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = xy.groupBy().agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den1 = (n * sxx - sx * sx).cast("double")
+    den2 = (n * syy - sy * sy).cast("double")
+    slope = num / den1
+    return m.select(
+        n.cast("long").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        ((sy.cast("double") - slope * sx.cast("double")) / n.cast("double"))
+            .alias("intercept_cents"),
+        ((num * num) / (den1 * den2)).alias("r2"),
+    )
+
+
+@register(
+    "histogram_invoice_totals",
+    oracle=with_star("""
+        , inv AS (
+            SELECT invoiceid,
+                   CAST(SUM(totalamount) * 100 AS BIGINT) AS cents
+            FROM fact_sales GROUP BY invoiceid
+        ),
+        b AS (
+            SELECT LEAST(cents // {w}, {top}) AS bucket, cents FROM inv
+        )
+        SELECT CAST(bucket AS INT)                          AS bucket,
+               CAST(bucket * {w} / 100 AS BIGINT)           AS lo_dollars,
+               CAST((bucket + 1) * {w} / 100 AS BIGINT)     AS hi_dollars,
+               CAST(COUNT(*) AS BIGINT)                     AS n_invoices,
+               CAST(ROUND(SUM(cents) / 100.0, 2) AS DOUBLE) AS sum_amount
+        FROM b GROUP BY bucket
+    """.format(w=_HIST_W_CENTS, top=_HIST_NB - 1)),
+    tags=("analytics", "histogram", "A6"),
+    doc="Equi-width histogram of invoice totals: 20 × $25k buckets "
+        "(top bucket open-ended) with per-bucket counts and exact sums. "
+        "Bucketing is integer division on exact cents — map-side after "
+        "the one invoice-grain shuffle; the final agg has ≤20 groups. "
+        "The dashboard 'order value distribution' visual the reference's "
+        "DAX layer stops short of.",
+)
+def histogram_invoice_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    inv = (
+        s.fact_sales.groupBy("invoiceid")
+        .agg((F.sum("totalamount") * 100).cast("long").alias("cents"))
+    )
+    bucket = F.least(
+        F.expr(f"cents div {_HIST_W_CENTS}"), F.lit(_HIST_NB - 1).cast("long")
+    )
+    return (
+        inv.select(bucket.alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_invoices"),
+            F.round(F.sum("cents") / 100.0, 2).cast("double").alias("sum_amount"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            (F.col("bucket") * _HIST_W_CENTS / 100).cast("long").alias("lo_dollars"),
+            ((F.col("bucket") + 1) * _HIST_W_CENTS / 100).cast("long").alias("hi_dollars"),
+            "n_invoices",
+            "sum_amount",
+        )
+    )
+
+
+@register(
+    "basket_association_rules",
+    oracle=with_star("""
+        , items AS (
+            SELECT DISTINCT invoiceid, product_key FROM fact_sales
+        ),
+        total AS (SELECT CAST(COUNT(DISTINCT invoiceid) AS BIGINT) AS n_total FROM items),
+        supp AS (
+            SELECT product_key, CAST(COUNT(*) AS BIGINT) AS n_supp
+            FROM items GROUP BY product_key
+        ),
+        und AS (
+            SELECT a.product_key AS pa, b.product_key AS pb,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM items a
+            JOIN items b ON a.invoiceid = b.invoiceid
+                        AND a.product_key < b.product_key
+            GROUP BY 1, 2
+        ),
+        rules AS (
+            SELECT pa AS antecedent, pb AS consequent, n_ab FROM und
+            UNION ALL
+            SELECT pb, pa, n_ab FROM und
+        )
+        SELECT r.antecedent, r.consequent, r.n_ab,
+               sa.n_supp AS n_antecedent, sc.n_supp AS n_consequent,
+               CAST(r.n_ab AS DOUBLE) / sa.n_supp AS confidence,
+               CAST(r.n_ab * t.n_total AS DOUBLE)
+                   / CAST(sa.n_supp * sc.n_supp AS DOUBLE) AS lift
+        FROM rules r
+        JOIN supp sa ON sa.product_key = r.antecedent
+        JOIN supp sc ON sc.product_key = r.consequent
+        CROSS JOIN total t
+        WHERE r.n_ab >= 2
+        ORDER BY lift DESC, confidence DESC, antecedent, consequent
+        LIMIT 50
+    """),
+    tags=("analytics", "association-rules", "J1", "T2"),
+    doc="Association rules over invoice baskets: confidence = "
+        "P(consequent|antecedent), lift = observed/expected co-occurrence "
+        "— min support 2, top-50 by lift. Pair counts come from the "
+        "basket_product_pairs shape (collect_set per invoice, map-side "
+        "pair explosion, fan-out bounded by order line count); "
+        "per-product supports are product-cardinality and broadcast "
+        "(falls back to a shuffle join if a 100 TB catalog outgrows the "
+        "broadcast threshold). Ratios are single IEEE divisions of exact "
+        "integer counts — no float drift.",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    items = s.fact_sales.select("invoiceid", "product_key").distinct()
+    total = items.select("invoiceid").distinct().groupBy().agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    supp = items.groupBy("product_key").agg(F.count("*").cast("long").alias("n_supp"))
+
+    per_invoice = (
+        s.fact_sales.select("invoiceid", "product_key")
+        .groupBy("invoiceid")
+        .agg(F.array_sort(F.collect_set("product_key")).alias("ps"))
+    )
+    und = (
+        per_invoice.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    rules = und.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+    ).unionAll(
+        und.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab"
+        )
+    )
+    sa = supp.select(
+        F.col("product_key").alias("antecedent"), F.col("n_supp").alias("n_antecedent")
+    )
+    sc = supp.select(
+        F.col("product_key").alias("consequent"), F.col("n_supp").alias("n_consequent")
+    )
+    out = (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_antecedent",
+            "n_consequent",
+            (F.col("n_ab").cast("double") / F.col("n_antecedent")).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_total")).cast("double")
+                / (F.col("n_antecedent") * F.col("n_consequent")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift"), F.desc("confidence"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(50)
+
+
+#: applyInPandas output schema for the weighted-median UDAF
+_WM_SCHEMA = (
+    "category string, median_price double, n_lines bigint, total_qty bigint"
+)
+
+
+def _weighted_median_batch(pdf):
+    """Per-category grouped UDAF body: quantity-weighted lower median of
+    unit price, on exact integer cents (no float compares anywhere).
+
+    Arrow hands one category's rows as a pandas frame; the weighted
+    median is the smallest price whose cumulative quantity reaches half
+    the total (2·cum ≥ tot — percentile_disc-style, tie-safe: any
+    ordering within a run of equal cents selects the same cents value).
+    """
+    import pandas as pd
+
+    srt = pdf.sort_values("cents", kind="mergesort")
+    w = srt["quantity"].to_numpy()
+    cum = w.cumsum()
+    tot = int(cum[-1])
+    cents = int(srt["cents"].to_numpy()[(2 * cum >= tot).argmax()])
+    return pd.DataFrame(
+        {
+            "category": [pdf["category"].iloc[0]],
+            "median_price": [cents / 100.0],
+            "n_lines": [len(pdf)],
+            "total_qty": [tot],
+        }
+    )
+
+
+@register(
+    "udaf_weighted_median_price",
+    oracle=with_star("""
+        , px AS (
+            SELECT p.category,
+                   CAST(f.unitprice * 100 AS BIGINT) AS cents,
+                   CAST(f.quantity AS BIGINT) AS quantity
+            FROM fact_sales f JOIN dim_product p USING (product_key)
+        ),
+        c AS (
+            SELECT category, cents,
+                   SUM(quantity) OVER (PARTITION BY category ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(quantity) OVER (PARTITION BY category) AS tot
+            FROM px
+        )
+        SELECT category,
+               CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS DOUBLE)
+                   / 100 AS median_price,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MIN(tot) AS BIGINT) AS total_qty
+        FROM c GROUP BY category
+    """),
+    tags=("analytics", "udaf", "pandas-udf", "A9"),
+    doc="Quantity-weighted median unit price per category — the §2.10 "
+        "grouped-UDAF surface demonstrated end-to-end: an Arrow-batched "
+        "applyInPandas aggregate (one shuffle on the group key, "
+        "vectorized numpy body, never row-at-a-time) cross-checked "
+        "against a pure-SQL oracle, so the Python path carries the same "
+        "exactness contract as the JVM entries (integer-cents compares, "
+        "one terminal IEEE division). Weighted median has no built-in "
+        "Spark aggregate — this is the legitimate UDF-as-last-resort "
+        "case the engine reserves Python for; per-group size is "
+        "line-count per category (bounded fan-in; a skewed category at "
+        "100 TB would pre-aggregate to (category, cents) grain first, "
+        "shrinking groups to the distinct-price count).",
+)
+def udaf_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    px = (
+        s.fact_sales.select("product_key", "unitprice", "quantity")
+        .join(F.broadcast(s.dim_product.select("product_key", "category")), "product_key")
+        .select(
+            "category",
+            (F.col("unitprice") * 100).cast("long").alias("cents"),
+            F.col("quantity").cast("long").alias("quantity"),
+        )
+    )
+    return px.groupBy("category").applyInPandas(_weighted_median_batch, _WM_SCHEMA)
