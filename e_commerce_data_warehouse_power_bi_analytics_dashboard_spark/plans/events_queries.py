@@ -346,3 +346,52 @@ def events_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("conv_value"),
     )
+
+
+@register(
+    "events_view_conversion_flags",
+    oracle="""
+        SELECT v.event_id AS view_id,
+               v.user_id,
+               p.event_id AS purchase_id,
+               p.value AS purchase_value
+        FROM events v
+        LEFT JOIN events p ON p.user_id = v.user_id
+                          AND p.event_type = 'purchase'
+                          AND p.ts >= v.ts
+                          AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view'
+    """,
+    tags=("events", "streaming-shape", "J3", "J6"),
+    doc="LEFT OUTER interval self-join at pair grain: every view row with "
+        "its in-band purchase or NULLs — the conversion-attribution frame "
+        "(unconverted views are the retargeting audience). Batch twin of "
+        "streaming/events.py::view_purchase_left_join; the streaming "
+        "equivalence test additionally pins WHICH rows a stream can have "
+        "emitted at termination (matched: immediately; unmatched: only "
+        "once the watermark proves the 1h band empty). Same one-shuffle "
+        "user_id co-partitioned plan as events_view_purchase_pairs.",
+)
+def events_view_conversion_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .select("view_id", "user_id", "purchase_id", "purchase_value")
+    )

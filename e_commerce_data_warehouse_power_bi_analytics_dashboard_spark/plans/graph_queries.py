@@ -1,0 +1,153 @@
+"""Graph analytics over the co-purchase graph: fixed-point PageRank.
+
+Nodes are products; an undirected edge links two products that co-occur
+in at least one invoice basket (the basket_product_pairs shape).  This is
+the second ITERATIVE algorithm in the catalog (next to Lloyd's k-means,
+operators/similarity.py) and the one with the cleanest determinism story:
+
+  Fixed-point arithmetic end-to-end.  PageRank's mass-passing is a sum of
+  quotients — in IEEE doubles the partial-sum ORDER changes the low bits,
+  so a distributed run could never hash-match a serial oracle.  Here rank
+  mass is an integer at scale 10^12 and every step is integer division /
+  multiplication / addition (order-independent, overflow-checked), so the
+  distributed Spark fit is BIT-IDENTICAL to the DuckDB twin that unrolls
+  the same iterations as chained CTEs.  Truncation loss per step is
+  ≤ deg·10^-12 of mass — quantified, deterministic, and part of the
+  algorithm's definition (the same discipline as the k-means 6-decimal
+  re-synchronization, but exact instead of rounded).
+
+Scale design (100 TB):
+  - the edge list is built map-side from per-invoice sorted product
+    arrays (fan-out bounded by order line count — never a self-join);
+  - each iteration is one shuffle: edges ⋈ rank on src (both sides
+    hash-partitioned on the join key), then a groupBy on dst; degree
+    rides along broadcast-free via the pre-joined (src, deg) frame;
+  - ``localCheckpoint`` per iteration cuts the growing lineage (the CC /
+    k-means pattern);
+  - a power-law hub (one product in every basket) skews BOTH the join
+    and the agg on dst — the mitigation is the documented salting /
+    AQE-skew path (plans/layout.py::skew_*), not a different algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.star import StarSchema, with_star
+from .catalog import register
+
+#: rank-mass scale (fixed-point), damping d = DAMP_NUM/DAMP_DEN
+_SCALE = 1_000_000_000_000
+_DAMP_NUM, _BASE_NUM, _DAMP_DEN = 85, 15, 100
+_ITERS = 2
+_TOP = 50
+
+
+def _o_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank round in DuckDB dialect (integer ops only)."""
+    return f"""
+        {out} AS (
+            SELECT e.dst AS node,
+                   ((({_BASE_NUM} * ({_SCALE} // nn.nn)) // {_DAMP_DEN})
+                    + (({_DAMP_NUM} * SUM(p.pr // dg.deg)) // {_DAMP_DEN})) AS pr
+            FROM edges e
+            JOIN {prev} p ON p.node = e.src
+            JOIN deg dg ON dg.src = e.src
+            CROSS JOIN nn
+            GROUP BY e.dst, nn.nn
+        )"""
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=with_star(f"""
+        , items AS (
+            SELECT DISTINCT invoiceid, product_key FROM fact_sales
+        ),
+        und AS (
+            SELECT a.product_key AS pa, b.product_key AS pb
+            FROM items a
+            JOIN items b ON a.invoiceid = b.invoiceid
+                        AND a.product_key < b.product_key
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT pa AS src, pb AS dst FROM und
+            UNION ALL
+            SELECT pb, pa FROM und
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+        pr0 AS (
+            SELECT src AS node, CAST({_SCALE} // nn AS BIGINT) AS pr
+            FROM deg CROSS JOIN nn
+        ),
+        {_o_iter("pr0", "pr1")},
+        {_o_iter("pr1", "pr2")}
+        SELECT node AS product_key, CAST(pr AS BIGINT) AS pr_scaled
+        FROM pr2
+        ORDER BY pr DESC, node
+        LIMIT {_TOP}
+    """),
+    tags=("analytics", "graph", "iterative", "pagerank"),
+    doc=f"Fixed-point PageRank (d=0.85, {_ITERS} iterations, scale 10^12) "
+        "over the product co-purchase graph; top-50 by rank mass. "
+        "Integer mass-passing makes the distributed fit bit-identical "
+        "to the unrolled-CTE oracle — the float-free twin of the "
+        "k-means iterative entry. One edges⋈rank shuffle per round, "
+        "map-side edge generation, localCheckpoint lineage cuts.",
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    per_invoice = (
+        s.fact_sales.select("invoiceid", "product_key")
+        .groupBy("invoiceid")
+        .agg(F.array_sort(F.collect_set("product_key")).alias("ps"))
+    )
+    und = (
+        per_invoice.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .distinct()
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nn = deg.groupBy().agg(F.count("*").cast("long").alias("nn"))
+
+    pr = (
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{_SCALE} div nn").cast("long").alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_ITERS):
+        pr = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .select("dst", F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.expr(f"({_BASE_NUM} * ({_SCALE} div nn)) div {_DAMP_DEN}")
+                    + F.expr(f"({_DAMP_NUM} * contrib) div {_DAMP_DEN}")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(
+        F.col("node").alias("product_key"), F.col("pr").alias("pr_scaled")
+    ).orderBy(F.desc("pr_scaled"), F.asc("product_key")).limit(_TOP)

@@ -353,3 +353,49 @@ def view_purchase_join(events: DataFrame, watermark: str = "2 hours") -> DataFra
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).drop("p_user_id")
+
+
+def view_purchase_left_join(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits — with its
+    matching purchase (within the following hour) or with NULLs once the
+    match window is provably closed.
+
+    Matched pairs emit as soon as both sides arrive (inner-join path).
+    An UNMATCHED view can only emit when the engine can prove no future
+    purchase will match, i.e. when the purchase-side watermark passes
+    ``view_ts + 1h`` — so null rows trail the data by (band + delay), and
+    views newer than that at stream end stay buffered, not emitted. That
+    conditional-finalization contract is pinned by
+    tests/test_streaming.py::test_stream_stream_left_join_matches_batch_finalized,
+    which splits the batch twin (plans/events_queries.py::
+    events_view_conversion_flags) into finalized and still-open views.
+
+    State eviction is the same two-sided bound as the inner join above;
+    the outer flavor adds no state, only deferred emission.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).drop("p_user_id")

@@ -102,3 +102,55 @@ def test_stream_sliding_equals_batch(spark):
     batch = CATALOG["events_sliding_15m"].fn(spark, SF_ORACLE).collect()
     want = {r.window_start: (r.n_events, r.total_value) for r in batch}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_join_matches_batch_finalized(spark):
+    """LEFT OUTER stream-stream interval join: matched pairs emit
+    immediately; an unmatched view emits its NULL row only once the
+    purchase watermark (max purchase_ts − 2h delay) proves its 1h band
+    empty. At availableNow termination the stream output must therefore
+    be exactly: all matched batch rows + the unmatched batch rows whose
+    band closed before the final watermark — and none of the still-open
+    unmatched views."""
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    out = SE.run_to_memory(
+        SE.view_purchase_left_join(stream), "t_ssj_left", spark, mode="append"
+    )
+    got = {
+        (r.view_id, r.purchase_id): (r.user_id, r.value) for r in out.collect()
+    }
+
+    batch = CATALOG["events_view_conversion_flags"].fn(spark, SF_ORACLE)
+    # the final watermark is driven by the purchase side's max event time
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+        normalize_events_ts,
+    )
+    ev = normalize_events_ts(ev)
+    max_purchase_ts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    import datetime
+
+    final_wm = max_purchase_ts - datetime.timedelta(hours=2)
+    view_ts = {
+        r.event_id: r.ts
+        for r in ev.filter(F.col("event_type") == "view")
+        .select("event_id", "ts")
+        .collect()
+    }
+    want = {}
+    n_open = 0
+    for r in batch.collect():
+        if r.purchase_id is not None:
+            want[(r.view_id, r.purchase_id)] = (r.user_id, r.purchase_value)
+        elif view_ts[r.view_id] + datetime.timedelta(hours=1) < final_wm:
+            want[(r.view_id, None)] = (r.user_id, None)
+        else:
+            n_open += 1  # still-open view: must NOT have been emitted
+    assert got == want
+    # the fixture must actually exercise both deferred-null cases
+    assert any(k[1] is None for k in want), "no finalized unmatched views in fixture"
+    assert n_open > 0, "no still-open views in fixture; test is vacuous"
