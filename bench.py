@@ -208,6 +208,9 @@ def main() -> None:
     from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.llm_ops import (
         _doc_shingles,
     )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.text_mining import (
+        tokenized_docs,
+    )
     from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.star import (
         StarSchema,
     )
@@ -222,6 +225,7 @@ def main() -> None:
             materialize(_sales_clean(spark, sf_dir)),
         ],
         "document_shingles": lambda: materialize(_doc_shingles(spark, sf_dir)),
+        "tokenized_documents": lambda: materialize(tokenized_docs(spark, sf_dir)),
         "joinstudy_date_bound": lambda: materialize(_min_date_bound(spark, sf_dir)),
     }
     t0 = time.perf_counter()
