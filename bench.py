@@ -145,6 +145,16 @@ HEADLINE = [
     "bm25_topk_search",
     "semdedup_cluster_keep",
     "skew_aqe_join_agg",
+    # round-5b additions: the distributed-ntile decomposition, the
+    # single-agg association-rule replan, the grouped-UDAF pandas path,
+    # both iterative trainers (k-means, fixed-point PageRank), and the
+    # interval-join latency percentiles
+    "window_customer_deciles",
+    "basket_association_rules",
+    "udaf_weighted_median_price",
+    "kmeans_train_clusters",
+    "pagerank_copurchase",
+    "events_conversion_latency",
 ]
 
 

@@ -395,3 +395,78 @@ def events_view_conversion_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("view_id", "user_id", "purchase_id", "purchase_value")
     )
+
+
+@register(
+    "events_conversion_latency",
+    oracle="""
+        WITH conv AS (
+            SELECT v.event_id,
+                   CAST(date_diff('second', v.ts, MIN(p.ts)) AS BIGINT)
+                       AS latency_s
+            FROM events v
+            JOIN events p ON p.user_id = v.user_id
+                         AND v.event_type = 'view'
+                         AND p.event_type = 'purchase'
+                         AND p.ts >= v.ts
+                         AND p.ts <= v.ts + INTERVAL 1 HOUR
+            GROUP BY v.event_id, v.ts
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY latency_s) AS p50_s,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY latency_s) AS p90_s,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY latency_s) AS p99_s,
+               MAX(latency_s) AS max_s
+        FROM conv
+    """,
+    tags=("events", "A9", "J6", "funnel"),
+    doc="View→purchase conversion latency distribution: per view, seconds "
+        "to its FIRST in-band purchase (attribution grain), then exact "
+        "percentile_disc order statistics — integer seconds end-to-end, "
+        "so both engines agree bit-for-bit. Same one-shuffle user_id "
+        "co-partitioned band join as events_view_purchase_pairs; the "
+        "percentile agg runs over the converted-views frame (bounded by "
+        "view count) and the final row is a scalar aggregate (the "
+        "allowlisted SinglePartition shape). The SLA/latency dashboard "
+        "view next to the funnel entry.",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    conv = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("view_id", "view_ts")
+        .agg(F.min("purchase_ts").alias("first_purchase_ts"))
+        .select(
+            (
+                F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("view_ts")
+            ).cast("long").alias("latency_s")
+        )
+    )
+    return conv.groupBy().agg(
+        F.count("*").cast("long").alias("n_converted"),
+        # Spark's percentile_disc surfaces DOUBLE even over integral
+        # input; the selected value IS an order statistic (an exact
+        # latency), so the long cast is lossless and matches DuckDB's
+        # element-typed result
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY latency_s)")
+            .cast("long").alias("p50_s"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY latency_s)")
+            .cast("long").alias("p90_s"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY latency_s)")
+            .cast("long").alias("p99_s"),
+        F.max("latency_s").alias("max_s"),
+    )

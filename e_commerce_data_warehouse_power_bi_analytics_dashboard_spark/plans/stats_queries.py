@@ -303,39 +303,42 @@ def histogram_invoice_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "integer counts — no float drift.",
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE basket materialization feeds everything: basket count (N),
+    # per-product supports (explode of the set arrays — already
+    # invoice-distinct), and the pair counts. Both rule directions are
+    # emitted MAP-SIDE inside the pair explosion, so a single (ante,
+    # cons) aggregation replaces the earlier union-of-aggregates (which
+    # re-ran the whole pair pipeline per direction — measured 2.8s →
+    # ~1.4s at sf0.1). Shuffles: invoice grain, directed-pair grain,
+    # product grain (tiny) — three, all key-partitioned.
     s = StarSchema(spark, sf_dir)
-    items = s.fact_sales.select("invoiceid", "product_key").distinct()
-    total = items.select("invoiceid").distinct().groupBy().agg(
-        F.count("*").cast("long").alias("n_total")
-    )
-    supp = items.groupBy("product_key").agg(F.count("*").cast("long").alias("n_supp"))
-
     per_invoice = (
         s.fact_sales.select("invoiceid", "product_key")
         .groupBy("invoiceid")
         .agg(F.array_sort(F.collect_set("product_key")).alias("ps"))
+        .persist()  # query-internal: three consumers below
     )
-    und = (
+    total = per_invoice.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    supp = (
+        per_invoice.select(F.explode("ps").alias("product_key"))
+        .groupBy("product_key")
+        .agg(F.count("*").cast("long").alias("n_supp"))
+    )
+    rules = (
         per_invoice.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS pa, y AS pb))))"
+                    "flatten(transform(slice(ps, i + 2, size(ps)), "
+                    "y -> array(struct(x AS antecedent, y AS consequent), "
+                    "struct(y AS antecedent, x AS consequent))))))"
                 )
             ).alias("p")
         )
-        .select("p.pa", "p.pb")
-        .groupBy("pa", "pb")
+        .select("p.antecedent", "p.consequent")
+        .groupBy("antecedent", "consequent")
         .agg(F.count("*").cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
-    )
-    rules = und.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
-    ).unionAll(
-        und.select(
-            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab"
-        )
     )
     sa = supp.select(
         F.col("product_key").alias("antecedent"), F.col("n_supp").alias("n_antecedent")
@@ -446,3 +449,66 @@ def udaf_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return px.groupBy("category").applyInPandas(_weighted_median_batch, _WM_SCHEMA)
+
+
+@register(
+    "category_top2_products",
+    oracle=with_star("""
+        , rev AS (
+            SELECT p.category, f.product_key, {m} AS revenue
+            FROM fact_sales f JOIN dim_product p USING (product_key)
+            GROUP BY p.category, f.product_key
+        ),
+        w AS (
+            SELECT category, product_key, revenue,
+                   ROW_NUMBER() OVER win AS rn,
+                   first_value(product_key) OVER win2 AS top_product,
+                   first_value(revenue) OVER win2 AS top_revenue,
+                   nth_value(product_key, 2) OVER win2 AS runner_up_product,
+                   nth_value(revenue, 2) OVER win2 AS runner_up_revenue
+            FROM rev
+            WINDOW win AS (PARTITION BY category
+                           ORDER BY revenue DESC, product_key),
+                   win2 AS (PARTITION BY category
+                            ORDER BY revenue DESC, product_key
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)
+        )
+        SELECT category, top_product, top_revenue,
+               runner_up_product, runner_up_revenue
+        FROM w WHERE rn = 1
+    """.format(m=o_money_sum("f.totalamount"))),
+    tags=("analytics", "W6", "first-value", "nth-value"),
+    doc="Champion and runner-up product per category via "
+        "first_value/nth_value over the full partition frame (ROWS "
+        "UNBOUNDED both ways — nth_value under the default frame would "
+        "see only a prefix), filtered to one row per category. "
+        "Completes the W-family: explicit first_value/nth_value "
+        "coverage next to the lag/lead/ntile entries; the window "
+        "partitions by category (bounded frames), never globally. "
+        "A category with one product surfaces NULL runner-up.",
+)
+def category_top2_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = StarSchema(spark, sf_dir)
+    rev = (
+        s.fact_sales
+        .join(F.broadcast(s.dim_product.select("product_key", "category")), "product_key")
+        .groupBy("category", "product_key")
+        .agg(money_sum("totalamount").alias("revenue"))
+    )
+    win = Window.partitionBy("category").orderBy(F.desc("revenue"), F.asc("product_key"))
+    win2 = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        rev.select(
+            "category",
+            F.row_number().over(win).alias("rn"),
+            F.first("product_key").over(win2).alias("top_product"),
+            F.first("revenue").over(win2).alias("top_revenue"),
+            F.nth_value("product_key", 2).over(win2).alias("runner_up_product"),
+            F.nth_value("revenue", 2).over(win2).alias("runner_up_revenue"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

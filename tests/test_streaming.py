@@ -154,3 +154,65 @@ def test_stream_stream_left_join_matches_batch_finalized(spark):
     # the fixture must actually exercise both deferred-null cases
     assert any(k[1] is None for k in want), "no finalized unmatched views in fixture"
     assert n_open > 0, "no still-open views in fixture; test is vacuous"
+
+
+def test_gold_sink_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting the gold sink from its checkpoint must process ONLY
+    files that arrived since the last run: after run 1 (file A), run 2
+    (file B landed), and run 3 (nothing new), the combined gold equals
+    the batch aggregate over A∪B, the row count proves A was not
+    re-ingested, and run 3 changes nothing."""
+    import glob
+    import shutil
+
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+        normalize_events_ts,
+    )
+
+    norm = normalize_events_ts(spark.read.parquet(f"{SF_ORACLE}/events.parquet"))
+    src = tmp_path / "src"
+    src.mkdir()
+    gold = str(tmp_path / "gold")
+
+    def land(df, name: str) -> None:
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], str(src / f"{name}.parquet"))
+
+    def run() -> None:
+        stream = spark.readStream.schema(norm.schema).parquet(str(src))
+        SE.run_gold_delta_sink(stream, gold, spark)
+
+    def gold_now():
+        return {
+            (r.day, r.event_type): (r.n_events, r.total_value)
+            for r in SE.read_gold_daily(spark, gold).collect()
+        }
+
+    land(norm.filter(F.col("event_id") % 2 == 0), "a")
+    run()
+    land(norm.filter(F.col("event_id") % 2 == 1), "b")
+    run()  # recovery: checkpoint must skip file a
+    got = gold_now()
+
+    want = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in norm.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the sharp exactly-once check: total ingested rows == source rows
+    # (a re-ingested file A would double its half of the counts)
+    assert sum(v[0] for v in got.values()) == norm.count()
+
+    run()  # nothing new: must be a no-op
+    assert gold_now() == got
