@@ -31,7 +31,10 @@ from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.session import
 from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import TABLES
 from tests.conftest import rows_to_multiset
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_LOCAL.json")
+OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    os.environ.get("SPARK_GRAFT_CORR_OUT", "CORRECTNESS_LOCAL.json"),
+)
 
 
 def main() -> None:

@@ -509,3 +509,122 @@ def decode_wav(with_wav: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_SCHEMA.fields])
 
     return with_wav.select("doc_id", "wav").mapInPandas(dec, WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG/JFIF header walk — stdlib-only wire-format parsing (no libjpeg)
+# ---------------------------------------------------------------------------
+
+#: JFIF APP0 body: identifier, version 1.1, aspect-ratio units, 1x1
+#: density, no thumbnail — the standard 14-byte payload
+_JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+#: markers that stand alone (no length word): SOI/EOI, TEM, RST0-7
+_JPEG_BARE = {0xD8, 0xD9, 0x01} | set(range(0xD0, 0xD8))
+
+
+def synthesize_jpeg_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, jpeg binary): structurally real JPEG/JFIF
+    streams — SOI, APP0(JFIF), a VARIABLE-LENGTH COM segment carrying the
+    doc's text head (so the parser must genuinely walk lengths, not use
+    fixed offsets), SOF0 with the metadata dimensions, EOI. Entropy-coded
+    scan data is omitted (header-only streams): dimension parsing is a
+    header walk and must not depend on pixel payload."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                w, h = 64 + (d % 16) * 32, 64 + (d % 9) * 32
+                com = str(text)[:40].encode("utf-8")
+                sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+                b = (
+                    b"\xff\xd8"
+                    + b"\xff\xe0" + struct.pack(">H", 2 + len(_JFIF_APP0)) + _JFIF_APP0
+                    + b"\xff\xfe" + struct.pack(">H", 2 + len(com)) + com
+                    + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+                    + b"\xff\xd9"
+                )
+                rows.append((d, b))
+            yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
+
+    return docs.select("doc_id", "text").mapInPandas(synth, schema)
+
+
+def parse_jpeg_header(b: bytes) -> tuple[int, int, int, int, int]:
+    """Walk a JPEG marker stream → (precision, height, width,
+    n_components, com_len).
+
+    Real segment walk: starts at SOI, honors FF fill bytes, skips
+    unknown variable-length segments by their big-endian length words,
+    records COM length, and stops at the first SOF0-SOF3 frame header.
+    Progressive/arithmetic frames (SOF2 etc.) parse identically — the
+    frame header layout is shared. Raises on truncation or a missing
+    SOF. Pure function so the walker is fuzz-testable without a session
+    (same contract as parse_wav above)."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos, com_len = 2, 0
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # FF fill bytes before a marker are legal
+        marker = b[pos + 1]
+        pos += 2
+        if marker in _JPEG_BARE:
+            if marker == 0xD9:
+                break
+            continue
+        if pos + 2 > len(b):
+            raise ValueError("truncated segment length")
+        (seg_len,) = struct.unpack(">H", b[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > len(b):
+            raise ValueError("segment overruns stream")
+        body = b[pos + 2 : pos + seg_len]
+        if 0xC0 <= marker <= 0xC3:  # SOF0-SOF3 share the frame header
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            return precision, h, w, ncomp, com_len
+        if marker == 0xFE:
+            com_len = len(body)
+        pos += seg_len
+    raise ValueError("no SOF frame header found")
+
+
+JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("precision", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("com_len", T.IntegerType()),
+    ]
+)
+
+
+def decode_jpeg_header(with_jpeg: DataFrame) -> DataFrame:
+    """Parse JPEG frame headers via ``parse_jpeg_header`` in Arrow-batched
+    ``mapInPandas``."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, jb in zip(pdf["doc_id"], pdf["jpeg"]):
+                precision, h, w, ncomp, com_len = parse_jpeg_header(bytes(jb))
+                rows.append((int(doc_id), w, h, precision, ncomp, com_len))
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_SCHEMA.fields])
+
+    return with_jpeg.select("doc_id", "jpeg").mapInPandas(dec, JPEG_SCHEMA)

@@ -685,3 +685,41 @@ def molap_grouping_sets_country(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum("price").alias("revenue"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "molap_rollup_year_quarter",
+    oracle=with_star("""
+        , j AS (
+            SELECT d.year, d.quarter, f.totalamount
+            FROM fact_sales f JOIN dim_date d USING (date_key)
+        )
+        SELECT year, quarter,
+               CAST(GROUPING(year) AS INT) AS g_year,
+               CAST(GROUPING(quarter) AS INT) AS g_quarter,
+               {rev} AS revenue,
+               COUNT(*) AS n_lines
+        FROM j
+        GROUP BY ROLLUP (year, quarter)
+    """.format(rev=o_money_sum("totalamount"))),
+    tags=("molap", "rollup", "A6"),
+    doc="Hierarchical ROLLUP (year, quarter): leaf grain + per-year "
+        "subtotals + grand total in ONE pass with GROUPING() flags — "
+        "the calendar drill-up every quarterly dashboard needs, and the "
+        "third leg of the grouping trio (CUBE: olap_cube_year_mktsegment; "
+        "GROUPING SETS: molap_grouping_sets_country). Spark's rollup() "
+        "expands the grains with partial aggregation, never three scans.",
+)
+def molap_rollup_year_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    j = (
+        s.fact_sales.select("date_key", "totalamount")
+        .join(F.broadcast(s.dim_date.select("date_key", "year", "quarter")), "date_key")
+        .select("year", "quarter", "totalamount")
+    )
+    return j.rollup("year", "quarter").agg(
+        F.grouping("year").cast("int").alias("g_year"),
+        F.grouping("quarter").cast("int").alias("g_quarter"),
+        money_sum("totalamount").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )

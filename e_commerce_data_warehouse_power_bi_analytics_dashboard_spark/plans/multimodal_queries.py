@@ -278,3 +278,30 @@ def mm_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("duration_ms", 6).alias("duration_ms"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+@register(
+    "mm_jpeg_header_parse",
+    oracle="""
+        SELECT doc_id,
+               CAST(64 + (doc_id % 16) * 32 AS INT) AS width,
+               CAST(64 + (doc_id % 9) * 32 AS INT) AS height,
+               CAST(8 AS INT) AS precision,
+               CAST(1 AS INT) AS n_components,
+               CAST(octet_length(encode(substr(text, 1, 40))) AS INT) AS com_len
+        FROM documents WHERE doc_id % 3 = 0
+    """,
+    tags=("multimodal", "binary", "parse", "mapInPandas"),
+    doc="REAL JPEG/JFIF marker-segment walk, stdlib-only: synthesize "
+        "structurally valid JFIF streams (SOI, APP0, a variable-length "
+        "COM segment carrying the doc text head — so fixed offsets "
+        "cannot cheat — SOF0, EOI), then recover precision/dimensions/"
+        "component count by walking big-endian segment lengths in "
+        "mapInPandas. The COM byte length is re-derived independently "
+        "by the oracle (UTF-8 octet_length of the same 40-char head, "
+        "exercising multibyte zh docs). Companion to the PNG pixel and "
+        "WAV PCM decoders; the walker is fuzz-tested like parse_wav.",
+)
+def mm_jpeg_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return MM.decode_jpeg_header(MM.synthesize_jpeg_payloads(docs))

@@ -255,3 +255,75 @@ if _HAVE_HYPOTHESIS:
         rate, got = MM.parse_wav(wav)
         assert rate == 8000
         assert list(got) == samples
+
+
+def test_jpeg_header_parse_spark(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (3, "x" * 100), (9, "中文注释段")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.width, r.height, r.precision, r.n_components, r.com_len)
+        for r in MM.decode_jpeg_header(MM.synthesize_jpeg_payloads(docs)).collect()
+    }
+    assert out[0] == (64, 64, 8, 1, len("hello world"))
+    assert out[3] == (64 + 3 * 32, 64 + 3 * 32, 8, 1, 40)
+    # multibyte COM body: 5 chars → 15 UTF-8 bytes
+    assert out[9] == (64 + 9 * 32, 64, 8, 1, 15)
+
+
+def test_jpeg_parse_rejects_truncation_and_missing_sof():
+    import struct
+
+    import pytest as _pt
+
+    good = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 10, 20, 1) + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    assert MM.parse_jpeg_header(good)[1:3] == (10, 20)
+    with _pt.raises(ValueError):
+        MM.parse_jpeg_header(good[:-8])  # SOF length overruns stream
+    with _pt.raises(ValueError):
+        MM.parse_jpeg_header(b"\x89PNG" + good)  # no SOI
+    no_sof = good[:2] + good[2:20] + b"\xff\xd9"
+    with _pt.raises(ValueError):
+        MM.parse_jpeg_header(no_sof)
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 4000),
+        h=st.integers(1, 4000),
+        n_junk=st.integers(0, 4),
+        fill_ff=st.integers(0, 3),
+        seed=st.integers(0, 2**31),
+    )
+    def test_jpeg_walk_skips_unknown_segments(w, h, n_junk, fill_ff, seed):
+        """parse_jpeg_header must find SOF0 regardless of interleaved
+        unknown variable-length segments (APPn/DQT/COM with arbitrary
+        bodies) and FF fill bytes before markers."""
+        import random
+        import struct
+
+        rng = random.Random(seed)
+        segs = []
+        com_len = 0
+        for i in range(n_junk):
+            marker = rng.choice([0xE1, 0xE7, 0xDB, 0xFE])
+            body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+            if marker == 0xFE:
+                com_len = len(body)  # walker reports the LAST COM
+            segs.append(bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body)
+        sof = (
+            b"\xff" * fill_ff
+            + b"\xff\xc0" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+        )
+        stream = b"\xff\xd8" + b"".join(segs) + sof + b"\xff\xd9"
+        precision, gh, gw, ncomp, gcom = MM.parse_jpeg_header(stream)
+        assert (precision, gh, gw, ncomp) == (8, h, w, 1)
+        assert gcom == com_len
