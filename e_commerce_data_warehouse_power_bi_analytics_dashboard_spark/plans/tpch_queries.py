@@ -1,0 +1,191 @@
+"""Classic TPC-H-shape analytics over the RAW tables (q1/q3/q5 adapted
+to this fixture's schema and 1995-2001 date domain).
+
+The reference's OLAP suite is dashboard-shaped (star-schema monthly
+rollups); these three canonical decision-support queries complete the
+OLAP family with the shapes every warehouse engine is ultimately judged
+on: the full-scan multi-aggregate (q1), the selective three-way join
+with top-k (q3), and the six-table snowflake join (q5).  Fixture
+adaptations are documented per entry (no ``o_shippriority`` column;
+shifted date constants).
+
+Scale design: q1 is one map-side-partial aggregation over the biggest
+table (4 groups); q3/q5 broadcast every dimension-sized side and shuffle
+only on the orderkey join; all money math is exact DECIMAL with terminal
+rounding (the _helpers discipline), so the oracles hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import read_table
+from .catalog import register
+
+#: decimal casts for the raw DOUBLE columns (values are 2-dec money /
+#: 2-dec rates, so the casts are exact)
+_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+
+
+def _s_price() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(12,2)")
+
+
+def _s_disc() -> F.Column:
+    return F.col("l_discount").cast("decimal(4,2)")
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS INT)) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM({_PRICE} * (1 - {_DISC})), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM({_PRICE} * (1 - {_DISC}) * (1 + {_TAX})), 2) AS DOUBLE)
+                   AS sum_charge,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS INT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM({_PRICE}) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM({_DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("olap", "tpch", "A1", "A4", "A6"),
+    doc="TPC-H Q1 pricing summary (date constant shifted to this "
+        "fixture's 1995-2001 domain): the canonical full-scan "
+        "multi-aggregate — eight measures over the largest table, four "
+        "output groups, pure map-side partial aggregation + one 4-row "
+        "exchange. Averages follow the _helpers discipline (exact "
+        "decimal sum / count in one IEEE division — never a rounded "
+        "double mean).",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
+    )
+    qty = F.floor("l_quantity").cast("int")
+    price, disc = _s_price(), _s_disc()
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("long").alias("sum_qty"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)), 2)
+            .cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+        SELECT l_orderkey,
+               CAST(ROUND(SUM({_PRICE} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    tags=("olap", "tpch", "J2", "T2"),
+    doc="TPC-H Q3 shipping priority (fixture adaptations: no "
+        "o_shippriority column — o_orderpriority surfaces instead; date "
+        "constant moved into the 1995-2001 domain): selective customer "
+        "filter broadcast into the orders scan, one orderkey-keyed "
+        "shuffle for the lineitem join, top-10 via "
+        "TakeOrderedAndProject with full deterministic tiebreak.",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1996-03-15 00:00:00").cast("timestamp")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(_s_price() * (F.lit(1) - _s_disc())), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+        SELECT n_name,
+               CAST(ROUND(SUM({_PRICE} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    tags=("olap", "tpch", "J2", "A6"),
+    doc="TPC-H Q5 local supplier volume (date window moved to 1996): the "
+        "six-table snowflake join with the subtle c_nationkey = "
+        "s_nationkey 'local supplier' condition. Customer/supplier/"
+        "nation/region all broadcast; the only data-sized shuffle is "
+        "the orders⋈lineitem orderkey join; per-nation agg is "
+        "25-group-bounded.",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_s_price() * (F.lit(1) - _s_disc())), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
