@@ -148,3 +148,52 @@ def sample_rows_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(5)
     )
+
+
+@register(
+    "pysource_synthetic_events",
+    oracle="""
+        WITH g AS (
+            SELECT i AS event_id, (i * 131) % 997 AS user_id,
+                   ['view', 'cart', 'purchase', 'refund'][(i % 4) + 1]
+                       AS event_type,
+                   ((i * 37) % 10000) / 100.0 AS value
+            FROM range(0, 20000) t(i)
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_value
+        FROM g GROUP BY event_type
+    """,
+    tags=("lifecycle", "S1", "connector", "python-datasource"),
+    doc="Custom Python DataSource (Spark 4 pyspark.sql.datasource): a "
+        "partition-parallel deterministic event generator registered via "
+        "spark.dataSource.register and read through the normal "
+        "spark.read.format path — the connector extension point for "
+        "systems with no built-in source. 20k rows over 8 input splits; "
+        "each split generates only its id slice executor-side "
+        "(retry-idempotent pure function of the row id), and the DuckDB "
+        "oracle regenerates identical rows from range() arithmetic — "
+        "proving the connector's split/read contract, not just its "
+        "schema. sources/pysource.py.",
+)
+def pysource_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pysource import SyntheticEventsDataSource
+
+    # idempotent per session; re-registering the same class is a no-op
+    spark.dataSource.register(SyntheticEventsDataSource)
+    ev = (
+        spark.read.format("ecdw_synthetic_events")
+        .option("rows", "20000")
+        .option("partitions", "8")
+        .load()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

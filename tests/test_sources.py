@@ -43,3 +43,29 @@ def test_normalize_events_ts_rejects_unknown(spark):
     df = spark.createDataFrame([("x",)], "ts string")
     with pytest.raises(TypeError, match="unsupported dtype"):
         normalize_events_ts(df)
+
+
+def test_pysource_split_slicing_covers_exactly_once():
+    """The reader's input splits must tile [0, rows) exactly — no gaps,
+    no overlaps — for adversarial rows/splits combinations."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.pysource import (
+        SyntheticEventsReader,
+    )
+
+    for rows, splits in [(0, 8), (1, 8), (7, 8), (8, 8), (9, 8), (20000, 8), (5, 1)]:
+        r = SyntheticEventsReader({"rows": str(rows), "partitions": str(splits)})
+        seen = []
+        for p in r.partitions():
+            seen.extend(range(p.start, p.end))
+        assert seen == list(range(rows)), (rows, splits)
+
+
+def test_pysource_rows_are_pure_functions_of_id():
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.pysource import (
+        row_for,
+    )
+
+    assert row_for(0) == (0, 0, "view", 0.0)
+    assert row_for(5) == (5, 655, "cart", 1.85)
+    # retry idempotence: same id, same row
+    assert row_for(123456) == row_for(123456)
