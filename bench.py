@@ -272,6 +272,13 @@ def main() -> None:
     evicted: list[str] = []
     for name in HEADLINE:
         base_ids = persistent_rdd_ids(spark)
+        # ITERATIVE entries (k-means, PageRank) run eager localCheckpoint
+        # jobs during plan CONSTRUCTION — their checkpointed RDDs cannot
+        # be rebuilt after eviction (lineage truncated by design), and
+        # the driver-side iteration loop IS the workload. For those the
+        # timed rep is the full fn()+materialize rebuild; for everything
+        # else construction stays untimed (the parse/plan analog).
+        rebuild = "iterative" in catalog[name].tags
         df = catalog[name].fn(spark, sf_dir)
         materialize(df)  # warm-up; builds any internal caches
         samples = []
@@ -286,6 +293,8 @@ def main() -> None:
             saw_internal |= internal
             evict_rdds(spark, internal)
             t0 = time.perf_counter()
+            if rebuild:
+                df = catalog[name].fn(spark, sf_dir)
             materialize(df)
             samples.append(time.perf_counter() - t0)
             if len(samples) == reps and statistics.median(samples) < micro_cutoff:

@@ -22,8 +22,11 @@ Scale design (100 TB):
   - each iteration is one shuffle: edges ⋈ rank on src (both sides
     hash-partitioned on the join key), then a groupBy on dst; degree
     rides along broadcast-free via the pre-joined (src, deg) frame;
-  - ``localCheckpoint`` per iteration cuts the growing lineage (the CC /
-    k-means pattern);
+  - at the 2 unrolled rounds this entry fixes, lineage stays shallow, so
+    the rank frames need NO lineage truncation — the whole DAG stays
+    declarative and rebuildable after cache eviction (bench policy).
+    At tens of rounds, switch the per-round frame to ``localCheckpoint``
+    (the connected-components / k-means pattern);
   - a power-law hub (one product in every basket) skews BOTH the join
     and the agg on dst — the mitigation is the documented salting /
     AQE-skew path (plans/layout.py::skew_*), not a different algorithm.
@@ -96,7 +99,8 @@ def _o_iter(prev: str, out: str) -> str:
         "Integer mass-passing makes the distributed fit bit-identical "
         "to the unrolled-CTE oracle — the float-free twin of the "
         "k-means iterative entry. One edges⋈rank shuffle per round, "
-        "map-side edge generation, localCheckpoint lineage cuts.",
+        "map-side edge generation; shallow 2-round lineage needs no "
+        "checkpoint (see module docstring for the many-round policy).",
 )
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = StarSchema(spark, sf_dir)
@@ -122,24 +126,30 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
 
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    # the graph is INVARIANT across iterations — pin (src, dst, deg) once
-    # or every eager checkpoint below re-derives the whole basket → pair
-    # pipeline from the fact table (measured 8.4s → 2.6s at sf0.1; at
-    # scale this pin is the standard Pregel invariant-frame checkpoint).
-    # deg rides pre-joined so iterations touch exactly one join.
-    edges_deg = edges.join(deg, "src").persist()
+    # the graph is INVARIANT across iterations — pin the edge list and
+    # the degree frame once, or every consumer branch (pr0, nn, and each
+    # round's join) re-derives the whole basket → pair pipeline from the
+    # fact table (the standard Pregel invariant-frame pin; at many
+    # rounds it becomes a checkpoint). persist marks lineage, it does
+    # not truncate it, so the plan stays rebuildable after eviction.
+    edges = edges.persist()
+    deg = (
+        edges.groupBy("src").agg(F.count("*").cast("long").alias("deg")).persist()
+    )
     nn = deg.groupBy().agg(F.count("*").cast("long").alias("nn"))
 
     pr = (
         deg.select(F.col("src").alias("node"))
         .crossJoin(F.broadcast(nn))
         .select("node", F.expr(f"{_SCALE} div nn").cast("long").alias("pr"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(_ITERS):
         pr = (
-            edges_deg.join(pr, edges_deg.src == pr.node)
+            edges.join(pr, edges.src == pr.node)
+            # degree is node-cardinality — broadcast here; a 100 TB graph
+            # whose node table outgrows the broadcast limit pre-joins
+            # (src, dst, deg) instead (one extra pinned frame)
+            .join(F.broadcast(deg), "src")
             .select("dst", F.expr("pr div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
@@ -151,7 +161,6 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"({_DAMP_NUM} * contrib) div {_DAMP_DEN}")
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
     return pr.select(
         F.col("node").alias("product_key"), F.col("pr").alias("pr_scaled")

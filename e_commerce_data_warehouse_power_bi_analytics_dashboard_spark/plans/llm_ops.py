@@ -1034,3 +1034,79 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+@register(
+    "ann_ivf_recall_audit",
+    oracle=f"""
+        WITH e AS ({_O_EMB}),
+        q AS (SELECT * FROM e WHERE vec_id < 10),
+        exact3 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.v, e.v) DESC,
+                                    e.vec_id) AS rank
+                FROM e, q WHERE e.vec_id <> q.vec_id
+            ) WHERE rank <= 3
+        ),
+        c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        assigned AS (
+            SELECT vid, v, centroid_id FROM (
+                SELECT e.vec_id AS vid, e.v, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e, c
+            ) WHERE rn = 1
+        ),
+        qa AS (SELECT vid AS query_id, v AS qv, centroid_id
+               FROM assigned WHERE vid < 10),
+        ivf3 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qa.query_id, a.vid AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qa.query_id
+                           ORDER BY list_cosine_similarity(qa.qv, a.v) DESC,
+                                    a.vid) AS rank
+                FROM assigned a JOIN qa USING (centroid_id)
+                WHERE a.vid <> qa.query_id
+            ) WHERE rank <= 3
+        )
+        SELECT x.query_id,
+               CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(i.neighbor_id) AS DOUBLE) / 3 AS recall_at_3
+        FROM exact3 x
+        LEFT JOIN ivf3 i USING (query_id, neighbor_id)
+        GROUP BY x.query_id
+    """,
+    tags=("llm", "similarity", "ivf", "eval"),
+    doc="ANN quality gate: per-query recall@3 of the IVF (nprobe=1) "
+        "index against the exact brute-force baseline — the evaluation "
+        "every approximate index must publish before it replaces an "
+        "exact scan. Joins the two top-k sets at (query, neighbor) "
+        "grain (both deterministic under the score-then-id tiebreak, "
+        "cross-engine-stable doubles), counts hits per query including "
+        "zero-recall queries via the left join. The audit is itself "
+        "distributed: both inputs are the existing candidate-bounded "
+        "plans; the overlap join touches only 2·k·|Q| rows.",
+)
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb, emb.filter("vec_id < 10"), k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), "vec_id < 10", k=3)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / 3
+            ).alias("recall_at_3"),
+        )
+    )
