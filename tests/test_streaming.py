@@ -216,3 +216,78 @@ def test_gold_sink_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     run()  # nothing new: must be a no-op
     assert gold_now() == got
+
+
+def _protobuf_available() -> bool:
+    # transformWithState's Python driver worker speaks protobuf to the
+    # JVM state server; this container ships no google.protobuf, so the
+    # surface is environment-gated exactly like the PIL/ffmpeg codec
+    # stubs (the implementation is real; the dependency is absent)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState requires protobuf (absent in this container); "
+    "surface documented+gated like the codec stubs",
+)
+def test_transform_with_state_lifetime_stats_multibatch(spark, tmp_path):
+    """transformWithStateInPandas per-user lifetime accumulator: with
+    maxFilesPerTrigger=1 each landed file is its own micro-batch, so the
+    ValueState must survive batch boundaries; the LAST emission per user
+    must equal the batch-side per-user aggregate over all files (exact
+    integer cents)."""
+    import glob
+    import shutil
+
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+        normalize_events_ts,
+    )
+
+    norm = normalize_events_ts(spark.read.parquet(f"{SF_ORACLE}/events.parquet"))
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, half in (("a", 0), ("b", 1)):
+        stage = str(tmp_path / f"stage_{name}")
+        norm.filter(F.col("event_id") % 2 == half).coalesce(1).write.parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], str(src / f"{name}.parquet"))
+
+    stream = (
+        spark.readStream.schema(norm.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = SE.run_to_memory(
+        SE.lifetime_user_stats(stream), "t_tws", spark, mode="update"
+    )
+    # Update-mode memory sink appends each batch's emissions; keep the
+    # final (maximal n_events) row per user
+    rows = out.collect()
+    assert len(rows) > len({r.user_id for r in rows}), (
+        "expected multiple emissions per user across micro-batches"
+    )
+    got = {}
+    for r in rows:
+        prev = got.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            got[r.user_id] = (r.n_events, r.total_cents)
+
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in norm.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
