@@ -470,3 +470,42 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("p99_s"),
         F.max("latency_s").alias("max_s"),
     )
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+        SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+                   AS k_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_sum,
+               'OBJECT<k: BIGINT>' AS variant_schema
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("events", "json", "variant"),
+    doc="Semi-structured VARIANT path (Spark 4): parse_json once into "
+        "the binary variant encoding, then variant_get typed extraction "
+        "+ schema_of_variant introspection — the scale-path twin of "
+        "events_props_extract (per-query get_json_object re-parses the "
+        "string on every access; a variant column parses ONCE at ingest "
+        "and serves every downstream extraction from the binary form). "
+        "The oracle re-derives the same buckets via DuckDB JSON and "
+        "pins the inferred schema literal.",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    parsed = ev.select(F.parse_json("props").alias("v"))
+    return (
+        parsed.select(
+            F.expr("CAST(variant_get(v, '$.k', 'bigint') AS BIGINT)").alias("k"),
+            F.expr("schema_of_variant(v)").alias("variant_schema"),
+        )
+        .groupBy(F.expr("k div 10").alias("k_bucket"), "variant_schema")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .select("k_bucket", "n_events", "k_sum", "variant_schema")
+    )

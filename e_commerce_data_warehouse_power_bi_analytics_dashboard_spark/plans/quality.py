@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ranking import top_k_ranked
+from ..sources.star import StarSchema, with_star
 from ..sources.tpch import read_table
+from ._helpers import o_money_sum
 from .catalog import register
 from .cleaning_queries import _dirty_sales_sql, _stg_sales_df
 from .layout import ensure_layout, scratch_path
@@ -248,4 +250,81 @@ def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
         .cast("double")
         .alias("total_extended"),
+    )
+
+
+@register(
+    "dq_observe_single_pass",
+    oracle=with_star("""
+        , gold AS (
+            SELECT strftime(date_trunc('month', d.full_date), '%Y-%m') AS month,
+                   {rev} AS revenue
+            FROM fact_sales f JOIN dim_date d USING (date_key)
+            GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS fact_rows,
+                   CAST(COUNT(CASE WHEN totalamount <= 0 THEN 1 END) AS BIGINT)
+                       AS nonpositive_amounts,
+                   {tot} AS total_revenue
+            FROM fact_sales
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gold) AS out_rows,
+               fact_rows, nonpositive_amounts, total_revenue,
+               (SELECT {gr} FROM gold) AS out_revenue
+        FROM m
+    """.format(
+        rev=o_money_sum("f.totalamount"),
+        tot=o_money_sum("totalamount"),
+        gr="CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,2))), 2) AS DOUBLE)",
+    )),
+    tags=("quality", "observe", "A2", "A11"),
+    doc="Single-pass pipeline observability via DataFrame.observe: the "
+        "monthly-revenue gold build runs ONCE with an Observation "
+        "attached to its INPUT scan, piggybacking the audit metrics "
+        "(row count, nonpositive-amount count, exact revenue total) on "
+        "the same job — no second scan, the way a production pipeline "
+        "collects DQ counters without paying an audit pass. The output "
+        "row carries input metrics AND output reconciliation (out "
+        "revenue == in revenue — the reference's staging↔DW revenue "
+        "reconciliation, E:361-363, folded into one execution). At "
+        "scale the observe aggregation is an AccumulatorV2 merged on "
+        "task completion: zero extra shuffle.",
+)
+def dq_observe_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    s = StarSchema(spark, sf_dir)
+    obs = Observation("dq")
+    fact = s.fact_sales.observe(
+        obs,
+        F.count(F.lit(1)).alias("fact_rows"),
+        F.count(F.when(F.col("totalamount") <= 0, 1)).alias("nonpositive_amounts"),
+        F.round(F.sum("totalamount"), 2).cast("double").alias("total_revenue"),
+    )
+    gold = (
+        fact.join(F.broadcast(s.dim_date.select("date_key", "full_date")), "date_key")
+        .groupBy(F.date_format(F.date_trunc("month", "full_date"), "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("totalamount"), 2).cast("double").alias("revenue"))
+    )
+    # ONE action drives both the gold build and the observed metrics
+    out_rows = gold.count()
+    out_rev = gold.agg(
+        F.round(F.sum(F.col("revenue").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("r")
+    ).collect()[0]["r"]
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                out_rows,
+                m["fact_rows"],
+                m["nonpositive_amounts"],
+                m["total_revenue"],
+                out_rev,
+            )
+        ],
+        "out_rows bigint, fact_rows bigint, nonpositive_amounts bigint, "
+        "total_revenue double, out_revenue double",
     )
