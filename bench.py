@@ -155,6 +155,12 @@ HEADLINE = [
     "kmeans_train_clusters",
     "pagerank_copurchase",
     "events_conversion_latency",
+    # round-5c additions: the canonical TPC-H shapes (full-scan
+    # multi-aggregate + six-table snowflake) and the decorrelated
+    # LATERAL top-k
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "sql_lateral_top2_customers",
 ]
 
 
