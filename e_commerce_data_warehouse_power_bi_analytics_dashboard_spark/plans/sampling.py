@@ -354,3 +354,70 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars_total"),
         )
     )
+
+
+@register(
+    "sample_shard_write_roundtrip",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (
+                       ORDER BY {T.o_md5_long("'ep1:' || CAST(doc_id AS VARCHAR)", 12)},
+                                doc_id) AS train_pos
+            FROM documents
+        )
+        SELECT CAST((train_pos - 1) % 8 AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(bit_xor({T.o_md5_long('CAST(doc_id AS VARCHAR)', 12)}) AS BIGINT)
+                   AS content_hash,
+               true AS one_file_per_shard
+        FROM ranked GROUP BY 1
+    """,
+    tags=("llm", "sampling", "sink", "layout"),
+    doc="PHYSICAL shard materialization: write the deterministic "
+        "training order as hive-partitioned parquet "
+        "(partitionBy(shard_id), repartition(shard_id) first so each "
+        "shard is ONE file — the trainer-facing layout), read the "
+        "shards back, and recompute the manifest from the FILES. The "
+        "oracle is the logical manifest (sample_shard_manifest's "
+        "formula): hash-matching it proves the write→read round-trip "
+        "lost nothing and shuffled nothing across shards; the "
+        "one_file_per_shard flag pins the file layout via "
+        "input_file_name distinct-count. At 100 TB the same plan holds "
+        "— shard count scales with corpus/shard-size, each file written "
+        "by exactly one task.",
+)
+def sample_shard_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .layout import scratch_path
+
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.expr(T.s_md5_long("concat('ep1:', CAST(doc_id AS STRING))", 12))
+    ranked = uniform_key_global_rank(
+        docs.select("doc_id", "n_chars"),
+        key,
+        [F.col("doc_id")],
+        key_bits=48,
+        block_bits=8,
+        out="train_pos",
+    ).withColumn("shard_id", ((F.col("train_pos") - 1) % 8).cast("long"))
+
+    # repo-scratch path (layout.py convention): repeated invocations
+    # overwrite in place instead of leaking tmp dirs
+    path = scratch_path(sf_dir, "training_shards")
+    (
+        ranked.repartition(8, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    # input_file_name() is non-deterministic to the analyzer — project it
+    # into a column BEFORE aggregating over it
+    back = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    doc_hash = F.expr(T.s_md5_long("CAST(doc_id AS STRING)", 12))
+    return back.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.bit_xor(doc_hash).cast("long").alias("content_hash"),
+        (F.countDistinct("_file") == 1).alias("one_file_per_shard"),
+    )
