@@ -194,3 +194,43 @@ def validation_daily_trend_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("diff"),
     )
+
+
+@register(
+    "semantics_null_aggregation",
+    oracle="""
+        SELECT NULLIF(o_orderpriority, '1-URGENT') AS priority_nn,
+               COUNT(*) AS n_rows,
+               COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_nonnull,
+               COUNT(DISTINCT NULLIF(o_orderstatus, 'F')) AS distinct_nonfinal_status,
+               CAST(SUM(CAST(NULL AS DECIMAL(18,2))) AS DOUBLE) AS all_null_sum,
+               CAST(COALESCE(SUM(CAST(NULL AS DECIMAL(18,2))), 0) AS DOUBLE)
+                   AS all_null_sum_coalesced
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("validation", "semantics", "A2", "A12", "F3"),
+    doc="SQL NULL-semantics conformance pinned cross-engine: NULLs form "
+        "ONE grouping-key group; COUNT(*) counts rows but COUNT(col) "
+        "skips NULLs (0 in the all-NULL group); COUNT(DISTINCT) ignores "
+        "NULL; SUM over an all-NULL slice is NULL, not 0 — and the "
+        "COALESCE(...,0) column is the zero-fill every measure in this "
+        "engine uses deliberately (A12). The catalog relies on these "
+        "rules everywhere; this entry makes each one an explicit "
+        "hash-checked contract instead of an assumption.",
+)
+def semantics_null_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    pr = F.expr("NULLIF(o_orderpriority, '1-URGENT')")
+    st = F.expr("NULLIF(o_orderstatus, 'F')")
+    null_dec = F.lit(None).cast("decimal(18,2)")
+    return o.groupBy(pr.alias("priority_nn")).agg(
+        F.count("*").alias("n_rows"),
+        F.count(pr).alias("n_nonnull"),
+        F.countDistinct(st).alias("distinct_nonfinal_status"),
+        F.sum(null_dec).cast("double").alias("all_null_sum"),
+        F.coalesce(F.sum(null_dec), F.lit(0)).cast("double")
+            .alias("all_null_sum_coalesced"),
+    )
