@@ -234,3 +234,84 @@ def semantics_null_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(null_dec), F.lit(0)).cast("double")
             .alias("all_null_sum_coalesced"),
     )
+
+
+@register(
+    "semantics_decimal_rounding",
+    oracle="""
+        WITH r AS (
+            SELECT CAST(o_orderkey % 8 AS INT) AS residue, o_orderkey
+            FROM orders
+        )
+        SELECT residue,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(CAST(residue AS DECIMAL(10,3)) / 8, 2) AS DOUBLE)
+                   AS rounded_eighth,
+               CAST(ROUND(SUM(CAST(o_orderkey AS DECIMAL(18,3)) / 8), 2) AS DOUBLE)
+                   AS rounded_key_sum
+        FROM r
+        GROUP BY residue
+    """,
+    tags=("validation", "semantics", "F16"),
+    doc="DECIMAL rounding conformance: eighths (x.125, x.375, ...) sit "
+        "EXACTLY on the scale-2 half-way line, where ROUND(decimal) is "
+        "half-away-from-zero in BOTH engines (0.125→0.13) while "
+        "round(double) would be half-even (0.12) — the precise reason "
+        "plans/_helpers.py mandates 'round decimals only, never double "
+        "quotients'. This entry makes the rule a hash-checked contract "
+        "on real key-derived boundary values instead of a docstring "
+        "promise.",
+)
+def semantics_decimal_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    res = (F.col("o_orderkey") % 8).cast("int")
+    return o.groupBy(res.alias("residue")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.col("residue").cast("decimal(10,3)") / 8, 2)
+            .cast("double").alias("rounded_eighth"),
+        F.round(F.sum(F.col("o_orderkey").cast("decimal(18,3)") / 8), 2)
+            .cast("double").alias("rounded_key_sum"),
+    )
+
+
+@register(
+    "semantics_month_end_arithmetic",
+    oracle="""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n_orders,
+               strftime(last_day(CAST(MIN(o_orderdate) AS DATE)), '%Y-%m-%d') AS eom,
+               strftime(CAST(last_day(CAST(MIN(o_orderdate) AS DATE))
+                             + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS eom_plus_1m,
+               strftime(CAST(last_day(CAST(MIN(o_orderdate) AS DATE))
+                             + INTERVAL 11 MONTH AS DATE), '%Y-%m-%d') AS eom_plus_11m
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("validation", "semantics", "F14"),
+    doc="Month-end interval arithmetic conformance: adding months to a "
+        "month-end date CLAMPS to the target month's last day (Jan 31 + "
+        "1 month = Feb 29 in a leap year; Mar 31 + 11 months = Feb 28) "
+        "identically in both engines — the rule the YoY lag (W5), "
+        "rolling-3M (W4), and cohort-offset entries lean on at month "
+        "boundaries. Hash-pinned across every month in the order "
+        "domain, leap and non-leap.",
+)
+def semantics_month_end_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    eom = F.last_day(F.min("o_orderdate").cast("date"))
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.date_format(eom, "yyyy-MM-dd").alias("eom"),
+        F.date_format(
+            (eom + F.expr("INTERVAL 1 MONTH")).cast("date"), "yyyy-MM-dd"
+        ).alias("eom_plus_1m"),
+        F.date_format(
+            (eom + F.expr("INTERVAL 11 MONTH")).cast("date"), "yyyy-MM-dd"
+        ).alias("eom_plus_11m"),
+    )
