@@ -37,12 +37,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.graph import fixed_point_pagerank
 from ..sources.star import StarSchema, with_star
 from .catalog import register
 
-#: rank-mass scale (fixed-point), damping d = DAMP_NUM/DAMP_DEN
-_SCALE = 1_000_000_000_000
-_DAMP_NUM, _BASE_NUM, _DAMP_DEN = 85, 15, 100
+from ..operators.graph import BASE_NUM as _BASE_NUM  # noqa: E402
+from ..operators.graph import DAMP_DEN as _DAMP_DEN  # noqa: E402
+from ..operators.graph import DAMP_NUM as _DAMP_NUM  # noqa: E402
+from ..operators.graph import SCALE as _SCALE  # noqa: E402
 _ITERS = 2
 _TOP = 50
 
@@ -126,42 +128,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
 
-    # the graph is INVARIANT across iterations — pin the edge list and
-    # the degree frame once, or every consumer branch (pr0, nn, and each
-    # round's join) re-derives the whole basket → pair pipeline from the
-    # fact table (the standard Pregel invariant-frame pin; at many
-    # rounds it becomes a checkpoint). persist marks lineage, it does
-    # not truncate it, so the plan stays rebuildable after eviction.
-    edges = edges.persist()
-    deg = (
-        edges.groupBy("src").agg(F.count("*").cast("long").alias("deg")).persist()
-    )
-    nn = deg.groupBy().agg(F.count("*").cast("long").alias("nn"))
-
-    pr = (
-        deg.select(F.col("src").alias("node"))
-        .crossJoin(F.broadcast(nn))
-        .select("node", F.expr(f"{_SCALE} div nn").cast("long").alias("pr"))
-    )
-    for _ in range(_ITERS):
-        pr = (
-            edges.join(pr, edges.src == pr.node)
-            # degree is node-cardinality — broadcast here; a 100 TB graph
-            # whose node table outgrows the broadcast limit pre-joins
-            # (src, dst, deg) instead (one extra pinned frame)
-            .join(F.broadcast(deg), "src")
-            .select("dst", F.expr("pr div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-            .crossJoin(F.broadcast(nn))
-            .select(
-                F.col("dst").alias("node"),
-                (
-                    F.expr(f"({_BASE_NUM} * ({_SCALE} div nn)) div {_DAMP_DEN}")
-                    + F.expr(f"({_DAMP_NUM} * contrib) div {_DAMP_DEN}")
-                ).cast("long").alias("pr"),
-            )
-        )
+    # iteration core lives in operators/graph.py (invariant-frame pins,
+    # one edges⋈rank shuffle per round, broadcast degree) and is
+    # property-tested against a pure-Python serial twin on randomized
+    # graphs — bit-identical by the fixed-point construction
+    pr = fixed_point_pagerank(edges, _ITERS)
     return pr.select(
         F.col("node").alias("product_key"), F.col("pr").alias("pr_scaled")
     ).orderBy(F.desc("pr_scaled"), F.asc("product_key")).limit(_TOP)

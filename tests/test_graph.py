@@ -1,0 +1,86 @@
+"""Fixed-point PageRank (operators/graph.py): the distributed iteration
+must be BIT-IDENTICAL to a pure-Python serial twin of the same integer
+recurrence on randomized graphs — a property a float PageRank could not
+satisfy (partial-sum order would drift the low bits)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.graph import (
+    SCALE,
+    fixed_point_pagerank,
+    pagerank_reference,
+)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+def _random_undirected(n_nodes: int, n_edges: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    und = set()
+    while len(und) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    return [e for a, b in und for e in ((a, b), (b, a))]
+
+
+def _spark_pr(spark, edges, iters):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.pr for r in fixed_point_pagerank(df, iters).collect()}
+
+
+def test_pagerank_matches_serial_reference(spark):
+    edges = _random_undirected(30, 60, seed=7)
+    for iters in (0, 1, 3):
+        assert _spark_pr(spark, edges, iters) == pagerank_reference(edges, iters)
+
+
+def test_pagerank_mass_is_conserved_within_truncation(spark):
+    """Each round loses only integer-division remainders: total mass
+    stays within (n_nodes + n_edges + 2) units of SCALE per round —
+    the quantified truncation bound from the module docstring."""
+    edges = _random_undirected(20, 40, seed=11)
+    n_nodes = len({s for s, _ in edges})
+    iters = 3
+    got = _spark_pr(spark, edges, iters)
+    loss_bound = iters * (n_nodes + len(edges) + 2 * n_nodes)
+    assert SCALE - loss_bound <= sum(got.values()) <= SCALE
+
+
+def test_pagerank_hub_ranks_first(spark):
+    # star graph: node 0 touches everyone — must hold the top rank
+    star = [(0, i) for i in range(1, 10)]
+    edges = star + [(b, a) for a, b in star]
+    got = _spark_pr(spark, edges, 2)
+    assert max(got, key=lambda v: (got[v], -v)) == 0
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n_nodes=st.integers(4, 25),
+        seed=st.integers(0, 2**31),
+        iters=st.integers(1, 3),
+    )
+    def test_pagerank_property_bitwise_vs_reference(n_nodes, seed, iters):
+        # session-free shared fixture is not available under @given;
+        # reuse the active session
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            pytest.skip("no active session")
+        n_edges = min(n_nodes * 2, n_nodes * (n_nodes - 1) // 2)
+        edges = _random_undirected(n_nodes, n_edges, seed)
+        assert _spark_pr(spark, edges, iters) == pagerank_reference(edges, iters)
