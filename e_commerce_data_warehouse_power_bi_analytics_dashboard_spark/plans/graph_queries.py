@@ -20,8 +20,9 @@ Scale design (100 TB):
   - the edge list is built map-side from per-invoice sorted product
     arrays (fan-out bounded by order line count — never a self-join);
   - each iteration is one shuffle: edges ⋈ rank on src (both sides
-    hash-partitioned on the join key), then a groupBy on dst; degree
-    rides along broadcast-free via the pre-joined (src, deg) frame;
+    hash-partitioned on the join key), then a groupBy on dst; the
+    node-cardinality degree frame broadcasts (pre-join it into the
+    edge list instead if the node table outgrows the broadcast limit);
   - at the 2 unrolled rounds this entry fixes, lineage stays shallow, so
     the rank frames need NO lineage truncation — the whole DAG stays
     declarative and rebuildable after cache eviction (bench policy).
