@@ -192,3 +192,61 @@ def measure_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def measure_top_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = StarSchema(spark, sf_dir)
     return W.top_region_label(s.fact_sales, s.dim_customer)
+
+
+#: the KPI measures in presentation order (shared by the wide row above
+#: and its unpivoted long twin below)
+_KPI_COLS = (
+    "total_revenue", "total_orders", "arpo", "arpc", "total_quantity",
+    "arpu", "revenue_per_customer", "high_value_sales",
+    "avg_order_size_per_customer",
+)
+
+
+@register(
+    "measures_kpi_unpivot",
+    oracle=with_star("""
+        , kpis AS (
+            SELECT CAST(ROUND(SUM(totalamount), 2) AS DOUBLE) AS total_revenue,
+                   COUNT(DISTINCT invoiceid) AS total_orders,
+                   CAST(SUM(quantity) AS BIGINT) AS total_quantity,
+                   COUNT(DISTINCT customer_key) AS n_fact_customers,
+                   COUNT(CASE WHEN totalamount > 1000 THEN 1 END) AS high_value_sales
+            FROM fact_sales
+        ),
+        custs AS (SELECT COUNT(DISTINCT customerid) AS n_customers FROM dim_customer),
+        wide AS (
+            SELECT CAST(total_revenue AS DOUBLE) AS total_revenue,
+                   CAST(total_orders AS DOUBLE) AS total_orders,
+                   total_revenue / total_orders AS arpo,
+                   total_revenue / n_customers AS arpc,
+                   CAST(total_quantity AS DOUBLE) AS total_quantity,
+                   total_revenue / total_quantity AS arpu,
+                   total_revenue / n_fact_customers AS revenue_per_customer,
+                   CAST(high_value_sales AS DOUBLE) AS high_value_sales,
+                   CAST(total_quantity AS DOUBLE) / n_fact_customers
+                       AS avg_order_size_per_customer
+            FROM kpis, custs
+        )
+        SELECT measure, value FROM wide
+        UNPIVOT (value FOR measure IN (
+            total_revenue, total_orders, arpo, arpc, total_quantity,
+            arpu, revenue_per_customer, high_value_sales,
+            avg_order_size_per_customer
+        ))
+    """),
+    tags=("measures", "unpivot", "melt", "U2"),
+    doc="The KPI row in LONG format via DataFrame.unpivot (melt): "
+        "(measure, value) rows — the shape a generic dashboard/metrics "
+        "sink ingests (one row per metric, schema-stable as measures are "
+        "added). Integer counters widen to DOUBLE in the wide frame "
+        "FIRST (both dialects), so the unpivot itself never casts and "
+        "the values stay bit-identical to measures_kpi_row's. Oracle "
+        "uses DuckDB's native UNPIVOT over the same wide CTE.",
+)
+def measures_kpi_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = measures_kpi_row(spark, sf_dir)
+    widened = wide.select(
+        *[F.col(c).cast("double").alias(c) for c in _KPI_COLS]
+    )
+    return widened.unpivot([], list(_KPI_COLS), "measure", "value")
