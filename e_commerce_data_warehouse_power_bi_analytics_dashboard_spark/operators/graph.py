@@ -5,8 +5,8 @@ All arithmetic is integer at ``scale`` (see graph_queries' module
 docstring for the determinism rationale): the distributed fit is
 bit-identical to ANY faithful serial implementation of the same
 recurrence — the property test (tests/test_graph.py) exercises exactly
-that against a pure-Python twin on randomized graphs, which a
-float-based PageRank could never pass.
+that against a pure-Python twin on randomized DIRECTED and undirected
+graphs, which a float-based PageRank could never pass.
 """
 
 from __future__ import annotations
@@ -14,51 +14,92 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .pins import fresh_pins, pin
+
 SCALE = 1_000_000_000_000
 DAMP_NUM, BASE_NUM, DAMP_DEN = 85, 15, 100
 
 
-def fixed_point_pagerank(edges: DataFrame, iters: int) -> DataFrame:
+def fixed_point_pagerank(
+    edges: DataFrame, iters: int, salt_hubs: int = 0
+) -> DataFrame:
     """PageRank over a DIRECTED edge list ``(src, dst)`` (pass both
     orientations for an undirected graph) → ``(node, pr)`` with integer
     rank mass at ``SCALE``.
 
-    Per round: pr'(v) = (BASE·(SCALE div n)) div 100
-                        + (DAMP · Σ_{u→v} pr(u) div deg(u)) div 100 —
-    every op integer, so partial-sum order cannot perturb the result.
-    Nodes are the edge sources (an undirected graph's isolated nodes are
-    out of scope — they hold base mass only).
+    The node universe is src ∪ dst. Per round, for EVERY node v:
+        pr'(v) = (BASE·(SCALE div n)) div 100
+                 + (DAMP · Σ_{u→v} pr(u) div outdeg(u)) div 100
+    with the contribution sum defaulting to 0 for nodes without
+    in-edges — so a source-only node keeps contributing its outgoing
+    mass every round instead of silently vanishing after round 1 (the
+    round-5 advisory), and a pure sink holds rank without contributing
+    (the classic simplified sink treatment: lost mass is part of the
+    truncation budget, no redistribution). Every op is integer, so
+    partial-sum order cannot perturb the result.
 
-    Scale shape: the edge list and degree frame are invariant and
-    persisted once (Pregel invariant-frame pin; rebuildable — persist
-    marks lineage, it does not truncate); each round is one edges⋈rank
-    shuffle plus a dst-keyed aggregation; degree broadcasts (pre-join it
-    instead if the node table outgrows the broadcast limit).
+    ``salt_hubs`` > 1 enables the skew mitigation for power-law hubs
+    (one node receiving most edges): the per-edge contributions first
+    partial-aggregate on (dst, salt) with a deterministic src-hash salt,
+    then combine on dst — two thin integer-sum shuffles instead of one
+    reducer absorbing the hub's whole in-edge list. Integer addition is
+    order-independent, so the salted plan is BIT-IDENTICAL to the
+    unsalted one (the property tests run both on the same graphs).
+
+    Scale shape: the edge list, degree and node frames are invariant and
+    pinned once per invocation (operators/pins.py — the registry releases
+    the previous invocation's pins, so long-lived sessions don't
+    accumulate cache); each round is one edges⋈rank shuffle plus a
+    dst-keyed aggregation; degree broadcasts (pre-join it instead if the
+    node table outgrows the broadcast limit).
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    edges = edges.select("src", "dst").persist()
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg")).persist()
-    nn = deg.groupBy().agg(F.count("*").cast("long").alias("nn"))
+    fresh_pins()
+    edges = pin(edges.select("src", "dst"))
+    deg = pin(edges.groupBy("src").agg(F.count("*").cast("long").alias("deg")))
+    nodes = pin(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.groupBy().agg(F.count("*").cast("long").alias("nn"))
 
     pr = (
-        deg.select(F.col("src").alias("node"))
-        .crossJoin(F.broadcast(nn))
+        nodes.crossJoin(F.broadcast(nn))
         .select("node", F.expr(f"{SCALE} div nn").cast("long").alias("pr"))
     )
     for _ in range(iters):
-        pr = (
+        per_edge = (
             edges.join(pr, edges.src == pr.node)
             .join(F.broadcast(deg), "src")
-            .select("dst", F.expr("pr div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-            .crossJoin(F.broadcast(nn))
+            .select("src", "dst", F.expr("pr div deg").alias("c"))
+        )
+        if salt_hubs > 1:
+            # two-level salted sum: spread each hub's in-edges over
+            # salt_hubs reducers first (deterministic src-hash salt),
+            # then combine the per-salt partials — exact for integer sums
+            contrib = (
+                per_edge.withColumn(
+                    "_salt", F.pmod(F.hash("src"), F.lit(salt_hubs))
+                )
+                .groupBy("dst", "_salt")
+                .agg(F.sum("c").alias("c1"))
+                .groupBy("dst")
+                .agg(F.sum("c1").alias("contrib"))
+            )
+        else:
+            contrib = per_edge.groupBy("dst").agg(F.sum("c").alias("contrib"))
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes.node == contrib.dst, "left")
             .select(
-                F.col("dst").alias("node"),
+                "node",
                 (
                     F.expr(f"({BASE_NUM} * ({SCALE} div nn)) div {DAMP_DEN}")
-                    + F.expr(f"({DAMP_NUM} * contrib) div {DAMP_DEN}")
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(contrib, 0L)) div {DAMP_DEN}"
+                    )
                 ).cast("long").alias("pr"),
             )
         )
@@ -67,13 +108,17 @@ def fixed_point_pagerank(edges: DataFrame, iters: int) -> DataFrame:
 
 def pagerank_reference(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
     """Pure-Python serial twin of :func:`fixed_point_pagerank` — the
-    property-test oracle. Same integer recurrence, no Spark."""
+    property-test oracle. Same integer recurrence over the same
+    src ∪ dst node universe (missing contributions default to 0), no
+    Spark."""
     from collections import defaultdict
 
     deg: dict[int, int] = defaultdict(int)
-    for s, _ in edges:
+    nodes: set[int] = set()
+    for s, d in edges:
         deg[s] += 1
-    nodes = sorted(deg)
+        nodes.add(s)
+        nodes.add(d)
     n = len(nodes)
     pr = {v: SCALE // n for v in nodes}
     for _ in range(iters):
@@ -82,7 +127,7 @@ def pagerank_reference(edges: list[tuple[int, int]], iters: int) -> dict[int, in
             contrib[d] += pr[s] // deg[s]
         pr = {
             v: (BASE_NUM * (SCALE // n)) // DAMP_DEN
-            + (DAMP_NUM * contrib[v]) // DAMP_DEN
-            for v in contrib
+            + (DAMP_NUM * contrib.get(v, 0)) // DAMP_DEN
+            for v in nodes
         }
     return dict(pr)

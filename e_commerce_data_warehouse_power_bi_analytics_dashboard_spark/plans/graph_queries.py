@@ -29,8 +29,12 @@ Scale design (100 TB):
     At tens of rounds, switch the per-round frame to ``localCheckpoint``
     (the connected-components / k-means pattern);
   - a power-law hub (one product in every basket) skews BOTH the join
-    and the agg on dst — the mitigation is the documented salting /
-    AQE-skew path (plans/layout.py::skew_*), not a different algorithm.
+    and the agg on dst — ``fixed_point_pagerank(salt_hubs=n)`` wires the
+    mitigation: a two-level salted contribution sum (partial-aggregate
+    on (dst, src-hash salt), then combine on dst), BIT-IDENTICAL to the
+    unsalted plan because integer addition is order-independent — the
+    property tests run both variants on the same graphs. The join side
+    additionally has the AQE-skew path (plans/layout.py::skew_*).
 """
 
 from __future__ import annotations
@@ -51,17 +55,26 @@ _TOP = 50
 
 
 def _o_iter(prev: str, out: str) -> str:
-    """One unrolled PageRank round in DuckDB dialect (integer ops only)."""
+    """One unrolled PageRank round in DuckDB dialect (integer ops only).
+
+    Mirrors operators/graph.py exactly: the new rank is rebuilt over the
+    FULL node universe with the contribution sum defaulting to 0, so
+    source-only nodes survive every round (on this undirected graph the
+    left join never misses, but the recurrence text matches the core)."""
     return f"""
         {out} AS (
-            SELECT e.dst AS node,
+            SELECT nd.node,
                    ((({_BASE_NUM} * ({_SCALE} // nn.nn)) // {_DAMP_DEN})
-                    + (({_DAMP_NUM} * SUM(p.pr // dg.deg)) // {_DAMP_DEN})) AS pr
-            FROM edges e
-            JOIN {prev} p ON p.node = e.src
-            JOIN deg dg ON dg.src = e.src
+                    + (({_DAMP_NUM} * COALESCE(c.contrib, 0)) // {_DAMP_DEN})) AS pr
+            FROM nodes nd
             CROSS JOIN nn
-            GROUP BY e.dst, nn.nn
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.pr // dg.deg) AS contrib
+                FROM edges e
+                JOIN {prev} p ON p.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst
+            ) c ON c.node = nd.node
         )"""
 
 
@@ -84,10 +97,13 @@ def _o_iter(prev: str, out: str) -> str:
             SELECT pb, pa FROM und
         ),
         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+        nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
         pr0 AS (
-            SELECT src AS node, CAST({_SCALE} // nn AS BIGINT) AS pr
-            FROM deg CROSS JOIN nn
+            SELECT node, CAST({_SCALE} // nn AS BIGINT) AS pr
+            FROM nodes CROSS JOIN nn
         ),
         {_o_iter("pr0", "pr1")},
         {_o_iter("pr1", "pr2")}

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.pins import fresh_pins, pin
 from ..operators.ranking import ordered_prefix_sum
 from ..sources.star import StarSchema, with_star
 from ._helpers import money_sum, o_money_sum
@@ -312,11 +313,11 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1.4s at sf0.1). Shuffles: invoice grain, directed-pair grain,
     # product grain (tiny) — three, all key-partitioned.
     s = StarSchema(spark, sf_dir)
-    per_invoice = (
+    fresh_pins()  # release the previous pinned invocation (pins.py)
+    per_invoice = pin(  # query-internal: three consumers below
         s.fact_sales.select("invoiceid", "product_key")
         .groupBy("invoiceid")
         .agg(F.array_sort(F.collect_set("product_key")).alias("ps"))
-        .persist()  # query-internal: three consumers below
     )
     total = per_invoice.groupBy().agg(F.count("*").cast("long").alias("n_total"))
     supp = (

@@ -34,15 +34,61 @@ def _random_undirected(n_nodes: int, n_edges: int, seed: int) -> list[tuple[int,
     return [e for a, b in und for e in ((a, b), (b, a))]
 
 
-def _spark_pr(spark, edges, iters):
+def _random_directed(n_nodes: int, n_edges: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            es.add((a, b))
+    return sorted(es)
+
+
+def _spark_pr(spark, edges, iters, salt_hubs=0):
     df = spark.createDataFrame(edges, "src long, dst long")
-    return {r.node: r.pr for r in fixed_point_pagerank(df, iters).collect()}
+    return {
+        r.node: r.pr
+        for r in fixed_point_pagerank(df, iters, salt_hubs=salt_hubs).collect()
+    }
 
 
 def test_pagerank_matches_serial_reference(spark):
     edges = _random_undirected(30, 60, seed=7)
     for iters in (0, 1, 3):
         assert _spark_pr(spark, edges, iters) == pagerank_reference(edges, iters)
+
+
+def test_pagerank_directed_source_only_nodes_keep_contributing(spark):
+    """Round-5 advisory: a node with out-edges and no in-edges must keep
+    feeding its successors every round (it previously vanished from pr
+    after round 1, silently dropping its contributions)."""
+    # 1 -> 2 -> 3, 3 -> 2: node 1 is source-only; node 1 also holds base
+    # mass in the output (full src ∪ dst universe)
+    edges = [(1, 2), (2, 3), (3, 2)]
+    for iters in (1, 2, 3):
+        got = _spark_pr(spark, edges, iters)
+        want = pagerank_reference(edges, iters)
+        assert got == want
+        assert 1 in got  # source-only node present in the universe
+
+
+def test_pagerank_directed_random_matches_serial(spark):
+    edges = _random_directed(25, 60, seed=13)
+    for iters in (1, 3):
+        assert _spark_pr(spark, edges, iters) == pagerank_reference(edges, iters)
+
+
+def test_pagerank_salted_is_bit_identical(spark):
+    """salt_hubs re-shapes the contribution shuffle only — integer sums
+    are order-independent, so the result must be BIT-identical, on a
+    power-law hub graph where the salting actually spreads work."""
+    hub = [(i, 0) for i in range(1, 40)]  # every node points at the hub
+    ring = [(i, i % 39 + 1) for i in range(1, 40)]
+    edges = hub + ring
+    for iters in (1, 3):
+        unsalted = _spark_pr(spark, edges, iters)
+        assert unsalted == _spark_pr(spark, edges, iters, salt_hubs=8)
+        assert unsalted == pagerank_reference(edges, iters)
 
 
 def test_pagerank_mass_is_conserved_within_truncation(spark):
