@@ -323,6 +323,19 @@ def kmeans_fit(
                 F.expr("transform(pm, x -> x.m)").alias("cv"),
             )
         )
+        # empty-cluster carry-forward: ``means`` only contains centroids
+        # with >= 1 member, so without this a centroid whose member set
+        # goes empty (possible with duplicate seed vectors — cosine ties
+        # break to the smaller centroid_id) would VANISH and silently
+        # shrink the trained k. Keep its previous vector instead: k is
+        # conserved, and the oracle unrolls the identical left-join rule.
+        means = (
+            centroids.select("centroid_id", F.col("cv").alias("prev_cv"))
+            .join(means.withColumnRenamed("cv", "new_cv"), "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("new_cv", "prev_cv").alias("cv")
+            )
+        )
         centroids = means.localCheckpoint(eager=True)
     sizes = (
         vecs.crossJoin(

@@ -668,12 +668,19 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             ) WHERE rn = 1
         ),
         m{i} AS (
-            SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
-                SELECT a.centroid_id, i.i AS pos, round(avg(e.v[i.i]), 6) AS m
-                FROM a{i} a JOIN e ON e.vec_id = a.vid
-                JOIN range(1, {dim + 1}) i(i) ON true
-                GROUP BY a.centroid_id, i.i
-            ) GROUP BY centroid_id
+            -- empty-cluster carry-forward: a centroid with no members
+            -- keeps its previous vector (mirrors kmeans_fit exactly)
+            SELECT p.centroid_id, COALESCE(nm.cv, p.cv) AS cv
+            FROM {prev} p
+            LEFT JOIN (
+                SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
+                    SELECT a.centroid_id, i.i AS pos,
+                           round(avg(e.v[i.i]), 6) AS m
+                    FROM a{i} a JOIN e ON e.vec_id = a.vid
+                    JOIN range(1, {dim + 1}) i(i) ON true
+                    GROUP BY a.centroid_id, i.i
+                ) GROUP BY centroid_id
+            ) nm ON nm.centroid_id = p.centroid_id
         )"""
         prev = f"m{i}"
     return sql + f""",
