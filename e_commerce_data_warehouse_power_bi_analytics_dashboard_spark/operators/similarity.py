@@ -403,9 +403,145 @@ def similar_pairs(
     )
 
 
+def _exact_cluster_drops(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Exact within-cluster drop set: every vid with a smaller-id
+    near-dup (cosine >= threshold) in its cluster. Quadratic WITHIN each
+    cluster — callers must bound cluster size (see semdedup_keep)."""
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("vn").alias("na"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("vn").alias("nb"),
+        "centroid_id",
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(s_cosine_prenorm("va", "vb", "na", "nb")) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+
+
+def semdedup_capped_frames(
+    assigned: DataFrame, threshold: float, max_cluster_size: int,
+    nbits: int = 32, dim: int = 64, max_hamming: int = 8,
+) -> dict[str, DataFrame]:
+    """The capped SemDeDup pipeline over an ``assign_centroids`` output,
+    exposed stage-by-stage so the hot-cluster property test can assert
+    the candidate-pair volume is o(n²). Returns frames:
+
+      small_drops — exact drops inside clusters of size <= cap
+      drop_a      — representative-screen drops inside oversized clusters
+      survivors   — oversized-cluster members that survived stage A
+      candidates  — stage-B pigeonhole candidate pairs (pre-verify)
+      dropped     — the union drop set (what semdedup_keep consumes)
+
+    Stage A (linear): within an oversized cluster, group members by
+    their FULL SRP signature; each group's min-id member is the
+    representative, and every other member is verified against the
+    representative only — near-identical mass (the exact case SemDeDup
+    targets: identical vectors share signatures deterministically) is
+    eliminated with |cluster| comparisons, not |cluster|².
+
+    Stage B (pigeonhole-bounded): stage-A survivors pair up only through
+    the (centroid, block, value) pigeonhole buckets of their signatures
+    (lossless for hamming <= max_hamming), then exact-cosine verify.
+    Survivors of a duplicate-heavy cluster are few (one rep per
+    signature group), so the bucket join stays small; on a diverse
+    oversized cluster the hamming screen spreads members across bucket
+    values. Residual worst case, documented: dissimilar vectors that
+    COLLIDE on the full signature all survive stage A into one bucket —
+    a ~2^-nbits-probability event per pair for spread-out embeddings.
+
+    Recall trade vs the exact rule (documented, mirrored by the oracle):
+    inside an oversized cluster a member is dropped only via its
+    signature-group representative or a surviving hamming-close
+    neighbor, so a near-dup pair that is signature-distant AND whose
+    smaller member was itself rep-screened away is kept. Both stages
+    are deterministic (the planes are hash-derived), so the whole
+    capped pipeline is cross-engine oracle-checkable.
+    """
+    sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("_csize"))
+    sized = assigned.join(sizes, "centroid_id")
+    small = sized.filter(F.col("_csize") <= max_cluster_size).drop("_csize")
+    big = sized.filter(F.col("_csize") > max_cluster_size).drop("_csize")
+
+    small_drops = _exact_cluster_drops(small, threshold)
+
+    sigs = srp_signatures(
+        big.select("vid", "v"), nbits, dim, id_col="vid", vec_col="v"
+    ).withColumnRenamed("doc", "vid")
+    bigs = big.join(sigs, "vid")
+
+    # stage A: per (cluster, signature) group, verify members against
+    # the group's min-id representative only — one comparison per member
+    reps = bigs.groupBy("centroid_id", "srp_sig").agg(
+        F.min("vid").alias("rep_id")
+    )
+    repv = bigs.select(
+        F.col("vid").alias("rep_id"), F.col("v").alias("rv"),
+        F.col("vn").alias("rn"),
+    )
+    drop_a = (
+        bigs.join(reps, ["centroid_id", "srp_sig"])
+        .filter(F.col("vid") != F.col("rep_id"))
+        .join(repv, "rep_id")
+        .filter(F.expr(s_cosine_prenorm("rv", "v", "rn", "vn")) >= threshold)
+        .select("vid")
+        .distinct()
+    )
+
+    # stage B: survivors pair through pigeonhole blocks within cluster
+    survivors = bigs.join(drop_a, "vid", "left_anti")
+    blocks = _hamming_block_table(
+        survivors.select(F.col("vid").alias("doc"), "srp_sig"), nbits, max_hamming
+    ).join(
+        survivors.select(F.col("vid").alias("doc"), "centroid_id"), "doc"
+    )
+    a = blocks.select(
+        F.col("doc").alias("id_a"), F.col("srp_sig").alias("sig_a"),
+        "centroid_id", "blk", "val",
+    )
+    b = blocks.select(
+        F.col("doc").alias("id_b"), F.col("srp_sig").alias("sig_b"),
+        "centroid_id", "blk", "val",
+    )
+    candidates = (
+        a.join(b, ["centroid_id", "blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    sv = survivors.select("vid", "v", "vn")
+    drop_b = (
+        candidates
+        .join(sv.withColumnsRenamed({"vid": "id_a", "v": "va", "vn": "na"}), "id_a")
+        .join(sv.withColumnsRenamed({"vid": "id_b", "v": "vb", "vn": "nb"}), "id_b")
+        .filter(F.expr(s_cosine_prenorm("va", "vb", "na", "nb")) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    dropped = small_drops.union(drop_a).union(drop_b).distinct()
+    return {
+        "small_drops": small_drops,
+        "drop_a": drop_a,
+        "survivors": survivors,
+        "candidates": candidates,
+        "dropped": dropped,
+    }
+
+
 def semdedup_keep(
     emb: DataFrame, centroids: DataFrame, threshold: float,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    nbits: int = 32, dim: int = 64, max_hamming: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embeddings (nearest member of
@@ -417,28 +553,31 @@ def semdedup_keep(
     (the paper's core trick — k ≈ √N clusters make expected cluster
     size √N, so pair work is N^1.5 not N², and embarrassingly parallel
     per cluster); the corpus is shuffled once on centroid_id and never
-    all-pairs joined. Deviation from the paper, documented: the paper
-    keeps the example with LOWEST similarity to its centroid inside
-    each duplicate group; this implementation keeps the smallest id —
-    deterministic, oracle-checkable, and the same canonical-selection
-    rule the text dedup entries use.
+    all-pairs joined. The N^1.5 claim assumes BALANCED clusters, and
+    embedding clusters are exactly where skew lives — one mega-cluster
+    of boilerplate near-identicals re-introduces the quadratic. That is
+    what ``max_cluster_size`` bounds (the 100 TB path; ``None`` keeps
+    the paper-exact rule for bounded inputs): clusters over the cap
+    route through :func:`semdedup_capped_frames` — an SRP
+    representative screen that kills near-identical mass linearly, then
+    a pigeonhole-blocked hamming screen + exact-cosine verify for the
+    survivors. The hot-cluster property test
+    (tests/test_dedup_properties.py) asserts the candidate-pair volume
+    stays o(n²).
+
+    Deviation from the paper, documented: the paper keeps the example
+    with LOWEST similarity to its centroid inside each duplicate group;
+    this implementation keeps the smallest id — deterministic,
+    oracle-checkable, and the same canonical-selection rule the text
+    dedup entries use.
     """
     assigned = assign_centroids(emb, centroids, id_col, vec_col)
-    a = assigned.select(
-        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("vn").alias("na"),
-        "centroid_id",
-    )
-    b = assigned.select(
-        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("vn").alias("nb"),
-        "centroid_id",
-    )
-    dropped = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.expr(s_cosine_prenorm("va", "vb", "na", "nb")) >= threshold)
-        .select(F.col("id_b").alias("vid"))
-        .distinct()
-    )
+    if max_cluster_size is None:
+        dropped = _exact_cluster_drops(assigned, threshold)
+    else:
+        dropped = semdedup_capped_frames(
+            assigned, threshold, max_cluster_size, nbits, dim, max_hamming
+        )["dropped"]
     return (
         assigned.join(dropped.withColumn("_dropped", F.lit(True)), "vid", "left")
         .select(

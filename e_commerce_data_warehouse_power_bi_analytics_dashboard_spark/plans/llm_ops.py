@@ -726,9 +726,27 @@ def kmeans_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "semdedup_cluster_keep",
-    oracle=f"""
+_SEM_CAP = 48  # binding at BOTH test scales (cluster sizes run 35-59)
+_SEM_TH = 0.4
+
+
+def _o_semdedup_ctes(
+    cap: int = _SEM_CAP, th: float = _SEM_TH,
+    nbits: int = 32, dim: int = 64, max_hamming: int = 8,
+) -> str:
+    """DuckDB twin of the CAPPED operators/similarity.py::semdedup_keep
+    pipeline (assign → size split → exact small-cluster pairs → SRP
+    representative screen → hamming-screened survivor pairs), as CTEs
+    ending in ``dropped_capped`` + ``dropped_exact`` (the uncapped rule,
+    for the agreement audit). Same hash-derived planes as the engine, so
+    signatures — and therefore both stage screens — are bit-identical."""
+    planes = V.srp_planes(nbits, dim)
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {V.o_plane_array(p)}) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
         WITH e AS ({_O_EMB}),
         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
         assigned AS (
@@ -739,25 +757,120 @@ def kmeans_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM e, c
             ) WHERE rn = 1
         ),
-        dropped AS (
+        sizes AS (SELECT centroid_id, COUNT(*) AS csize FROM assigned GROUP BY 1),
+        small AS (
+            SELECT a.vid, a.v, a.centroid_id FROM assigned a
+            JOIN sizes s USING (centroid_id) WHERE s.csize <= {cap}
+        ),
+        big AS (
+            SELECT a.vid, a.v, a.centroid_id FROM assigned a
+            JOIN sizes s USING (centroid_id) WHERE s.csize > {cap}
+        ),
+        small_drop AS (
+            SELECT DISTINCT b.vid
+            FROM small a JOIN small b USING (centroid_id)
+            WHERE a.vid < b.vid AND list_cosine_similarity(a.v, b.v) >= {th}
+        ),
+        bsig AS (
+            SELECT vid, v, centroid_id, CAST({sig} AS BIGINT) AS srp_sig FROM big
+        ),
+        reps AS (
+            SELECT centroid_id, srp_sig, MIN(vid) AS rep_id
+            FROM bsig GROUP BY 1, 2
+        ),
+        drop_a AS (
+            SELECT DISTINCT m.vid
+            FROM bsig m
+            JOIN reps r ON m.centroid_id = r.centroid_id AND m.srp_sig = r.srp_sig
+            JOIN bsig rv ON rv.vid = r.rep_id
+            WHERE m.vid <> r.rep_id
+              AND list_cosine_similarity(rv.v, m.v) >= {th}
+        ),
+        surv AS (
+            SELECT * FROM bsig WHERE vid NOT IN (SELECT vid FROM drop_a)
+        ),
+        drop_b AS (
+            SELECT DISTINCT b.vid
+            FROM surv a JOIN surv b USING (centroid_id)
+            WHERE a.vid < b.vid
+              AND bit_count(xor(a.srp_sig, b.srp_sig)) <= {max_hamming}
+              AND list_cosine_similarity(a.v, b.v) >= {th}
+        ),
+        dropped_capped AS (
+            SELECT vid FROM small_drop
+            UNION SELECT vid FROM drop_a
+            UNION SELECT vid FROM drop_b
+        ),
+        dropped_exact AS (
             SELECT DISTINCT b.vid
             FROM assigned a JOIN assigned b USING (centroid_id)
-            WHERE a.vid < b.vid AND list_cosine_similarity(a.v, b.v) >= 0.4
+            WHERE a.vid < b.vid AND list_cosine_similarity(a.v, b.v) >= {th}
         )
+    """
+
+
+@register(
+    "semdedup_cluster_keep",
+    oracle=_o_semdedup_ctes() + """
         SELECT a.vid AS vec_id, a.centroid_id, d.vid IS NULL AS keep
-        FROM assigned a LEFT JOIN dropped d ON a.vid = d.vid
+        FROM assigned a LEFT JOIN dropped_capped d ON a.vid = d.vid
     """,
     tags=("llm", "similarity", "dedup"),
     doc="SemDeDup-style semantic dedup (arXiv:2303.09540): coarse "
         "cosine clustering (centroids = vec_id%50==0), then drop "
         "within-cluster semantic near-dups (cos >= 0.4, min-id "
-        "survivor). Pair search confined to clusters — N^1.5 total "
-        "work at k≈√N clusters, never a corpus-wide all-pairs join "
-        "(operators/similarity.py::semdedup_keep).",
+        "survivor). Cluster-size-CAPPED 100 TB path (cap=48, binding "
+        "at both test scales): oversized clusters route through an SRP "
+        "exact-signature representative screen (linear kill of "
+        "near-identical mass) plus a pigeonhole hamming screen for the "
+        "survivors — no uncapped within-cluster quadratic anywhere "
+        "(operators/similarity.py::semdedup_keep / "
+        "semdedup_capped_frames; hot-cluster property test bounds the "
+        "candidate volume).",
 )
 def semdedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.semdedup_keep(emb, emb.filter("vec_id % 50 = 0"), threshold=0.4)
+    return S.semdedup_keep(
+        emb, emb.filter("vec_id % 50 = 0"), threshold=_SEM_TH,
+        max_cluster_size=_SEM_CAP,
+    )
+
+
+@register(
+    "semdedup_cap_agreement",
+    oracle=_o_semdedup_ctes() + """
+        SELECT cd.vid IS NULL AS keep_capped,
+               ed.vid IS NULL AS keep_exact,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM assigned a
+        LEFT JOIN dropped_capped cd ON a.vid = cd.vid
+        LEFT JOIN dropped_exact ed ON a.vid = ed.vid
+        GROUP BY 1, 2
+    """,
+    tags=("llm", "similarity", "dedup", "eval"),
+    doc="Recall audit for the capped SemDeDup path: keep decisions of "
+        "the capped pipeline vs the paper-exact within-cluster rule, "
+        "bucketed by (keep_capped, keep_exact) — quantifies exactly "
+        "what the SRP screens trade away (capped-kept/exact-dropped = "
+        "recall loss; the reverse bucket must be empty because every "
+        "capped drop is cosine-verified). The exact side is the "
+        "EVAL-ONLY baseline (the kNN-eval pattern): quadratic within "
+        "clusters, run at audit scale, never the production path.",
+)
+def semdedup_cap_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter("vec_id % 50 = 0")
+    capped = S.semdedup_keep(
+        emb, cents, threshold=_SEM_TH, max_cluster_size=_SEM_CAP
+    ).select("vec_id", F.col("keep").alias("keep_capped"))
+    exact = S.semdedup_keep(emb, cents, threshold=_SEM_TH).select(
+        "vec_id", F.col("keep").alias("keep_exact")
+    )
+    return (
+        capped.join(exact, "vec_id")
+        .groupBy("keep_capped", "keep_exact")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
 
 
 @register(
