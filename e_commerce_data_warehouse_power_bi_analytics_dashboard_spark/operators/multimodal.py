@@ -163,12 +163,13 @@ def sample_frames(with_payload: DataFrame, frame_size: int = 256, every: int = 4
 # real PNG wire format — stdlib-only (zlib + struct), no codec package
 # ---------------------------------------------------------------------------
 #
-# Grayscale 8-bit PNG (color type 0, bit depth 8) needs nothing beyond
-# zlib: signature, CRC-checked chunks, DEFLATE'd scanlines, per-row
-# filters 0-4. encode_png/decode_png below implement that subset for
-# real — byte-identical to what libpng would produce/accept — so the
-# pixel-level decode path is no longer a stub. Other color types / bit
-# depths stay gated on PIL (absent here).
+# Grayscale 8-bit (color type 0) and truecolor 8-bit (color type 2,
+# 3 bytes/pixel) PNG need nothing beyond zlib: signature, CRC-checked
+# chunks, DEFLATE'd scanlines, per-row filters 0-4 applied at the
+# bytes-per-pixel stride. encode_png/decode_png below implement that
+# subset for real — byte-identical to what libpng would produce/accept —
+# so the pixel-level decode path is no longer a stub. Palette / alpha /
+# sub-byte depths stay gated on PIL (absent here).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
 
@@ -193,8 +194,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(pixels: list[list[int]], filter_of_row) -> bytes:
-    """Encode a grayscale-8 pixel grid as a real PNG byte stream.
+def encode_png(pixels: list[list[int]], filter_of_row, channels: int = 1) -> bytes:
+    """Encode a pixel grid as a real PNG byte stream — grayscale-8
+    (``channels=1``, color type 0) or truecolor-8 (``channels=3``,
+    color type 2; each row holds w*3 interleaved RGB samples). PNG
+    filters operate at the bytes-per-pixel stride, so ``left`` is the
+    sample ``channels`` bytes back.
 
     ``filter_of_row(y)`` picks the scanline filter (0=None 1=Sub 2=Up
     3=Average 4=Paeth) so a corpus exercises every decoder branch.
@@ -203,18 +208,21 @@ def encode_png(pixels: list[list[int]], filter_of_row) -> bytes:
     import struct
     import zlib as _z
 
+    if channels not in (1, 3):
+        raise ValueError(f"channels={channels}: PNG subset covers 1 (gray) or 3 (RGB)")
     h = len(pixels)
-    w = len(pixels[0]) if h else 0
+    stride = len(pixels[0]) if h else 0
+    w = stride // channels
     raw = bytearray()
-    prev = [0] * w
+    prev = [0] * stride
     for y in range(h):
         row = pixels[y]
         ft = filter_of_row(y) % 5
         raw.append(ft)
-        for x in range(w):
-            left = row[x - 1] if x else 0
+        for x in range(stride):
+            left = row[x - channels] if x >= channels else 0
             up = prev[x]
-            ul = prev[x - 1] if x else 0
+            ul = prev[x - channels] if x >= channels else 0
             v = row[x]
             if ft == 0:
                 raw.append(v)
@@ -227,7 +235,7 @@ def encode_png(pixels: list[list[int]], filter_of_row) -> bytes:
             else:
                 raw.append((v - _paeth(left, up, ul)) & 0xFF)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if channels == 1 else 2, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -236,13 +244,17 @@ def encode_png(pixels: list[list[int]], filter_of_row) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, list[list[int]]]:
-    """Parse a PNG byte stream → (width, height, pixel grid).
+def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """Parse a PNG byte stream → (width, height, channels, sample grid);
+    each grid row holds width*channels bytes (interleaved RGB for
+    truecolor).
 
-    Real decoder for the grayscale-8 subset: walks chunks, VERIFIES each
-    CRC, concatenates IDATs, zlib-inflates, and reverses all five
-    scanline filters (None/Sub/Up/Average/Paeth). Raises on corrupt CRCs
-    or unsupported color configurations (those need PIL — absent here).
+    Real decoder for the 8-bit gray (color type 0) and 8-bit truecolor
+    (color type 2) subsets: walks chunks, VERIFIES each CRC,
+    concatenates IDATs, zlib-inflates, and reverses all five scanline
+    filters (None/Sub/Up/Average/Paeth) at the bytes-per-pixel stride.
+    Raises on corrupt CRCs; palette/alpha/sub-byte depths raise
+    NotImplementedError (those need PIL — absent here).
     """
     import struct
     import zlib as _z
@@ -266,24 +278,27 @@ def decode_png(data: bytes) -> tuple[int, int, list[list[int]]]:
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if (bitdepth, colortype) != (8, 0):
+    if bitdepth != 8 or colortype not in (0, 2):
         raise NotImplementedError(
             f"PNG bitdepth={bitdepth} colortype={colortype} needs a codec "
-            "library (PIL, absent here); stdlib path covers grayscale-8"
+            "library (PIL, absent here); stdlib path covers gray-8 and "
+            "truecolor-8"
         )
+    bpp = 1 if colortype == 0 else 3
+    stride = w * bpp
     raw = _z.decompress(bytes(idat))
-    if len(raw) != h * (w + 1):
+    if len(raw) != h * (stride + 1):
         raise ValueError("corrupt PNG: scanline payload size mismatch")
     grid: list[list[int]] = []
-    prev = [0] * w
+    prev = [0] * stride
     for y in range(h):
-        line = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
         ft, fdata = line[0], line[1:]
         row: list[int] = []
-        for x in range(w):
-            left = row[x - 1] if x else 0
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
             up = prev[x]
-            ul = prev[x - 1] if x else 0
+            ul = prev[x - bpp] if x >= bpp else 0
             v = fdata[x]
             if ft == 1:
                 v = (v + left) & 0xFF
@@ -298,7 +313,7 @@ def decode_png(data: bytes) -> tuple[int, int, list[list[int]]]:
             row.append(v)
         grid.append(row)
         prev = row
-    return w, h, grid
+    return w, h, bpp, grid
 
 
 #: deterministic synthetic pixel formula shared with the SQL oracle
@@ -330,6 +345,40 @@ def synthesize_png_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(synth, schema)
 
 
+#: deterministic per-channel pixel formula shared with the SQL oracle
+#: (channel 0 reduces to the grayscale formula)
+def _pixel_rgb(doc_id: int, x: int, y: int, ch: int) -> int:
+    return (doc_id * 7 + y * 3 + x + 11 * ch) % 256
+
+
+def synthesize_png_rgb_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, png binary): real truecolor-8 PNG files
+    (color type 2, CRCs, DEFLATE, per-row filter cycling through all
+    five types at the 3-byte stride) built per-partition in mapInPandas.
+    Dims/pixels are closed-form in doc_id so a SQL oracle can reproduce
+    the decoded channel stats without ever seeing the bytes."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 4), 4 * (1 + d % 3)
+                grid = [
+                    [_pixel_rgb(d, x, y, ch) for x in range(w) for ch in range(3)]
+                    for y in range(h)
+                ]
+                rows.append((d, encode_png(grid, lambda y, d=d: d + y, channels=3)))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -353,13 +402,52 @@ def decode_image(with_png: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
-                w, h, grid = decode_png(bytes(png))
+                w, h, c, grid = decode_png(bytes(png))
                 n = w * h
-                mean = sum(sum(r) for r in grid) / n if n else 0.0
+                # mean over every sample (== pixel mean for grayscale)
+                mean = sum(sum(r) for r in grid) / (n * c) if n else 0.0
                 rows.append((int(doc_id), w, h, n, mean))
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
 
     return with_png.select("doc_id", "png").mapInPandas(dec, DECODE_SCHEMA)
+
+
+RGB_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_rgb(with_png: DataFrame) -> DataFrame:
+    """Per-channel pixel stats over REAL truecolor-8 PNG payloads: the
+    stdlib decoder inflates and de-filters at the 3-byte stride, then a
+    numpy stride-slice computes each channel mean. Arrow-batched
+    mapInPandas; payload pruned from the output."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, c, grid = decode_png(bytes(png))
+                if c != 3:
+                    raise ValueError(f"doc {doc_id}: expected RGB PNG, got {c} channel(s)")
+                a = np.array(grid, dtype=np.float64).reshape(h, w, 3)
+                means = a.mean(axis=(0, 1))
+                rows.append(
+                    (int(doc_id), w, h, float(means[0]), float(means[1]), float(means[2]))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RGB_STATS_SCHEMA.fields])
+
+    return with_png.select("doc_id", "png").mapInPandas(dec, RGB_STATS_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -386,7 +474,12 @@ def resize_image(with_png: DataFrame, factor: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
-                w, h, grid = decode_png(bytes(png))
+                w, h, c, grid = decode_png(bytes(png))
+                if c != 1:
+                    raise ValueError(
+                        f"doc {doc_id}: box resize covers grayscale; decode RGB "
+                        "via decode_image_rgb and resize per channel"
+                    )
                 if w % factor or h % factor:
                     raise ValueError(f"dims {w}x{h} not divisible by {factor}")
                 a = np.array(grid, dtype=np.float64)

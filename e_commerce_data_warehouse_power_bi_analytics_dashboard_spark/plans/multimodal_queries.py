@@ -222,6 +222,47 @@ def mm_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_png_rgb_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id, 8*(1 + doc_id % 4) AS w, 4*(1 + doc_id % 3) AS h
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        px AS (
+            SELECT i.doc_id, i.w, i.h, c.c AS ch,
+                   (i.doc_id * 7 + y.y * 3 + x.x + 11 * c.c) % 256 AS v
+            FROM img i
+            JOIN range(0, 12) y(y) ON y.y < i.h
+            JOIN range(0, 32) x(x) ON x.x < i.w
+            JOIN range(0, 3) c(c) ON true
+        )
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               round(avg(CASE WHEN ch = 0 THEN v END), 6) AS mean_r,
+               round(avg(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,
+               round(avg(CASE WHEN ch = 2 THEN v END), 6) AS mean_b
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+    doc="REAL truecolor-8 PNG decode (r6 — the gray-only gate from r5 "
+        "narrowed): synthesize valid color-type-2 PNG files (CRC'd "
+        "chunks, zlib IDAT, all five scanline filters at the 3-byte "
+        "stride), decode them back with the stdlib codec, and emit "
+        "per-channel means via a numpy stride slice. Oracle reproduces "
+        "the channels from the closed-form formula without touching "
+        "the bytes.",
+)
+def mm_png_rgb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    decoded = MM.decode_image_rgb(MM.synthesize_png_rgb_payloads(docs))
+    return decoded.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "mm_image_resize_box",
     oracle=f"""
         WITH img AS ({_IMG_DOCS}),

@@ -85,14 +85,34 @@ def _grid(d, w, h):
 @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
 def test_png_roundtrip_each_filter(ft):
     grid = _grid(13, 24, 12)
-    w, h, out = MM.decode_png(MM.encode_png(grid, lambda y: ft))
-    assert (w, h, out) == (24, 12, grid)
+    w, h, c, out = MM.decode_png(MM.encode_png(grid, lambda y: ft))
+    assert (w, h, c, out) == (24, 12, 1, grid)
 
 
 def test_png_roundtrip_mixed_filters():
     grid = _grid(7, 40, 16)
-    _, _, out = MM.decode_png(MM.encode_png(grid, lambda y: y))  # cycles 0..4
+    _, _, _, out = MM.decode_png(MM.encode_png(grid, lambda y: y))  # cycles 0..4
     assert out == grid
+
+
+def _rgb_grid(d, w, h):
+    return [
+        [MM._pixel_rgb(d, x, y, ch) for x in range(w) for ch in range(3)]
+        for y in range(h)
+    ]
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_rgb_roundtrip_each_filter(ft):
+    grid = _rgb_grid(5, 12, 9)
+    w, h, c, out = MM.decode_png(MM.encode_png(grid, lambda y: ft, channels=3))
+    assert (w, h, c, out) == (12, 9, 3, grid)
+
+
+def test_png_rgb_roundtrip_mixed_filters():
+    grid = _rgb_grid(9, 20, 11)
+    _, _, c, out = MM.decode_png(MM.encode_png(grid, lambda y: y, channels=3))
+    assert c == 3 and out == grid
 
 
 def test_png_crc_detects_corruption():
@@ -106,8 +126,9 @@ def test_png_unsupported_colortype_is_codec_gated():
     import struct
     import zlib
 
-    # IHDR declaring RGB (colortype 2): needs PIL, raises from the parse
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    # IHDR declaring palette (colortype 3): needs PIL, raises from the
+    # parse (truecolor 2 is handled natively since r6)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
     png = (
         MM._PNG_SIG
         + MM._png_chunk(b"IHDR", ihdr)
@@ -116,6 +137,20 @@ def test_png_unsupported_colortype_is_codec_gated():
     )
     with pytest.raises(NotImplementedError, match="colortype"):
         MM.decode_png(png)
+
+
+def test_png_rgb_decode_spark(spark):
+    docs = read_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") % 3 == 1).limit(6)
+    rows = {r.doc_id: r for r in MM.decode_image_rgb(MM.synthesize_png_rgb_payloads(docs)).collect()}
+    assert rows
+    for d, r in rows.items():
+        w, h = 8 * (1 + d % 4), 4 * (1 + d % 3)
+        assert (r.width, r.height) == (w, h)
+        for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
+            want = sum(
+                MM._pixel_rgb(d, x, y, ch) for x in range(w) for y in range(h)
+            ) / (w * h)
+            assert getattr(r, col) == pytest.approx(want)
 
 
 def test_png_pixel_decode_spark(spark):
@@ -200,7 +235,7 @@ if _HAVE_HYPOTHESIS:
         grid = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
         filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
         out = MM.decode_png(MM.encode_png(grid, lambda y: filters[y]))
-        assert out == (w, h, grid)
+        assert out == (w, h, 1, grid)
 
     @settings(max_examples=40, deadline=None)
     @given(w=st.integers(2, 20), h=st.integers(2, 12), pos=st.integers(0, 10**6))
@@ -219,7 +254,7 @@ if _HAVE_HYPOTHESIS:
         # zlib's checksumless inflate can't happen: IDAT CRC covers the
         # compressed bytes, IHDR CRC covers dims — reaching here with a
         # DIFFERENT result would be silent corruption
-        assert decoded == (w, h, grid), "corrupted PNG decoded to different pixels"
+        assert decoded == (w, h, 1, grid), "corrupted PNG decoded to different pixels"
 
 if _HAVE_HYPOTHESIS:
 
