@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 from ..sources.tpch import read_table
 from .catalog import register
 
+#: view prefix for the SQL-text entries (q18/q21), so they never
+#: clobber other entries' temp views
+_P = "tpch_"
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(_P + t)
+
 #: decimal casts for the raw DOUBLE columns (values are 2-dec money /
 #: 2-dec rates, so the casts are exact)
 _PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -208,3 +217,120 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue")
         )
     )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS INT)) AS BIGINT) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(FLOOR(l_quantity) AS INT)) > 300
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """,
+    tags=("olap", "tpch", "J8", "A6", "sql"),
+    doc="TPC-H Q18 large-volume customer (classic 300-quantity "
+        "threshold; integral DOUBLE quantities summed via the q1 "
+        "FLOOR-cast discipline): the HAVING-IN correlated shape the r5 "
+        "verdict asked for. Catalyst must decorrelate the IN-aggregate "
+        "subquery into ONE lineitem aggregation + a LeftSemi join "
+        "(plan-pinned in tests/test_plans.py) — never a per-order "
+        "re-aggregation; the orderkey semi join, the lineitem rejoin "
+        "and the final group all share the orderkey partitioning, and "
+        "customer broadcasts into the 100-row TakeOrdered.",
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(f"""
+        SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_totalprice,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS INT)) AS BIGINT) AS sum_qty
+        FROM {_P}customer
+        JOIN {_P}orders ON c_custkey = o_custkey
+        JOIN {_P}lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM {_P}lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(FLOOR(l_quantity) AS INT)) > 300
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """)
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND n_name = 'NATION_9'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    tags=("olap", "tpch", "J7", "J8", "sql"),
+    doc="TPC-H Q21 suppliers-kept-waiting (fixture adaptations: no "
+        "l_receiptdate/l_commitdate columns, so the 'failed the order' "
+        "predicate is l_returnflag = 'R'; nation constant NATION_9): "
+        "the EXISTS / NOT-EXISTS double-correlated shape — the sole "
+        "supplier whose line was returned on a finished multi-supplier "
+        "order. Catalyst must decorrelate BOTH subqueries into a "
+        "LeftSemi and a LeftAnti join on l_orderkey (plan-pinned), so "
+        "the three lineitem legs co-partition on orderkey — one "
+        "shuffle family, no per-row subquery execution; supplier and "
+        "nation broadcast.",
+)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    return spark.sql(f"""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM {_P}supplier
+        JOIN {_P}lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN {_P}orders ON o_orderkey = l1.l_orderkey
+        JOIN {_P}nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND n_name = 'NATION_9'
+          AND EXISTS (
+              SELECT 1 FROM {_P}lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM {_P}lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """)

@@ -277,3 +277,27 @@ def test_bloom_runtime_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q18_q21_decorrelate_to_semi_anti_joins(spark):
+    """Round-6 pin: the HAVING-IN subquery (q18) must decorrelate to a
+    LeftSemi join on the aggregated lineitem — never a per-order
+    re-aggregation — and q21's EXISTS / NOT EXISTS pair must become a
+    LeftSemi AND a LeftAnti join on l_orderkey; neither may fall back
+    to a nested-loop/cartesian correlated execution."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.tpch_queries import (
+        tpch_q18_large_volume_customer,
+        tpch_q21_suppliers_kept_waiting,
+    )
+
+    p18 = tpch_q18_large_volume_customer(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p18, f"q18 IN-subquery not decorrelated:\n{p18}"
+    p21 = tpch_q21_suppliers_kept_waiting(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p21, f"q21 EXISTS not a semi join:\n{p21}"
+    assert "LeftAnti" in p21, f"q21 NOT EXISTS not an anti join:\n{p21}"
+    for name, p in (("q18", p18), ("q21", p21)):
+        assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
