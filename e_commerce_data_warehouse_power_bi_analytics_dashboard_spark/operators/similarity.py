@@ -361,6 +361,137 @@ def kmeans_fit(
     )
 
 
+def _sub_slice(vec_col: str, s: int, sub_dim: int) -> str:
+    """Spark SQL: double-widened subvector of subspace ``s`` (1-based
+    slice, matching the DuckDB oracle's ``v[a:b]``)."""
+    return f"slice({s_to_double(vec_col)}, {s * sub_dim + 1}, {sub_dim})"
+
+
+def pq_fit_codebooks(
+    emb: DataFrame, m: int = 4, k: int = 8, iters: int = 2, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the ``dim``-dim
+    embedding into ``m`` contiguous subspaces and train an independent
+    ``k``-centroid codebook per subspace by reusing :func:`kmeans_fit`
+    on the subvectors. Returns (subspace, centroid_id, cv).
+
+    Deviation from the classical recipe, documented: assignment is the
+    same deterministic cosine argmax the IVF/k-means path uses (not
+    L2) — for the near-unit-norm embeddings this corpus carries the
+    orderings agree, and it keeps every stage bit-reproducible against
+    the unrolled-CTE oracle. Each subspace fit is the full Lloyd's
+    machinery (min-id seeding, 6-decimal mean re-sync, empty-cluster
+    carry-forward), so codebooks are cross-engine stable.
+
+    Scale shape: m driver-loop fits, each the kmeans_fit pattern
+    (broadcast centroids, thin (centroid,pos,value) mean shuffle,
+    localCheckpoint per round); codebooks total m·k rows — broadcast
+    material for everything downstream.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub_dim = dim // m
+    books: DataFrame | None = None
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(_sub_slice(vec_col, s, sub_dim)).alias("embedding"),
+        )
+        fit = kmeans_fit(sub, k=k, iters=iters, dim=sub_dim)
+        b = fit.select(F.lit(s).alias("subspace"), "centroid_id", "cv")
+        books = b if books is None else books.unionAll(b)
+    return books
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: DataFrame, m: int = 4, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: each vector compresses to ``m`` code ids — the
+    nearest codebook centroid per subspace (cosine argmax, deterministic
+    min-id tiebreak). Returns (vid, subspace, code): m·N thin rows, the
+    8-byte-per-subspace representation that replaces the raw vectors in
+    the 100 TB index."""
+    sub_dim = dim // m
+    out: DataFrame | None = None
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(_sub_slice(vec_col, s, sub_dim)).alias("embedding"),
+        )
+        cb = codebooks.filter(F.col("subspace") == s).select(
+            F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")
+        )
+        a = assign_centroids(sub, cb)
+        part = a.select(
+            "vid", F.lit(s).alias("subspace"), F.col("centroid_id").alias("code")
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def pq_adc_topk(
+    emb: DataFrame, codebooks: DataFrame, query_pred: str, k: int = 5,
+    m: int = 4, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over the PQ index:
+    dot(q, x) = Σ_s dot(q_s, x_s) ≈ Σ_s LUT[q, s, code_s(x)] where the
+    lookup table holds each query subvector's dot with every codebook
+    centroid. Returns (query_id, neighbor_id, rank, adc_score).
+
+    Scale shape: the corpus is touched only through its m·N thin code
+    rows; the LUT (|Q|·m·k rows) broadcasts, so scoring is a map-side
+    broadcast join + an (query, vid)-keyed aggregation — no vector
+    arithmetic per corpus row at query time, the whole point of PQ.
+    Determinism: each subspace's LUT value lands in its own
+    conditional-sum slot and the m slots are added in fixed textual
+    order, so adc_score is bit-identical to the oracle (never an
+    order-dependent float SUM across subspaces).
+    """
+    sub_dim = dim // m
+    codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col)
+    q = emb.filter(F.expr(query_pred))
+    lut: DataFrame | None = None
+    for s in range(m):
+        qs = q.select(
+            F.col(id_col).alias("query_id"),
+            F.expr(_sub_slice(vec_col, s, sub_dim)).alias("qv"),
+        )
+        cb = codebooks.filter(F.col("subspace") == s).select(
+            F.col("centroid_id").alias("code"), "cv"
+        )
+        part = qs.crossJoin(cb).select(
+            "query_id", F.lit(s).alias("subspace"), "code",
+            F.expr(s_dot("qv", "cv")).alias("lut"),
+        )
+        lut = part if lut is None else lut.unionAll(part)
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(
+            *[
+                F.sum(F.when(F.col("subspace") == s, F.col("lut"))).alias(f"_l{s}")
+                for s in range(m)
+            ]
+        )
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.expr(" + ".join(f"_l{s}" for s in range(m))).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score")
+    )
+
+
 def kmeans_objective(emb: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> float:
     """Mean cosine of each vector to its nearest trained centroid —

@@ -1230,3 +1230,195 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ: product quantization (r6) — codebooks, ADC scan, recall audit
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM = 4, 8, 2, 64
+_PQ_QPRED = "vec_id < 10"
+_PQ_TOPK = 5
+
+
+def _o_pq_ctes(
+    m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS, dim: int = _PQ_DIM,
+) -> str:
+    """DuckDB twin of operators/similarity.py::pq_fit_codebooks /
+    pq_encode / pq_adc_topk: per subspace, the same unrolled Lloyd's
+    CTEs as _kmeans_oracle (min-id seeding, cosine argmax, 6-decimal
+    mean re-sync, empty-cluster carry-forward) over the SUBvector slice,
+    then code assignment, the query LUT, and the fixed-order ADC sum.
+    Ends in CTEs ``codes``, ``lut``, ``adc``."""
+    sd = dim // m
+    sql = f"WITH e AS ({_O_EMB})"
+    for s in range(m):
+        a, b = s * sd + 1, (s + 1) * sd
+        sql += f""",
+        e{s} AS (SELECT vec_id, v[{a}:{b}] AS v FROM e),
+        m{s}_0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e{s}
+                   ORDER BY vec_id LIMIT {k})"""
+        for i in range(1, iters + 1):
+            sql += f""",
+        a{s}_{i} AS (
+            SELECT vid, centroid_id FROM (
+                SELECT e{s}.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e{s}.vec_id
+                           ORDER BY list_cosine_similarity(e{s}.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e{s}, m{s}_{i - 1} c
+            ) WHERE rn = 1
+        ),
+        m{s}_{i} AS (
+            SELECT p.centroid_id, COALESCE(nm.cv, p.cv) AS cv
+            FROM m{s}_{i - 1} p
+            LEFT JOIN (
+                SELECT centroid_id, list(mm ORDER BY pos) AS cv FROM (
+                    SELECT a.centroid_id, i.i AS pos,
+                           round(avg(es.v[i.i]), 6) AS mm
+                    FROM a{s}_{i} a JOIN e{s} es ON es.vec_id = a.vid
+                    JOIN range(1, {sd + 1}) i(i) ON true
+                    GROUP BY a.centroid_id, i.i
+                ) GROUP BY centroid_id
+            ) nm ON nm.centroid_id = p.centroid_id
+        )"""
+        sql += f""",
+        codes{s} AS (
+            SELECT vid, {s} AS subspace, centroid_id AS code FROM (
+                SELECT e{s}.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e{s}.vec_id
+                           ORDER BY list_cosine_similarity(e{s}.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e{s}, m{s}_{iters} c
+            ) WHERE rn = 1
+        ),
+        lut{s} AS (
+            SELECT q.vec_id AS query_id, {s} AS subspace,
+                   b.centroid_id AS code,
+                   list_dot_product(q.v[{a}:{b}], b.cv) AS lut
+            FROM e q, m{s}_{iters} b WHERE q.{_PQ_QPRED}
+        )"""
+    codes_u = " UNION ALL ".join(f"SELECT * FROM codes{s}" for s in range(m))
+    lut_u = " UNION ALL ".join(f"SELECT * FROM lut{s}" for s in range(m))
+    adc_sum = " + ".join(
+        f"SUM(CASE WHEN c.subspace = {s} THEN l.lut END)" for s in range(m)
+    )
+    sql += f""",
+        codes AS ({codes_u}),
+        lut AS ({lut_u}),
+        adc AS (
+            SELECT l.query_id, c.vid AS neighbor_id, {adc_sum} AS adc_score
+            FROM codes c
+            JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+            WHERE c.vid <> l.query_id
+            GROUP BY l.query_id, c.vid
+        )
+    """
+    return sql
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_o_pq_ctes() + f"""
+        SELECT query_id, neighbor_id, rank, adc_score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_score DESC, neighbor_id) AS rank
+            FROM adc
+        ) WHERE rank <= {_PQ_TOPK}
+    """,
+    tags=("llm", "similarity", "pq", "iterative"),
+    doc="IVF+PQ completion (r6): product-quantization ADC top-5 — "
+        "4 subspaces × 8-centroid codebooks trained by the kmeans_fit "
+        "machinery on subvector slices, corpus compressed to 4 thin "
+        "code rows per vector, queries scored via a broadcast "
+        "dot-product lookup table summed in fixed subspace order "
+        "(bit-stable vs the unrolled-CTE oracle). Query-time cost is "
+        "LUT build (|Q|·m·k dots) + a broadcast join over codes — no "
+        "per-corpus-row vector math (operators/similarity.py::"
+        "pq_fit_codebooks/pq_encode/pq_adc_topk).",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = S.pq_fit_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
+    )
+    return S.pq_adc_topk(
+        emb, books, _PQ_QPRED, k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM
+    )
+
+
+@register(
+    "ann_pq_recall_audit",
+    oracle=_o_pq_ctes() + f"""
+        , exact5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.v, e.v) DESC,
+                                    e.vec_id) AS rank
+                FROM e, e q WHERE q.{_PQ_QPRED} AND e.vec_id <> q.vec_id
+            ) WHERE rank <= {_PQ_TOPK}
+        ),
+        pq5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_score DESC, neighbor_id) AS rank
+                FROM adc
+            ) WHERE rank <= {_PQ_TOPK}
+        )
+        SELECT x.query_id,
+               CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(p.neighbor_id) AS DOUBLE) / {_PQ_TOPK} AS recall_at_5
+        FROM exact5 x
+        LEFT JOIN pq5 p USING (query_id, neighbor_id)
+        GROUP BY x.query_id
+    """,
+    tags=("llm", "similarity", "pq", "eval", "iterative"),
+    doc="PQ quality gate (the ann_ivf_recall_audit pattern): per-query "
+        "recall@5 of the ADC scan against the exact DOT-product "
+        "brute-force baseline — dot, not cosine, because ADC "
+        "approximates the inner product; quantifies codebook "
+        "quantization loss including zero-recall queries via the left "
+        "join. Both sides deterministic under the score-then-id "
+        "tiebreak.",
+)
+def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    dv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(V.s_to_double("embedding")).alias("nv"),
+    )
+    qv = emb.filter(_PQ_QPRED).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(V.s_to_double("embedding")).alias("qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    exact = (
+        dv.join(F.broadcast(qv), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(V.s_dot("qv", "nv")).alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    books = S.pq_fit_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
+    )
+    approx = (
+        S.pq_adc_topk(emb, books, _PQ_QPRED, k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / _PQ_TOPK
+            ).alias("recall_at_5"),
+        )
+    )
