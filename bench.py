@@ -161,7 +161,32 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "sql_lateral_top2_customers",
+    # round-6 additions: the decorrelated semi/anti TPC-H pair, the
+    # PQ-ADC scan (iterative codebook fit), and the truecolor decode
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_suppliers_kept_waiting",
+    "ann_pq_adc_topk",
+    "mm_png_rgb_decode",
 ]
+
+#: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
+#: item #5: round-over-round totals must compare like-for-like while
+#: HEADLINE keeps growing). Emitted as ``core_total_wall`` in the stdout
+#: metric line and archived per round in BENCH_r{N}.json.
+CORE = (
+    "olap_monthly_revenue_by_country", "olap_top10_products_last3m",
+    "olap_cltv", "olap_cohort_first_purchase", "molap_month_country",
+    "join_study_broadcast_hash", "join_study_sort_merge",
+    "measures_kpi_row", "measure_yoy_growth", "validation_kpi_summary",
+    "measure_cumulative_revenue", "layout_partition_pruned_revenue",
+    "mm_feature_extract", "staging_fact_build", "dedup_exact_documents",
+    "dedup_minhash_lsh", "ann_cosine_topk", "text_quality_score",
+    "events_sessionize", "rfm_customer_segments", "basket_product_pairs",
+    "mv_incremental_refresh", "ts_anomaly_zscore_daily",
+    "scd2_asof_lineitem_price", "curation_decontam_overlap",
+    "layout_zorder_skip", "dedup_incremental_new_batch",
+    "dq_key_skew_profile",
+)
 
 
 def materialize(df) -> None:
@@ -332,6 +357,7 @@ def main() -> None:
         if name in timings
     }
     total = round(sum(timings.values()), 3)
+    core_total = round(sum(timings[n] for n in CORE if n in timings), 3)
     worst = max((b["ratio"] for b in baseline.values()), default=None)
 
     # Full detail → file (r4 verdict #1/#7: the one-line stdout contract
@@ -346,6 +372,8 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "core_total_wall": core_total,
+                "core_set": list(CORE),
                 "queries": timings,
                 "percentiles": percentiles,
                 "load_sec": load_sec,
@@ -368,15 +396,21 @@ def main() -> None:
         )
 
     # ONE compact final line for the driver (must fit its ~2000-char tail
-    # window WITH margin for trailing runtime noise): metric + per-query
-    # medians per the driver contract. If the headline set ever grows the
-    # line past the budget, per-query timings fall back to the detail
-    # file rather than silently truncating the JSON.
+    # window WITH margin for trailing runtime noise): metric + totals +
+    # per-query medians for the FROZEN core set and every baseline-
+    # compared query (the trend line and the ratio evidence); the full
+    # growing headline set lives in BENCH_DETAIL.json. If even that
+    # subset ever outgrows the budget, it falls back to the detail file
+    # rather than silently truncating the JSON.
+    compact_queries = {
+        n: t for n, t in timings.items() if n in CORE or n in BASELINE_REF_SEC
+    }
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "core_total_wall": core_total,
+        "queries": compact_queries,
         "load_sec": load_sec,
         "worst_baseline_ratio": worst,
         "detail": "BENCH_DETAIL.json",

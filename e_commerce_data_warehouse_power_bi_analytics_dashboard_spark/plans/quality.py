@@ -307,22 +307,25 @@ def dq_observe_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format(F.date_trunc("month", "full_date"), "yyyy-MM").alias("month"))
         .agg(F.round(F.sum("totalamount"), 2).cast("double").alias("revenue"))
     )
-    # ONE action drives both the gold build and the observed metrics
-    out_rows = gold.count()
-    out_rev = gold.agg(
+    # ONE action drives the gold build, its reconciliation aggregate AND
+    # the observed input metrics (round-5 advisory: the previous
+    # count()-then-agg() pair executed the fact scan twice and only the
+    # first action fed Observation.get)
+    out = gold.agg(
+        F.count(F.lit(1)).cast("long").alias("out_rows"),
         F.round(F.sum(F.col("revenue").cast("decimal(18,2)")), 2)
         .cast("double")
-        .alias("r")
-    ).collect()[0]["r"]
+        .alias("out_rev"),
+    ).collect()[0]
     m = obs.get
     return spark.createDataFrame(
         [
             (
-                out_rows,
+                out["out_rows"],
                 m["fact_rows"],
                 m["nonpositive_amounts"],
                 m["total_revenue"],
-                out_rev,
+                out["out_rev"],
             )
         ],
         "out_rows bigint, fact_rows bigint, nonpositive_amounts bigint, "

@@ -127,14 +127,20 @@ def test_stream_stream_left_join_matches_batch_finalized(spark):
         normalize_events_ts,
     )
     ev = normalize_events_ts(ev)
-    max_purchase_ts = (
-        ev.filter(F.col("event_type") == "purchase")
+    # Spark's GLOBAL watermark for a stream-stream join is the MIN across
+    # BOTH inputs (multipleWatermarkPolicy=min default) — deriving it
+    # from the purchase side alone only worked because this fixture's
+    # views extend past the last purchase (round-5 advisory)
+    maxes = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
         .agg(F.max("ts").alias("m"))
-        .collect()[0]["m"]
+        .collect()
     )
+    per_side = {r.event_type: r.m for r in maxes}
     import datetime
 
-    final_wm = max_purchase_ts - datetime.timedelta(hours=2)
+    final_wm = min(per_side["view"], per_side["purchase"]) - datetime.timedelta(hours=2)
     view_ts = {
         r.event_id: r.ts
         for r in ev.filter(F.col("event_type") == "view")
