@@ -547,19 +547,21 @@ WAV_SCHEMA = T.StructType(
 )
 
 
-def parse_wav(b: bytes) -> tuple[int, tuple[int, ...]]:
-    """Parse a RIFF/WAVE byte stream → (sample_rate, int16 samples).
+def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
+    """Parse a RIFF/WAVE byte stream → (sample_rate, channels,
+    interleaved int16 samples).
 
     Real chunk walk: tolerates unknown chunks (LIST/INFO/...) in any
     position, honors RIFF word alignment for odd-length bodies, and
-    validates fmt. Raises NotImplementedError for non-PCM/non-mono/
-    non-16-bit encodings (those need ffmpeg, absent here). Pure
-    function so the walker is property-testable without a session."""
+    validates fmt. Decodes 16-bit PCM mono AND stereo (interleaved
+    L/R); raises NotImplementedError for other encodings (those need
+    ffmpeg, absent here). Pure function so the walker is
+    property-testable without a session."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, rate, pcm = 12, None, None
+    pos, rate, channels, pcm = 12, None, None, None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
@@ -567,10 +569,10 @@ def parse_wav(b: bytes) -> tuple[int, tuple[int, ...]]:
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            if (audio_fmt, channels, bits) != (1, 1, 16):
+            if audio_fmt != 1 or bits != 16 or channels not in (1, 2):
                 raise NotImplementedError(
                     f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
-                    "only 16-bit PCM mono decodable without ffmpeg"
+                    "only 16-bit PCM mono/stereo decodable without ffmpeg"
                 )
         elif cid == b"data":
             pcm = body
@@ -580,12 +582,14 @@ def parse_wav(b: bytes) -> tuple[int, tuple[int, ...]]:
     import struct as _s
 
     n = len(pcm) // 2
-    return int(rate), _s.unpack(f"<{n}h", pcm[: n * 2])
+    return int(rate), int(channels), _s.unpack(f"<{n}h", pcm[: n * 2])
 
 
 def decode_wav(with_wav: DataFrame) -> DataFrame:
     """Decode RIFF/WAVE payloads to rate/duration/RMS via ``parse_wav``
-    in Arrow-batched ``mapInPandas``."""
+    in Arrow-batched ``mapInPandas``. ``n_samples`` counts FRAMES
+    (sample instants), so duration is channel-count-independent; rms is
+    over every sample of every channel (== mono rms for mono input)."""
 
     def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math as _m
@@ -595,13 +599,98 @@ def decode_wav(with_wav: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
-                rate, samples = parse_wav(bytes(wav))
+                rate, ch, samples = parse_wav(bytes(wav))
                 n = len(samples)
+                frames = n // ch
                 rms = _m.sqrt(sum(s * s for s in samples) / n) if n else 0.0
-                rows.append((int(doc_id), rate, n, n * 1000.0 / rate, rms))
+                rows.append((int(doc_id), rate, frames, frames * 1000.0 / rate, rms))
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_SCHEMA.fields])
 
     return with_wav.select("doc_id", "wav").mapInPandas(dec, WAV_SCHEMA)
+
+
+def _sample_st(doc_id: int, i: int, ch: int) -> int:
+    """Deterministic per-channel int16 sample (channel 0 reduces to the
+    mono formula) — closed-form in doc_id for the SQL oracle."""
+    return ((doc_id * 131 + i * 37 + ch * 53) % 20001) - 10000
+
+
+def synthesize_wav_stereo_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): real RIFF/WAVE files, 16-bit
+    little-endian PCM STEREO @ 8 kHz (interleaved L/R from the
+    closed-form per-channel formula), built per-partition in
+    mapInPandas."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = 40 + (d % 15) * 20
+                inter = [
+                    _sample_st(d, i, ch) for i in range(frames) for ch in range(2)
+                ]
+                pcm = struct.pack(f"<{len(inter)}h", *inter)
+                # block align = channels * bytes/sample = 4
+                fmt = struct.pack("<HHIIHH", 1, 2, _WAV_RATE, _WAV_RATE * 4, 4, 16)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+WAV_STEREO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms_left", T.DoubleType()),
+        T.StructField("rms_right", T.DoubleType()),
+    ]
+)
+
+
+def decode_wav_stereo(with_wav: DataFrame) -> DataFrame:
+    """Per-channel RMS over REAL stereo PCM payloads: ``parse_wav``
+    de-interleaves at stride 2; each channel's sum of squares is an
+    exact Python int, so the single sqrt-of-ratio per channel is
+    bit-stable against the SQL oracle."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math as _m
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                rate, ch, samples = parse_wav(bytes(wav))
+                if ch != 2:
+                    raise ValueError(f"doc {doc_id}: expected stereo WAV, got ch={ch}")
+                left, right = samples[0::2], samples[1::2]
+                frames = len(left)
+                rows.append(
+                    (
+                        int(doc_id), rate, frames,
+                        _m.sqrt(sum(s * s for s in left) / frames) if frames else 0.0,
+                        _m.sqrt(sum(s * s for s in right) / frames) if frames else 0.0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_STEREO_SCHEMA.fields])
+
+    return with_wav.select("doc_id", "wav").mapInPandas(dec, WAV_STEREO_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

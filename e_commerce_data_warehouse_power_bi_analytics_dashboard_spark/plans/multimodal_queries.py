@@ -322,6 +322,46 @@ def mm_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_stereo_decode",
+    oracle="""
+        WITH aud AS (
+            SELECT doc_id, 40 + (doc_id % 15) * 20 AS n
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        s AS (
+            SELECT a.doc_id, a.n, c.c AS ch,
+                   ((a.doc_id * 131 + i.i * 37 + c.c * 53) % 20001) - 10000 AS v
+            FROM aud a
+            JOIN range(0, 320) i(i) ON i.i < a.n
+            JOIN range(0, 2) c(c) ON true
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_frames,
+               round(sqrt(avg(CASE WHEN ch = 0 THEN v * v END)), 6) AS rms_left,
+               round(sqrt(avg(CASE WHEN ch = 1 THEN v * v END)), 6) AS rms_right
+        FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "mapInPandas"),
+    doc="REAL stereo WAV decode (r6 — the mono-only gate from r5 "
+        "narrowed to mono/stereo): synthesize valid int16-LE STEREO "
+        "RIFF/WAVE files (interleaved L/R, block align 4), chunk-walk "
+        "and de-interleave in mapInPandas, emitting per-channel RMS. "
+        "Channel sums of squares are exact ints, so the single "
+        "sqrt-of-ratio per channel is engine-stable; oracle reproduces "
+        "both channels from the closed-form formula without touching "
+        "the bytes.",
+)
+def mm_wav_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    decoded = MM.decode_wav_stereo(MM.synthesize_wav_stereo_payloads(docs))
+    return decoded.select(
+        "doc_id", "sample_rate", "n_frames",
+        F.round("rms_left", 6).alias("rms_left"),
+        F.round("rms_right", 6).alias("rms_right"),
+    )
+
+
+@register(
     "mm_jpeg_header_parse",
     oracle="""
         SELECT doc_id,

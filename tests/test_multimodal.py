@@ -287,9 +287,45 @@ if _HAVE_HYPOTHESIS:
         )
         body = b"WAVE" + (junk + core if junk_first else core + junk)
         wav = b"RIFF" + struct.pack("<I", len(body)) + body
-        rate, got = MM.parse_wav(wav)
-        assert rate == 8000
+        rate, ch, got = MM.parse_wav(wav)
+        assert rate == 8000 and ch == 1
         assert list(got) == samples
+
+
+def test_wav_stereo_roundtrip():
+    """Stereo synth → parse_wav de-interleave: channel streams recover
+    exactly, and the mono-formula channel 0 matches _sample."""
+    import struct
+
+    d, frames = 7, 12
+    inter = [MM._sample_st(d, i, ch) for i in range(frames) for ch in range(2)]
+    pcm = struct.pack(f"<{len(inter)}h", *inter)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, ch) == (8000, 2)
+    assert list(got[0::2]) == [MM._sample_st(d, i, 0) for i in range(frames)]
+    assert list(got[1::2]) == [MM._sample_st(d, i, 1) for i in range(frames)]
+    assert [MM._sample_st(d, i, 0) for i in range(frames)] == [
+        MM._sample(d, i) for i in range(frames)
+    ]
+
+
+def test_wav_unsupported_channels_gated():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 6, 8000, 96000, 12, 16)  # 5.1 layout
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="ch=6"):
+        MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
 def test_jpeg_header_parse_spark(spark):
