@@ -167,6 +167,7 @@ HEADLINE = [
     "tpch_q21_suppliers_kept_waiting",
     "ann_pq_adc_topk",
     "mm_png_rgb_decode",
+    "bpe_train_merges",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict

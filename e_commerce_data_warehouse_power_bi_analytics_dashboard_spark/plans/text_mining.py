@@ -285,3 +285,130 @@ def bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+_BPE_ROUNDS = 6
+
+
+def _o_bpe_trainer(rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB twin of bpe_train_merges: the same ``rounds`` greedy merge
+    iterations unrolled as chained CTEs. The per-word merge application
+    is a list_reduce over 1-element lists (DuckDB's reduce requires
+    acc-type == element-type, so symbols ride as [x]) implementing the
+    identical greedy left-to-right scan as the Spark aggregate() fold —
+    pop-last-and-push-merged whenever (last, current) == (l, r)."""
+    sql = """
+        WITH words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(""" + o_tokens("text") + """) AS w FROM documents
+            ) GROUP BY w HAVING w <> ''
+        ),
+        w0 AS (
+            SELECT w, freq,
+                   list_transform(range(1, len(w) + 1),
+                                  i -> substring(w, i::INT, 1)) AS s
+            FROM words
+        )"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+        p{i} AS (
+            SELECT s[j.j] AS l, s[j.j + 1] AS r, SUM(freq) AS n
+            FROM w{i - 1} JOIN range(1, 64) j(j) ON j.j < len(s)
+            GROUP BY 1, 2
+        ),
+        b{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+        w{i} AS (
+            SELECT w, freq,
+                   list_reduce(
+                       list_transform(s, x -> [x]),
+                       (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                                   THEN list_concat(acc[1:len(acc) - 1],
+                                                    [b.l || b.r])
+                                   ELSE list_concat(acc, x) END
+                   ) AS s
+            FROM w{i - 1}, b{i} b
+        )"""
+    steps = " UNION ALL ".join(
+        f"SELECT {i} AS step, l AS sym_left, r AS sym_right, "
+        f"CAST(n AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    return sql + f" SELECT * FROM ({steps}) ORDER BY step"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_o_bpe_trainer(),
+    tags=("llm", "text", "bpe", "iterative"),
+    doc=f"Iterative BPE trainer ({_BPE_ROUNDS} greedy merge rounds — the "
+        "full version of bpe_pair_merge_step, and the third iterative "
+        "algorithm next to k-means and PageRank): per round, count "
+        "adjacent symbol pairs on the word-TYPE table (vocabulary-"
+        "sized, token-count-independent), pick the most frequent pair "
+        "(deterministic count-then-lexicographic tiebreak, 1-row "
+        "TakeOrdered), and apply the greedy left-to-right merge to "
+        "every word via a JVM aggregate() fold with the winning pair "
+        "broadcast as columns — NO driver-side collect anywhere (the "
+        "winning pair stays a 1-row frame, never a Python literal); "
+        "lineage is cut per round with localCheckpoint (the k-means "
+        "pattern, O(R) not O(R²) work), and the whole fit hash-matches "
+        "the unrolled-CTE DuckDB twin. Emits the merge table "
+        "(step, sym_left, sym_right, pair_count). End-of-word markers "
+        "omitted (documented simplification).",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(s_tokens("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    cur = words.select(
+        "w", "freq",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"),
+    )
+    steps = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "IF(size(s) >= 2, transform(sequence(1, size(s) - 1), "
+                    "j -> struct(element_at(s, j) AS l, element_at(s, j + 1) AS r)), "
+                    "CAST(array() AS array<struct<l: string, r: string>>))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+        steps.append(
+            best.select(
+                F.lit(i).alias("step"),
+                F.col("l").alias("sym_left"),
+                F.col("r").alias("sym_right"),
+                F.col("n").cast("long").alias("pair_count"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best.select("l", "r"))).select(
+            "w", "freq",
+            F.expr(
+                "aggregate(s, CAST(array() AS array<string>), "
+                "(acc, x) -> IF(size(acc) > 0 AND try_element_at(acc, -1) = l "
+                "AND x = r, "
+                "concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))), "
+                "concat(acc, array(x))))"
+            ).alias("s"),
+        )
+        # cut the growing lineage per round (the k-means pattern): without
+        # this, round i re-executes every earlier round's pair count +
+        # fold — O(R²) over the vocabulary instead of O(R)
+        cur = cur.localCheckpoint(eager=True)
+    out = steps[0]
+    for s_df in steps[1:]:
+        out = out.unionAll(s_df)
+    return out.orderBy("step")
