@@ -509,3 +509,63 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k_bucket", "n_events", "k_sum", "variant_schema")
     )
+
+
+@register(
+    "events_session_window_builtin",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, CAST(value AS DECIMAL(12,2)) AS v,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM ordered
+        ),
+        sess AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                   AS session_gap_end,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(v), 2) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    tags=("events", "W", "sessionize", "session-window"),
+    doc="Gap-based sessionization via the BUILT-IN session_window "
+        "aggregate (r6) — the Catalyst-native declarative spelling of "
+        "events_sessionize's lag-chain (MergingSessionsExec merges "
+        "per-user windows engine-side, one user-keyed shuffle, no "
+        "Python). session_gap_end is last-event + gap (the engine's "
+        "eviction bound). Boundary semantics, mirrored by the oracle: "
+        "an exactly-30-min delta starts a NEW session here (window "
+        "merge needs ts < prev end strictly) vs the lag entry's "
+        "strict-greater split. Streaming twin: streaming/events.py::"
+        "session_windows_builtin (equivalence-tested).",
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_gap_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -212,6 +212,40 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def session_windows_builtin(events: DataFrame, watermark: str = "2 hours",
+                            gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via the BUILT-IN ``session_window`` — the
+    Catalyst-native declarative twin of ``sessionize_stream``'s custom
+    applyInPandasWithState operator (same per-user session state machine
+    run inside the engine's UpdatingSessionsExec/MergingSessionsExec,
+    JVM-side, no Python workers). Semantics note: events exactly ``gap``
+    apart start a NEW session here (window merge requires ts < prev end
+    strictly), while the lag-based batch rule keeps strict-greater-only
+    splits — identical on any corpus without exact-gap deltas, and the
+    batch entry this is equivalence-tested against uses session_window
+    itself so the pair is exact by construction. The window's ``end`` is
+    last event ts + gap (the eviction bound the watermark compares
+    against), unlike the custom operator's last-event-ts session_end.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_gap_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession, mode: str = "update") -> DataFrame:
     """Drain a stream with availableNow into an in-memory table (tests/bench)."""
     q = (

@@ -49,6 +49,30 @@ def test_stream_sessionize_closed_sessions_match_batch(spark):
     assert not mismatches
 
 
+def test_stream_session_window_builtin_matches_batch(spark):
+    """The built-in session_window stream (append mode) must emit only
+    sessions whose eviction bound (last event + gap) passed the final
+    watermark, each identical to its batch twin row — the declarative
+    counterpart of the applyInPandasWithState sessionizer test."""
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    out = SE.run_to_memory(
+        SE.session_windows_builtin(stream), "t_sess_builtin", spark, mode="append"
+    )
+    got = {
+        (r.user_id, r.session_start): (r.session_gap_end, r.n_events, r.session_value)
+        for r in out.collect()
+    }
+    batch = CATALOG["events_session_window_builtin"].fn(spark, SF_ORACLE).collect()
+    want = {
+        (r.user_id, r.session_start): (r.session_gap_end, r.n_events, r.session_value)
+        for r in batch
+    }
+    assert set(got) <= set(want)
+    assert len(got) >= 0.8 * len(want)
+    mismatches = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+    assert not mismatches
+
+
 def test_stream_static_enrichment_equals_batch(spark):
     from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import read_table
 
