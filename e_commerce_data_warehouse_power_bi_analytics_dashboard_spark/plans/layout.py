@@ -597,3 +597,67 @@ def layout_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
         )
     )
+
+
+@register(
+    "layout_schema_evolution_read",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS batch_v
+            FROM orders WHERE year(o_orderdate) = 1995
+        ),
+        v2 AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority, 2 AS batch_v
+            FROM orders WHERE year(o_orderdate) = 1996
+        ),
+        u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        SELECT CAST(batch_v AS INT) AS batch_v,
+               COALESCE(o_orderpriority, '<absent>') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue
+        FROM u GROUP BY 1, 2
+    """,
+    tags=("layout", "schema-evolution", "S4"),
+    doc="Parquet schema evolution (r6): two batches written with "
+        "DIFFERENT schemas (batch 2 adds o_orderpriority — the "
+        "ingest-pipeline reality at 100 TB where producers upgrade "
+        "mid-stream), read back through mergeSchema=true so the union "
+        "schema reconciles from the footers and the pre-evolution rows "
+        "surface NULLs; the aggregate proves no row is lost or "
+        "misattributed across schema versions. Scale note: mergeSchema "
+        "pays one footer read per file at planning — fine for "
+        "append-style batch counts, but a 100 TB lake with millions of "
+        "files wants the schema pinned in a table format "
+        "(metastore/Delta) instead of inferred per query; the READ "
+        "semantics exercised here are identical.",
+)
+def layout_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = scratch_path(sf_dir, "orders_evolving")
+
+    def _write() -> None:
+        orders = read_table(spark, sf_dir, "orders")
+        (
+            orders.filter(F.year("o_orderdate") == 1995)
+            .select("o_orderkey", "o_totalprice", F.lit(1).alias("batch_v"))
+            .write.mode("overwrite").parquet(base + "/b1")
+        )
+        (
+            orders.filter(F.year("o_orderdate") == 1996)
+            .select(
+                "o_orderkey", "o_totalprice", "o_orderpriority",
+                F.lit(2).alias("batch_v"),
+            )
+            .write.mode("overwrite").parquet(base + "/b2")
+        )
+
+    ensure_layout(spark, sf_dir, "orders_evolving", _write)
+    back = spark.read.option("mergeSchema", "true").parquet(base + "/b1", base + "/b2")
+    return back.groupBy(
+        "batch_v",
+        F.coalesce("o_orderpriority", F.lit("<absent>")).alias("priority"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        money_sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )

@@ -357,6 +357,19 @@ def _o_bpe_trainer(rounds: int = _BPE_ROUNDS) -> str:
         "omitted (documented simplification).",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    steps, _ = _bpe_fit(spark, sf_dir)
+    out = steps[0]
+    for s_df in steps[1:]:
+        out = out.unionAll(s_df)
+    return out.orderBy("step")
+
+
+def _bpe_fit(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared trainer loop: returns (per-round merge frames, the
+    final word-type symbol table (w, freq, s)) — consumed by both the
+    trainer entry and the encoder entry."""
     docs = read_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.expr(s_tokens("text"))).alias("w"))
@@ -408,7 +421,44 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this, round i re-executes every earlier round's pair count +
         # fold — O(R²) over the vocabulary instead of O(R)
         cur = cur.localCheckpoint(eager=True)
-    out = steps[0]
-    for s_df in steps[1:]:
-        out = out.unionAll(s_df)
-    return out.orderBy("step")
+    return steps, cur
+
+
+@register(
+    "bpe_encode_token_counts",
+    oracle=_o_bpe_trainer().split(" SELECT * FROM (")[0] + f"""
+        , wl AS (SELECT w, len(s) AS n_sub FROM w{_BPE_ROUNDS}),
+        dt AS (
+            SELECT doc_id, unnest({o_tokens("text")}) AS w FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+               CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+        FROM dt JOIN wl USING (w)
+        GROUP BY doc_id
+    """,
+    tags=("llm", "text", "bpe", "iterative"),
+    doc="BPE ENCODER closing the trainer loop: apply the trained merge "
+        "table to the corpus and count per-document subword tokens "
+        "(n_bpe_tokens) next to whitespace tokens. Encoding cost is "
+        "paid once per word TYPE (the final symbol table from the "
+        "trainer), then each document just sums its words' subword "
+        "counts through a vocabulary join — token-count work never "
+        "touches the merge machinery. Empty tokens drop in the join "
+        "(mirrored by the oracle).",
+)
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, vocab = _bpe_fit(spark, sf_dir)
+    wl = vocab.select("w", F.size("s").alias("n_sub"))
+    docs = read_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.expr(s_tokens("text"))).alias("w")
+    )
+    return (
+        dt.join(wl, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ws_tokens"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
