@@ -21,7 +21,8 @@ DAMP_NUM, BASE_NUM, DAMP_DEN = 85, 15, 100
 
 
 def fixed_point_pagerank(
-    edges: DataFrame, iters: int, salt_hubs: int = 0
+    edges: DataFrame, iters: int, salt_hubs: int = 0,
+    broadcast_contrib: bool = True,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list ``(src, dst)`` (pass both
     orientations for an undirected graph) → ``(node, pr)`` with integer
@@ -90,6 +91,13 @@ def fixed_point_pagerank(
             )
         else:
             contrib = per_edge.groupBy("dst").agg(F.sum("c").alias("contrib"))
+        # contrib is node-cardinality (one row per dst with in-edges) —
+        # broadcast it into the pinned node universe so the per-round
+        # rank rebuild adds NO shuffle beyond the edges⋈rank join (for
+        # billion-node graphs pass broadcast_contrib=False to fall back
+        # to a node-keyed shuffle join)
+        if broadcast_contrib:
+            contrib = F.broadcast(contrib)
         pr = (
             nodes.crossJoin(F.broadcast(nn))
             .join(contrib, nodes.node == contrib.dst, "left")

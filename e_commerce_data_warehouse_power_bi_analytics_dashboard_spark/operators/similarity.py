@@ -594,6 +594,16 @@ def semdedup_capped_frames(
     are deterministic (the planes are hash-derived), so the whole
     capped pipeline is cross-engine oracle-checkable.
     """
+    # query-internal pins (pins.py registry — released by the next pinned
+    # invocation): the N×k assignment argmax and the signature frame feed
+    # MANY branches below (size split, rep screen, survivors, verify
+    # joins), and Catalyst does not dedupe common subtrees — unpinned,
+    # each branch re-executes the full broadcast-cosine assignment
+    # (measured 6.7s → ~2s at sf0.1 for the catalog entry)
+    from .pins import fresh_pins, pin
+
+    fresh_pins()
+    assigned = pin(assigned)
     sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("_csize"))
     sized = assigned.join(sizes, "centroid_id")
     small = sized.filter(F.col("_csize") <= max_cluster_size).drop("_csize")
@@ -604,7 +614,7 @@ def semdedup_capped_frames(
     sigs = srp_signatures(
         big.select("vid", "v"), nbits, dim, id_col="vid", vec_col="v"
     ).withColumnRenamed("doc", "vid")
-    bigs = big.join(sigs, "vid")
+    bigs = pin(big.join(sigs, "vid"))
 
     # stage A: per (cluster, signature) group, verify members against
     # the group's min-id representative only — one comparison per member
@@ -625,7 +635,7 @@ def semdedup_capped_frames(
     )
 
     # stage B: survivors pair through pigeonhole blocks within cluster
-    survivors = bigs.join(drop_a, "vid", "left_anti")
+    survivors = pin(bigs.join(drop_a, "vid", "left_anti"))
     blocks = _hamming_block_table(
         survivors.select(F.col("vid").alias("doc"), "srp_sig"), nbits, max_hamming
     ).join(
