@@ -402,7 +402,11 @@ def pq_fit_codebooks(
         fit = kmeans_fit(sub, k=k, iters=iters, dim=sub_dim)
         b = fit.select(F.lit(s).alias("subspace"), "centroid_id", "cv")
         books = b if books is None else books.unionAll(b)
-    return books
+    # materialize the m·k-row codebook table once: kmeans_fit's returned
+    # plan embeds the final N×k membership-count join, and downstream
+    # (encode + LUT) references the codebooks 2m times — without this
+    # cut each reference re-executes every subspace's assignment pass
+    return books.localCheckpoint(eager=True)
 
 
 def pq_encode(
