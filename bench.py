@@ -168,6 +168,11 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "mm_png_rgb_decode",
     "bpe_train_merges",
+    # round-6b additions: the logistic-regression quality-classifier
+    # trainer (iterative, 65-cell gradient shuffle) and the word-entropy
+    # curation signal (explode-grain text agg)
+    "lr_train_weights",
+    "text_word_entropy",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict

@@ -86,6 +86,7 @@ def get_catalog() -> dict[str, Query]:
         from . import graph_queries  # noqa: F401
         from . import tpch_queries  # noqa: F401
         from . import sql_surfaces  # noqa: F401
+        from . import classifier_queries  # noqa: F401
 
         _LOADED = True
     return CATALOG

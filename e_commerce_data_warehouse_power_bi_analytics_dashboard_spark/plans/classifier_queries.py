@@ -1,0 +1,145 @@
+"""Quality-classifier catalog entries: distributed logistic-regression
+training + evaluation over the embeddings table.
+
+Beyond-reference LLM-pipeline surface (the reference warehouse at
+``/root/reference`` has no trainer; SURVEY.md's training-data-pipeline
+mandate calls for a quality-scoring model). The DuckDB oracles unroll
+the exact gradient-descent recurrence as chained CTEs — the same
+cross-engine-checkable-iteration technique as the k-means and PageRank
+entries (plans/llm_ops.py::_kmeans_oracle) — made possible by the
+6-decimal weight rounding at every iteration boundary in
+``operators/classifier.py::lr_fit``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import classifier as C
+from ..sources.tpch import read_table
+from .catalog import register
+
+_ITERS = 4
+_LR = 0.5
+_DIM = 64
+
+
+def _lr_ctes(
+    iters: int = _ITERS, lr: float = _LR, dim: int = _DIM
+) -> tuple[str, str]:
+    """DuckDB twin of operators/classifier.py::lr_fit, unrolled: pos 0
+    is the bias, pos 1..dim the weights (1-based, matching DuckDB's
+    list indexing; the Spark entries emit posexplode-pos + 1). Each
+    iteration rebuilds the weight list, scores every row with
+    ``list_dot_product`` (the same sequential fold as the engine's
+    s_dot), and applies the rounded update — so both engines walk the
+    identical weight trajectory."""
+    sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+        w0 AS (SELECT i.i AS pos, CAST(0 AS DOUBLE) AS wv
+               FROM range(0, {dim + 1}) i(i))
+    """
+    prev = "w0"
+    for t in range(1, iters + 1):
+        sql += f""",
+        p{t} AS (
+            SELECT e.v, e.y,
+                   1.0 / (1.0 + exp(-(b.wv + list_dot_product(w.wl, e.v)))) - e.y AS err
+            FROM e,
+                 (SELECT list(wv ORDER BY pos) AS wl FROM {prev} WHERE pos > 0) w,
+                 (SELECT wv FROM {prev} WHERE pos = 0) b
+        ),
+        g{t} AS (
+            SELECT i.i AS pos, avg(p.v[i.i] * p.err) AS g
+            FROM p{t} p JOIN range(1, {dim + 1}) i(i) ON true
+            GROUP BY i.i
+            UNION ALL
+            SELECT 0 AS pos, avg(err) AS g FROM p{t}
+        ),
+        w{t} AS (
+            SELECT w.pos, round(w.wv - {lr} * g.g, 6) AS wv
+            FROM {prev} w JOIN g{t} g USING (pos)
+        )"""
+        prev = f"w{t}"
+    return sql, prev
+
+
+_LR_SQL, _LR_FINAL = _lr_ctes()
+
+
+@register(
+    "lr_train_weights",
+    oracle=_LR_SQL + f"""
+        SELECT CAST(pos AS BIGINT) AS pos, wv AS weight
+        FROM {_LR_FINAL}
+    """,
+    tags=("llm", "classifier", "iterative"),
+    doc="Binary logistic-regression quality-classifier fit (full-batch "
+        "gradient descent, 4 iterations, lr=0.5, zero init) over the "
+        "64-dim embeddings with y = label%2 — the GPT-3/CCNet-style "
+        "quality-model trainer as a pure DataFrame program. Per round: "
+        "ONE corpus scan (broadcast 1-row weight frame, map-side "
+        "sigmoid/error) + ONE thin 65-cell gradient shuffle with "
+        "map-side partial avg; the bias gradient rides the same "
+        "shuffle. 6-decimal weight rounding per iteration makes the "
+        "ITERATIVE fit hash-match the unrolled-CTE oracle "
+        "(operators/classifier.py::lr_fit). Output: pos 0 = bias, "
+        "pos 1..64 = weights.",
+)
+def lr_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    fit = C.lr_fit(emb, iters=_ITERS, lr=_LR, dim=_DIM)
+    dims = fit.select(F.posexplode("w").alias("p0", "weight")).select(
+        (F.col("p0") + 1).cast("bigint").alias("pos"), "weight"
+    )
+    bias = fit.select(
+        F.lit(0).cast("bigint").alias("pos"), F.col("b").alias("weight")
+    )
+    return dims.unionAll(bias)
+
+
+@register(
+    "lr_train_eval",
+    oracle=_LR_SQL + f"""
+        , scored AS (
+            SELECT e.y,
+                   round(1.0 / (1.0 + exp(-(b.wv + list_dot_product(w.wl, e.v)))), 6) AS p
+            FROM e,
+                 (SELECT list(wv ORDER BY pos) AS wl FROM {_LR_FINAL} WHERE pos > 0) w,
+                 (SELECT wv FROM {_LR_FINAL} WHERE pos = 0) b
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN p >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN p >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN p < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN p < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               round(AVG(CASE WHEN (p >= 0.5) = (y = 1) THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+               round(AVG((p - y) * (p - y)), 6) AS brier
+        FROM scored
+    """,
+    tags=("llm", "classifier", "iterative"),
+    doc="Train-set evaluation of the logistic-regression quality "
+        "classifier: confusion matrix, accuracy, and Brier score in a "
+        "single 1-row aggregate. Scoring is map-side only (broadcast "
+        "1-row model, zero shuffle besides the scalar agg); the "
+        "probability is rounded to 6 decimals BEFORE the 0.5 threshold "
+        "so engine and oracle agree on borderline rows by "
+        "construction. Brier (not log-loss) keeps the metric total and "
+        "finite even for saturated probabilities "
+        "(operators/classifier.py::lr_score).",
+)
+def lr_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    fit = C.lr_fit(emb, iters=_ITERS, lr=_LR, dim=_DIM)
+    scored = C.lr_score(emb, fit)
+    return scored.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        F.sum(((F.col("pred") == 1.0) & (F.col("y") == 1.0)).cast("bigint")).alias("tp"),
+        F.sum(((F.col("pred") == 1.0) & (F.col("y") == 0.0)).cast("bigint")).alias("fp"),
+        F.sum(((F.col("pred") == 0.0) & (F.col("y") == 1.0)).cast("bigint")).alias("fn"),
+        F.sum(((F.col("pred") == 0.0) & (F.col("y") == 0.0)).cast("bigint")).alias("tn"),
+        F.round(F.avg((F.col("pred") == F.col("y")).cast("double")), 6).alias("accuracy"),
+        F.round(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6).alias("brier"),
+    )

@@ -135,6 +135,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.expr(f"md5({T.s_normalize('text')})").alias("fingerprint"))
 
 
+@register(
+    "text_word_entropy",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t AS w
+            FROM documents, unnest(string_split(text, ' ')) AS u(t)
+            WHERE t <> ''
+        ),
+        wf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+               round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy_nats,
+               round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio
+        FROM wf GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+    doc="Per-document word-distribution Shannon entropy (nats) and "
+        "type/token ratio — the unigram-diversity quality signal "
+        "(low-entropy docs are repetitive boilerplate; a standard "
+        "corpus-curation filter alongside text_quality_score). "
+        "H = ln(N) - sum(c*ln c)/N over the per-doc word-frequency "
+        "table: one explode to (doc, word) grain with map-side partial "
+        "counts (the shingle-explode scale shape — linear in corpus "
+        "size, no all-pairs), then a doc-keyed agg; 6-decimal rounding "
+        "absorbs cross-engine ln() reduction-order noise.",
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = F.sum("c")
+    return wf.groupBy("doc_id").agg(
+        total.alias("total_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.round(
+            F.log(total) - F.sum(F.col("c") * F.log("c")) / total, 6
+        ).alias("entropy_nats"),
+        F.round(F.count("*") / total.cast("double"), 6).alias("type_token_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
