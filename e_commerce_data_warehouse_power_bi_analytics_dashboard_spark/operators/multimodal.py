@@ -244,17 +244,66 @@ def encode_png(pixels: list[list[int]], filter_of_row, channels: int = 1) -> byt
     )
 
 
+def encode_png_palette(
+    indices: list[list[int]], palette: list[tuple[int, int, int]], filter_of_row
+) -> bytes:
+    """Encode an index grid as a real color-type-3 (indexed) PNG: a PLTE
+    chunk of RGB triples plus filtered 1-byte-per-pixel scanlines. The
+    filter loop is the ``encode_png`` channels=1 loop (palette indices
+    filter at the index stride per the PNG spec, NOT at the expanded RGB
+    stride). Runs inside the Arrow-batched synthesis UDF."""
+    import struct
+    import zlib as _z
+
+    h = len(indices)
+    w = len(indices[0]) if h else 0
+    raw = bytearray()
+    prev = [0] * w
+    for y in range(h):
+        row = indices[y]
+        ft = filter_of_row(y) % 5
+        raw.append(ft)
+        for x in range(w):
+            left = row[x - 1] if x >= 1 else 0
+            up = prev[x]
+            ul = prev[x - 1] if x >= 1 else 0
+            v = row[x]
+            if ft == 0:
+                raw.append(v)
+            elif ft == 1:
+                raw.append((v - left) & 0xFF)
+            elif ft == 2:
+                raw.append((v - up) & 0xFF)
+            elif ft == 3:
+                raw.append((v - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((v - _paeth(left, up, ul)) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = bytes(b for rgb in palette for b in rgb)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
     """Parse a PNG byte stream → (width, height, channels, sample grid);
     each grid row holds width*channels bytes (interleaved RGB for
     truecolor).
 
-    Real decoder for the 8-bit gray (color type 0) and 8-bit truecolor
-    (color type 2) subsets: walks chunks, VERIFIES each CRC,
-    concatenates IDATs, zlib-inflates, and reverses all five scanline
-    filters (None/Sub/Up/Average/Paeth) at the bytes-per-pixel stride.
-    Raises on corrupt CRCs; palette/alpha/sub-byte depths raise
-    NotImplementedError (those need PIL — absent here).
+    Real decoder for the 8-bit gray (color type 0), 8-bit truecolor
+    (color type 2), and 8-bit indexed/palette (color type 3) subsets:
+    walks chunks, VERIFIES each CRC, concatenates IDATs, zlib-inflates,
+    and reverses all five scanline filters (None/Sub/Up/Average/Paeth)
+    at the bytes-per-pixel stride; palette images de-filter at the
+    1-byte index stride and then expand through PLTE to interleaved RGB
+    (so palette output is shape-identical to truecolor). Raises on
+    corrupt CRCs / out-of-range palette indices; alpha and sub-byte
+    depths raise NotImplementedError (those need PIL — absent here).
     """
     import struct
     import zlib as _z
@@ -264,6 +313,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
     pos, w = 8, 0
     h = bitdepth = colortype = -1
     idat = bytearray()
+    plte = b""
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -273,18 +323,22 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
             raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             w, h, bitdepth, colortype = struct.unpack(">IIBB", body[:10])
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if bitdepth != 8 or colortype not in (0, 2):
+    if bitdepth != 8 or colortype not in (0, 2, 3):
         raise NotImplementedError(
             f"PNG bitdepth={bitdepth} colortype={colortype} needs a codec "
-            "library (PIL, absent here); stdlib path covers gray-8 and "
-            "truecolor-8"
+            "library (PIL, absent here); stdlib path covers gray-8, "
+            "truecolor-8, and palette-8"
         )
-    bpp = 1 if colortype == 0 else 3
+    if colortype == 3 and (not plte or len(plte) % 3):
+        raise ValueError("corrupt PNG: palette image without a valid PLTE chunk")
+    bpp = 1 if colortype in (0, 3) else 3
     stride = w * bpp
     raw = _z.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
@@ -313,6 +367,19 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
             row.append(v)
         grid.append(row)
         prev = row
+    if colortype == 3:
+        n_entries = len(plte) // 3
+        rgb: list[list[int]] = []
+        for row in grid:
+            out: list[int] = []
+            for idx in row:
+                if idx >= n_entries:
+                    raise ValueError(
+                        f"corrupt PNG: palette index {idx} >= {n_entries} entries"
+                    )
+                out.extend(plte[3 * idx : 3 * idx + 3])
+            rgb.append(out)
+        return w, h, 3, rgb
     return w, h, bpp, grid
 
 
@@ -374,6 +441,43 @@ def synthesize_png_rgb_payloads(docs: DataFrame) -> DataFrame:
                     for y in range(h)
                 ]
                 rows.append((d, encode_png(grid, lambda y, d=d: d + y, channels=3)))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+#: deterministic 16-entry palette + index formula shared with the SQL
+#: oracle: channel c of index i is (i * [17, 29, 53][c]) % 256
+_PALETTE = [((i * 17) % 256, (i * 29) % 256, (i * 53) % 256) for i in range(16)]
+
+
+def _pixel_idx(doc_id: int, x: int, y: int) -> int:
+    return (doc_id * 7 + y * 3 + x) % 16
+
+
+def synthesize_png_palette_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, png binary): real indexed-color PNG files
+    (color type 3: PLTE chunk + 1-byte-per-pixel filtered scanlines,
+    filter cycling through all five types) built per-partition in
+    mapInPandas. Palette and index grid are closed-form in doc_id so a
+    SQL oracle can reproduce the palette-EXPANDED channel stats without
+    ever seeing the bytes."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 5), 4 * (1 + d % 4)
+                idx = [[_pixel_idx(d, x, y) for x in range(w)] for y in range(h)]
+                rows.append(
+                    (d, encode_png_palette(idx, _PALETTE, lambda y, d=d: d + y))
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "png"])
 
     return docs.select("doc_id").mapInPandas(synth, schema)

@@ -101,6 +101,56 @@ def lr_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lr_corpus_filter",
+    oracle=_LR_SQL + f"""
+        , scored AS (
+            SELECT e.vec_id,
+                   round(1.0 / (1.0 + exp(-(b.wv + list_dot_product(w.wl, e.v)))), 6) AS p
+            FROM e,
+                 (SELECT list(wv ORDER BY pos) AS wl FROM {_LR_FINAL} WHERE pos > 0) w,
+                 (SELECT wv FROM {_LR_FINAL} WHERE pos = 0) b
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s.p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               CAST(SUM(CASE WHEN s.p >= 0.5 THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+               round(AVG(s.p), 6) AS avg_score
+        FROM documents d JOIN scored s ON s.vec_id = d.doc_id
+        GROUP BY d.source
+    """,
+    tags=("llm", "classifier", "curation", "iterative"),
+    doc="Classifier-driven corpus curation (the GPT-3 quality-filter "
+        "recipe end-to-end): train the LR model on the embeddings, "
+        "score every document through its embedding (doc_id = vec_id), "
+        "and report the keep decision per source — docs kept at "
+        "p >= 0.5, surviving char volume, mean quality score. The "
+        "score join is embedding-side (broadcast 1-row model, map-side "
+        "sigmoid) then one doc_id equi-join to the documents table; "
+        "output grain is the source dimension.",
+)
+def lr_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents")
+    fit = C.lr_fit(emb, iters=_ITERS, lr=_LR, dim=_DIM)
+    scored = C.lr_score(emb, fit).select(
+        F.col("vid").alias("doc_id"), "p"
+    )
+    keep = (F.col("p") >= 0.5).cast("bigint")
+    return (
+        docs.join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep).alias("n_keep"),
+            F.sum(F.when(F.col("p") >= 0.5, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+            F.round(F.avg("p"), 6).alias("avg_score"),
+        )
+    )
+
+
+@register(
     "lr_train_eval",
     oracle=_LR_SQL + f"""
         , scored AS (

@@ -1395,6 +1395,63 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_topk",
+    oracle=_o_pq_ctes() + f"""
+        , c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        cassigned AS (
+            SELECT vid, centroid_id FROM (
+                SELECT e.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e, c
+            ) WHERE rn = 1
+        ),
+        qb AS (SELECT vid AS query_id, centroid_id FROM cassigned WHERE vid < 10),
+        cand AS (
+            SELECT q.query_id, a.vid
+            FROM cassigned a JOIN qb q USING (centroid_id)
+            WHERE a.vid <> q.query_id
+        ),
+        adc_ivf AS (
+            SELECT cand.query_id, cand.vid AS neighbor_id,
+                   {" + ".join(f"SUM(CASE WHEN cd.subspace = {s} THEN l.lut END)" for s in range(_PQ_M))} AS adc_score
+            FROM cand
+            JOIN codes cd ON cd.vid = cand.vid
+            JOIN lut l ON l.query_id = cand.query_id
+                      AND l.subspace = cd.subspace AND l.code = cd.code
+            GROUP BY cand.query_id, cand.vid
+        )
+        SELECT query_id, neighbor_id, rank, adc_score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_score DESC, neighbor_id) AS rank
+            FROM adc_ivf
+        ) WHERE rank <= {_PQ_TOPK}
+    """,
+    tags=("llm", "similarity", "ivf", "pq", "iterative"),
+    doc="The COMBINED IVF+PQ scan (the classical billion-scale ANN "
+        "layout, Jégou et al. 2011 §V): coarse quantizer "
+        "(centroids = vec_id%50==0, nprobe=1) prunes the corpus to the "
+        "query's bucket, then only surviving candidates are ADC-scored "
+        "through their PQ codes — candidate-bounded joins end-to-end, "
+        "no raw-vector math at query time. Codebooks trained on raw "
+        "subvectors (IVFFlat-style, not residuals — documented "
+        "deviation; quantization loss is audited by the recall "
+        "entries). operators/similarity.py::ivfpq_adc_topk.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = S.pq_fit_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
+    )
+    return S.ivfpq_adc_topk(
+        emb, emb.filter("vec_id % 50 = 0"), books, _PQ_QPRED,
+        k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM,
+    )
+
+
+@register(
     "ann_pq_recall_audit",
     oracle=_o_pq_ctes() + f"""
         , exact5 AS (

@@ -263,6 +263,48 @@ def mm_png_rgb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_png_palette_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id, 8*(1 + doc_id % 5) AS w, 4*(1 + doc_id % 4) AS h
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        px AS (
+            SELECT i.doc_id, i.w, i.h,
+                   (i.doc_id * 7 + y.y * 3 + x.x) % 16 AS idx
+            FROM img i
+            JOIN range(0, 16) y(y) ON y.y < i.h
+            JOIN range(0, 40) x(x) ON x.x < i.w
+        )
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               round(avg((idx * 17) % 256), 6) AS mean_r,
+               round(avg((idx * 29) % 256), 6) AS mean_g,
+               round(avg((idx * 53) % 256), 6) AS mean_b
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+    doc="REAL indexed-color PNG decode (r6 — the palette gate from the "
+        "r5 codec narrowed): synthesize valid color-type-3 PNG files "
+        "(PLTE chunk of 16 RGB triples, 1-byte-per-pixel scanlines "
+        "filtered at the INDEX stride through all five filter types), "
+        "decode with the stdlib codec — chunk walk, CRC verify, "
+        "inflate, de-filter, palette expansion — and emit per-channel "
+        "means. Oracle reproduces the expanded channels from the "
+        "closed-form palette/index formulas without touching the bytes "
+        "(operators/multimodal.py::encode_png_palette/decode_png).",
+)
+def mm_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    decoded = MM.decode_image_rgb(MM.synthesize_png_palette_payloads(docs))
+    return decoded.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "mm_image_resize_box",
     oracle=f"""
         WITH img AS ({_IMG_DOCS}),

@@ -126,16 +126,51 @@ def test_png_unsupported_colortype_is_codec_gated():
     import struct
     import zlib
 
-    # IHDR declaring palette (colortype 3): needs PIL, raises from the
-    # parse (truecolor 2 is handled natively since r6)
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    # IHDR declaring RGBA (colortype 6): needs PIL, raises from the
+    # parse (truecolor 2 and palette 3 are handled natively since r6)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
     png = (
         MM._PNG_SIG
         + MM._png_chunk(b"IHDR", ihdr)
-        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 13)))
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 17)))
         + MM._png_chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="colortype"):
+        MM.decode_png(png)
+
+
+def test_png_palette_roundtrip_all_filters():
+    # every filter type appears (h=5, filter = y % 5); decode must
+    # reproduce the palette-expanded RGB of the closed-form index grid
+    w, h = 7, 5
+    idx = [[MM._pixel_idx(3, x, y) for x in range(w)] for y in range(h)]
+    png = MM.encode_png_palette(idx, MM._PALETTE, lambda y: y)
+    dw, dh, c, grid = MM.decode_png(png)
+    assert (dw, dh, c) == (w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = MM._PALETTE[idx[y][x]]
+            assert grid[y][x * 3 : x * 3 + 3] == [r, g, b]
+
+
+def test_png_palette_missing_plte_raises():
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (2 * 3)))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        MM.decode_png(png)
+
+
+def test_png_palette_out_of_range_index_raises():
+    png = MM.encode_png_palette([[0, 15], [9, 2]], MM._PALETTE[:8], lambda y: 0)
+    with pytest.raises(ValueError, match="palette index"):
         MM.decode_png(png)
 
 
