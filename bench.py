@@ -173,6 +173,16 @@ HEADLINE = [
     # curation signal (explode-grain text agg)
     "lr_train_weights",
     "text_word_entropy",
+    # round-6c additions: the combined IVF+PQ scan, the C4 line-dedup
+    # shuffle, the CCNet perplexity buckets, DSIR importance weights,
+    # the decorrelated scalar-subquery TPC-H shape, and degree-ordered
+    # triangle counting
+    "ann_ivfpq_topk",
+    "curation_line_dedup",
+    "text_unigram_perplexity",
+    "sample_importance_dsir",
+    "tpch_q17_small_quantity_revenue",
+    "graph_triangle_count",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict

@@ -274,3 +274,170 @@ def curation_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status")
     )
     return matched.groupBy("status").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# Gopher-style per-document quality rules (Rae et al. 2021, table A1
+# subset — the rules that are non-vacuous on this corpus). Word-count
+# band chosen so the synthetic docs (~30-80 words) split on it.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_TTR = 0.2
+GOPHER_MIN_STOPWORDS = 2
+
+
+@register(
+    "curation_gopher_rules",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   {T.o_tokens('text')} AS t
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS n_word_chars,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_intersect(list_distinct(t),
+                        [{",".join(f"'{w}'" for w in T.EN_STOPWORDS)}])) AS BIGINT) AS stop_hits
+            FROM m
+        )
+        SELECT doc_id, n_words,
+               round(n_word_chars / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+               round(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
+               stop_hits,
+               CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS pass_wordcount,
+               CAST(CASE WHEN n_word_chars >= {GOPHER_MIN_MEAN_LEN} * n_words
+                          AND n_word_chars <= {GOPHER_MAX_MEAN_LEN} * n_words
+                    THEN 1 ELSE 0 END AS BIGINT) AS pass_meanlen,
+               CAST(CASE WHEN n_distinct * 5 >= n_words THEN 1 ELSE 0 END AS BIGINT) AS pass_ttr,
+               CAST(CASE WHEN stop_hits >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS BIGINT) AS pass_stopwords,
+               CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                          AND n_word_chars >= {GOPHER_MIN_MEAN_LEN} * n_words
+                          AND n_word_chars <= {GOPHER_MAX_MEAN_LEN} * n_words
+                          AND n_distinct * 5 >= n_words
+                          AND stop_hits >= {GOPHER_MIN_STOPWORDS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS pass_all
+        FROM f
+    """,
+    tags=("llm", "curation", "quality"),
+    doc="Gopher-style document quality rules (Rae et al. 2021 A1 "
+        "subset): word-count band, mean-word-length band, type/token "
+        "ratio floor, stopword-presence floor — each rule surfaced as "
+        "its own flag plus the conjunction. Entirely map-side array "
+        "expressions (no explode, no shuffle); every rule is decided on "
+        "exact integer comparisons (n_word_chars >= 3*n_words, "
+        "n_distinct*5 >= n_words) so flags never hinge on a rounded "
+        "double; the reported ratios are single IEEE divisions of exact "
+        "ints, 6-dec rounded for the cross-engine hash.",
+)
+def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = T.s_tokens("text")
+    stoplist = ",".join(f"'{w}'" for w in T.EN_STOPWORDS)
+    f = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({t}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CAST(aggregate({t}, 0L, (a, x) -> a + length(x)) AS BIGINT)"
+        ).alias("n_word_chars"),
+        F.expr(f"CAST(size(array_distinct({t})) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            f"CAST(size(array_intersect(array_distinct({t}), array({stoplist}))) AS BIGINT)"
+        ).alias("stop_hits"),
+    )
+    in_band = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    len_ok = (F.col("n_word_chars") >= GOPHER_MIN_MEAN_LEN * F.col("n_words")) & (
+        F.col("n_word_chars") <= GOPHER_MAX_MEAN_LEN * F.col("n_words")
+    )
+    ttr_ok = F.col("n_distinct") * 5 >= F.col("n_words")
+    stop_ok = F.col("stop_hits") >= GOPHER_MIN_STOPWORDS
+    as_flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    return f.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_word_chars") / F.col("n_words").cast("double"), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(F.col("n_distinct") / F.col("n_words").cast("double"), 6).alias(
+            "distinct_ratio"
+        ),
+        "stop_hits",
+        as_flag(in_band).alias("pass_wordcount"),
+        as_flag(len_ok).alias("pass_meanlen"),
+        as_flag(ttr_ok).alias("pass_ttr"),
+        as_flag(stop_ok).alias("pass_stopwords"),
+        as_flag(in_band & len_ok & ttr_ok & stop_ok).alias("pass_all"),
+    )
+
+
+# C4-style corpus-wide line dedup. The synthetic corpus has no newlines,
+# so a "line" is a fixed 10-token segment of the normalized text — the
+# same deterministic segmentation in both engines; the plan shape (one
+# shuffle keyed on segment-content hash, keep the first occurrence) is
+# exactly the C4 recipe.
+LINE_TOKENS = 10
+
+
+@register(
+    "curation_line_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {T.o_tokens('text')} AS t FROM documents
+        ),
+        segs AS (
+            SELECT doc_id,
+                   CAST((i - 1) / {LINE_TOKENS} AS BIGINT) AS seg_idx,
+                   md5(array_to_string(t[i:i+{LINE_TOKENS - 1}], ' ')) AS seg_hash
+            FROM toks, unnest(range(1, greatest(len(t), 1) + 1, {LINE_TOKENS})) AS u(i)
+        ),
+        ranked AS (
+            SELECT doc_id, seg_idx,
+                   ROW_NUMBER() OVER (PARTITION BY seg_hash
+                                      ORDER BY doc_id, seg_idx) AS rn
+            FROM segs
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM ranked
+        GROUP BY doc_id
+    """,
+    tags=("llm", "curation", "dedup", "W1"),
+    doc=f"C4-style corpus-wide line dedup: each document is cut into "
+        f"{LINE_TOKENS}-token segments ('lines' — the corpus has no "
+        "newlines, see module doc), every segment's content hash is "
+        "ranked globally, and only the first occurrence (lowest "
+        "(doc_id, seg_idx)) survives; per-doc survival counts reported. "
+        "Scale shape: segmentation is map-side (sequence+slice, no "
+        "self-join); the only shuffle keys on the 16-byte segment hash, "
+        "and each hash group's size is the segment's duplication count "
+        "— bounded by corpus redundancy, never corpus size. The planted "
+        "near-dup pairs make the drop column non-vacuous.",
+)
+def curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = T.s_tokens("text")
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({t}), 1), {LINE_TOKENS}),"
+                f" i -> struct(CAST((i - 1) DIV {LINE_TOKENS} AS BIGINT) AS seg_idx,"
+                f" md5(array_join(slice({t}, i, {LINE_TOKENS}), ' ')) AS seg_hash))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.seg_idx", "s.seg_hash")
+    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )

@@ -153,3 +153,126 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("product_key"), F.col("pr").alias("pr_scaled")
     ).orderBy(F.desc("pr_scaled"), F.asc("product_key")).limit(_TOP)
+
+
+@register(
+    "graph_triangle_count",
+    oracle=with_star("""
+        , items AS (
+            SELECT DISTINCT invoiceid, product_key FROM fact_sales
+        ),
+        und AS (
+            SELECT a.product_key AS pa, b.product_key AS pb
+            FROM items a
+            JOIN items b ON a.invoiceid = b.invoiceid
+                        AND a.product_key < b.product_key
+            GROUP BY 1, 2
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT pa AS node FROM und
+                  UNION ALL SELECT pb FROM und)
+            GROUP BY node
+        ),
+        oriented AS (
+            SELECT CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pa ELSE pb END AS src,
+                   CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pb ELSE pa END AS dst,
+                   CASE WHEN (da.deg, pa) < (db.deg, pb) THEN db.deg ELSE da.deg END AS dd
+            FROM und
+            JOIN deg da ON da.node = pa
+            JOIN deg db ON db.node = pb
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM oriented x
+            JOIN oriented y ON y.src = x.src
+                           AND ((x.dd, x.dst) < (y.dd, y.dst))
+            JOIN oriented z ON z.src = x.dst AND z.dst = y.dst
+        )
+        SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+               CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+               CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+               3.0 * tri.n_triangles / (SELECT SUM(deg * (deg - 1) // 2) FROM deg)
+                   AS transitivity
+        FROM tri
+    """),
+    tags=("analytics", "graph", "J2"),
+    doc="Degree-ordered triangle counting over the co-purchase graph "
+        "(the Suri/Vassilvitskii MapReduce recipe): every undirected "
+        "edge is oriented from its lower-(degree, id) endpoint to the "
+        "higher, wedges are enumerated only at each edge's LOW-degree "
+        "apex, and each wedge is closed by one equi-join probe — the "
+        "orientation bounds per-node wedge fan-out by O(sqrt(m)) "
+        "regardless of hub degree, so the classic star-graph blowup "
+        "(a hub product in every basket generating deg^2 wedges) "
+        "cannot happen. Emits the global census: nodes, edges, wedge "
+        "count (exact sum deg*(deg-1)/2), triangles, and transitivity "
+        "= 3T/W as ONE IEEE division of exact integers (never a "
+        "rounded quotient). Shuffles: edge build (map-side from basket "
+        "arrays), degree agg, wedge self-join on the apex key, closing "
+        "equi-join on (v, w) — all candidate-bounded.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    per_invoice = (
+        s.fact_sales.select("invoiceid", "product_key")
+        .groupBy("invoiceid")
+        .agg(F.array_sort(F.collect_set("product_key")).alias("ps"))
+    )
+    und = (
+        per_invoice.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("pa").alias("node"))
+        .unionAll(und.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = (
+        und.join(deg.select(F.col("node").alias("pa"), F.col("deg").alias("da")), "pa")
+        .join(deg.select(F.col("node").alias("pb"), F.col("deg").alias("db")), "pb")
+        .select(
+            F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+    )
+    x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
+    wedge_lt = (F.col("x.dd") < F.col("y.dd")) | (
+        (F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst"))
+    )
+    tri = (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & wedge_lt)
+        .join(
+            z,
+            (F.col("z.src") == F.col("x.dst")) & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    census = und.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges"),
+        )
+    )
+    return tri.crossJoin(F.broadcast(census)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias("transitivity"),
+    )

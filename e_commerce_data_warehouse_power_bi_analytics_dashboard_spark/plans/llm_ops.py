@@ -1525,3 +1525,281 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+# Winnowing fingerprint parameters (Schleimer et al. 2003, SIGMOD):
+# k-word shingles hashed, then the minimum hash of every w-consecutive
+# window is selected — guarantees any shared run of >= w + k - 1 tokens
+# produces at least one shared fingerprint.
+_WINNOW_K = 3
+_WINNOW_W = 4
+#: fingerprints appearing in more than this many documents are dropped
+#: before the overlap self-join (MOSS's over-common-fingerprint cull):
+#: boilerplate shared by everything is not overlap signal, and the cap
+#: bounds the join's per-key fan-out.
+_WINNOW_DF_CAP = 20
+
+#: shared CTE prefix: token rows -> lead-built shingles -> hashed ->
+#: per-window minima (doc-partitioned windows only). ROW-BASED on
+#: purpose: the array-comprehension spelling re-evaluates the shingle
+#: pipeline inside every window lambda after optimizer inlining
+#: (O(tokens^3) per doc in BOTH engines — measured 37 s on 500 docs);
+#: rows + lag/min windows evaluate each stage once and stream long
+#: documents instead of materializing per-row arrays.
+_O_WINNOW_CTES = f"""
+    toks AS (
+        SELECT doc_id, {T.o_tokens('text')} AS t FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, s.pos AS pos, t[s.pos] AS w
+        FROM toks, unnest(range(1, len(t) + 1)) AS s(pos)
+    ),
+    le AS (
+        SELECT doc_id, pos, w,
+               LEAD(w, 1) OVER win AS w1, LEAD(w, 2) OVER win AS w2,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_tok
+        FROM tok
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT doc_id, pos, n_tok - {_WINNOW_K - 1} AS n_sh,
+               {T.o_md5_long("(w || ' ' || w1 || ' ' || w2)")} AS h
+        FROM le WHERE pos <= n_tok - {_WINNOW_K - 1}
+    ),
+    wm AS (
+        SELECT doc_id, pos, n_sh,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+                   AS wmin
+        FROM sh
+    ),
+    fps AS (
+        SELECT doc_id, n_sh, wmin FROM wm
+        WHERE pos <= greatest(n_sh - {_WINNOW_W - 1}, 1)
+    )
+"""
+
+
+def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, wmin) winnowing fingerprint rows (with repeats —
+    callers dedupe at their grain). Spark twin of ``_O_WINNOW_CTES``."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(F.expr(T.s_tokens("text"))).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    le = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.lead("w", 1).over(win).alias("w1"),
+        F.lead("w", 2).over(win).alias("w2"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_tok"),
+    )
+    sh = le.filter(F.col("pos") <= F.col("n_tok") - (_WINNOW_K - 1)).select(
+        "doc_id",
+        "pos",
+        (F.col("n_tok") - (_WINNOW_K - 1)).alias("n_sh"),
+        F.expr(T.s_md5_long("concat_ws(' ', w, w1, w2)")).alias("h"),
+    )
+    wmin = F.min("h").over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    )
+    return (
+        sh.withColumn("wmin", wmin)
+        .filter(F.col("pos") <= F.greatest(F.col("n_sh") - (_WINNOW_W - 1), F.lit(1)))
+        .select("doc_id", "n_sh", "wmin")
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+        WITH {_O_WINNOW_CTES}
+        SELECT doc_id,
+               CAST(MAX(n_sh) AS BIGINT) AS n_shingles,
+               CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+               round(COUNT(DISTINCT wmin) / CAST(MAX(n_sh) AS DOUBLE), 6)
+                   AS density,
+               CAST(bit_xor(DISTINCT wmin) AS BIGINT) AS fp_xor
+        FROM fps GROUP BY doc_id
+    """,
+    tags=("llm", "text", "dedup", "W1"),
+    doc=f"Winnowing document fingerprints (Schleimer et al. 2003, the "
+        f"MOSS algorithm): {_WINNOW_K}-word shingle hashes, minimum "
+        f"hash per {_WINNOW_W}-window, distinct minima kept — "
+        f"guarantees any shared run of >= {_WINNOW_W + _WINNOW_K - 1} "
+        "tokens yields a shared fingerprint, with expected density "
+        "2/(w+1) (observable in the density column). Row-based on "
+        "purpose: tokens posexplode once, shingles come from lead() "
+        "and window minima from a doc-partitioned ROWS frame, so every "
+        "stage evaluates once and long documents stream as rows (the "
+        "array-comprehension spelling re-inlines the shingle pipeline "
+        "into every window lambda — O(tokens^3) per doc, measured). "
+        "Shuffle: one doc_id partition; the xor checksum makes the "
+        "fingerprint SET hash-comparable without returning it.",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return _winnow_fp_rows(docs).groupBy("doc_id").agg(
+        F.max("n_sh").cast("long").alias("n_shingles"),
+        F.countDistinct("wmin").cast("long").alias("n_fingerprints"),
+        F.round(
+            F.countDistinct("wmin") / F.max("n_sh").cast("double"), 6
+        ).alias("density"),
+        F.expr("bit_xor(DISTINCT wmin)").cast("long").alias("fp_xor"),
+    )
+
+
+@register(
+    "dedup_winnowing_overlap",
+    oracle=f"""
+        WITH {_O_WINNOW_CTES},
+        e AS (
+            SELECT DISTINCT doc_id, wmin AS fp FROM fps
+        ),
+        nf AS (SELECT doc_id, COUNT(*) AS nf FROM e GROUP BY doc_id),
+        rare AS (
+            SELECT fp FROM e GROUP BY fp
+            HAVING COUNT(*) <= {_WINNOW_DF_CAP}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+            FROM e a
+            JOIN rare USING (fp)
+            JOIN e b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.shared AS BIGINT) AS shared_fps,
+               round(p.shared / CAST(least(na.nf, nb.nf) AS DOUBLE), 6)
+                   AS containment
+        FROM pairs p
+        JOIN nf na ON na.doc_id = p.doc_a
+        JOIN nf nb ON nb.doc_id = p.doc_b
+        WHERE p.shared >= 2
+    """,
+    tags=("llm", "dedup", "J2"),
+    doc="Partial-overlap detection via shared winnowing fingerprints "
+        "(the MOSS pairing step): distinct per-doc fingerprints "
+        "self-joined on the fingerprint value (inverted index), pairs "
+        "sharing >= 2 fingerprints reported with containment = "
+        "shared/min(|fps|). Detects SHARED PASSAGES, not just whole-"
+        "document near-duplicates — complementary to MinHash/SimHash "
+        "which dilute small overlaps away. Scale shape: fingerprints "
+        f"seen in more than {_WINNOW_DF_CAP} docs are culled BEFORE "
+        "the join (MOSS's over-common cull — boilerplate is not "
+        "overlap signal), capping per-key fan-out so pair volume is "
+        "candidate-bounded, never all-pairs; the cull is part of the "
+        "operator's definition and applied identically in the oracle.",
+)
+def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pins import fresh_pins, pin
+
+    docs = read_table(spark, sf_dir, "documents")
+    fresh_pins()
+    e = pin(_winnow_fp_rows(docs).select("doc_id", F.col("wmin").alias("fp")).distinct())
+    nf = e.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    rare = (
+        e.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _WINNOW_DF_CAP)
+        .select("fp")
+    )
+    pairs = (
+        e.alias("a")
+        .join(rare, "fp")
+        .join(e.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+    return (
+        pairs.join(F.broadcast(nf).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nf", "nf_a"), "doc_a")
+        .join(F.broadcast(nf).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nf", "nf_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps") / F.least("nf_a", "nf_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=_o_srp_sig_cte() + """
+        , nd AS (
+            SELECT a.doc AS id_a, b.doc AS id_b
+            FROM sig a JOIN sig b ON a.doc < b.doc
+            WHERE bit_count(xor(a.srp_sig, b.srp_sig)) <= 12
+              AND list_cosine_similarity(a.v, b.v) >= 0.4
+        ),
+        q AS (SELECT doc, v FROM sig WHERE doc < 10),
+        scored AS (
+            SELECT query_id, neighbor_id, score FROM (
+                SELECT q.doc AS query_id, s.doc AS neighbor_id,
+                       list_cosine_similarity(q.v, s.v) AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.doc
+                           ORDER BY list_cosine_similarity(q.v, s.v) DESC, s.doc
+                       ) AS rank
+                FROM sig s, q WHERE s.doc <> q.doc
+            ) WHERE rank <= 10
+        ),
+        filt AS (
+            SELECT * FROM scored s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM nd
+                WHERE nd.id_a = least(s.query_id, s.neighbor_id)
+                  AND nd.id_b = greatest(s.query_id, s.neighbor_id)
+            )
+        )
+        SELECT query_id, neighbor_id, hn_rank, score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id
+            ) AS hn_rank FROM filt
+        ) WHERE hn_rank <= 5
+    """,
+    tags=("llm", "similarity", "lsh", "J7"),
+    doc="Contrastive hard-negative mining (the retrieval-training "
+        "recipe): per query, the exact top-10 cosine neighbors MINUS "
+        "any SRP-verified near-duplicate pair (a near-dup is a false "
+        "negative — excluding it is the standard contrastive-batch "
+        "hygiene step), re-ranked to the 5 hardest surviving "
+        "negatives. Pure composition of existing operators: broadcast-"
+        "query exact top-k ⋈ anti-join against the candidate-bounded "
+        "SRP pair set at a widened radius (hamming <= 12 of 32 — the "
+        "near-dup screen errs on recall here because a missed near-dup "
+        "poisons training; at production scale widen nbits instead of "
+        "coarsening blocks), then a "
+        "query-partitioned re-rank over <= 10 rows — no new shuffle "
+        "shapes.",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    topk = S.brute_force_topk(emb, emb.filter("vec_id < 10"), k=10)
+    nd = S.srp_near_pairs(emb, max_hamming=12).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    keyed = topk.select(
+        "*",
+        F.least("query_id", "neighbor_id").alias("id_a"),
+        F.greatest("query_id", "neighbor_id").alias("id_b"),
+    )
+    filt = keyed.join(F.broadcast(nd), ["id_a", "id_b"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        filt.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= 5)
+        .select("query_id", "neighbor_id", "hn_rank", "score")
+    )

@@ -421,3 +421,147 @@ def sample_shard_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(doc_hash).cast("long").alias("content_hash"),
         (F.countDistinct("_file") == 1).alias("one_file_per_shard"),
     )
+
+
+# DSIR hashed-feature space: unigrams hashed into this many buckets.
+_DSIR_BUCKETS = 64
+#: target-domain proxy: one source stream stands in for the high-quality
+#: target corpus (DSIR needs only a target/raw split, not labels)
+_DSIR_TARGET = "src0"
+#: keep fraction — the top-30% cut on the length-normalized log ratio
+_DSIR_KEEP_Q = 0.70
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+        WITH tok AS (
+            SELECT d.doc_id, d.source, t AS w
+            FROM documents d, unnest(string_split(d.text, ' ')) AS u(t)
+            WHERE t <> ''
+        ),
+        b AS (
+            SELECT doc_id, source,
+                   ({T.o_md5_long('w', 7)}) % {_DSIR_BUCKETS} AS bucket
+            FROM tok
+        ),
+        db AS (
+            SELECT doc_id, source, bucket, COUNT(*) AS c
+            FROM b GROUP BY 1, 2, 3
+        ),
+        sb AS (SELECT bucket, SUM(c) AS s_c FROM db GROUP BY bucket),
+        tb AS (
+            SELECT bucket, SUM(c) AS t_c FROM db
+            WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+        ),
+        tot AS (
+            SELECT (SELECT SUM(s_c) FROM sb) AS s_n,
+                   (SELECT COALESCE(SUM(t_c), 0) FROM tb) AS t_n
+        ),
+        lam AS (
+            SELECT sb.bucket,
+                   ln(COALESCE(tb.t_c, 0) + 1) - ln(tot.t_n + {_DSIR_BUCKETS})
+                 - ln(sb.s_c + 1) + ln(tot.s_n + {_DSIR_BUCKETS}) AS lam
+            FROM sb LEFT JOIN tb USING (bucket), tot
+        ),
+        scored AS (
+            SELECT db.doc_id, db.source,
+                   CAST(SUM(db.c) AS BIGINT) AS n_tokens,
+                   round(SUM(db.c * lam.lam) / SUM(db.c), 6) AS avg_log_ratio
+            FROM db JOIN lam USING (bucket)
+            GROUP BY db.doc_id, db.source
+        ),
+        cut AS (
+            SELECT percentile_disc({_DSIR_KEEP_Q}) WITHIN GROUP
+                       (ORDER BY avg_log_ratio) AS q
+            FROM scored
+        )
+        SELECT s.doc_id, s.source, s.n_tokens, s.avg_log_ratio,
+               CAST(CASE WHEN s.avg_log_ratio > cut.q THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep
+        FROM scored s, cut
+    """,
+    tags=("llm", "sampling", "quality"),
+    doc="DSIR-style importance resampling (Xie et al. 2023): hashed "
+        f"unigram features ({_DSIR_BUCKETS} md5 buckets), add-1-smoothed "
+        "bucket distributions for the target domain (the "
+        f"'{_DSIR_TARGET}' stream as target proxy) vs the raw corpus, "
+        "per-document length-normalized log importance ratio "
+        "sum(c_b*ln(p_t(b)/p_s(b)))/n, and a deterministic top-30% keep "
+        "cut. Scale shape: one (doc,bucket) count shuffle (fan-in "
+        f"{_DSIR_BUCKETS} buckets/doc), two {_DSIR_BUCKETS}-row "
+        "distribution aggs broadcast back as the log-ratio table, "
+        "scoring map-side, one percentile_disc cutpoint row broadcast "
+        "for the keep flag — no window over the corpus. The keep "
+        "boundary compares 6-dec-rounded doubles against a cutpoint "
+        "drawn from the same rounded domain (strict >, so the boundary "
+        "doc itself is excluded identically in both engines).",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pins import fresh_pins, pin
+
+    docs = read_table(spark, sf_dir, "documents")
+    db = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "source",
+            (F.expr(T.s_md5_long("w", 7)) % _DSIR_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    fresh_pins()
+    db = pin(db)
+    sb = db.groupBy("bucket").agg(F.sum("c").alias("s_c"))
+    tb = (
+        db.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t_c"))
+    )
+    tot = sb.agg(F.sum("s_c").alias("s_n")).crossJoin(
+        tb.agg(F.coalesce(F.sum("t_c"), F.lit(0)).alias("t_n"))
+    )
+    lam = (
+        sb.join(tb, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("t_c"), F.lit(0)) + 1)
+                - F.log(F.col("t_n") + _DSIR_BUCKETS)
+                - F.log(F.col("s_c") + 1)
+                + F.log(F.col("s_n") + _DSIR_BUCKETS)
+            ).alias("lam"),
+        )
+    )
+    scored = pin(
+        db.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("lam")) / F.sum("c"), 6
+            ).alias("avg_log_ratio"),
+        )
+    )
+    cut = scored.agg(
+        F.expr(
+            f"percentile_disc({_DSIR_KEEP_Q}) WITHIN GROUP (ORDER BY avg_log_ratio)"
+        ).alias("q")
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "avg_log_ratio",
+        F.when(F.col("avg_log_ratio") > F.col("q"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )

@@ -122,3 +122,122 @@ def sql_lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 2
         ) c
     """)
+
+
+@register(
+    "sql_range_interval_window",
+    oracle="""
+        WITH daily AS (
+            SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS rev_dec
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT country, strftime(day, '%Y-%m-%d') AS day,
+               CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+               CAST(ROUND(SUM(rev_dec) OVER (
+                   PARTITION BY country ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ), 2) AS DOUBLE) AS trailing_7d
+        FROM daily
+    """,
+    tags=("sql", "window", "W4", "F14"),
+    doc="TIME-VALUED window frame: trailing-7-day revenue per country "
+        "via RANGE BETWEEN INTERVAL 6 DAY PRECEDING — the frame is "
+        "defined on the ORDER-BY date VALUES, so calendar gaps are "
+        "handled by the frame itself (no date-spine densification, the "
+        "declarative alternative to ts_gapfill + ROWS frames; a "
+        "sparse-day country still gets the correct 7-day trailing "
+        "sum). Country-partitioned (never a global window); the daily "
+        "pre-aggregate bounds each partition at calendar cardinality. "
+        "All sums are exact DECIMAL with terminal ROUND-to-DOUBLE "
+        "(_helpers discipline).",
+)
+def sql_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(f"""
+        WITH daily AS (
+            SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS rev_dec
+            FROM {_P}orders
+            JOIN {_P}customer ON o_custkey = c_custkey
+            JOIN {_P}nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT country, date_format(day, 'yyyy-MM-dd') AS day,
+               CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+               CAST(ROUND(SUM(rev_dec) OVER (
+                   PARTITION BY country ORDER BY day
+                   RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW
+               ), 2) AS DOUBLE) AS trailing_7d
+        FROM daily
+    """)
+
+
+#: Python UDTF chunker: 25-token chunks, emitted one row per chunk.
+#: Deterministic pure function of its argument (retry/speculation safe).
+_UDTF_CHUNK = 25
+
+
+def _chunker_udtf():
+    """Build the UDTF class lazily (decorator needs an active session on
+    some codepaths; keeps import of this module Spark-free)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_md5 string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            import hashlib
+
+            toks = [w for w in (text or "").split(" ") if w]
+            for i in range(0, max(len(toks), 1), _UDTF_CHUNK):
+                piece = " ".join(toks[i : i + _UDTF_CHUNK])
+                yield (
+                    i // _UDTF_CHUNK,
+                    len(toks[i : i + _UDTF_CHUNK]),
+                    hashlib.md5(piece.encode()).hexdigest(),
+                )
+
+    return ChunkDoc
+
+
+@register(
+    "sql_python_udtf_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST((i - 1) / {_UDTF_CHUNK} AS INT) AS chunk_idx,
+               CAST(len(t[i:i+{_UDTF_CHUNK - 1}]) AS INT) AS n_tokens,
+               md5(array_to_string(t[i:i+{_UDTF_CHUNK - 1}], ' ')) AS chunk_md5
+        FROM toks, unnest(range(1, greatest(len(t), 1) + 1, {_UDTF_CHUNK})) AS u(i)
+    """,
+    tags=("sql", "udtf", "python", "llm"),
+    doc="Python UDTF + LATERAL correlated table function (Spark 4 "
+        "pyspark.sql.functions.udtf): a user-defined table function "
+        f"chunks each document into {_UDTF_CHUNK}-token pieces, invoked "
+        "as `FROM docs, LATERAL chunk_doc(text)` — the table-function "
+        "extension API the DSL entries don't exercise (completing the "
+        "scalar-UDF / UDAF / UDTF triad with curation's mapInPandas). "
+        "The UDTF is a deterministic pure function of its argument, so "
+        "retries/speculative tasks are safe and the declarative DuckDB "
+        "twin reproduces it exactly. Scale: runs inside the scan stage "
+        "per-partition (one Python boundary, no shuffle introduced); "
+        "for bulk chunking prefer the zero-boundary JVM spelling "
+        "(curation_doc_chunks) — this entry exists to pin the API "
+        "surface.",
+)
+def sql_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(_P + "documents")
+    spark.udtf.register("chunk_doc", _chunker_udtf())
+    return spark.sql(f"""
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5
+        FROM {_P}documents d, LATERAL chunk_doc(d.text) c
+    """)

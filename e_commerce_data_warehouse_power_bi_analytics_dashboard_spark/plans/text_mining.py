@@ -462,3 +462,192 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+@register(
+    "text_unigram_perplexity",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, t AS w
+            FROM documents, unnest(string_split(text, ' ')) AS u(t)
+            WHERE t <> ''
+        ),
+        wf AS (
+            SELECT doc_id, lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3
+        ),
+        vocab AS (SELECT w, SUM(c) AS cw FROM wf GROUP BY w),
+        n AS (SELECT SUM(cw) AS n_total FROM vocab),
+        scored AS (
+            SELECT wf.doc_id, wf.lang,
+                   CAST(SUM(wf.c) AS BIGINT) AS n_tokens,
+                   round(ln(n.n_total) - SUM(wf.c * ln(v.cw)) / SUM(wf.c), 6)
+                       AS cross_entropy_nats
+            FROM wf JOIN vocab v USING (w), n
+            GROUP BY wf.doc_id, wf.lang, n.n_total
+        ),
+        cuts AS (
+            SELECT lang,
+                   percentile_disc(0.3333333333) WITHIN GROUP
+                       (ORDER BY cross_entropy_nats) AS c1,
+                   percentile_disc(0.6666666667) WITHIN GROUP
+                       (ORDER BY cross_entropy_nats) AS c2
+            FROM scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.n_tokens, s.cross_entropy_nats,
+               CASE WHEN s.cross_entropy_nats <= c.c1 THEN 'head'
+                    WHEN s.cross_entropy_nats <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS ccnet_bucket
+        FROM scored s JOIN cuts c USING (lang)
+    """,
+    tags=("llm", "text", "quality"),
+    doc="CCNet-style unigram-LM quality scoring (Wenzek et al. 2020): "
+        "train a corpus unigram model (word counts / total), score each "
+        "document's cross-entropy under it, and bucket head/middle/tail "
+        "per language at the 1/3 and 2/3 percentiles — the classic "
+        "LM-perplexity corpus filter with the LM reduced to its unigram "
+        "core so the DuckDB twin is exact. Scale shape: one (doc,word) "
+        "count shuffle, one vocabulary-sized word shuffle, the scoring "
+        "join keys on word (group size = document frequency), N and the "
+        "per-lang cutpoints ride broadcast 1-row/|langs| frames; no "
+        "global window. Scores are rounded to 6 decimals BEFORE the "
+        "percentile cut so bucket boundaries are engine-stable "
+        "(cutpoints are percentile_disc values drawn from the identical "
+        "rounded domain).",
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pins import fresh_pins, pin
+
+    docs = read_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = wf.groupBy("w").agg(F.sum("c").alias("cw"))
+    n_total = vocab.agg(F.sum("cw").alias("n_total"))
+    fresh_pins()
+    scored = pin(
+        wf.join(vocab, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.log("cw")).alias("_s"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(
+                F.log("n_total") - F.col("_s") / F.col("n_tokens"), 6
+            ).alias("cross_entropy_nats"),
+        )
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.expr(
+            "percentile_disc(0.3333333333) WITHIN GROUP (ORDER BY cross_entropy_nats)"
+        ).alias("c1"),
+        F.expr(
+            "percentile_disc(0.6666666667) WITHIN GROUP (ORDER BY cross_entropy_nats)"
+        ).alias("c2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cross_entropy_nats",
+        F.when(F.col("cross_entropy_nats") <= F.col("c1"), "head")
+        .when(F.col("cross_entropy_nats") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("ccnet_bucket"),
+    )
+
+
+#: number of head terms the Zipf fit runs over
+_ZIPF_TOP = 100
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+        WITH vocab AS (
+            SELECT t AS w, COUNT(*) AS c
+            FROM documents, unnest(string_split(text, ' ')) AS u(t)
+            WHERE t <> '' GROUP BY t
+        ),
+        top AS (
+            SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+            FROM vocab
+            ORDER BY c DESC, w LIMIT {_ZIPF_TOP}
+        ),
+        pts AS (SELECT ln(rank) AS x, ln(c) AS y FROM top),
+        m AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                   AS intercept,
+               round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM m
+    """,
+    tags=("llm", "text", "analytics", "T2"),
+    doc=f"Zipf's-law fit over the corpus vocabulary: OLS slope of "
+        f"ln(count) vs ln(rank) for the top-{_ZIPF_TOP} terms (a "
+        "healthy natural-language corpus sits near -1; synthetic or "
+        "templated corpora flatten — a corpus-level quality diagnostic "
+        "next to the per-doc entropy/perplexity signals). Scale shape: "
+        "one vocabulary-sized count shuffle, the head selected by "
+        f"TakeOrderedAndProject (top_k_ranked — each partition keeps "
+        "its local top-k, NO global window), moment sums over the "
+        f"{_ZIPF_TOP}-row frame, closed-form slope/intercept/R² on one "
+        "1-row frame. 6-dec rounding absorbs cross-engine ln()/"
+        "summation-order noise (the entropy-entry discipline).",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import top_k_ranked
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = top_k_ranked(vocab, [("c", "desc"), ("w", "asc")], _ZIPF_TOP, out="rank")
+    pts = top.select(
+        F.log("rank").alias("x"), F.log("c").alias("y")
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )

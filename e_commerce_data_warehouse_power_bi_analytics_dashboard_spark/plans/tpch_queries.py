@@ -334,3 +334,135 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         ORDER BY numwait DESC, s_name
         LIMIT 100
     """)
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-07-01'
+          AND o_orderdate < DATE '1997-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("olap", "tpch", "J8", "sql"),
+    doc="TPC-H Q4 order-priority checking (fixture adaptation: no "
+        "l_commitdate/l_receiptdate columns, so 'a lineitem arrived "
+        "late' is l_returnflag = 'R', matching the q21 adaptation; "
+        "quarter shifted into the 1997 domain): the single-EXISTS "
+        "shape. Catalyst decorrelates the EXISTS into one LeftSemi "
+        "join on l_orderkey (plan-pinned) — the quarter filter prunes "
+        "orders BEFORE the semi join's shuffle, and the lineitem side "
+        "carries only the returnflag-filtered keys; five output rows.",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM {_P}orders
+        WHERE o_orderdate >= DATE '1997-07-01'
+          AND o_orderdate < DATE '1997-10-01'
+          AND EXISTS (
+              SELECT 1 FROM {_P}lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+@register(
+    "tpch_q16_parts_supplier_count",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("olap", "tpch", "J7", "A3", "sql"),
+    doc="TPC-H Q16 parts/supplier relationship count (fixture "
+        "adaptations: no partsupp table, so the part-supplier "
+        "association is the distinct (l_partkey, l_suppkey) pairs "
+        "observed in lineitem; no s_comment, so 'complaint' suppliers "
+        "are the negative-acctbal ones — 6 of 100 at sf0.01, keeping "
+        "the exclusion non-vacuous): the NOT-IN anti-join shape. "
+        "Catalyst rewrites the NOT IN into a null-aware anti join "
+        "(s_suppkey is non-null, so it executes as a plain LeftAnti "
+        "against the broadcast 6-row exclusion list, plan-pinned); "
+        "part filters push to the scan and the join keys on partkey "
+        "with the COUNT(DISTINCT) expanding only after the exclusion.",
+)
+def tpch_q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(f"""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM {_P}part
+        JOIN {_P}lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM {_P}supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """)
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (
+              SELECT SUM(CAST(FLOOR(l2.l_quantity) AS INT)) / (5.0 * COUNT(*))
+              FROM lineitem l2
+              WHERE l2.l_partkey = p_partkey
+          )
+    """,
+    tags=("olap", "tpch", "J9", "A4", "sql"),
+    doc="TPC-H Q17 small-quantity-order revenue (fixture adaptation: "
+        "no p_container column, so the part filter is brand-only): the "
+        "correlated SCALAR-aggregate subquery shape — each lineitem "
+        "compares its quantity against 20% of ITS part's average. "
+        "Catalyst decorrelates the per-row subquery into ONE "
+        "per-partkey aggregation joined back on partkey (plan-pinned: "
+        "an Aggregate under a join, no per-row subquery execution), so "
+        "the lineitem table is scanned twice and shuffled once per "
+        "leg on partkey — never |lineitem| subquery runs. Exactness: "
+        "the 0.2*avg threshold is written as SUM(int)/(5.0*COUNT(*)) — "
+        "a single IEEE division of exact integers, identical in both "
+        "engines — and avg_yearly divides the exact decimal revenue "
+        "sum by 7.0 once (never rounding a double quotient).",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM {_P}lineitem
+        JOIN {_P}part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (
+              SELECT SUM(CAST(FLOOR(l2.l_quantity) AS INT)) / (5.0 * COUNT(*))
+              FROM {_P}lineitem l2
+              WHERE l2.l_partkey = p_partkey
+          )
+    """)

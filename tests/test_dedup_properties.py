@@ -221,3 +221,55 @@ def test_prefix_join_volume_bounded_under_hot_key(spark):
     hot_rows = prefix.filter(F.col("g") == "hot").count()
     assert hot_rows == 0  # the n²-risk posting list never enters the join
     assert prefix.count() == n * 3  # ceil(0.2*10)+1 = 3 per doc
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al. guarantee: two documents sharing a run of
+    >= w + k - 1 tokens must share at least one winnowing fingerprint,
+    regardless of the surrounding text."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.llm_ops import (
+        _WINNOW_K,
+        _WINNOW_W,
+        _winnow_fp_rows,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(_WINNOW_W + _WINNOW_K - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {run} delta epsilon zeta"),
+            (2, f"one two three four five {run} six seven"),
+            (3, "totally unrelated words nothing in common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        doc: {r.wmin for r in rows}
+        for doc, rows in __import__("itertools").groupby(
+            sorted(
+                _winnow_fp_rows(docs).select("doc_id", "wmin").collect(),
+                key=lambda r: r.doc_id,
+            ),
+            key=lambda r: r.doc_id,
+        )
+    }
+    assert fps[1] & fps[2], "shared run produced no shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnowing_density_bound(spark):
+    """Winnowing selects at most one fingerprint per window start, and
+    every window contributes — so 1 <= |fps| <= n_windows, and for a
+    random-ish document the density is near 2/(w+1)."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.llm_ops import (
+        _winnow_fp_rows,
+    )
+
+    text = " ".join(f"w{(i * 7919) % 997}" for i in range(200))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = _winnow_fp_rows(docs).collect()
+    n_sh = rows[0].n_sh
+    fps = {r.wmin for r in rows}
+    assert 1 <= len(fps) <= n_sh
+    # 200 distinct-ish tokens: expect density well below 1 (window minima
+    # repeat across adjacent windows) but above the degenerate floor
+    assert 0.1 < len(fps) / n_sh < 0.8

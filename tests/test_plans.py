@@ -301,3 +301,34 @@ def test_tpch_q18_q21_decorrelate_to_semi_anti_joins(spark):
     assert "LeftAnti" in p21, f"q21 NOT EXISTS not an anti join:\n{p21}"
     for name, p in (("q18", p18), ("q21", p21)):
         assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
+
+
+def test_tpch_q4_q16_q17_decorrelate(spark):
+    """Round-6 pin: q4's EXISTS must become a LeftSemi join, q16's
+    NOT IN a (null-aware) LeftAnti join, and q17's correlated scalar
+    AVG subquery must decorrelate into ONE per-partkey Aggregate joined
+    back — never per-row subquery execution or a cartesian fallback."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.tpch_queries import (
+        tpch_q4_order_priority,
+        tpch_q16_parts_supplier_count,
+        tpch_q17_small_quantity_revenue,
+    )
+
+    p4 = tpch_q4_order_priority(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p4, f"q4 EXISTS not a semi join:\n{p4}"
+    p16 = tpch_q16_parts_supplier_count(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p16, f"q16 NOT IN not an anti join:\n{p16}"
+    p17 = tpch_q17_small_quantity_revenue(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    # the decorrelated threshold shows up as an aggregate on the inner
+    # lineitem leg feeding an equi-join on partkey
+    assert "HashAggregate" in p17 and "l_partkey" in p17, (
+        f"q17 scalar subquery not decorrelated:\n{p17}"
+    )
+    for name, p in (("q4", p4), ("q16", p16), ("q17", p17)):
+        assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
