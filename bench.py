@@ -183,6 +183,7 @@ HEADLINE = [
     "sample_importance_dsir",
     "tpch_q17_small_quantity_revenue",
     "graph_triangle_count",
+    "pca_power_iteration",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict

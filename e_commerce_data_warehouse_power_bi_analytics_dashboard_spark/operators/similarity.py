@@ -917,3 +917,108 @@ def srp_near_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def pca_top_component(
+    emb: DataFrame, iters: int = 4, dim: int = 64, quant: int = 10_000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding cloud by power iteration
+    over the EXACT-INTEGER scaled covariance matrix.
+
+    Determinism recipe (the k-means/PageRank family, third member):
+      1. coordinates quantize map-side to ``quant``-scaled integers
+         (floor(x*quant + 0.5) — identical in both engines: float ->
+         double promotion, one multiply, one floor, all correctly
+         rounded IEEE ops);
+      2. the scaled covariance  A_ij = n*G_ij - S_i*S_j  is pure BIGINT
+         arithmetic on exact sums (G = gram matrix of quantized coords,
+         S = coordinate sums) — order-independent, so Spark's
+         distributed aggregation matches any serial twin bit-for-bit
+         (|A| <= n^2*(quant*|x|max)^2 must stay < 2^53 so the later
+         int->double read is exact: fine to ~1e6 rows at |x|<=0.5 —
+         beyond that raise the scale into DECIMAL or drop quant);
+      3. each power-iteration round re-synchronizes the eigvec to 6
+         decimals after L2 normalization (u = A v; v' = round(u/||u||))
+         — the k-means rounding trick that makes the ITERATIVE fit
+         oracle-checkable: per-round float drift (~1e-14 relative from
+         summation order) dies at the 6th decimal.
+
+    Scale shape: ONE map-side pair expansion (dim^2 structs per row,
+    partially aggregated before the 4096-cell shuffle) builds A; A is
+    localCheckpoint-ed once and every round is a broadcast of the
+    64-row eigvec against the 4096-row A — no further corpus scans.
+    Sign convention: v0 = all-positive uniform, so the returned
+    component's sign is fixed by the iteration, not by chance.
+
+    Returns (pos, loading, explained_ratio): 1-based coordinate, the
+    6-dec eigvec entry, and the (repeated) Rayleigh-quotient share of
+    total variance — scale-free, so safe to hash (the raw scaled
+    eigenvalue is ~1e12 where 6-dec rounding would NOT absorb float
+    drift; the ratio is O(1) where it does).
+    """
+    spark = emb.sparkSession
+    qarr = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT))"
+    )
+    rows = emb.select(F.col(id_col).alias("vid"), qarr.alias("q"))
+    cells = rows.select(
+        "vid", F.posexplode("q").alias("pos0", "qv")
+    ).select("vid", (F.col("pos0") + 1).alias("i"), "qv")
+    n1 = rows.agg(F.count("*").alias("n"))
+    s = cells.groupBy("i").agg(F.sum("qv").alias("s"))
+    pairs = rows.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (x, i) -> "
+                "transform(q, (y, j) -> struct(i + 1 AS i, j + 1 AS j, x * y AS p))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    g = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+    a = (
+        g.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
+        .join(F.broadcast(s.select(F.col("i").alias("j"), F.col("s").alias("sj"))), "j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i", "j", (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("aij")
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(round(1.0 / (dim ** 0.5), 6)).alias("v"),
+    )
+    for _ in range(iters):
+        u = (
+            a.join(
+                F.broadcast(v.select(F.col("i").alias("j"), F.col("v"))), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("aij") * F.col("v")).alias("u"))
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("i", F.round(F.col("u") / F.col("nrm"), 6).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    num = (
+        a.join(F.broadcast(v.select(F.col("i"), F.col("v").alias("vi"))), "i")
+        .join(F.broadcast(v.select(F.col("i").alias("j"), F.col("v").alias("vj"))), "j")
+        .agg(F.sum(F.col("vi") * F.col("aij") * F.col("vj")).alias("num"))
+    )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+    trace = a.filter(F.col("i") == F.col("j")).agg(F.sum("aij").alias("trace"))
+    ratio = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.round(
+                F.col("num") / (F.col("den") * F.col("trace")), 6
+            ).alias("explained_ratio")
+        )
+    )
+    return v.crossJoin(F.broadcast(ratio)).select(
+        F.col("i").alias("pos"), F.col("v").alias("loading"), "explained_ratio"
+    )

@@ -1803,3 +1803,84 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hn_rank") <= 5)
         .select("query_id", "neighbor_id", "hn_rank", "score")
     )
+
+
+# PCA power-iteration parameters (operator: similarity.pca_top_component)
+_PCA_ITERS = 4
+_PCA_QUANT = 10_000
+
+
+def _o_pca_iter(prev: str, t: int) -> str:
+    """One unrolled power-iteration round (mirrors the operator: u = A v,
+    v' = round(u/||u||, 6))."""
+    return f"""
+        u{t} AS (
+            SELECT a.i, SUM(a.aij * v.v) AS u
+            FROM a JOIN {prev} v ON v.i = a.j GROUP BY a.i
+        ),
+        nr{t} AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u{t}),
+        v{t} AS (SELECT i, round(u / nrm, 6) AS v FROM u{t}, nr{t})"""
+
+
+@register(
+    "pca_power_iteration",
+    oracle=f"""
+        WITH rows_ AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * {_PCA_QUANT} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, s.i AS i, q[s.i] AS qv
+            FROM rows_, unnest(range(1, 65)) AS s(i)
+        ),
+        n1 AS (SELECT COUNT(*) AS n FROM rows_),
+        sarr AS (SELECT i, SUM(qv) AS s FROM cells GROUP BY i),
+        g AS (
+            SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS g
+            FROM cells a JOIN cells b USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        a AS (
+            SELECT g.i, g.j,
+                   (SELECT n FROM n1) * g.g - sa.s * sb.s AS aij
+            FROM g
+            JOIN sarr sa ON sa.i = g.i
+            JOIN sarr sb ON sb.i = g.j
+        ),
+        v0 AS (SELECT s.i AS i, 0.125 AS v FROM unnest(range(1, 65)) AS s(i)),
+        {_o_pca_iter("v0", 1)},
+        {_o_pca_iter("v1", 2)},
+        {_o_pca_iter("v2", 3)},
+        {_o_pca_iter("v3", 4)},
+        num_ AS (
+            SELECT SUM(vi.v * a.aij * vj.v) AS num
+            FROM a JOIN v4 vi ON vi.i = a.i JOIN v4 vj ON vj.i = a.j
+        ),
+        den_ AS (SELECT SUM(v * v) AS den FROM v4),
+        tr AS (SELECT SUM(aij) AS trace FROM a WHERE i = j)
+        SELECT CAST(v4.i AS INT) AS pos, v4.v AS loading,
+               round(num / (den * trace), 6) AS explained_ratio
+        FROM v4, num_, den_, tr
+    """,
+    tags=("llm", "similarity", "pca", "iterative"),
+    doc=f"Top principal component of the embedding cloud by "
+        f"{_PCA_ITERS}-round power iteration — the whitening/"
+        "dimensionality diagnostic of an embedding pipeline. Third "
+        "member of the deterministic-iteration family: the scaled "
+        "covariance A = n·G − S·Sᵀ is EXACT BIGINT arithmetic on "
+        f"{_PCA_QUANT}-quantized coordinates (one map-side dim² pair "
+        "expansion, partially aggregated before a 4096-cell shuffle; "
+        "A localCheckpoint-ed once), and each round re-synchronizes "
+        "the eigvec to 6 decimals after L2 normalization (the k-means "
+        "rounding trick) so the ITERATIVE fit matches the unrolled-CTE "
+        "oracle. Rounds are broadcasts of the 64-row eigvec against "
+        "the 4096-row A — no further corpus scans. Output is the "
+        "loading vector + the scale-free explained-variance ratio "
+        "(the raw ~1e12 eigenvalue would not hash stably; the ratio "
+        "does). operators/similarity.py::pca_top_component.",
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.pca_top_component(emb, iters=_PCA_ITERS, quant=_PCA_QUANT)
