@@ -914,3 +914,62 @@ def decode_jpeg_header(with_jpeg: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in JPEG_SCHEMA.fields])
 
     return with_jpeg.select("doc_id", "jpeg").mapInPandas(dec, JPEG_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("hash_hi", T.LongType()),
+        T.StructField("hash_lo", T.LongType()),
+        T.StructField("n_ones", T.IntegerType()),
+    ]
+)
+
+
+def ahash_image(with_png: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) of grayscale PNG payloads — the
+    integer-exact member of the perceptual-hash family: the image is
+    box-partitioned into an 8x8 cell grid and bit (cy*8+cx) is set iff
+    the cell mean exceeds the image mean. Both comparisons run on EXACT
+    integer cross-products (cell_sum * n_pixels > image_sum * cell_n),
+    so the hash is bit-deterministic — no float mean ever materializes
+    (pHash's DCT would put libm cosines in the hash path; aHash stays
+    in integers end-to-end, which is why it is the one that can be
+    oracle-checked exactly).
+
+    Images narrower/shorter than 8 produce empty cells (x0 == x1);
+    empty cells hash to 0 by definition (0 > anything*0 is false) —
+    deterministic, mirrored in the SQL twin. Returned as two 32-bit
+    words (the SimHash convention) + popcount; pairing belongs to the
+    existing pigeonhole hamming machinery (operators/similarity.py).
+    Arrow-batched mapInPandas; payload pruned from the output."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, c, grid = decode_png(bytes(png))
+                if c != 1:
+                    raise ValueError(f"doc {doc_id}: aHash expects grayscale")
+                tot = sum(sum(r) for r in grid)
+                npx = w * h
+                bits = []
+                for cy in range(8):
+                    for cx in range(8):
+                        x0, x1 = cx * w // 8, (cx + 1) * w // 8
+                        y0, y1 = cy * h // 8, (cy + 1) * h // 8
+                        s = sum(
+                            grid[y][x] for y in range(y0, y1) for x in range(x0, x1)
+                        )
+                        ncell = (x1 - x0) * (y1 - y0)
+                        bits.append(1 if s * npx > tot * ncell else 0)
+                hi = sum(b << i for i, b in enumerate(bits[:32]))
+                lo = sum(b << i for i, b in enumerate(bits[32:]))
+                rows.append((int(doc_id), w, h, hi, lo, sum(bits)))
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return with_png.select("doc_id", "png").mapInPandas(dec, AHASH_SCHEMA)

@@ -214,6 +214,8 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "equi-join on (v, w) — all candidate-bounded.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pins import fresh_pins, pin
+
     s = StarSchema(spark, sf_dir)
     per_invoice = (
         s.fact_sales.select("invoiceid", "product_key")
@@ -233,6 +235,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.pa", "p.pb")
         .distinct()
     )
+    # the edge list, degree table and oriented adjacency each feed
+    # multiple join legs (x/y/z plus the census) — pin them so the
+    # basket explode + distinct runs once, not once per leg
+    fresh_pins()
+    und = pin(und)
     deg = (
         und.select(F.col("pa").alias("node"))
         .unionAll(und.select(F.col("pb").alias("node")))
@@ -251,6 +258,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
         )
     )
+    deg = pin(deg)
+    oriented = pin(oriented)
     x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
     wedge_lt = (F.col("x.dd") < F.col("y.dd")) | (
         (F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst"))

@@ -428,3 +428,70 @@ def mm_wav_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_jpeg_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return MM.decode_jpeg_header(MM.synthesize_jpeg_payloads(docs))
+
+
+@register(
+    "mm_image_ahash",
+    oracle=f"""
+        WITH img AS ({_IMG_DOCS}),
+        px AS (
+            SELECT i.doc_id, i.w, i.h, x.x, y.y,
+                   (i.doc_id * 7 + y.y * 3 + x.x) % 256 AS v
+            FROM img i
+            JOIN range(0, 20) y(y) ON y.y < i.h
+            JOIN range(0, 48) x(x) ON x.x < i.w
+        ),
+        cells AS (
+            SELECT i.doc_id, i.w, i.h, cx.cx, cy.cy
+            FROM img i, range(0, 8) cx(cx), range(0, 8) cy(cy)
+        ),
+        cellagg AS (
+            SELECT c.doc_id, c.w, c.h, c.cx, c.cy,
+                   COALESCE(SUM(p.v), 0) AS s,
+                   COUNT(p.v) AS ncell
+            FROM cells c
+            LEFT JOIN px p ON p.doc_id = c.doc_id
+               AND p.x >= (c.cx * c.w) // 8 AND p.x < ((c.cx + 1) * c.w) // 8
+               AND p.y >= (c.cy * c.h) // 8 AND p.y < ((c.cy + 1) * c.h) // 8
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        tot AS (
+            SELECT doc_id, SUM(v) AS tot, COUNT(*) AS npx
+            FROM px GROUP BY doc_id
+        ),
+        bits AS (
+            SELECT ca.doc_id, ca.w, ca.h,
+                   ca.cy * 8 + ca.cx AS bit,
+                   CASE WHEN ca.s * t.npx > t.tot * ca.ncell
+                        THEN 1 ELSE 0 END AS b
+            FROM cellagg ca JOIN tot t USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(SUM(CASE WHEN bit < 32
+                    THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+                   AS hash_hi,
+               CAST(SUM(CASE WHEN bit >= 32
+                    THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT)
+                   AS hash_lo,
+               CAST(SUM(b) AS INT) AS n_ones
+        FROM bits GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode", "dedup", "mapInPandas"),
+    doc="64-bit average-hash (aHash) over the decoded grayscale PNGs — "
+        "perceptual image fingerprinting for visual near-dup detection. "
+        "Every bit is an EXACT integer comparison (cell_sum * n_pixels "
+        "> image_sum * cell_n — no float mean, no libm DCT like pHash) "
+        "so the hash is bit-deterministic and the SQL twin reproduces "
+        "it from the closed-form pixel formula without touching bytes. "
+        "Sub-8-pixel dimensions yield empty cells hashing to 0 "
+        "(defined, mirrored in the oracle). Hash emitted as two 32-bit "
+        "words + popcount — the SimHash wire shape, so visual pairing "
+        "rides the existing pigeonhole hamming machinery; on this "
+        "synthetic gradient corpus the pair stage would be degenerate "
+        "(all images are smooth ramps), so this entry pins the hashing "
+        "operator itself. operators/multimodal.py::ahash_image.",
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return MM.ahash_image(MM.synthesize_png_payloads(docs))

@@ -513,3 +513,102 @@ def category_top2_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "stats_measure_correlation",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(q AS DECIMAL(38,0))) AS sq,
+                   SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+                   SUM(CAST(d AS DECIMAL(38,0))) AS sd,
+                   SUM(CAST(q AS DECIMAL(38,0)) * q) AS sqq,
+                   SUM(CAST(p AS DECIMAL(38,0)) * p) AS spp,
+                   SUM(CAST(d AS DECIMAL(38,0)) * d) AS sdd,
+                   SUM(CAST(q AS DECIMAL(38,0)) * p) AS sqp,
+                   SUM(CAST(q AS DECIMAL(38,0)) * d) AS sqd,
+                   SUM(CAST(p AS DECIMAL(38,0)) * d) AS spd
+            FROM m
+        )
+        SELECT pair, n, round(r, 6) AS pearson_r FROM (
+            SELECT 'quantity_price' AS pair, n,
+                   CAST(n * sqp - sq * sp AS DOUBLE)
+                   / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                          * CAST(n * spp - sp * sp AS DOUBLE)) AS r
+            FROM s
+            UNION ALL
+            SELECT 'quantity_discount', n,
+                   CAST(n * sqd - sq * sd AS DOUBLE)
+                   / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                          * CAST(n * sdd - sd * sd AS DOUBLE))
+            FROM s
+            UNION ALL
+            SELECT 'price_discount', n,
+                   CAST(n * spd - sp * sd AS DOUBLE)
+                   / sqrt(CAST(n * spp - sp * sp AS DOUBLE)
+                          * CAST(n * sdd - sd * sd AS DOUBLE))
+            FROM s
+        )
+    """,
+    tags=("analytics", "stats", "A1", "U2"),
+    doc="Pearson correlation matrix of the lineitem measures "
+        "(quantity/price/discount pairs) — the numeric-profiling "
+        "diagnostic next to profile_documents. The trend-entry "
+        "discipline extended to covariances: measures quantize to "
+        "exact integers map-side (FLOOR-cast quantities, cent-scaled "
+        "money), ALL moment sums accumulate as DECIMAL(38,0) (exact — "
+        "the p² products overflow BIGINT at sf>=0.1), and each r is a "
+        "closed form over those exact sums in identically-shaped IEEE "
+        "expressions — no float-summation drift anywhere. One "
+        "map-side partial aggregation to a 1-row frame; the three "
+        "pairs unpivot from the same moment row (single scan).",
+)
+def stats_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.floor("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = m.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("q")).alias("sq"),
+        F.sum(dec("p")).alias("sp"),
+        F.sum(dec("d")).alias("sd"),
+        F.sum(dec("q") * F.col("q")).alias("sqq"),
+        F.sum(dec("p") * F.col("p")).alias("spp"),
+        F.sum(dec("d") * F.col("d")).alias("sdd"),
+        F.sum(dec("q") * F.col("p")).alias("sqp"),
+        F.sum(dec("q") * F.col("d")).alias("sqd"),
+        F.sum(dec("p") * F.col("d")).alias("spd"),
+    )
+
+    def _r(sxy: str, sx: str, sy: str, sxx: str, syy: str) -> F.Column:
+        n = F.col("n")
+        num = (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        vx = (n * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        vy = (n * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        return F.round(num / F.sqrt(vx * vy), 6)
+
+    rows = [
+        ("quantity_price", _r("sqp", "sq", "sp", "sqq", "spp")),
+        ("quantity_discount", _r("sqd", "sq", "sd", "sqq", "sdd")),
+        ("price_discount", _r("spd", "sp", "sd", "spp", "sdd")),
+    ]
+    out = None
+    for name, col in rows:
+        part = s.select(
+            F.lit(name).alias("pair"), F.col("n"), col.alias("pearson_r")
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
