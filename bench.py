@@ -184,6 +184,8 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "graph_triangle_count",
     "pca_power_iteration",
+    "ts_ewma_daily_revenue",
+    "lr_eval_auc",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict

@@ -208,8 +208,11 @@ def encode_png(pixels: list[list[int]], filter_of_row, channels: int = 1) -> byt
     import struct
     import zlib as _z
 
-    if channels not in (1, 3):
-        raise ValueError(f"channels={channels}: PNG subset covers 1 (gray) or 3 (RGB)")
+    if channels not in (1, 2, 3, 4):
+        raise ValueError(
+            f"channels={channels}: PNG 8-bit subset covers 1 (gray), "
+            "2 (gray+alpha), 3 (RGB), 4 (RGBA)"
+        )
     h = len(pixels)
     stride = len(pixels[0]) if h else 0
     w = stride // channels
@@ -235,7 +238,8 @@ def encode_png(pixels: list[list[int]], filter_of_row, channels: int = 1) -> byt
             else:
                 raw.append((v - _paeth(left, up, ul)) & 0xFF)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if channels == 1 else 2, 0, 0, 0)
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -301,9 +305,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
     and reverses all five scanline filters (None/Sub/Up/Average/Paeth)
     at the bytes-per-pixel stride; palette images de-filter at the
     1-byte index stride and then expand through PLTE to interleaved RGB
-    (so palette output is shape-identical to truecolor). Raises on
-    corrupt CRCs / out-of-range palette indices; alpha and sub-byte
-    depths raise NotImplementedError (those need PIL — absent here).
+    (so palette output is shape-identical to truecolor); gray+alpha
+    (type 4) and RGBA (type 6) de-filter at their 2-/4-byte strides and
+    return interleaved samples. Raises on corrupt CRCs / out-of-range
+    palette indices; sub-byte / 16-bit depths and Adam7 interlace raise
+    NotImplementedError (those need PIL — absent here).
     """
     import struct
     import zlib as _z
@@ -330,15 +336,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if bitdepth != 8 or colortype not in (0, 2, 3):
+    if bitdepth != 8 or colortype not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
             f"PNG bitdepth={bitdepth} colortype={colortype} needs a codec "
-            "library (PIL, absent here); stdlib path covers gray-8, "
-            "truecolor-8, and palette-8"
+            "library (PIL, absent here); stdlib path covers every 8-bit "
+            "color type (gray/gray+alpha/truecolor/palette/RGBA) — the "
+            "remaining gates are sub-byte and 16-bit depths and Adam7 "
+            "interlace"
         )
     if colortype == 3 and (not plte or len(plte) % 3):
         raise ValueError("corrupt PNG: palette image without a valid PLTE chunk")
-    bpp = 1 if colortype in (0, 3) else 3
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
     stride = w * bpp
     raw = _z.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
@@ -973,3 +981,76 @@ def ahash_image(with_png: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
 
     return with_png.select("doc_id", "png").mapInPandas(dec, AHASH_SCHEMA)
+
+
+def _pixel_rgba(doc_id: int, x: int, y: int, ch: int) -> int:
+    """Channel ch of the RGBA fixture: channels 0-2 follow the RGB
+    formula; alpha (ch 3) gets its own offset stream."""
+    return (doc_id * 7 + y * 3 + x + 11 * ch) % 256
+
+
+def synthesize_png_rgba_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, png binary): real RGBA (color type 6) PNG
+    files, filters cycling through all five types at the 4-byte pixel
+    stride. Pixels closed-form in doc_id for the SQL oracle."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 3), 4 * (1 + d % 4)
+                grid = [
+                    [
+                        _pixel_rgba(d, x, y, ch)
+                        for x in range(w)
+                        for ch in range(4)
+                    ]
+                    for y in range(h)
+                ]
+                rows.append((d, encode_png(grid, lambda y, d=d: d + y, channels=4)))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+RGBA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_a", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_rgba(with_png: DataFrame) -> DataFrame:
+    """Per-channel stats over REAL RGBA PNG payloads (4-byte-stride
+    de-filter). Arrow-batched mapInPandas; payload pruned."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, c, grid = decode_png(bytes(png))
+                if c != 4:
+                    raise ValueError(f"doc {doc_id}: expected RGBA PNG, got {c} channel(s)")
+                a = np.array(grid, dtype=np.float64).reshape(h, w, 4)
+                m = a.mean(axis=(0, 1))
+                rows.append(
+                    (int(doc_id), w, h, float(m[0]), float(m[1]), float(m[2]), float(m[3]))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RGBA_STATS_SCHEMA.fields])
+
+    return with_png.select("doc_id", "png").mapInPandas(dec, RGBA_STATS_SCHEMA)

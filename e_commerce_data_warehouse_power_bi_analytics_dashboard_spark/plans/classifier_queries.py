@@ -193,3 +193,93 @@ def lr_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg((F.col("pred") == F.col("y")).cast("double")), 6).alias("accuracy"),
         F.round(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6).alias("brier"),
     )
+
+
+@register(
+    "lr_eval_auc",
+    oracle=_LR_SQL + f"""
+        , scored AS (
+            SELECT e.y,
+                   round(1.0 / (1.0 + exp(-(b.wv + list_dot_product(w.wl, e.v)))), 6) AS p
+            FROM e,
+                 (SELECT list(wv ORDER BY pos) AS wl FROM {_LR_FINAL} WHERE pos > 0) w,
+                 (SELECT wv FROM {_LR_FINAL} WHERE pos = 0) b
+        ),
+        g AS (
+            SELECT p, COUNT(*) AS cnt,
+                   SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos_cnt
+            FROM scored GROUP BY p
+        ),
+        c AS (
+            SELECT p, cnt, pos_cnt,
+                   SUM(cnt) OVER (ORDER BY p) AS cum_inc
+            FROM g
+        ),
+        u AS (
+            SELECT SUM(pos_cnt * (2 * (cum_inc - cnt) + cnt + 1)) AS s2 FROM c
+        ),
+        n AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n_pos,
+                   SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n_neg,
+                   SUM(CASE WHEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) = y
+                       THEN 1 ELSE 0 END) AS n_correct
+            FROM scored
+        )
+        SELECT CAST(n.n AS BIGINT) AS n,
+               CAST(n.n_pos AS BIGINT) AS n_pos,
+               CAST(n.n_neg AS BIGINT) AS n_neg,
+               round(CAST(u.s2 - n.n_pos * (n.n_pos + 1) AS DOUBLE)
+                     / (2.0 * n.n_pos * n.n_neg), 6) AS auc,
+               round(CAST(n.n_correct AS DOUBLE) / n.n, 6) AS accuracy
+        FROM u, n
+    """,
+    tags=("llm", "classifier", "iterative"),
+    doc="ROC-AUC + accuracy for the trained quality classifier — the "
+        "eval metric a corpus-filter model publishes. AUC computed by "
+        "the tie-corrected Mann-Whitney rank-sum ENTIRELY in exact "
+        "integers: scores collapse to 6-dec groups (the already-"
+        "engine-stable domain), the doubled average rank of a tie "
+        "group is the integer 2*cum_before + cnt + 1, and "
+        "AUC = (U2 - n_pos(n_pos+1)) / (2*n_pos*n_neg) is ONE IEEE "
+        "division of exact integers — no float rank arithmetic "
+        "anywhere. The cumulative group count runs through "
+        "operators/ranking.py::ordered_prefix_sum (range-partitioned, "
+        "never a single-partition window over the score groups).",
+)
+def lr_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import ordered_prefix_sum
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    fit = C.lr_fit(emb, iters=_ITERS, lr=_LR, dim=_DIM)
+    sc = C.lr_score(emb, fit)
+    g = sc.groupBy("p").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("pos_cnt"),
+    )
+    c = ordered_prefix_sum(g, [("p", "asc")], "cnt", out="cum_inc")
+    u = c.agg(
+        F.sum(
+            F.col("pos_cnt")
+            * (2 * (F.col("cum_inc") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("s2")
+    )
+    n = sc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.sum(
+            F.when(F.col("pred").cast("double") == F.col("y"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+    return u.crossJoin(F.broadcast(n)).select(
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+        F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias("accuracy"),
+    )

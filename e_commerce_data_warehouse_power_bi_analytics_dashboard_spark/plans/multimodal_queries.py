@@ -495,3 +495,49 @@ def mm_jpeg_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return MM.ahash_image(MM.synthesize_png_payloads(docs))
+
+
+@register(
+    "mm_png_rgba_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id, 8*(1 + doc_id % 3) AS w, 4*(1 + doc_id % 4) AS h
+            FROM documents WHERE doc_id % 7 = 3
+        ),
+        px AS (
+            SELECT i.doc_id, i.w, i.h, c.c AS ch,
+                   (i.doc_id * 7 + y.y * 3 + x.x + 11 * c.c) % 256 AS v
+            FROM img i
+            JOIN range(0, 16) y(y) ON y.y < i.h
+            JOIN range(0, 24) x(x) ON x.x < i.w
+            JOIN range(0, 4) c(c) ON true
+        )
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               round(avg(CASE WHEN ch = 0 THEN v END), 6) AS mean_r,
+               round(avg(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,
+               round(avg(CASE WHEN ch = 2 THEN v END), 6) AS mean_b,
+               round(avg(CASE WHEN ch = 3 THEN v END), 6) AS mean_a
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+    doc="REAL RGBA PNG decode (color type 6 — the alpha gate from the "
+        "r6 palette round closed): synthesize valid RGBA files with "
+        "filters cycling through all five types at the 4-byte pixel "
+        "stride, decode with the stdlib codec, emit per-channel means "
+        "including alpha. With this the 8-bit PNG color-type matrix is "
+        "COMPLETE (gray/gray+alpha/truecolor/palette/RGBA); remaining "
+        "codec gates are sub-byte/16-bit depths and Adam7 interlace. "
+        "Oracle reproduces the channels from the closed-form formula "
+        "without touching bytes (operators/multimodal.py::"
+        "synthesize_png_rgba_payloads/decode_image_rgba).",
+)
+def mm_png_rgba_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 3)
+    decoded = MM.decode_image_rgba(MM.synthesize_png_rgba_payloads(docs))
+    return decoded.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_a", 6).alias("mean_a"),
+    )

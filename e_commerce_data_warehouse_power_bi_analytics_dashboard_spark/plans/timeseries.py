@@ -197,3 +197,78 @@ def stats_category_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY amt)").alias("p75"),
         F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY amt)").alias("p90"),
     )
+
+
+#: EWMA smoothing factor (alpha)
+_EWMA_A = 0.2
+
+
+@register(
+    "ts_ewma_daily_revenue",
+    oracle=with_star(_DAILY_CTE + f"""
+        , arr AS (
+            SELECT list({{'day': day, 'rev': CAST(rev_dec AS DOUBLE),
+                          'ewma': CAST(rev_dec AS DOUBLE)}} ORDER BY day) AS a
+            FROM daily
+        ),
+        f AS (
+            SELECT list_reduce(
+                list_transform(a, x -> [x]),
+                (acc, x) -> list_append(acc, {{
+                    'day': x[1].day, 'rev': x[1].rev,
+                    'ewma': {_EWMA_A} * x[1].rev + {1 - _EWMA_A} * acc[-1].ewma}})
+            ) AS l
+            FROM arr
+        )
+        SELECT strftime(u.day, '%Y-%m-%d') AS day,
+               round(u.rev, 2) AS revenue,
+               round(u.ewma, 6) AS ewma
+        FROM f, unnest(f.l) AS t(u)
+    """),
+    tags=("timeseries", "W3", "fold"),
+    doc=f"Exponentially-weighted moving average of daily revenue "
+        f"(alpha={_EWMA_A}, EWMA_1 = x_1) — the sequential-fold family "
+        "member next to the BPE greedy fold: the daily series is "
+        "collected into ONE date-sorted array (calendar-bounded, the "
+        "documented scalar-agg shape — a few thousand elements at any "
+        "corpus size) and the recurrence runs as a JVM aggregate() "
+        "fold appending to the accumulator array; the DuckDB twin is "
+        "list_reduce over 1-element lists (acc type must equal element "
+        "type — the BPE trick). Both engines execute the identical "
+        "sequential double operations in the identical day order, so "
+        "the smoothed series matches bit-for-bit before the cosmetic "
+        "6-dec rounding. An EWMA is inherently order-sequential — no "
+        "window function expresses it and the closed-form rewrite "
+        "((1-a)^-t scaling) overflows at calendar length — so the "
+        "bounded fold IS the scale-correct plan; per-key EWMAs at data "
+        "scale would run the same fold inside groupBy(key).",
+)
+def ts_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    arr = daily.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("day"), F.col("rev_dec").cast("double").alias("rev")
+                )
+            )
+        ).alias("a")
+    )
+    folded = arr.select(
+        F.explode(
+            F.expr(f"""
+                aggregate(
+                    slice(a, 2, greatest(size(a) - 1, 0)),
+                    array(struct(a[0].day AS day, a[0].rev AS rev, a[0].rev AS ewma)),
+                    (acc, x) -> concat(acc, array(struct(
+                        x.day AS day, x.rev AS rev,
+                        {_EWMA_A}D * x.rev + {1 - _EWMA_A}D * element_at(acc, -1).ewma AS ewma)))
+                )
+            """)
+        ).alias("u")
+    )
+    return folded.select(
+        F.date_format("u.day", "yyyy-MM-dd").alias("day"),
+        F.round("u.rev", 2).alias("revenue"),
+        F.round("u.ewma", 6).alias("ewma"),
+    )

@@ -126,16 +126,16 @@ def test_png_unsupported_colortype_is_codec_gated():
     import struct
     import zlib
 
-    # IHDR declaring RGBA (colortype 6): needs PIL, raises from the
-    # parse (truecolor 2 and palette 3 are handled natively since r6)
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
+    # IHDR declaring 16-bit depth: needs PIL, raises from the parse
+    # (every 8-bit color type 0/2/3/4/6 is handled natively since r6)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
     png = (
         MM._PNG_SIG
         + MM._png_chunk(b"IHDR", ihdr)
-        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 17)))
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 9)))
         + MM._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="colortype"):
+    with pytest.raises(NotImplementedError, match="bitdepth"):
         MM.decode_png(png)
 
 
@@ -433,3 +433,29 @@ if _HAVE_HYPOTHESIS:
         precision, gh, gw, ncomp, gcom = MM.parse_jpeg_header(stream)
         assert (precision, gh, gw, ncomp) == (8, h, w, 1)
         assert gcom == com_len
+
+
+def test_png_gray_alpha_roundtrip_all_filters():
+    # color type 4 (gray+alpha, bpp=2): every filter type appears; the
+    # decode must reproduce the interleaved (gray, alpha) samples
+    w, h = 5, 5
+    grid = [
+        [((3 * y + x * 2 + ch * 7) % 256) for x in range(w) for ch in range(2)]
+        for y in range(h)
+    ]
+    png = MM.encode_png(grid, lambda y: y, channels=2)
+    dw, dh, c, out = MM.decode_png(png)
+    assert (dw, dh, c) == (w, h, 2)
+    assert out == grid
+
+
+def test_png_rgba_roundtrip_all_filters():
+    w, h = 4, 5
+    grid = [
+        [((y * 11 + x * 5 + ch * 3) % 256) for x in range(w) for ch in range(4)]
+        for y in range(h)
+    ]
+    png = MM.encode_png(grid, lambda y: y, channels=4)
+    dw, dh, c, out = MM.decode_png(png)
+    assert (dw, dh, c) == (w, h, 4)
+    assert out == grid
