@@ -186,6 +186,8 @@ HEADLINE = [
     "pca_power_iteration",
     "ts_ewma_daily_revenue",
     "lr_eval_auc",
+    "dedup_minhash_estimate_audit",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict

@@ -283,3 +283,85 @@ def lr_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("auc"),
         F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias("accuracy"),
     )
+
+
+@register(
+    "lr_eval_calibration",
+    oracle=_LR_SQL + f"""
+        , scored AS (
+            SELECT e.y,
+                   round(1.0 / (1.0 + exp(-(b.wv + list_dot_product(w.wl, e.v)))), 6) AS p
+            FROM e,
+                 (SELECT list(wv ORDER BY pos) AS wl FROM {_LR_FINAL} WHERE pos > 0) w,
+                 (SELECT wv FROM {_LR_FINAL} WHERE pos = 0) b
+        ),
+        cuts AS (
+            SELECT {", ".join(
+                f"percentile_disc(0.{d}) WITHIN GROUP (ORDER BY p) AS c{d}"
+                for d in range(1, 10)
+            )}
+            FROM scored
+        ),
+        binned AS (
+            SELECT {" + ".join(f"(CASE WHEN s.p > c.c{d} THEN 1 ELSE 0 END)" for d in range(1, 10))}
+                       AS bin,
+                   CAST(round(s.p * 1000000) AS BIGINT) AS pm,
+                   s.y
+            FROM scored s, cuts c
+        )
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pm) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_predicted,
+               CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS actual_rate
+        FROM binned GROUP BY bin
+    """,
+    tags=("llm", "classifier", "iterative"),
+    doc="Reliability diagram for the quality classifier: scores bucket "
+        "into score-DECILE bins (equal-count, via nine broadcast "
+        "percentile_disc cutpoints — equal-width bins would put this "
+        "model's tightly-clustered scores in one bucket), each "
+        "reporting mean predicted probability vs actual positive rate "
+        "— the calibration check that explains lr_eval_auc's "
+        "threshold behavior (the model ranks well, AUC 0.69, while "
+        "every score sits near 0.5 — ranking signal without "
+        "calibration). Exactness end-to-end: the 6-dec scores become "
+        "exact MICRO-unit integers (round(p*1e6)), so mean_predicted "
+        "and actual_rate are single IEEE divisions of exact integer "
+        "sums — never a float mean or rounded quotient — and the "
+        "decile edges are percentile_disc values drawn from the "
+        "already-rounded score domain (strict >, engine-stable). "
+        "Scoring and binning are map-side against the broadcast "
+        "model + cutpoint rows; one 10-group aggregation.",
+)
+def lr_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pins import fresh_pins, pin
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    fit = C.lr_fit(emb, iters=_ITERS, lr=_LR, dim=_DIM)
+    fresh_pins()
+    sc = pin(C.lr_score(emb, fit).select("p", "y"))
+    cuts = sc.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{d}) WITHIN GROUP (ORDER BY p)"
+            ).alias(f"c{d}")
+            for d in range(1, 10)
+        ]
+    )
+    bin_col = sum(
+        (F.col("p") > F.col(f"c{d}")).cast("int") for d in range(1, 10)
+    )
+    binned = sc.crossJoin(F.broadcast(cuts)).select(
+        bin_col.alias("bin"),
+        F.round(F.col("p") * 1000000).cast("long").alias("pm"),
+        "y",
+    )
+    n = F.count("*")
+    return binned.groupBy("bin").agg(
+        n.cast("long").alias("n"),
+        (F.sum("pm").cast("double") / (n * 1000000.0)).alias("mean_predicted"),
+        (
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("double") / n
+        ).alias("actual_rate"),
+    ).select(F.col("bin").cast("int").alias("bin"), "n", "mean_predicted", "actual_rate")

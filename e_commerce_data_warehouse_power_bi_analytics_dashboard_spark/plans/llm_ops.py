@@ -1884,3 +1884,144 @@ def _o_pca_iter(prev: str, t: int) -> str:
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.pca_top_component(emb, iters=_PCA_ITERS, quant=_PCA_QUANT)
+
+
+def _o_minhash_audit() -> str:
+    """Oracle for the estimator audit: full MinHash signatures, banding
+    predicate, and candidate-bounded exact intersections in SQL."""
+    from ..operators.dedup import MINHASH_PRIME, minhash_coefficients
+
+    coeffs = minhash_coefficients(32)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    bands = " OR ".join(
+        f"(a.m{2 * b} = b.m{2 * b} AND a.m{2 * b + 1} = b.m{2 * b + 1})"
+        for b in range(16)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS doc, unnest({T.o_shingles('text', 2)}) AS g
+            FROM documents
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+        hh AS (SELECT doc, {T.o_md5_long('g', 7)} AS h FROM sh),
+        sig AS (
+            SELECT doc,
+               {mins}
+            FROM hh GROUP BY doc
+        ),
+        pairs AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b,
+                   {matches} AS est_matches
+            FROM sig a JOIN sig b ON a.doc < b.doc
+            WHERE {bands}
+        ),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT p.est_matches,
+                   COALESCE(i.inter, 0) AS inter,
+                   sa.sz + sb.sz - COALESCE(i.inter, 0) AS un
+            FROM pairs p
+            LEFT JOIN inter i USING (doc_a, doc_b)
+            JOIN sizes sa ON sa.doc = p.doc_a
+            JOIN sizes sb ON sb.doc = p.doc_b
+        )
+        SELECT CAST(est_matches AS INT) AS est_matches,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(inter) AS BIGINT) AS sum_inter,
+               CAST(SUM(un) AS BIGINT) AS sum_union,
+               CAST(SUM(inter) AS DOUBLE) / SUM(un) AS pooled_jaccard
+        FROM per GROUP BY est_matches
+    """
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    oracle=_o_minhash_audit(),
+    tags=("llm", "dedup", "lsh", "audit"),
+    doc="MinHash estimator calibration — the quality gate an approximate "
+        "dedup index publishes (the recall-audit symmetry of "
+        "ann_ivf_recall_audit, applied to the Jaccard ESTIMATOR): every "
+        "LSH candidate pair is bucketed by its signature-agreement "
+        "count (0..32 matching components) and each bucket reports the "
+        "POOLED exact Jaccard sum(|∩|)/sum(|∪|) — so the audit shows "
+        "how the est=k/32 curve tracks the true similarity, including "
+        "the banding's false-positive floor (candidate pairs with "
+        "zero shared shingles land in the low-agreement buckets with "
+        "pooled J near 0). Exactness: agreement counts and "
+        "intersection/union sizes are exact integers; the pooled ratio "
+        "is ONE IEEE division, never a rounded quotient or a float "
+        "mean of per-pair ratios. Scale shape: signatures shuffle n "
+        "longs/doc, banding bounds the pair space, and the exact "
+        "intersections join shingles only for candidate pairs.",
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = D.minhash_signatures_from_shingles(sh, 32)
+    cands = D.lsh_candidate_pairs(sigs, 16)
+    sig_arr = sigs.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(32)]).alias("sig")
+    )
+    est = (
+        cands.join(
+            sig_arr.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig_arr.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+            ).alias("est_matches"),
+        )
+    )
+    ea = sh.select(F.col("doc").alias("doc_a"), "g")
+    eb = sh.select(F.col("doc").alias("doc_b"), "g")
+    inter = (
+        cands.join(ea, "doc_a")
+        .join(eb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    per = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))),
+            "doc_b",
+        )
+        .select(
+            "est_matches",
+            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))).alias("un"),
+        )
+    )
+    return per.groupBy("est_matches").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("inter").cast("long").alias("sum_inter"),
+        F.sum("un").cast("long").alias("sum_union"),
+        (F.sum("inter").cast("double") / F.sum("un")).alias("pooled_jaccard"),
+    ).select(
+        F.col("est_matches").cast("int").alias("est_matches"),
+        "n_pairs",
+        "sum_inter",
+        "sum_union",
+        "pooled_jaccard",
+    )

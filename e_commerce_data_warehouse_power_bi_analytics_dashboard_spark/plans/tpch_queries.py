@@ -466,3 +466,65 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
               WHERE l2.l_partkey = p_partkey
           )
     """)
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+        SELECT c_nationkey AS cntrycode,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (3, 7, 11, 15, 19, 23)
+          AND c_acctbal > (
+              SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / (100.0 * COUNT(*))
+              FROM customer
+              WHERE c_acctbal > 0 AND c_nationkey IN (3, 7, 11, 15, 19, 23)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= DATE '2000-01-01'
+          )
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
+    """,
+    tags=("olap", "tpch", "J7", "J9", "sql"),
+    doc="TPC-H Q22 global sales opportunity (fixture adaptation: no "
+        "phone column, so the country code is c_nationkey itself): "
+        "positive-balance customers above the group average with no order "
+        "since 2000 (every fixture customer has SOME order, so the classic "
+        "never-ordered predicate would be vacuously empty — the recency "
+        "variant keeps the anti join non-trivial). The two remaining correlated shapes in one "
+        "query — an UNCORRELATED scalar aggregate subquery (one "
+        "broadcast 1-row average) and NOT EXISTS decorrelated to a "
+        "LeftAnti join against orders on custkey (plan-pinned). "
+        "Exactness: the average-balance threshold is written as "
+        "SUM(cents)/(100.0*COUNT(*)) — exact integer sums, ONE IEEE "
+        "division, identical in both engines — so the > comparison "
+        "never hinges on engine AVG() implementations; the output "
+        "balance total is exact DECIMAL with terminal rounding.",
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(f"""
+        SELECT c_nationkey AS cntrycode,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS totacctbal
+        FROM {_P}customer
+        WHERE c_nationkey IN (3, 7, 11, 15, 19, 23)
+          AND c_acctbal > (
+              SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / (100.0 * COUNT(*))
+              FROM {_P}customer
+              WHERE c_acctbal > 0 AND c_nationkey IN (3, 7, 11, 15, 19, 23)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM {_P}orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= DATE '2000-01-01'
+          )
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
+    """)

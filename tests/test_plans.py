@@ -332,3 +332,18 @@ def test_tpch_q4_q16_q17_decorrelate(spark):
     )
     for name, p in (("q4", p4), ("q16", p16), ("q17", p17)):
         assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
+
+
+def test_tpch_q22_decorrelates(spark):
+    """Round-6 pin: q22's NOT EXISTS must become a LeftAnti join on
+    custkey and the scalar average subquery one broadcast row — never a
+    per-customer subquery or cartesian fallback."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.tpch_queries import (
+        tpch_q22_global_sales_opportunity,
+    )
+
+    p = tpch_q22_global_sales_opportunity(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p, f"q22 NOT EXISTS not an anti join:\n{p}"
+    assert "CartesianProduct" not in p, f"q22 went cartesian:\n{p}"
