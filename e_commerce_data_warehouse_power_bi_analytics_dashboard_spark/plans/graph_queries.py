@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import fixed_point_pagerank
+from ..operators.graph import fixed_point_pagerank, triangle_census
 from ..sources.star import StarSchema, with_star
 from .catalog import register
 
@@ -214,8 +214,6 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "equi-join on (v, w) — all candidate-bounded.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pins import fresh_pins, pin
-
     s = StarSchema(spark, sf_dir)
     per_invoice = (
         s.fact_sales.select("invoiceid", "product_key")
@@ -235,53 +233,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.pa", "p.pb")
         .distinct()
     )
-    # the edge list, degree table and oriented adjacency each feed
-    # multiple join legs (x/y/z plus the census) — pin them so the
-    # basket explode + distinct runs once, not once per leg
-    fresh_pins()
-    und = pin(und)
-    deg = (
-        und.select(F.col("pa").alias("node"))
-        .unionAll(und.select(F.col("pb").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
-    lower_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
-    )
-    oriented = (
-        und.join(deg.select(F.col("node").alias("pa"), F.col("deg").alias("da")), "pa")
-        .join(deg.select(F.col("node").alias("pb"), F.col("deg").alias("db")), "pb")
-        .select(
-            F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
-            F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
-        )
-    )
-    deg = pin(deg)
-    oriented = pin(oriented)
-    x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
-    wedge_lt = (F.col("x.dd") < F.col("y.dd")) | (
-        (F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst"))
-    )
-    tri = (
-        x.join(y, (F.col("x.src") == F.col("y.src")) & wedge_lt)
-        .join(
-            z,
-            (F.col("z.src") == F.col("x.dst")) & (F.col("z.dst") == F.col("y.dst")),
-        )
-        .agg(F.count("*").cast("long").alias("n_triangles"))
-    )
-    census = und.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
-        deg.agg(
-            F.count("*").cast("long").alias("n_nodes"),
-            F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges"),
-        )
-    )
-    return tri.crossJoin(F.broadcast(census)).select(
-        "n_nodes",
-        "n_edges",
-        "n_wedges",
-        "n_triangles",
-        (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias("transitivity"),
-    )
+    # census core lives in operators/graph.py (pinned shared frames,
+    # degree-ordered wedge enumeration) and is property-tested against
+    # a brute-force itertools twin on randomized graphs
+    return triangle_census(und)

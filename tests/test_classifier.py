@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from .conftest import SF_ORACLE
+
 from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
     classifier as C,
 )
@@ -75,3 +77,45 @@ def test_lr_fit_zero_iters_is_zero_model(spark, toy_df):
     fit = C.lr_fit(toy_df, iters=0, lr=0.5, dim=DIM, label_expr="y").collect()[0]
     assert list(fit.w) == [0.0] * DIM
     assert fit.b == 0.0
+
+
+def test_auc_matches_serial_rank_sum(spark):
+    """lr_eval_auc's exact-integer Mann-Whitney decomposition must equal
+    a pure-Python tie-aware rank-sum AUC over the same scored frame."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+        classifier as C,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.classifier_queries import (
+        _DIM,
+        _ITERS,
+        _LR,
+        lr_eval_auc,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+        read_table,
+    )
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    fit = C.lr_fit(emb, iters=_ITERS, lr=_LR, dim=_DIM)
+    scored = [(r.p, r.y) for r in C.lr_score(emb, fit).collect()]
+
+    # serial tie-aware average ranks
+    by_p = sorted(scored)
+    ranks, i = {}, 0
+    pos_rank_sum = 0.0
+    while i < len(by_p):
+        j = i
+        while j < len(by_p) and by_p[j][0] == by_p[i][0]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2.0  # ranks i+1..j inclusive
+        for k in range(i, j):
+            if by_p[k][1] == 1:
+                pos_rank_sum += avg_rank
+        i = j
+    n_pos = sum(1 for _, y in scored if y == 1)
+    n_neg = len(scored) - n_pos
+    want = (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+    row = lr_eval_auc(spark, SF_ORACLE).collect()[0]
+    assert (row.n, row.n_pos, row.n_neg) == (len(scored), n_pos, n_neg)
+    assert row.auc == pytest.approx(want, abs=5e-7)  # entry rounds to 6 dec

@@ -130,3 +130,51 @@ if _HAVE_HYPOTHESIS:
         n_edges = min(n_nodes * 2, n_nodes * (n_nodes - 1) // 2)
         edges = _random_undirected(n_nodes, n_edges, seed)
         assert _spark_pr(spark, edges, iters) == pagerank_reference(edges, iters)
+
+
+def _spark_census(spark, und):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.graph import (
+        triangle_census,
+    )
+
+    df = spark.createDataFrame(sorted(und), "pa long, pb long")
+    r = triangle_census(df).collect()[0]
+    return {
+        "n_nodes": r.n_nodes,
+        "n_edges": r.n_edges,
+        "n_wedges": r.n_wedges,
+        "n_triangles": r.n_triangles,
+        "transitivity": r.transitivity,
+    }
+
+
+def test_triangle_census_random_graphs(spark):
+    """The distributed degree-ordered census must equal the brute-force
+    itertools twin exactly — counts as integers, transitivity as the
+    identical single IEEE division."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.graph import (
+        triangle_census_reference,
+    )
+
+    for seed, n_nodes, n_edges in [(1, 12, 25), (2, 20, 60), (3, 9, 14)]:
+        und = {
+            (min(a, b), max(a, b))
+            for a, b in _random_directed(n_nodes, n_edges, seed)
+            if a != b
+        }
+        assert _spark_census(spark, und) == triangle_census_reference(sorted(und))
+
+
+def test_triangle_census_star_hub(spark):
+    """A hub in every edge (the worst case for naive wedge enumeration)
+    must still count exactly: K1,n plus a few closing edges."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.graph import (
+        triangle_census_reference,
+    )
+
+    hub = 0
+    und = {(hub, i) for i in range(1, 15)}
+    und |= {(1, 2), (3, 4), (5, 6)}  # three triangles through the hub
+    got = _spark_census(spark, und)
+    assert got == triangle_census_reference(sorted(und))
+    assert got["n_triangles"] == 3

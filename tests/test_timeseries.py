@@ -53,3 +53,27 @@ def test_percentiles_are_order_statistics(spark):
     assert rows
     for r in rows:
         assert r.p25 <= r.p50 <= r.p75 <= r.p90
+
+
+def test_ewma_matches_serial_fold(spark):
+    """The distributed aggregate() EWMA must equal a pure-Python serial
+    fold over the same date-ordered daily series — same doubles, same
+    order, so equality holds to the rounded output exactly."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.timeseries import (
+        _EWMA_A,
+        _daily,
+        ts_ewma_daily_revenue,
+    )
+
+    daily = sorted(
+        (r.day, float(r.rev_dec)) for r in _daily(spark, SF_ORACLE).collect()
+    )
+    ewma, want = None, {}
+    for day, rev in daily:
+        ewma = rev if ewma is None else _EWMA_A * rev + (1 - _EWMA_A) * ewma
+        want[day.strftime("%Y-%m-%d")] = (round(rev, 2), round(ewma, 6))
+    got = {
+        r.day: (r.revenue, r.ewma)
+        for r in ts_ewma_daily_revenue(spark, SF_ORACLE).collect()
+    }
+    assert got == want
