@@ -1,18 +1,34 @@
-"""Classic TPC-H-shape analytics over the RAW tables (q1/q3/q5 adapted
-to this fixture's schema and 1995-2001 date domain).
+"""The complete TPC-H 22-query suite over the RAW tables, adapted to
+this fixture's schema and 1995-2001 date domain.
 
 The reference's OLAP suite is dashboard-shaped (star-schema monthly
-rollups); these three canonical decision-support queries complete the
-OLAP family with the shapes every warehouse engine is ultimately judged
-on: the full-scan multi-aggregate (q1), the selective three-way join
-with top-k (q3), and the six-table snowflake join (q5).  Fixture
-adaptations are documented per entry (no ``o_shippriority`` column;
-shifted date constants).
+rollups); the canonical decision-support suite completes the OLAP family
+with the shapes every warehouse engine is ultimately judged on: the
+full-scan multi-aggregate (q1), selective joins with top-k (q3/q10),
+snowflake joins (q5/q7/q8/q9), correlated and uncorrelated subqueries in
+every flavor (scalar MIN q2, scalar AVG q17, HAVING-threshold q11,
+HAVING-IN q18/q20, EXISTS q4, double EXISTS/NOT-EXISTS q21, NOT-IN q16,
+view+MAX q15, NOT-EXISTS+scalar q22), the outer-join distribution (q13),
+conditional aggregation (q12/q14), and disjunctive residual predicates
+(q19).
+
+Fixture adaptations are documented per entry. The recurring ones: there
+is no ``partsupp`` table, so the part-supplier association (q2/q11/q20)
+derives from lineitem — ``ps_supplycost`` := MIN(l_extendedprice /
+l_quantity) per observed (partkey, suppkey) pair, a deterministic IEEE
+division identical in both engines; no l_commitdate/l_receiptdate, so
+"late" predicates (q4/q12/q21) use l_returnflag = 'R' or a
+shipdate-vs-orderdate lag; no o_comment/p_container/c_phone, so those
+filters map to o_orderpriority / p_size / c_nationkey.
 
 Scale design: q1 is one map-side-partial aggregation over the biggest
-table (4 groups); q3/q5 broadcast every dimension-sized side and shuffle
-only on the orderkey join; all money math is exact DECIMAL with terminal
-rounding (the _helpers discipline), so the oracles hash-match bit-for-bit.
+table (4 groups); every dimension-sized side broadcasts and the only
+data-sized shuffles key on orderkey/partkey/suppkey; correlated
+subqueries are written so Catalyst decorrelates them into one aggregate
++ join (plan-pinned for q17/q18/q21 in tests/test_plans.py — never a
+per-row subquery); all money math is exact DECIMAL (or exact IEEE
+single-division) with terminal rounding, so the oracles hash-match
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -465,6 +481,701 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
               FROM {_P}lineitem l2
               WHERE l2.l_partkey = p_partkey
           )
+    """)
+
+
+#: derived part-supplier association (fixture has no partsupp table):
+#: every (partkey, suppkey) pair observed in lineitem, costed at the
+#: minimum observed unit price. ``l_extendedprice / l_quantity`` is ONE
+#: correctly-rounded IEEE double division of identical inputs in both
+#: engines, and MIN over identical doubles is exact — so the derived
+#: table is bit-identical cross-engine with no rounding discipline needed.
+_PS_CTE = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(l_extendedprice / l_quantity) AS ps_supplycost
+    FROM {li} GROUP BY l_partkey, l_suppkey
+"""
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+        WITH ps AS ({_PS_CTE.format(li="lineitem")})
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+        FROM part
+        JOIN ps ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size BETWEEN 10 AND 19 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+              SELECT MIN(ps2.ps_supplycost)
+              FROM ps ps2
+              JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    tags=("olap", "tpch", "J9", "J2", "sql"),
+    doc="TPC-H Q2 minimum-cost supplier (fixture adaptations: partsupp "
+        "derived from lineitem per the _PS_CTE contract — min observed "
+        "unit price per (part, supplier) pair; p_size widened to a band "
+        "and p_type to the fixture's single-word types so the part "
+        "filter stays selective-but-non-vacuous; no s_address/s_phone "
+        "columns in the output). The correlated-MIN shape: each "
+        "surviving row must carry ITS part's region-wide minimum cost. "
+        "Catalyst decorrelates the scalar subquery into one per-partkey "
+        "MIN aggregate joined back on (partkey, cost) — never a per-row "
+        "subquery — and both legs reuse the same derived-ps aggregation "
+        "shape; supplier/nation/region broadcast, the only data-sized "
+        "shuffle is the lineitem pair aggregation on (partkey, suppkey).",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part", "lineitem", "supplier", "nation", "region")
+    return spark.sql(f"""
+        WITH ps AS ({_PS_CTE.format(li=_P + "lineitem")})
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+        FROM {_P}part
+        JOIN ps ON p_partkey = ps_partkey
+        JOIN {_P}supplier ON s_suppkey = ps_suppkey
+        JOIN {_P}nation ON s_nationkey = n_nationkey
+        JOIN {_P}region ON n_regionkey = r_regionkey
+        WHERE p_size BETWEEN 10 AND 19 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+              SELECT MIN(ps2.ps_supplycost)
+              FROM ps ps2
+              JOIN {_P}supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+              JOIN {_P}nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN {_P}region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """)
+
+
+@register(
+    "tpch_q6_forecast_revenue_change",
+    oracle=f"""
+        SELECT CAST(ROUND(SUM({_PRICE} * {_DISC}), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("olap", "tpch", "A11", "P5"),
+    doc="TPC-H Q6 forecasting revenue change (year shifted to 1997): "
+        "the purest scan shape in the suite — three pushed-down "
+        "predicates, zero joins, one global SUM. All three filters reach "
+        "the parquet scan (PushedFilters) and the aggregate is map-side "
+        "partial into a 1-row exchange. The BETWEEN compares raw doubles "
+        "against the same literals in both engines (identical "
+        "float-literal conversion), so the row set is exact; the money "
+        "product is exact DECIMAL with terminal rounding.",
+)
+def tpch_q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_s_price() * _s_disc()), 2).cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               CAST(ROUND(SUM({_PRICE} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("olap", "tpch", "J2", "A7"),
+    doc="TPC-H Q7 volume shipping (nations mapped to the fixture's "
+        "NATION_3/NATION_7; window moved to 1996-1997): the two-nation "
+        "bilateral trade query — the nation table joins TWICE under a "
+        "symmetric disjunction. Both nation legs, supplier and customer "
+        "broadcast; the orders⋈lineitem shuffle keys on orderkey; the "
+        "disjunctive nation pair predicate stays a residual filter on "
+        "broadcast columns (never a cartesian), and the group-by is "
+        "bounded at 2 pairs × years.",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(_s_price() * (F.lit(1) - _s_disc())), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_national_market_share",
+    oracle=f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN n1.n_name = 'NATION_9'
+                             THEN {_PRICE} * (1 - {_DISC})
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                   / CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    tags=("olap", "tpch", "J2", "A8"),
+    doc="TPC-H Q8 national market share (fixture mapping: supplier "
+        "nation NATION_9's share of ECONOMY-part volume sold to ASIA "
+        "customers, 1996-1997): the eight-table snowflake with a "
+        "conditional-aggregate ratio. Every dimension side broadcasts "
+        "(part's type filter prunes before the join); the two nation "
+        "legs play different roles (supplier nationality vs customer "
+        "region); the share is exact-decimal numerator and denominator "
+        "cast to double for ONE IEEE division — never a rounded "
+        "intermediate, so the ratio hashes bit-identically.",
+)
+def tpch_q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("cust_rk")
+    )
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _s_price() * (F.lit(1) - _s_disc())
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("cust_rk") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_9", vol)
+                    .otherwise(F.lit(0).cast("decimal(12,2)"))
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               CAST(ROUND(SUM({_PRICE} * (1 - {_DISC})
+                   - CAST(p_retailprice AS DECIMAL(12,2))
+                     * CAST(FLOOR(l_quantity) AS INT)
+                     * CAST(0.10 AS DECIMAL(3,2))), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    tags=("olap", "tpch", "J2", "A7"),
+    doc="TPC-H Q9 product-type profit (fixture adaptations: no "
+        "partsupp.ps_supplycost, so unit cost is 10% of p_retailprice — "
+        "an exact DECIMAL(3,2) factor keeping the whole profit "
+        "expression exact rational arithmetic; part filter '%red%' over "
+        "the fixture's color-word names): profit by supplier nation and "
+        "order year over every 'red' part ever bought. Part (pre-filtered "
+        "by the LIKE), supplier and nation broadcast; lineitem shuffles "
+        "once on orderkey for the orders year column; the profit "
+        "difference stays DECIMAL end-to-end with one terminal round.",
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = _s_price() * (F.lit(1) - _s_disc()) - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.floor("l_quantity").cast("int")
+        * F.lit("0.10").cast("decimal(3,2)")
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q10_returned_item_reporting",
+    oracle=f"""
+        SELECT c_custkey, c_name,
+               CAST(ROUND(SUM({_PRICE} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("olap", "tpch", "J2", "T2"),
+    doc="TPC-H Q10 returned-item reporting (quarter moved to 1997Q4; "
+        "c_phone/c_address/c_comment don't exist in the fixture, so the "
+        "output carries the surviving identity columns): top-20 "
+        "customers by revenue lost to returns in a quarter. The quarter "
+        "filter prunes orders before their shuffle; the returnflag "
+        "filter prunes lineitem at the scan; nation broadcasts; top-20 "
+        "is TakeOrderedAndProject with a custkey tiebreak.",
+)
+def tpch_q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(_s_price() * (F.lit(1) - _s_disc())), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+        WITH v AS (
+            SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS ps_partkey,
+               CAST(ROUND(val, 2) AS DOUBLE) AS stock_value
+        FROM v
+        WHERE CAST(val AS DOUBLE) > (SELECT AVG(CAST(val AS DOUBLE)) * 3 FROM v)
+        ORDER BY stock_value DESC, ps_partkey
+    """,
+    tags=("olap", "tpch", "J9", "A6", "sql"),
+    doc="TPC-H Q11 important stock identification (fixture adaptations: "
+        "no partsupp, so a part's 'stock value' at a nation is the total "
+        "lineitem extendedprice supplied from that nation; the "
+        "threshold is 3x the mean per-part value — scale-INVARIANT, unlike "
+        "the spec's 0.0001/SF share-of-total, so the entry is non-vacuous "
+        "at every test scale): the "
+        "group-vs-global-threshold shape. The HAVING's uncorrelated "
+        "scalar subquery is one extra 1-row aggregate over the SAME "
+        "grouped frame broadcast back as a filter — Spark executes the "
+        "CTE twice (grouped + regrouped global), both legs sharing the "
+        "partkey shuffle shape; supplier and nation broadcast. The "
+        "threshold compare casts both exact decimal sums to double and "
+        "multiplies by the same literal — identical in both engines.",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(f"""
+        WITH v AS (
+            SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+            FROM {_P}lineitem
+            JOIN {_P}supplier ON l_suppkey = s_suppkey
+            JOIN {_P}nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS ps_partkey,
+               CAST(ROUND(val, 2) AS DOUBLE) AS stock_value
+        FROM v
+        WHERE CAST(val AS DOUBLE) > (SELECT AVG(CAST(val AS DOUBLE)) * 3 FROM v)
+        ORDER BY stock_value DESC, ps_partkey
+    """)
+
+
+@register(
+    "tpch_q12_shipping_priority_classes",
+    oracle="""
+        SELECT l_returnflag AS ship_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag IN ('A', 'N')
+          AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("olap", "tpch", "A8", "F14", "sql"),
+    doc="TPC-H Q12 shipping modes and order priority (fixture "
+        "adaptations: no l_shipmode column, so the class dimension is "
+        "l_returnflag restricted to two values, matching the two-mode "
+        "IN; no l_commitdate/l_receiptdate, so 'late' is shipped 60+ "
+        "days after the order date — a REAL lag predicate over the two "
+        "date columns the fixture does carry): the conditional "
+        "two-counter aggregation. The lag predicate is a non-equi "
+        "residual on the orderkey equi-join (never a cartesian); the "
+        "year filter prunes lineitem at the scan; output is 2 rows of "
+        "exact integer counts.",
+)
+def tpch_q12_shipping_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag AS ship_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM {_P}orders
+        JOIN {_P}lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag IN ('A', 'N')
+          AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("olap", "tpch", "J3", "A10"),
+    doc="TPC-H Q13 customer distribution (fixture adaptation: no "
+        "o_comment column, so the order-exclusion predicate is "
+        "o_orderpriority <> '5-LOW' — like the original's "
+        "'special requests' comment filter it excludes a ~20% slice "
+        "INSIDE the join condition, which is the point: the filter must "
+        "ride the LEFT join's ON clause, not a WHERE, or zero-order "
+        "customers vanish): the outer-join histogram — orders per "
+        "customer including zero, then customers per order-count. "
+        "COUNT(o_orderkey) counts non-null matches only; two "
+        "aggregations share the custkey shuffle; the second groups on "
+        "the tiny count domain.",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q14_promotion_effect",
+    oracle=f"""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN {_PRICE} * (1 - {_DISC}) END) AS DOUBLE)
+                   * 100.0
+                   / CAST(SUM({_PRICE} * (1 - {_DISC})) AS DOUBLE) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("olap", "tpch", "A8", "A11"),
+    doc="TPC-H Q14 promotion effect (month moved to 1997-09; the "
+        "fixture's p_type domain is single words, so the promo test is "
+        "equality on 'PROMO'): percentage of a month's revenue from "
+        "promo parts. One month of lineitem joins the broadcast part "
+        "table; numerator (conditional) and denominator (total) are "
+        "exact decimal sums computed in the SAME single aggregate pass, "
+        "cast to double for one multiply-then-divide — textually "
+        "identical evaluation order in both engines.",
+)
+def tpch_q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _s_price() * (F.lit(1) - _s_disc())
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double")
+                * F.lit(100.0)
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    tags=("olap", "tpch", "J9", "S7", "sql"),
+    doc="TPC-H Q15 top supplier (quarter moved to 1997Q1): the "
+        "view-plus-scalar-MAX shape — the revenue 'view' is consumed "
+        "twice, once as the join input and once inside the MAX "
+        "subquery. The equality compares EXACT decimal sums (no "
+        "rounding before the compare), so ties surface every maximal "
+        "supplier deterministically, matching the original query's "
+        "intent; the view is one suppkey-keyed aggregation, the MAX is "
+        "a 1-row broadcast, supplier broadcasts into the 1-row result.",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+            FROM {_P}lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+        FROM {_P}supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s_suppkey
+    """)
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+        SELECT CAST(ROUND(SUM({_PRICE} * (1 - {_DISC})), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("olap", "tpch", "J2", "P5"),
+    doc="TPC-H Q19 discounted revenue (fixture adaptation: no "
+        "p_container/l_shipmode/l_shipinstruct columns, so each "
+        "disjunct pairs a brand + size band with a quantity band — the "
+        "same OR-of-conjunctions shape): the classic disjunctive-"
+        "predicate test. The plan MUST stay a partkey equi-join with "
+        "the disjunction as a residual filter (plan-pinned: one "
+        "BroadcastHashJoin, no BroadcastNestedLoopJoin) — a naive "
+        "engine degrades to a cartesian here because no single "
+        "conjunct is common; Spark extracts the common p_partkey = "
+        "l_partkey key itself.",
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    disj = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#18") & F.col("p_size").between(1, 15)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disj)
+        .agg(
+            F.round(F.sum(_s_price() * (F.lit(1) - _s_disc())), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q20_potential_part_promotion",
+    oracle="""
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_13'
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+              HAVING SUM(CAST(FLOOR(l_quantity) AS INT)) > 25
+          )
+        ORDER BY s_name
+    """,
+    tags=("olap", "tpch", "J8", "A6", "sql"),
+    doc="TPC-H Q20 potential part promotion (fixture adaptations: no "
+        "partsupp.ps_availqty, so 'holds excess stock' becomes 'shipped "
+        "more than 25 units of some red part in 1997' — the same "
+        "grouped-HAVING-IN nesting, thresholded against the fixture's "
+        "quantity fan-out so it is non-vacuous at every test scale; "
+        "nation constant NATION_13, s_address dropped from the output): "
+        "the nested-IN shape. Catalyst decorrelates the IN into a "
+        "LeftSemi join over the (suppkey, partkey) aggregate — the "
+        "grouped subquery runs ONCE, keyed on the same suppkey the semi "
+        "join probes; part (LIKE-filtered) broadcasts into the lineitem "
+        "scan; supplier and nation broadcast.",
+)
+def tpch_q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(f"""
+        SELECT s_name, s_acctbal
+        FROM {_P}supplier
+        JOIN {_P}nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_13'
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM {_P}lineitem
+              JOIN {_P}part ON p_partkey = l_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+              HAVING SUM(CAST(FLOOR(l_quantity) AS INT)) > 25
+          )
+        ORDER BY s_name
     """)
 
 

@@ -347,3 +347,38 @@ def test_tpch_q22_decorrelates(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in p, f"q22 NOT EXISTS not an anti join:\n{p}"
     assert "CartesianProduct" not in p, f"q22 went cartesian:\n{p}"
+
+
+def test_tpch_q2_q13_q15_q20_shapes(spark):
+    """Round-6 pin for the suite-completing queries: q2's correlated
+    MIN must decorrelate into a per-partkey aggregate equi-joined back
+    (never per-row execution), q13 must keep its customer-side OUTER
+    join (the zero-order customers are the point of the query), q15's
+    view-MAX scalar must broadcast one row, and q20's nested IN chain
+    must become LeftSemi joins; none may go cartesian."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.tpch_queries import (
+        tpch_q2_min_cost_supplier,
+        tpch_q13_customer_distribution,
+        tpch_q15_top_supplier,
+        tpch_q20_potential_part_promotion,
+    )
+
+    p2 = tpch_q2_min_cost_supplier(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in p2 and "ps_partkey" in p2, (
+        f"q2 correlated MIN not decorrelated:\n{p2}"
+    )
+    p13 = tpch_q13_customer_distribution(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in p13, f"q13 lost its outer join:\n{p13}"
+    p15 = tpch_q15_top_supplier(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    p20 = tpch_q20_potential_part_promotion(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p20, f"q20 IN chain not semi joins:\n{p20}"
+    for name, p in (("q2", p2), ("q13", p13), ("q15", p15), ("q20", p20)):
+        assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
