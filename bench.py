@@ -188,6 +188,13 @@ HEADLINE = [
     "lr_eval_auc",
     "dedup_minhash_estimate_audit",
     "tpch_q22_global_sales_opportunity",
+    # round-6d additions: the suite-completing TPC-H snowflake (q9),
+    # the exact-integer chi-squared drift detector, the KS prefix-sum
+    # decomposition, and the window-as-as-of attribution shape
+    "tpch_q9_product_type_profit",
+    "drift_chi2_lang_source",
+    "drift_ks_doclen_by_lang",
+    "events_attribution_last_touch",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict

@@ -569,3 +569,209 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
             "session_value",
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), pairs AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               CAST(n AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY prev_type) AS prob
+        FROM pairs
+        ORDER BY prev_type, next_type
+    """,
+    tags=("events", "W", "A6", "markov"),
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences — the behavioral model a funnel/recommendation "
+        "layer trains on (and, for an LLM pipeline, the same shape as "
+        "n-gram LM estimation over billions of short sequences). Scale "
+        "shape: the lag is a USER-partitioned window (one user-keyed "
+        "shuffle of the event scan, per-user state never crosses "
+        "executors), pairs aggregate to the |types|^2 <= 25-cell grain, "
+        "and row-normalization is a window over that tiny frame "
+        "partitioned by prev_type. The probability is ONE IEEE "
+        "division of exact counts — deterministic cross-engine. "
+        "(ts, event_id) makes the per-user order strict, so lag is "
+        "reproducible under any executor scheduling.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        pairs.select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wp)).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "events_attribution_first_touch",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ), first_touch AS (
+            SELECT user_id, event_type AS first_touch_type
+            FROM ranked WHERE rn = 1
+        ), rev AS (
+            SELECT user_id,
+                   SUM(CAST(value AS DECIMAL(12,2))) AS user_rev,
+                   COUNT(*) AS user_purchases
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT first_touch_type,
+               COUNT(*) AS n_users,
+               CAST(COALESCE(SUM(user_purchases), 0) AS BIGINT) AS n_purchases,
+               CAST(ROUND(COALESCE(SUM(user_rev), 0), 2) AS DOUBLE)
+                   AS attributed_revenue
+        FROM first_touch LEFT JOIN rev USING (user_id)
+        GROUP BY first_touch_type
+        ORDER BY first_touch_type
+    """,
+    tags=("events", "W1", "J3", "A12", "attribution"),
+    doc="First-touch revenue attribution: every user's lifetime "
+        "purchase value is credited to the type of their FIRST event — "
+        "the acquisition-channel report (the reference's dashboard has "
+        "the revenue side; this adds the marketing-attribution cut). "
+        "Scale shape: the first-touch pick is a user-partitioned "
+        "row_number (strict (ts, event_id) order), the revenue rollup "
+        "is a purchase-filtered user-grain aggregate, and the two "
+        "user-grain frames join on the SAME user_id key both shuffles "
+        "already produced — co-partitioned, no extra exchange; the "
+        "LEFT join + COALESCE keeps zero-purchase users in their "
+        "channel's denominator. Money stays exact DECIMAL until the "
+        "terminal round.",
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_touch = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("first_touch_type"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("user_rev"),
+            F.count("*").alias("user_purchases"),
+        )
+    )
+    return (
+        first_touch.join(rev, "user_id", "left")
+        .groupBy("first_touch_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.coalesce(F.sum("user_purchases"), F.lit(0))
+            .cast("long")
+            .alias("n_purchases"),
+            F.round(F.coalesce(F.sum("user_rev"), F.lit(0)), 2)
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .orderBy("first_touch_type")
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+        WITH touched AS (
+            SELECT event_type, value,
+                   last_value(
+                       CASE WHEN event_type <> 'purchase' THEN event_type END
+                       IGNORE NULLS
+                   ) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_touch_type
+            FROM events
+        )
+        SELECT COALESCE(last_touch_type, '(none)') AS last_touch_type,
+               COUNT(*) AS n_purchases,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS attributed_revenue
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("events", "W6", "attribution"),
+    doc="Last-touch revenue attribution: each purchase is credited to "
+        "the nearest PRECEDING non-purchase event of the same user — "
+        "the per-conversion flip side of the first-touch report, and "
+        "the as-of-join shape expressed as a window (the engine's "
+        "IGNORE NULLS last_value over an unbounded-to-1-preceding ROWS "
+        "frame IS a per-row as-of lookup, same semantics family as "
+        "operators/scd.py's union-and-carry-forward). Scale shape: one "
+        "user-partitioned window (single user-keyed shuffle, running "
+        "carry-forward state is O(1) per user) then a 5-row aggregate; "
+        "purchases with no prior touch land in '(none)'. Money exact "
+        "DECIMAL to the terminal round.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_touch_type"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch_type"), F.lit("(none)")).alias(
+                "last_touch_type"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .orderBy("last_touch_type")
+    )
