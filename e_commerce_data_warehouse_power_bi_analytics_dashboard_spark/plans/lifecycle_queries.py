@@ -197,3 +197,88 @@ def pysource_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "cdc_apply_customer_feed",
+    oracle="""
+        WITH feed AS (
+            SELECT user_id AS cust_id,
+                   CASE WHEN event_type = 'signup' THEN 'I'
+                        WHEN event_type = 'error'  THEN 'D'
+                        ELSE 'U' END AS op,
+                   CAST(value AS DECIMAL(12,2)) AS new_bal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ), latest AS (
+            SELECT cust_id, op, new_bal FROM feed WHERE rn = 1
+        ), base AS (
+            SELECT c_custkey AS cust_id, c_name AS name,
+                   CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+            FROM customer
+        )
+        SELECT cust_id,
+               COALESCE(b.name, '(new)') AS name,
+               CAST(COALESCE(l.new_bal, b.bal) AS DOUBLE) AS acctbal,
+               CASE WHEN l.cust_id IS NULL THEN 'base'
+                    WHEN b.cust_id IS NULL THEN 'insert'
+                    ELSE 'update' END AS src
+        FROM base b FULL OUTER JOIN latest l USING (cust_id)
+        WHERE COALESCE(l.op, '') <> 'D'
+        ORDER BY cust_id
+    """,
+    tags=("lifecycle", "S5", "W1", "J3", "cdc"),
+    doc="CDC change-feed apply — the generalization of the S5 upsert to "
+        "a full MERGE with deletes and out-of-order arrival: the event "
+        "stream is read as a change feed (signup=insert, error=delete, "
+        "else update, sequenced by event time + id, NOT arrival order), "
+        "collapsed to one winning operation per key, and applied to the "
+        "customer snapshot — tombstones drop the row, inserts create "
+        "'(new)' rows, updates rewrite the balance, untouched base rows "
+        "carry forward. Scale shape: latest-wins is the W1 key-"
+        "partitioned window over the feed (one key shuffle — the feed "
+        "is never sorted globally), and the FULL OUTER apply join re-"
+        "uses the same key partitioning; at 100 TB this is the standard "
+        "snapshot+delta compaction plan, one shuffle each side, no "
+        "driver involvement.",
+)
+def cdc_apply_customer_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_events
+
+    feed = read_events(spark, sf_dir).select(
+        F.col("user_id").alias("cust_id"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("value").cast("decimal(12,2)").alias("new_bal"),
+        "ts",
+        "event_id",
+    )
+    # one winning op per key, ordered by event time (out-of-order safe)
+    latest = latest_wins(feed, "cust_id", "ts", "event_id").select(
+        "cust_id", "op", "new_bal"
+    )
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    applied = base.join(latest, "cust_id", "full_outer")
+    return (
+        applied.filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            "cust_id",
+            F.coalesce(F.col("name"), F.lit("(new)")).alias("name"),
+            F.coalesce(F.col("new_bal"), F.col("bal"))
+            .cast("double")
+            .alias("acctbal"),
+            F.when(F.col("op").isNull(), "base")
+            .when(F.col("name").isNull(), "insert")
+            .otherwise("update")
+            .alias("src"),
+        )
+        .orderBy("cust_id")
+    )

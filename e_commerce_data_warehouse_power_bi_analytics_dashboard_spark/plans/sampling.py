@@ -565,3 +565,112 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+#: negative-sampling knobs: k negatives per anchor, NB hash buckets
+_NEG_K = 2
+_NEG_NB = 64
+
+
+@register(
+    "sample_contrastive_negatives",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id,
+                   ({T.o_md5_long("CAST(doc_id AS VARCHAR)", 8)}) % {_NEG_NB}
+                       AS bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ({T.o_md5_long("CAST(doc_id AS VARCHAR)", 8)})
+                                    % {_NEG_NB}
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ), mins AS (
+            SELECT bucket,
+                   MAX(CASE WHEN rn = 1 THEN doc_id END) AS min1,
+                   MAX(CASE WHEN rn = 2 THEN doc_id END) AS min2
+            FROM ranked WHERE rn <= 2 GROUP BY bucket
+        ), probes AS (
+            SELECT doc_id AS anchor_id, j AS slot,
+                   ({T.o_md5_long(
+                       "'neg:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)",
+                       8,
+                   )}) % {_NEG_NB} AS bucket
+            FROM documents, unnest(generate_series(0, {_NEG_K - 1})) AS u(j)
+            WHERE ({T.o_md5_long("CAST(doc_id AS VARCHAR)", 8)}) % 100 < 5
+        )
+        SELECT anchor_id, CAST(slot AS INT) AS slot,
+               CASE WHEN min1 = anchor_id THEN min2 ELSE min1 END
+                   AS negative_id
+        FROM probes JOIN mins USING (bucket)
+        ORDER BY anchor_id, slot
+    """,
+    tags=("llm", "sampling", "contrastive"),
+    doc="Deterministic negative sampling for contrastive training: "
+        "every anchor (a stable 5% md5 cohort) draws k pseudo-random "
+        "negatives by hashing (anchor, slot) to one of NB corpus "
+        "buckets and taking that bucket's md5-minimal document — "
+        "hash-deterministic like every sampler here (stable across "
+        "retries/executors/engines, re-runnable on the oracle), "
+        "self-collision handled by falling to the bucket's second "
+        "minimum. Scale shape: the bucket representatives reduce the "
+        "corpus to an NB-row table in one bucket-keyed window pass "
+        "(rank-within-bucket, partitioned, never global), probes are "
+        "map-side explode of the anchor cohort, and the lookup is an "
+        "equi-join against the NB-row frame (broadcast at any NB a "
+        "driver can hold; NB scales with corpus size to keep buckets "
+        "executor-sized). No all-pairs anything.",
+)
+def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"({T.s_md5_long('CAST(doc_id AS STRING)', 8)}) % {_NEG_NB}"
+    )
+    ranked = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("_h", "doc_id")
+        ),
+    )
+    mins = (
+        ranked.filter(F.col("rn") <= 2)
+        .groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("min1"),
+            F.max(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("min2"),
+        )
+    )
+    probes = (
+        docs.filter(F.expr(f"{_S_COIN} < 5"))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("slot"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                "("
+                + T.s_md5_long(
+                    "concat('neg:', CAST(anchor_id AS STRING), ':',"
+                    " CAST(slot AS STRING))",
+                    8,
+                )
+                + f") % {_NEG_NB}"
+            ),
+        )
+    )
+    return (
+        probes.join(F.broadcast(mins), "bucket")
+        .select(
+            "anchor_id",
+            F.col("slot").cast("int").alias("slot"),
+            F.when(F.col("min1") == F.col("anchor_id"), F.col("min2"))
+            .otherwise(F.col("min1"))
+            .alias("negative_id"),
+        )
+        .orderBy("anchor_id", "slot")
+    )

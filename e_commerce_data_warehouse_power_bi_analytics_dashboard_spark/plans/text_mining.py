@@ -651,3 +651,120 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+#: bigram assembly over the empty-filtered token array; guarded so a
+#: 0/1-token doc yields an empty array (Spark's sequence(1,0) would
+#: COUNT DOWN, not return empty)
+_S_BIGRAMS = (
+    "CASE WHEN size(_toks) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(_toks) - 1),"
+    " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END"
+)
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS l
+            FROM documents
+        ), bg AS (
+            SELECT doc_id, b
+            FROM toks, unnest(
+                list_transform(
+                    generate_series(1, len(l) - 1),
+                    i -> l[i] || ' ' || l[i + 1]
+                )
+            ) AS u(b)
+        ), df AS (
+            SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        ), lm AS (
+            SELECT b, SUM(c) AS cb FROM df GROUP BY b
+        ), ctx AS (
+            SELECT split_part(b, ' ', 1) AS w1, SUM(cb) AS cw1
+            FROM lm GROUP BY 1
+        ), v AS (
+            SELECT COUNT(DISTINCT t) AS vsize
+            FROM toks, unnest(l) AS u(t)
+        )
+        SELECT df.doc_id,
+               CAST(SUM(df.c) AS BIGINT) AS n_bigrams,
+               round(-SUM(df.c * ln(
+                   CAST(lm.cb + 1 AS DOUBLE) / (ctx.cw1 + v.vsize)
+               )) / SUM(df.c), 6) AS cross_entropy_nats,
+               round(exp(-SUM(df.c * ln(
+                   CAST(lm.cb + 1 AS DOUBLE) / (ctx.cw1 + v.vsize)
+               )) / SUM(df.c)), 2) AS perplexity
+        FROM df
+        JOIN lm USING (b)
+        JOIN ctx ON ctx.w1 = split_part(df.b, ' ', 1)
+        CROSS JOIN v
+        GROUP BY df.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+    doc="Bigram-LM perplexity scoring (the order-sensitive upgrade of "
+        "text_unigram_perplexity): train an add-one-smoothed bigram "
+        "model on the corpus — p(w2|w1) = (c(w1w2)+1)/(c(w1.)+V) — and "
+        "score each document's cross-entropy/perplexity under it. "
+        "Context counts derive from the bigram table itself (so the "
+        "model is self-consistent at token-sequence boundaries) and V "
+        "is the distinct-unigram vocabulary. Scale shape: bigrams are "
+        "assembled MAP-SIDE from each doc's token array (never a "
+        "positions self-join), doc-bigram counts shuffle on (doc, "
+        "bigram), the model tables are bigram-/context-vocabulary-"
+        "sized, the scoring join keys on bigram (group size = bigram "
+        "document frequency), and V broadcasts as one row. Same float "
+        "discipline as the unigram entry: per-doc log-sums round to 6 "
+        "decimals (sub-1e-12 reorder noise vs 1e-6 grid), perplexity "
+        "to 2.",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("_toks"),
+    )
+    df_counts = (
+        toks.select("doc_id", F.explode(F.expr(_S_BIGRAMS)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    lm = df_counts.groupBy("b").agg(F.sum("c").alias("cb"))
+    ctx = (
+        lm.groupBy(F.split("b", " ").getItem(0).alias("w1"))
+        .agg(F.sum("cb").alias("cw1"))
+    )
+    v = (
+        toks.select(F.explode("_toks").alias("t"))
+        .agg(F.countDistinct("t").alias("vsize"))
+    )
+    scored = (
+        df_counts.join(lm, "b")
+        .join(
+            ctx,
+            F.split(F.col("b"), " ").getItem(0) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            (
+                -F.sum(
+                    F.col("c")
+                    * F.log(
+                        (F.col("cb") + 1).cast("double")
+                        / (F.col("cw1") + F.col("vsize"))
+                    )
+                )
+                / F.sum("c")
+            ).alias("_ce"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("_ce", 6).alias("cross_entropy_nats"),
+        F.round(F.exp("_ce"), 2).alias("perplexity"),
+    )
