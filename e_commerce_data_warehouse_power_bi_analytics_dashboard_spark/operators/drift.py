@@ -1,0 +1,91 @@
+"""Drift-statistic cores shared by plans/drift_queries.py and the
+property tests — the exact-arithmetic pieces that make iterative-free
+statistics hash-stable cross-engine (see the module docstring there for
+the detector-level story).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for the chi-squared contributions (millionths)
+CHI2_SCALE = 1_000_000
+
+
+def chi2_scaled(cells: DataFrame, a: str, b: str, o: str = "o") -> DataFrame:
+    """Chi-squared independence statistic over a contingency frame
+    ``cells`` = one row per (a, b) category pair with exact BIGINT count
+    ``o`` — computed ENTIRELY in scaled-integer arithmetic so the result
+    is order-independent and bit-identical to any serial twin.
+
+    Per cell, with rt/ct/n the row/column/grand totals:
+
+        e_s     = max((rt * ct * SCALE) div n, 1)      -- floor(e * SCALE)
+        contrib = ((o * SCALE - e_s)^2) div e_s        -- floor-ish of
+                                                          (o-e)^2/e * SCALE
+
+    Every operation is DECIMAL(38,0) integer arithmetic (`div` truncates
+    toward zero; all operands non-negative, so it equals floor and
+    DuckDB's HUGEINT ``//``), and the cross-cell SUM is an integer —
+    no float-summation-order hazard, the fixed-point-PageRank
+    discipline. Intermediates are bounded by (n·SCALE)² < 10³⁸, good to
+    n ≈ 10¹⁶ observations. The e_s >= 1 clamp guards degenerate margins
+    (an expected count that floors to zero).
+
+    Scale shape: the margins re-aggregate from ``cells`` itself (never a
+    second scan of the underlying data) and broadcast back onto the
+    cell-grain frame; the output is one row
+    ``(chi2_millionths, dof, n_obs)``.
+    """
+    rt = cells.groupBy(a).agg(F.sum(o).alias("rt"))
+    ct = cells.groupBy(b).agg(F.sum(o).alias("ct"))
+    n = cells.groupBy().agg(F.sum(o).alias("n"))
+    scaled = (
+        cells.join(F.broadcast(rt), a)
+        .join(F.broadcast(ct), b)
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e_s",
+            F.greatest(
+                F.expr(
+                    f"(CAST(rt AS DECIMAL(38,0)) * ct * {CHI2_SCALE})"
+                    " div CAST(n AS DECIMAL(38,0))"
+                ),
+                F.lit(1).cast("long"),
+            ),
+        )
+    )
+    return scaled.groupBy().agg(
+        F.sum(
+            F.expr(
+                f"((CAST({o} AS DECIMAL(38,0)) * {CHI2_SCALE} - e_s)"
+                f" * (CAST({o} AS DECIMAL(38,0)) * {CHI2_SCALE} - e_s))"
+                " div e_s"
+            )
+        )
+        .cast("long")
+        .alias("chi2_millionths"),
+        ((F.countDistinct(a) - 1) * (F.countDistinct(b) - 1))
+        .cast("long")
+        .alias("dof"),
+        F.max("n").cast("long").alias("n_obs"),
+    )
+
+
+def chi2_scaled_serial(counts: dict[tuple, int]) -> tuple[int, int, int]:
+    """Pure-Python twin of :func:`chi2_scaled` over ``{(a, b): o}`` —
+    exact integer arithmetic, for the property tests."""
+    rt: dict = {}
+    ct: dict = {}
+    for (ka, kb), o in counts.items():
+        rt[ka] = rt.get(ka, 0) + o
+        ct[kb] = ct.get(kb, 0) + o
+    n = sum(counts.values())
+    chi2 = 0
+    for (ka, kb), o in counts.items():
+        e_s = max((rt[ka] * ct[kb] * CHI2_SCALE) // n, 1)
+        d = o * CHI2_SCALE - e_s
+        chi2 += (d * d) // e_s
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    return chi2, dof, n

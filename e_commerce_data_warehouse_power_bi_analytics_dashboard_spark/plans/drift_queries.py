@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.drift import chi2_scaled
 from ..operators.ranking import ordered_prefix_sum
 from ..sources.tpch import read_events, read_table
 from .catalog import register
@@ -272,42 +273,14 @@ def drift_psi_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "only data-sized shuffle), margins re-aggregated from those "
         "cells (never a second scan), broadcast back onto the "
         "cell-grain frame. Intermediates bounded by (n*10^6)^2 < "
-        "10^38 up to n ~ 10^16 docs.",
+        "10^38 up to n ~ 10^16 docs. Core: operators/drift.py::"
+        "chi2_scaled, equivalence-tested against its pure-Python serial "
+        "twin on randomized contingency tables "
+        "(tests/test_drift_properties.py).",
 )
 def drift_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     o = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
-    rt = o.groupBy("lang").agg(F.sum("o").alias("rt"))
-    ct = o.groupBy("source").agg(F.sum("o").alias("ct"))
-    n = o.groupBy().agg(F.sum("o").alias("n"))
-    cells = (
-        o.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "e_s",
-            F.greatest(
-                F.expr(
-                    "(CAST(rt AS DECIMAL(38,0)) * ct * 1000000)"
-                    " div CAST(n AS DECIMAL(38,0))"
-                ),
-                F.lit(1).cast("long"),
-            ),
-        )
-    )
-    return cells.groupBy().agg(
-        F.sum(
-            F.expr(
-                "((CAST(o AS DECIMAL(38,0)) * 1000000 - e_s)"
-                " * (CAST(o AS DECIMAL(38,0)) * 1000000 - e_s)) div e_s"
-            )
-        )
-        .cast("long")
-        .alias("chi2_millionths"),
-        (
-            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
-        )
-        .cast("long")
-        .alias("dof"),
-        F.max("n").cast("long").alias("n_docs"),
+    return chi2_scaled(o, "lang", "source").withColumnRenamed(
+        "n_obs", "n_docs"
     )

@@ -242,9 +242,12 @@ def pysource_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is never sorted globally), and the FULL OUTER apply join re-"
         "uses the same key partitioning; at 100 TB this is the standard "
         "snapshot+delta compaction plan, one shuffle each side, no "
-        "driver involvement.",
+        "driver involvement. Core: operators/cdc.py::apply_change_feed, "
+        "equivalence-tested against a serial op-by-op replay on "
+        "randomized shuffled feeds (tests/test_drift_properties.py).",
 )
 def cdc_apply_customer_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import apply_change_feed
     from ..sources.tpch import read_events
 
     feed = read_events(spark, sf_dir).select(
@@ -253,32 +256,32 @@ def cdc_apply_customer_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", "D")
         .otherwise("U")
         .alias("op"),
-        F.col("value").cast("decimal(12,2)").alias("new_bal"),
+        F.col("value").cast("decimal(12,2)").alias("bal"),
         "ts",
         "event_id",
-    )
-    # one winning op per key, ordered by event time (out-of-order safe)
-    latest = latest_wins(feed, "cust_id", "ts", "event_id").select(
-        "cust_id", "op", "new_bal"
     )
     base = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust_id"),
         F.col("c_name").alias("name"),
         F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
     )
-    applied = base.join(latest, "cust_id", "full_outer")
+    applied = apply_change_feed(
+        base.select("cust_id", "bal"),
+        feed,
+        "cust_id",
+        ["bal"],
+        "ts",
+        "event_id",
+    )
+    # the feed images balances only; names ride along from the snapshot
+    # (insert keys get the placeholder) — one more co-partitioned join
     return (
-        applied.filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        applied.join(base.select("cust_id", "name"), "cust_id", "left")
         .select(
             "cust_id",
             F.coalesce(F.col("name"), F.lit("(new)")).alias("name"),
-            F.coalesce(F.col("new_bal"), F.col("bal"))
-            .cast("double")
-            .alias("acctbal"),
-            F.when(F.col("op").isNull(), "base")
-            .when(F.col("name").isNull(), "insert")
-            .otherwise("update")
-            .alias("src"),
+            F.col("bal").cast("double").alias("acctbal"),
+            "src",
         )
         .orderBy("cust_id")
     )
