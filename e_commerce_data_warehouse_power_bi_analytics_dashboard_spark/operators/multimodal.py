@@ -1054,3 +1054,185 @@ def decode_image_rgba(with_png: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in RGBA_STATS_SCHEMA.fields])
 
     return with_png.select("doc_id", "png").mapInPandas(dec, RGBA_STATS_SCHEMA)
+
+
+# -- ISO-BMFF (MP4) container walk -------------------------------------------
+
+MP4_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("n_top_boxes", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("free_len", T.IntegerType()),
+    ]
+)
+
+#: mvhd v0 movie timescale used by the synthesizer (the classic 600)
+_MP4_TIMESCALE = 600
+
+
+def synthesize_mp4_payloads(docs: DataFrame) -> DataFrame:
+    """video-docs → (doc_id, mp4 binary): structurally real ISO-BMFF
+    streams — ftyp, a VARIABLE-LENGTH free box carrying the doc's text
+    head (so the walker must honor box sizes, not fixed offsets), a moov
+    container with mvhd (v0: timescale/duration) and trak/tkhd (16.16
+    fixed-point width/height), and an mdat written with the size==1 +
+    64-bit largesize header — the extended-size path every real-world
+    >4 GiB recording exercises. Entropy/sample data is omitted
+    (header-only streams): duration/dimension parsing is a box walk and
+    must not depend on media payload."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("mp4", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def box(fourcc: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                dur = (d % 90 + 1) * _MP4_TIMESCALE
+                w, h = 320 + (d % 8) * 16, 240 + (d % 5) * 16
+                ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+                free = box(b"free", str(text)[:32].encode("utf-8"))
+                mvhd = box(
+                    b"mvhd",
+                    struct.pack(">BxxxIIII", 0, 0, 0, _MP4_TIMESCALE, dur)
+                    + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                    + b"\x00" * 8
+                    + _MP4_UNITY_MATRIX
+                    + b"\x00" * 24
+                    + struct.pack(">I", 2),
+                )
+                tkhd = box(
+                    b"tkhd",
+                    struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, dur)
+                    + b"\x00" * 8
+                    + struct.pack(">HHHxx", 0, 0, 0)
+                    + _MP4_UNITY_MATRIX
+                    + struct.pack(">II", w << 16, h << 16),
+                )
+                moov = box(b"moov", mvhd + box(b"trak", tkhd))
+                mdat_payload = b"\x00" * (d % 7)
+                mdat = (
+                    struct.pack(">I", 1)
+                    + b"mdat"
+                    + struct.pack(">Q", 16 + len(mdat_payload))
+                    + mdat_payload
+                )
+                rows.append((d, ftyp + free + moov + mdat))
+            yield pd.DataFrame(rows, columns=["doc_id", "mp4"])
+
+    return docs.select("doc_id", "text").mapInPandas(synth, schema)
+
+
+_MP4_UNITY_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x40\x00\x00\x00"
+)
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    b[start:end], honoring 32-bit sizes, the size==1 64-bit largesize
+    escape, and the size==0 to-end-of-enclosure convention. Raises on
+    truncation, overrun, or a box too small to hold its own header."""
+    import struct
+
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError(f"truncated box header at {off}")
+        (size,) = struct.unpack(">I", b[off:off + 4])
+        fourcc = b[off + 4:off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError(f"truncated largesize at {off}")
+            (size,) = struct.unpack(">Q", b[off + 8:off + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr:
+            raise ValueError(f"box at {off} smaller than its header ({size})")
+        if off + size > end:
+            raise ValueError(f"box at {off} overruns enclosure ({size})")
+        yield fourcc, off + hdr, off + size
+        off += size
+
+
+def parse_mp4_header(b: bytes) -> tuple[str, int, int, int, int, int, int]:
+    """Walk an ISO-BMFF stream → (major_brand, n_top_boxes, timescale,
+    duration, width, height, free_len).
+
+    Real container walk: top-level boxes by size (largesize honored),
+    one recursion into moov for mvhd (v0 timescale/duration) and the
+    first trak's tkhd (v0, 16.16 fixed-point width/height). Unknown
+    boxes skip by size. Raises on truncation, a missing ftyp/moov, or a
+    v1 header (64-bit times — not emitted by the synthesizer; an
+    explicit gate, not silent misparse). Pure function, fuzz-testable
+    without a session (the parse_wav/parse_jpeg_header contract)."""
+    import struct
+
+    major = None
+    timescale = duration = width = height = None
+    free_len = 0
+    n_top = 0
+    for fourcc, ps, pe in _walk_boxes(b, 0, len(b)):
+        n_top += 1
+        if fourcc == b"ftyp":
+            if pe - ps < 8:
+                raise ValueError("ftyp too short")
+            major = b[ps:ps + 4].decode("ascii")
+        elif fourcc == b"free":
+            free_len = pe - ps
+        elif fourcc == b"moov":
+            for f2, q2, e2 in _walk_boxes(b, ps, pe):
+                if f2 == b"mvhd":
+                    ver = b[q2]
+                    if ver != 0:
+                        raise ValueError(f"mvhd v{ver} (64-bit) not supported")
+                    timescale, duration = struct.unpack(">II", b[q2 + 12:q2 + 20])
+                elif f2 == b"trak" and width is None:
+                    for f3, q3, e3 in _walk_boxes(b, q2, e2):
+                        if f3 == b"tkhd":
+                            ver = b[q3]
+                            if ver != 0:
+                                raise ValueError(f"tkhd v{ver} not supported")
+                            wfx, hfx = struct.unpack(">II", b[e3 - 8:e3])
+                            width, height = wfx >> 16, hfx >> 16
+    if major is None:
+        raise ValueError("missing ftyp")
+    if timescale is None or width is None:
+        raise ValueError("missing moov/mvhd/tkhd")
+    return major, n_top, timescale, duration, width, height, free_len
+
+
+def decode_mp4_header(with_mp4: DataFrame) -> DataFrame:
+    """Parse ISO-BMFF headers via ``parse_mp4_header`` in Arrow-batched
+    ``mapInPandas``; duration surfaces in exact integer milliseconds
+    (duration * 1000 // timescale)."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mb in zip(pdf["doc_id"], pdf["mp4"]):
+                major, n_top, ts, dur, w, h, free_len = parse_mp4_header(bytes(mb))
+                rows.append(
+                    (int(doc_id), major, n_top, dur * 1000 // ts, w, h, free_len)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MP4_SCHEMA.fields])
+
+    return with_mp4.select("doc_id", "mp4").mapInPandas(dec, MP4_SCHEMA)

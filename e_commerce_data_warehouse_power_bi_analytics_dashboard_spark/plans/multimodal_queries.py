@@ -541,3 +541,36 @@ def mm_png_rgba_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         F.round("mean_a", 6).alias("mean_a"),
     )
+
+
+@register(
+    "mm_mp4_box_walk",
+    oracle="""
+        SELECT doc_id,
+               'isom' AS major_brand,
+               CAST(4 AS INT) AS n_top_boxes,
+               CAST((doc_id % 90 + 1) * 1000 AS BIGINT) AS duration_ms,
+               CAST(320 + (doc_id % 8) * 16 AS INT) AS width,
+               CAST(240 + (doc_id % 5) * 16 AS INT) AS height,
+               CAST(octet_length(encode(substr(text, 1, 32))) AS INT) AS free_len
+        FROM documents WHERE doc_id % 4 = 1
+    """,
+    tags=("multimodal", "binary", "parse", "mapInPandas", "video"),
+    doc="REAL ISO-BMFF (MP4) container walk, stdlib-only: synthesize "
+        "structurally valid streams (ftyp, a variable-length free box "
+        "carrying the doc text head so fixed offsets cannot cheat, moov "
+        "with mvhd timescale/duration and tkhd 16.16 fixed-point "
+        "dimensions, and an mdat using the size==1 64-bit LARGESIZE "
+        "escape — the >4 GiB-recording path), then recover brand/"
+        "duration/dimensions by walking box sizes in mapInPandas, one "
+        "moov recursion deep. duration_ms is exact integer arithmetic "
+        "(units * 1000 // timescale); free_len is re-derived "
+        "independently by the oracle as the UTF-8 octet length of the "
+        "same 32-char head (multibyte zh docs exercised). The video "
+        "companion to the JPEG marker walk and WAV chunk walk; the "
+        "walker raises (never misparses) on truncation, overrun, or "
+        "v1 64-bit headers, and is fuzz-tested like parse_wav.",
+)
+def mm_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    return MM.decode_mp4_header(MM.synthesize_mp4_payloads(docs))

@@ -459,3 +459,91 @@ def test_png_rgba_roundtrip_all_filters():
     dw, dh, c, out = MM.decode_png(png)
     assert (dw, dh, c) == (w, h, 4)
     assert out == grid
+
+
+def test_mp4_parse_rejects_truncation_and_missing_boxes():
+    import struct
+
+    import pytest as _pt
+
+    def box(fourcc, payload):
+        return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, 600, 1200)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + MM._MP4_UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, 1200)
+        + b"\x00" * 8 + struct.pack(">HHHxx", 0, 0, 0)
+        + MM._MP4_UNITY_MATRIX + struct.pack(">II", 640 << 16, 480 << 16),
+    )
+    good = (
+        box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+        + box(b"moov", mvhd + box(b"trak", tkhd))
+    )
+    assert MM.parse_mp4_header(good) == ("isom", 2, 600, 1200, 640, 480, 0)
+    with _pt.raises(ValueError):
+        MM.parse_mp4_header(good[:-5])  # tkhd overruns its enclosure
+    with _pt.raises(ValueError):
+        MM.parse_mp4_header(box(b"moov", mvhd))  # no ftyp
+    with _pt.raises(ValueError):
+        MM.parse_mp4_header(box(b"ftyp", b"isom" + b"\x00" * 4))  # no moov
+    v1 = bytearray(good)
+    v1[good.index(b"mvhd") + 4] = 1  # version byte after the fourcc
+    with _pt.raises(ValueError):
+        MM.parse_mp4_header(bytes(v1))
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n_junk=st.integers(0, 4),
+        use_largesize=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def test_mp4_walk_skips_unknown_boxes(n_junk, use_largesize, seed):
+        """parse_mp4_header must find moov/mvhd/tkhd regardless of
+        interleaved unknown boxes (arbitrary fourcc/body, 32-bit or
+        largesize headers) at top level."""
+        import random
+        import struct
+
+        rng = random.Random(seed)
+
+        def box(fourcc, payload):
+            return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+        def junk():
+            fourcc = bytes(rng.randrange(97, 123) for _ in range(4))
+            body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+            if use_largesize and rng.random() < 0.5:
+                return struct.pack(">I", 1) + fourcc + struct.pack(">Q", 16 + len(body)) + body
+            return box(fourcc, body)
+
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">BxxxIIII", 0, 0, 0, 600, 4242)
+            + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+            + b"\x00" * 8 + MM._MP4_UNITY_MATRIX + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, 4242)
+            + b"\x00" * 8 + struct.pack(">HHHxx", 0, 0, 0)
+            + MM._MP4_UNITY_MATRIX + struct.pack(">II", 1280 << 16, 720 << 16),
+        )
+        parts = [box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")]
+        for _ in range(n_junk):
+            parts.insert(rng.randrange(1, len(parts) + 1), junk())
+        parts.append(box(b"moov", mvhd + box(b"trak", tkhd)))
+        stream = b"".join(parts)
+        major, n_top, ts, dur, w, h, _ = MM.parse_mp4_header(stream)
+        assert (major, ts, dur, w, h) == ("isom", 600, 4242, 1280, 720)
+        assert n_top == 2 + n_junk
