@@ -1022,3 +1022,143 @@ def pca_top_component(
     return v.crossJoin(F.broadcast(ratio)).select(
         F.col("i").alias("pos"), F.col("v").alias("loading"), "explained_ratio"
     )
+
+
+def pca_top2_components(
+    emb: DataFrame, iters: int = 4, dim: int = 64, quant: int = 10_000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top TWO principal components by power iteration + Hotelling
+    deflation — the rank-2 extension of :func:`pca_top_component`,
+    sharing its determinism recipe (exact-integer scaled covariance,
+    6-decimal eigvec re-sync per round; see that docstring).
+
+    Deflation step: after the first component v₁ converges, the second
+    iteration runs on  A₂ = A − λ₁ v₁ v₁ᵀ  where λ₁ is recovered from
+    the ROUNDED Rayleigh ratio times the exact-integer trace (two
+    deterministic doubles, one multiply), and each A₂ cell is one fixed
+    IEEE expression over the exact aij and the 6-dec v₁ entries —
+    cross-engine reproducible, no float accumulation enters the matrix.
+    Per-round drift in the second iteration dies at the same 6th
+    decimal as the first.
+
+    Both explained ratios are shares of the SAME total variance
+    (trace of A), so ratio₁ + ratio₂ is the cumulative top-2 share.
+    Scale shape: identical to the top-1 fit — one dim² map-side pair
+    expansion, then every round broadcasts a 64-row eigvec against the
+    localCheckpoint-ed 4096-cell matrix; the deflated matrix is
+    checkpointed once, so the second fit re-scans nothing.
+
+    Returns (pos, loading1, loading2, ratio1, ratio2), 64 rows.
+    """
+    spark = emb.sparkSession
+    qarr = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT))"
+    )
+    rows = emb.select(F.col(id_col).alias("vid"), qarr.alias("q"))
+    cells = rows.select("vid", F.posexplode("q").alias("pos0", "qv")).select(
+        "vid", (F.col("pos0") + 1).alias("i"), "qv"
+    )
+    n1 = rows.agg(F.count("*").alias("n"))
+    s = cells.groupBy("i").agg(F.sum("qv").alias("s"))
+    pairs = rows.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (x, i) -> "
+                "transform(q, (y, j) -> struct(i + 1 AS i, j + 1 AS j, x * y AS p))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    g = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+    a = (
+        g.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
+        .join(F.broadcast(s.select(F.col("i").alias("j"), F.col("s").alias("sj"))), "j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i", "j", (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("aij")
+        )
+        .localCheckpoint(eager=True)
+    )
+    trace = a.filter(F.col("i") == F.col("j")).agg(F.sum("aij").alias("trace"))
+
+    def _iterate(mat: DataFrame, val: str, ortho: DataFrame | None = None) -> DataFrame:
+        v = spark.range(1, dim + 1).select(
+            F.col("id").cast("int").alias("i"),
+            F.lit(round(1.0 / (dim ** 0.5), 6)).alias("v"),
+        )
+        for _ in range(iters):
+            u = (
+                mat.join(F.broadcast(v.select(F.col("i").alias("j"), F.col("v"))), "j")
+                .groupBy("i")
+                .agg(F.sum(F.col(val) * F.col("v")).alias("u"))
+            )
+            if ortho is not None:
+                # Gram-Schmidt against the fixed first component each
+                # round (orthogonal iteration): u' = u - (u.v1) v1 —
+                # orthogonality holds BY CONSTRUCTION (to the 6-dec
+                # rounding), not by convergence, which power iteration
+                # cannot promise on a near-isotropic cloud
+                o = ortho.select("i", F.col("v").alias("o"))
+                pj = (
+                    u.join(F.broadcast(o), "i")
+                    .agg(F.sum(F.col("u") * F.col("o")).alias("p"))
+                )
+                u = (
+                    u.join(F.broadcast(o), "i")
+                    .crossJoin(F.broadcast(pj))
+                    .select(
+                        "i", (F.col("u") - F.col("p") * F.col("o")).alias("u")
+                    )
+                )
+            nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+            v = (
+                u.crossJoin(F.broadcast(nrm))
+                .select("i", F.round(F.col("u") / F.col("nrm"), 6).alias("v"))
+                .localCheckpoint(eager=True)
+            )
+        return v
+
+    def _ratio(mat: DataFrame, val: str, v: DataFrame) -> DataFrame:
+        num = (
+            mat.join(F.broadcast(v.select(F.col("i"), F.col("v").alias("vi"))), "i")
+            .join(F.broadcast(v.select(F.col("i").alias("j"), F.col("v").alias("vj"))), "j")
+            .agg(F.sum(F.col("vi") * F.col(val) * F.col("vj")).alias("num"))
+        )
+        den = v.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+        return (
+            num.crossJoin(F.broadcast(den))
+            .crossJoin(F.broadcast(trace))
+            .select(
+                F.round(F.col("num") / (F.col("den") * F.col("trace")), 6).alias("r")
+            )
+        )
+
+    v1 = _iterate(a, "aij")
+    r1 = _ratio(a, "aij", v1)
+    # λ₁ from the ROUNDED ratio × exact trace: both engines compute the
+    # identical pair of doubles, so the deflated cells are reproducible
+    lam1 = r1.crossJoin(F.broadcast(trace)).select(
+        (F.col("r") * F.col("trace")).alias("lam")
+    )
+    a2 = (
+        a.join(F.broadcast(v1.select(F.col("i"), F.col("v").alias("v1i"))), "i")
+        .join(F.broadcast(v1.select(F.col("i").alias("j"), F.col("v").alias("v1j"))), "j")
+        .crossJoin(F.broadcast(lam1))
+        .select(
+            "i",
+            "j",
+            (F.col("aij") - F.col("lam") * F.col("v1i") * F.col("v1j")).alias("a2ij"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v2 = _iterate(a2, "a2ij", ortho=v1)
+    r2 = _ratio(a2, "a2ij", v2)
+    return (
+        v1.withColumnRenamed("v", "loading1")
+        .join(v2.withColumnRenamed("v", "loading2"), "i")
+        .crossJoin(F.broadcast(r1.select(F.col("r").alias("ratio1"))))
+        .crossJoin(F.broadcast(r2.select(F.col("r").alias("ratio2"))))
+        .select(
+            F.col("i").alias("pos"), "loading1", "loading2", "ratio1", "ratio2"
+        )
+    )

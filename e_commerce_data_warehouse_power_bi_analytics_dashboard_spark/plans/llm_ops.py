@@ -1810,16 +1810,33 @@ _PCA_ITERS = 4
 _PCA_QUANT = 10_000
 
 
-def _o_pca_iter(prev: str, t: int) -> str:
+def _o_pca_iter(
+    prev: str, t: int, mat: str = "a", val: str = "aij", pfx: str = "v",
+    ortho: str | None = None,
+) -> str:
     """One unrolled power-iteration round (mirrors the operator: u = A v,
-    v' = round(u/||u||, 6))."""
+    optional Gram-Schmidt u' = u - (u.o)o against ``ortho``, then
+    v' = round(u/||u||, 6)); ``mat``/``val``/``pfx`` retarget the round
+    at the deflated matrix for the top-2 oracle."""
+    raw = "raw" if ortho else ""
+    gs = (
+        f""",
+        pj{pfx}{t} AS (SELECT SUM(u.u * o.v) AS p
+                       FROM u{pfx}{t}raw u JOIN {ortho} o USING (i)),
+        u{pfx}{t} AS MATERIALIZED (
+            SELECT u.i, u.u - p * o.v AS u
+            FROM u{pfx}{t}raw u JOIN {ortho} o USING (i), pj{pfx}{t})"""
+        if ortho
+        else ""
+    )
     return f"""
-        u{t} AS (
-            SELECT a.i, SUM(a.aij * v.v) AS u
-            FROM a JOIN {prev} v ON v.i = a.j GROUP BY a.i
-        ),
-        nr{t} AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u{t}),
-        v{t} AS (SELECT i, round(u / nrm, 6) AS v FROM u{t}, nr{t})"""
+        u{pfx}{t}{raw} AS MATERIALIZED (
+            SELECT m.i, SUM(m.{val} * v.v) AS u
+            FROM {mat} m JOIN {prev} v ON v.i = m.j GROUP BY m.i
+        ){gs},
+        nr{pfx}{t} AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u{pfx}{t}),
+        {pfx}{t} AS MATERIALIZED (
+            SELECT i, round(u / nrm, 6) AS v FROM u{pfx}{t}, nr{pfx}{t})"""
 
 
 @register(
@@ -1842,7 +1859,7 @@ def _o_pca_iter(prev: str, t: int) -> str:
             FROM cells a JOIN cells b USING (vec_id)
             GROUP BY 1, 2
         ),
-        a AS (
+        a AS MATERIALIZED (
             SELECT g.i, g.j,
                    (SELECT n FROM n1) * g.g - sa.s * sb.s AS aij
             FROM g
@@ -1884,6 +1901,90 @@ def _o_pca_iter(prev: str, t: int) -> str:
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.pca_top_component(emb, iters=_PCA_ITERS, quant=_PCA_QUANT)
+
+
+@register(
+    "pca_top2_deflation",
+    oracle=f"""
+        WITH rows_ AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * {_PCA_QUANT} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, s.i AS i, q[s.i] AS qv
+            FROM rows_, unnest(range(1, 65)) AS s(i)
+        ),
+        n1 AS (SELECT COUNT(*) AS n FROM rows_),
+        sarr AS (SELECT i, SUM(qv) AS s FROM cells GROUP BY i),
+        g AS (
+            SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS g
+            FROM cells a JOIN cells b USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        a AS MATERIALIZED (
+            SELECT g.i, g.j,
+                   (SELECT n FROM n1) * g.g - sa.s * sb.s AS aij
+            FROM g
+            JOIN sarr sa ON sa.i = g.i
+            JOIN sarr sb ON sb.i = g.j
+        ),
+        tr AS (SELECT SUM(aij) AS trace FROM a WHERE i = j),
+        v0 AS (SELECT s.i AS i, 0.125 AS v FROM unnest(range(1, 65)) AS s(i)),
+        {_o_pca_iter("v0", 1)},
+        {_o_pca_iter("v1", 2)},
+        {_o_pca_iter("v2", 3)},
+        {_o_pca_iter("v3", 4)},
+        num1 AS (
+            SELECT SUM(vi.v * a.aij * vj.v) AS num
+            FROM a JOIN v4 vi ON vi.i = a.i JOIN v4 vj ON vj.i = a.j
+        ),
+        den1 AS (SELECT SUM(v * v) AS den FROM v4),
+        r1 AS (SELECT round(num / (den * trace), 6) AS r FROM num1, den1, tr),
+        lam AS (SELECT r * trace AS lam FROM r1, tr),
+        a2 AS MATERIALIZED (
+            SELECT a.i, a.j, a.aij - lam.lam * vi.v * vj.v AS a2ij
+            FROM a
+            JOIN v4 vi ON vi.i = a.i
+            JOIN v4 vj ON vj.i = a.j
+            CROSS JOIN lam
+        ),
+        w0 AS (SELECT s.i AS i, 0.125 AS v FROM unnest(range(1, 65)) AS s(i)),
+        {_o_pca_iter("w0", 1, mat="a2", val="a2ij", pfx="w", ortho="v4")},
+        {_o_pca_iter("w1", 2, mat="a2", val="a2ij", pfx="w", ortho="v4")},
+        {_o_pca_iter("w2", 3, mat="a2", val="a2ij", pfx="w", ortho="v4")},
+        {_o_pca_iter("w3", 4, mat="a2", val="a2ij", pfx="w", ortho="v4")},
+        num2 AS (
+            SELECT SUM(vi.v * a2.a2ij * vj.v) AS num
+            FROM a2 JOIN w4 vi ON vi.i = a2.i JOIN w4 vj ON vj.i = a2.j
+        ),
+        den2 AS (SELECT SUM(v * v) AS den FROM w4),
+        r2 AS (SELECT round(num / (den * trace), 6) AS r FROM num2, den2, tr)
+        SELECT CAST(v4.i AS INT) AS pos, v4.v AS loading1, w4.v AS loading2,
+               r1.r AS ratio1, r2.r AS ratio2
+        FROM v4 JOIN w4 ON w4.i = v4.i, r1, r2
+    """,
+    tags=("llm", "similarity", "pca", "iterative"),
+    doc="Top TWO principal components by power iteration + Hotelling "
+        "deflation — extends pca_power_iteration to rank 2: after the "
+        "first eigvec converges, the second iteration runs on A2 = A - "
+        "lambda1 v1 v1^T, with lambda1 recovered from the ROUNDED "
+        "Rayleigh ratio times the exact-integer trace so every deflated "
+        "cell is one fixed IEEE expression over exact ints and 6-dec "
+        "loadings — no float accumulation enters the matrix, and the "
+        "8-round (4+4) ITERATIVE fit still matches the unrolled-CTE "
+        "oracle bit-for-bit. Both explained ratios share the original "
+        "trace denominator, so ratio1+ratio2 is the cumulative top-2 "
+        "variance share. Scale shape identical to the top-1 fit; the "
+        "deflated 4096-cell matrix is checkpointed once, the second "
+        "fit re-scans nothing. operators/similarity.py::"
+        "pca_top2_components; orthogonality pinned in "
+        "tests/test_stats.py.",
+)
+def pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.pca_top2_components(emb, iters=_PCA_ITERS, quant=_PCA_QUANT)
 
 
 def _o_minhash_audit() -> str:

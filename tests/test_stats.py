@@ -56,3 +56,22 @@ def test_ntile_closed_form_matches_engine_window(spark, n):
         F.cume_dist().over(w).alias("cume"),
     )
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_pca_top2_orthogonal_and_ordered(spark):
+    """Deflation sanity: the two loadings are (near-)orthogonal unit
+    vectors and the first component explains at least as much variance
+    as the second."""
+    from .conftest import SF_SMOKE
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.llm_ops import (
+        pca_top2_deflation,
+    )
+
+    rows = pca_top2_deflation(spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    dot = sum(r["loading1"] * r["loading2"] for r in rows)
+    n1 = sum(r["loading1"] ** 2 for r in rows)
+    n2 = sum(r["loading2"] ** 2 for r in rows)
+    assert abs(dot) < 1e-3, f"components not orthogonal: {dot}"
+    assert abs(n1 - 1) < 1e-3 and abs(n2 - 1) < 1e-3
+    assert rows[0]["ratio1"] >= rows[0]["ratio2"] > 0
