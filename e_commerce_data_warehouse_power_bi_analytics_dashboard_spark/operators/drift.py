@@ -89,3 +89,79 @@ def chi2_scaled_serial(counts: dict[tuple, int]) -> tuple[int, int, int]:
         chi2 += (d * d) // e_s
     dof = (len(rt) - 1) * (len(ct) - 1)
     return chi2, dof, n
+
+
+#: PSI monitor knobs (shared by the batch entry and the streaming twin):
+#: fixed-width bins over the event-value domain, open-ended last bin
+PSI_NB = 20
+PSI_W = 25.0
+
+
+def psi_bin(value_col: str = "value"):
+    """Map-side fixed-width PSI bin — no quantile pre-pass, so the same
+    expression is legal in a streaming plan."""
+    return F.least(
+        F.floor(F.col(value_col) / PSI_W).cast("int"), F.lit(PSI_NB - 1)
+    )
+
+
+def psi_reference_row(events: DataFrame) -> DataFrame:
+    """Collapse a reference snapshot to ONE row of per-bin counts
+    (r0..r{NB-1}, n_ref) — the broadcastable baseline a monitor scores
+    against."""
+    binned = events.select(psi_bin("value").alias("bin"))
+    return binned.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("bin") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"r{i}")
+            for i in range(PSI_NB)
+        ],
+        F.count("*").cast("long").alias("n_ref"),
+    )
+
+
+def psi_daily_windows(events: DataFrame, ref: DataFrame) -> DataFrame:
+    """Per-day PSI of the event-value distribution against a static
+    reference row → (day, n_cand, psi).
+
+    The day's whole histogram pivots into ONE windowed aggregation
+    (c0..c{NB-1} + count) — a single stateful op, so the IDENTICAL code
+    runs as a batch query or a watermarked stream (Structured Streaming
+    cannot chain a second normalization aggregate; the pivot makes one
+    unnecessary). Shares and contributions are per-row expressions
+    against the broadcast reference; the cross-bin sum is a FIXED
+    left-associated 20-term chain, same tree in the DuckDB oracle, with
+    the ln() factors rounded away at the 10th decimal. Laplace
+    smoothing keeps empty bins defined on both sides.
+    """
+    per_day = (
+        events.select("ts", psi_bin("value").alias("bin"))
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("bin") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c{i}")
+                for i in range(PSI_NB)
+            ],
+            F.count("*").cast("long").alias("n_cand"),
+        )
+    )
+    terms = None
+    for i in range(PSI_NB):
+        pr = (F.col(f"r{i}") + 1).cast("double") / (F.col("n_ref") + PSI_NB)
+        pc = (F.col(f"c{i}") + 1).cast("double") / (F.col("n_cand") + PSI_NB)
+        t = (pr - pc) * F.log(pr / pc)
+        terms = t if terms is None else terms + t
+    # constant-key equi join: a conditionless cross join is not a legal
+    # stream-static shape, but a broadcast equi probe on a literal key is
+    return (
+        per_day.withColumn("_k", F.lit(1))
+        .join(F.broadcast(ref.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "n_cand",
+            F.round(terms, 10).alias("psi"),
+        )
+    )

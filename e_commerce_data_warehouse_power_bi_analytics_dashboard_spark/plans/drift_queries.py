@@ -284,3 +284,74 @@ def drift_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_scaled(o, "lang", "source").withColumnRenamed(
         "n_obs", "n_docs"
     )
+
+
+def _o_psi_daily() -> str:
+    """Generated oracle for the daily PSI monitor: the same pivoted
+    20-bin histogram and the same fixed left-associated contribution
+    chain (term order is part of the cross-engine contract)."""
+    r_cases = ",\n                   ".join(
+        f"SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS r{i}"
+        for i in range(_PSI_NB)
+    )
+    c_cases = ",\n                   ".join(
+        f"SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS c{i}"
+        for i in range(_PSI_NB)
+    )
+    terms = "\n                 + ".join(
+        f"((CAST(r{i} + 1 AS DOUBLE) / (n_ref + {_PSI_NB}))"
+        f" - (CAST(c{i} + 1 AS DOUBLE) / (n_cand + {_PSI_NB})))"
+        f" * LN((CAST(r{i} + 1 AS DOUBLE) / (n_ref + {_PSI_NB}))"
+        f" / (CAST(c{i} + 1 AS DOUBLE) / (n_cand + {_PSI_NB})))"
+        for i in range(_PSI_NB)
+    )
+    return f"""
+        WITH b AS (
+            SELECT ts,
+                   LEAST(CAST(FLOOR(value / {_PSI_W}) AS INT), {_PSI_NB - 1})
+                       AS bin
+            FROM events
+        ), ref AS (
+            SELECT {r_cases},
+                   COUNT(*) AS n_ref
+            FROM b WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        ), d AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   {c_cases},
+                   CAST(COUNT(*) AS BIGINT) AS n_cand
+            FROM b GROUP BY 1
+        )
+        SELECT day, n_cand,
+               ROUND({terms}, 10) AS psi
+        FROM d CROSS JOIN ref
+        ORDER BY day
+    """
+
+
+@register(
+    "drift_psi_daily_monitor",
+    oracle=_o_psi_daily(),
+    tags=("llm", "drift", "A8", "streaming-shape"),
+    doc="Per-day PSI drift monitor against a static first-half-month "
+        "reference — the production spelling of drift detection: a "
+        "standing daily score stream, not a one-shot comparison. The "
+        "day's whole 20-bin histogram pivots into ONE windowed "
+        "aggregation (so the identical code runs as a watermarked "
+        "stream — Structured Streaming twin: streaming/events.py::"
+        "daily_psi_monitor, equivalence-tested), the reference is a "
+        "broadcast 1-row frame, and the cross-bin sum is a FIXED "
+        "left-associated 20-term chain mirrored token-for-token by the "
+        "oracle (term order is part of the contract; ln() rounded away "
+        "at the 10th decimal). Scale: one scan + one day-keyed shuffle "
+        "of 21-column partial aggregates; the reference build is a "
+        "second scan of the frozen half, amortized across every "
+        "monitored day. operators/drift.py::psi_daily_windows.",
+)
+def drift_psi_daily_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi_daily_windows, psi_reference_row
+
+    ev = read_events(spark, sf_dir)
+    ref = psi_reference_row(
+        ev.filter(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+    )
+    return psi_daily_windows(ev, ref).orderBy("day")

@@ -514,3 +514,20 @@ def lifetime_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFr
             _Lifetime(), LIFETIME_SCHEMA, outputMode="Update", timeMode="None"
         )
     )
+
+
+def daily_psi_monitor(
+    events: DataFrame, ref: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming drift monitor: per-day PSI of the event-value
+    distribution against a STATIC reference row (broadcast probe per
+    micro-batch) — the standing what-changed-today score a training-
+    data ingest publishes. Tenth streaming surface; the whole 20-bin
+    histogram pivots into the one watermarked windowed aggregation
+    (psi_daily_windows — the shared batch/stream core), because a
+    second normalization aggregate would be an illegal chained
+    stateful op. Batch twin: plans/drift_queries.py::
+    drift_psi_daily_monitor (equivalence-tested)."""
+    from ..operators.drift import psi_daily_windows
+
+    return psi_daily_windows(events.withWatermark("ts", watermark), ref)

@@ -321,3 +321,30 @@ def test_transform_with_state_lifetime_stats_multibatch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_daily_psi_monitor_equals_batch(spark):
+    """The streaming PSI drift monitor (update mode: every day's final
+    score is the last update for its key) must equal the batch twin
+    row-for-row — same reference row, same fixed 20-term chain."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.drift import (
+        psi_reference_row,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+        read_events,
+    )
+
+    ref = psi_reference_row(
+        read_events(spark, SF_ORACLE).filter(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+        )
+    )
+    stream = SE.read_event_stream(spark, SF_ORACLE)
+    out = SE.run_to_memory(
+        SE.daily_psi_monitor(stream, ref), "t_psi", spark, mode="update"
+    )
+    got = {r.day: (r.n_cand, r.psi) for r in out.collect()}
+    batch = CATALOG["drift_psi_daily_monitor"].fn(spark, SF_ORACLE).collect()
+    want = {r.day: (r.n_cand, r.psi) for r in batch}
+    assert got == want
+    assert len(got) > 5
