@@ -775,3 +775,56 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("last_touch_type")
     )
+
+
+@register(
+    "events_rolling_7d_active_users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT d FROM du
+        )
+        SELECT strftime(days.d, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS active_7d
+        FROM days
+        JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("events", "A3", "W4", "rolling-distinct"),
+    doc="Rolling 7-day active users per day — the windowed COUNT "
+        "DISTINCT no window function can express (distinct does not "
+        "decompose over frames). Distributed rewrite: dedup to the "
+        "(day, user) grain first, then each pair FANS OUT map-side to "
+        "the <= 7 target days it keeps active (day+0..+6, clipped to "
+        "observed days via a broadcast day list) and one distinct-"
+        "count aggregation keys on target day — two bounded shuffles, "
+        "never a per-day range join or a 7x re-scan. The oracle pins "
+        "the expansion against the declarative interval join. At "
+        "100 TB the (day,user) grain is the active-user table "
+        "(~|users| x window), orders of magnitude under the event "
+        "grain; exact, no sketch needed at this window size.",
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    expanded = du.select(
+        F.explode(
+            F.expr("sequence(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)")
+        ).alias("target"),
+        "user_id",
+    )
+    return (
+        expanded.join(F.broadcast(days), expanded.target == days.d)
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(
+            F.date_format("target", "yyyy-MM-dd").alias("day"),
+            "active_7d",
+        )
+        .orderBy("day")
+    )

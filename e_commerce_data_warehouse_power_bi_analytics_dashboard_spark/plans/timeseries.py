@@ -272,3 +272,56 @@ def ts_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("u.rev", 2).alias("revenue"),
         F.round("u.ewma", 6).alias("ewma"),
     )
+
+
+@register(
+    "ts_weekday_seasonality",
+    oracle=with_star(_DAILY_CTE + """
+        , wk AS (
+            SELECT dayofweek(day) + 1 AS dow,
+                   SUM(rev_dec) AS wk_sum,
+                   COUNT(*) AS wk_n
+            FROM daily GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(dayofweek(day) + 1 AS INT) AS dow,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(wk_sum AS DOUBLE) / wk_n AS seasonal_mean,
+               CAST(rev_dec AS DOUBLE) - CAST(wk_sum AS DOUBLE) / wk_n
+                   AS residual
+        FROM daily JOIN wk ON dayofweek(day) + 1 = wk.dow
+        ORDER BY day
+    """),
+    tags=("analytics", "timeseries", "A7", "J1"),
+    doc="Weekday-seasonality decomposition of daily revenue: seasonal "
+        "component = per-weekday mean over the whole series, residual = "
+        "day minus its weekday mean — the de-seasonalization step "
+        "before any anomaly rule (ts_anomaly_zscore_daily flags raw "
+        "spikes; this separates payday-Friday from genuinely odd "
+        "days). Exactness: the weekday means divide an exact DECIMAL "
+        "sum by an exact count — ONE IEEE division — and the residual "
+        "subtracts two deterministically-derived doubles; no float "
+        "window sums. Scale shape: the fact reduces to the |days| "
+        "frame once (shared _daily helper), the 7-row weekday table "
+        "re-aggregates from it and broadcasts back — one fact shuffle "
+        "total, everything after is calendar-grain.",
+)
+def ts_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wk = (
+        daily.groupBy(F.dayofweek("day").alias("dow"))
+        .agg(F.sum("rev_dec").alias("wk_sum"), F.count("*").alias("wk_n"))
+    )
+    seasonal = F.col("wk_sum").cast("double") / F.col("wk_n")
+    return (
+        daily.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(wk), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dow").cast("int").alias("dow"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            seasonal.alias("seasonal_mean"),
+            (F.col("rev_dec").cast("double") - seasonal).alias("residual"),
+        )
+        .orderBy("day")
+    )
