@@ -325,3 +325,98 @@ def ts_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+#: Holt's linear smoothing constants (level / trend)
+_HOLT_A = 0.3
+_HOLT_B = 0.1
+
+#: Holt level update l_t — inlined TWICE in the trend update below (SQL
+#: lambdas cannot bind intermediates); the identical expression text
+#: yields the identical IEEE value, so the duplication is semantically a
+#: let-binding. {x}/{acc} are the lambda args, {last} the acc[-1] spelling.
+_HOLT_L = (
+    "{a}D * {x}.rev + {oa}D * ({last}.l + {last}.b)"
+)
+
+
+@register(
+    "ts_holt_linear_daily",
+    oracle=with_star(_DAILY_CTE + f"""
+        , arr AS (
+            SELECT list({{'day': day, 'rev': CAST(rev_dec AS DOUBLE),
+                          'l': CAST(rev_dec AS DOUBLE),
+                          'b': CAST(0.0 AS DOUBLE)}}
+                        ORDER BY day) AS a
+            FROM daily
+        ),
+        f AS (
+            SELECT list_reduce(
+                list_transform(a, x -> [x]),
+                (acc, x) -> list_append(acc, {{
+                    'day': x[1].day, 'rev': x[1].rev,
+                    'l': {_HOLT_A} * x[1].rev
+                         + {1 - _HOLT_A} * (acc[-1].l + acc[-1].b),
+                    'b': {_HOLT_B} * (({_HOLT_A} * x[1].rev
+                         + {1 - _HOLT_A} * (acc[-1].l + acc[-1].b)) - acc[-1].l)
+                         + {1 - _HOLT_B} * acc[-1].b}})
+            ) AS l
+            FROM arr
+        )
+        SELECT strftime(u.day, '%Y-%m-%d') AS day,
+               round(u.rev, 2) AS revenue,
+               round(u.l, 6) AS level,
+               round(u.b, 6) AS trend,
+               round(u.l + u.b, 6) AS forecast_next
+        FROM f, unnest(f.l) AS t(u)
+    """),
+    tags=("timeseries", "W3", "fold", "forecast"),
+    doc=f"Holt's linear (double exponential) smoothing of daily revenue "
+        f"(alpha={_HOLT_A}, beta={_HOLT_B}; l_1 = x_1, b_1 = 0): level "
+        "AND trend state per step, one-step-ahead forecast = l + b — "
+        "the minimal real forecaster, extending the EWMA fold with a "
+        "second accumulator field. Same machinery and determinism as "
+        "ts_ewma_daily_revenue: calendar-bounded date-sorted array, "
+        "JVM aggregate() fold vs DuckDB list_reduce over 1-lists, "
+        "identical sequential double ops. The level update is inlined "
+        "twice inside the trend update (SQL lambdas cannot bind "
+        "intermediates) — textually identical expressions are "
+        "IEEE-identical, so the inline is semantically a let-binding. "
+        "Per-key forecasts at data scale run the same fold inside "
+        "groupBy(key).",
+)
+def ts_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    arr = daily.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("day"), F.col("rev_dec").cast("double").alias("rev")
+                )
+            )
+        ).alias("a")
+    )
+    lt = _HOLT_L.format(a=_HOLT_A, oa=1 - _HOLT_A, x="x", last="element_at(acc, -1)")
+    folded = arr.select(
+        F.explode(
+            F.expr(f"""
+                aggregate(
+                    slice(a, 2, greatest(size(a) - 1, 0)),
+                    array(struct(a[0].day AS day, a[0].rev AS rev,
+                                 a[0].rev AS l, 0.0D AS b)),
+                    (acc, x) -> concat(acc, array(struct(
+                        x.day AS day, x.rev AS rev,
+                        {lt} AS l,
+                        {_HOLT_B}D * (({lt}) - element_at(acc, -1).l)
+                          + {1 - _HOLT_B}D * element_at(acc, -1).b AS b)))
+                )
+            """)
+        ).alias("u")
+    )
+    return folded.select(
+        F.date_format("u.day", "yyyy-MM-dd").alias("day"),
+        F.round("u.rev", 2).alias("revenue"),
+        F.round("u.l", 6).alias("level"),
+        F.round("u.b", 6).alias("trend"),
+        F.round(F.col("u.l") + F.col("u.b"), 6).alias("forecast_next"),
+    )
