@@ -221,8 +221,8 @@ _EWMA_A = 0.2
             FROM arr
         )
         SELECT strftime(u.day, '%Y-%m-%d') AS day,
-               round(u.rev, 2) AS revenue,
-               round(u.ewma, 6) AS ewma
+               u.rev AS revenue,
+               u.ewma AS ewma
         FROM f, unnest(f.l) AS t(u)
     """),
     tags=("timeseries", "W3", "fold"),
@@ -236,8 +236,10 @@ _EWMA_A = 0.2
         "list_reduce over 1-element lists (acc type must equal element "
         "type — the BPE trick). Both engines execute the identical "
         "sequential double operations in the identical day order, so "
-        "the smoothed series matches bit-for-bit before the cosmetic "
-        "6-dec rounding. An EWMA is inherently order-sequential — no "
+        "the smoothed series matches bit-for-bit and surfaces UNROUNDED "
+        "(round(double,6) is the one op the engines disagree on at "
+        "half-way boundaries — the Holt entry hit one at sf0.1; same "
+        "fix here). An EWMA is inherently order-sequential — no "
         "window function expresses it and the closed-form rewrite "
         "((1-a)^-t scaling) overflows at calendar length — so the "
         "bounded fold IS the scale-correct plan; per-key EWMAs at data "
@@ -269,8 +271,8 @@ def ts_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return folded.select(
         F.date_format("u.day", "yyyy-MM-dd").alias("day"),
-        F.round("u.rev", 2).alias("revenue"),
-        F.round("u.ewma", 6).alias("ewma"),
+        F.col("u.rev").alias("revenue"),
+        F.col("u.ewma").alias("ewma"),
     )
 
 
@@ -364,10 +366,10 @@ _HOLT_L = (
             FROM arr
         )
         SELECT strftime(u.day, '%Y-%m-%d') AS day,
-               round(u.rev, 2) AS revenue,
-               round(u.l, 6) AS level,
-               round(u.b, 6) AS trend,
-               round(u.l + u.b, 6) AS forecast_next
+               u.rev AS revenue,
+               u.l AS level,
+               u.b AS trend,
+               u.l + u.b AS forecast_next
         FROM f, unnest(f.l) AS t(u)
     """),
     tags=("timeseries", "W3", "fold", "forecast"),
@@ -382,6 +384,11 @@ _HOLT_L = (
         "twice inside the trend update (SQL lambdas cannot bind "
         "intermediates) — textually identical expressions are "
         "IEEE-identical, so the inline is semantically a let-binding. "
+        "Outputs surface UNROUNDED (the _helpers avg2 rule): the fold "
+        "values are bit-identical cross-engine, while round(double,6) "
+        "is the one op the engines disagree on at half-way boundaries "
+        "— a 1.3e7-magnitude level hit exactly one such boundary at "
+        "sf0.1. "
         "Per-key forecasts at data scale run the same fold inside "
         "groupBy(key).",
 )
@@ -415,8 +422,8 @@ def ts_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return folded.select(
         F.date_format("u.day", "yyyy-MM-dd").alias("day"),
-        F.round("u.rev", 2).alias("revenue"),
-        F.round("u.l", 6).alias("level"),
-        F.round("u.b", 6).alias("trend"),
-        F.round(F.col("u.l") + F.col("u.b"), 6).alias("forecast_next"),
+        F.col("u.rev").alias("revenue"),
+        F.col("u.l").alias("level"),
+        F.col("u.b").alias("trend"),
+        (F.col("u.l") + F.col("u.b")).alias("forecast_next"),
     )

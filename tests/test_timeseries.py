@@ -58,7 +58,8 @@ def test_percentiles_are_order_statistics(spark):
 def test_ewma_matches_serial_fold(spark):
     """The distributed aggregate() EWMA must equal a pure-Python serial
     fold over the same date-ordered daily series — same doubles, same
-    order, so equality holds to the rounded output exactly."""
+    order, so equality holds BITWISE (outputs surface unrounded; see
+    the entry doc for the round(double,6) cross-engine hazard)."""
     from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.timeseries import (
         _EWMA_A,
         _daily,
@@ -71,9 +72,40 @@ def test_ewma_matches_serial_fold(spark):
     ewma, want = None, {}
     for day, rev in daily:
         ewma = rev if ewma is None else _EWMA_A * rev + (1 - _EWMA_A) * ewma
-        want[day.strftime("%Y-%m-%d")] = (round(rev, 2), round(ewma, 6))
+        want[day.strftime("%Y-%m-%d")] = (rev, ewma)
     got = {
         r.day: (r.revenue, r.ewma)
         for r in ts_ewma_daily_revenue(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+
+def test_holt_matches_serial_fold(spark):
+    """The distributed aggregate() Holt fold (level + trend) must equal
+    a pure-Python serial fold bitwise — including the twice-inlined
+    level expression inside the trend update."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.timeseries import (
+        _HOLT_A,
+        _HOLT_B,
+        _daily,
+        ts_holt_linear_daily,
+    )
+
+    daily = sorted(
+        (r.day, float(r.rev_dec)) for r in _daily(spark, SF_ORACLE).collect()
+    )
+    l = b = None
+    want = {}
+    for day, rev in daily:
+        if l is None:
+            l, b = rev, 0.0
+        else:
+            lt = _HOLT_A * rev + (1 - _HOLT_A) * (l + b)
+            b = _HOLT_B * (lt - l) + (1 - _HOLT_B) * b
+            l = lt
+        want[day.strftime("%Y-%m-%d")] = (rev, l, b, l + b)
+    got = {
+        r.day: (r.revenue, r.level, r.trend, r.forecast_next)
+        for r in ts_holt_linear_daily(spark, SF_ORACLE).collect()
     }
     assert got == want
