@@ -574,3 +574,33 @@ def mm_png_rgba_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
     return MM.decode_mp4_header(MM.synthesize_mp4_payloads(docs))
+
+
+@register(
+    "mm_wav_tone_detect",
+    oracle="""
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(800 AS BIGINT) AS n_samples,
+               CAST(doc_id % 4 AS INT) AS tone_idx,
+               CAST(440 * (doc_id % 4 + 1) AS INT) AS freq_hz
+        FROM documents WHERE doc_id % 5 = 2
+    """,
+    tags=("multimodal", "binary", "audio", "mapInPandas", "dft"),
+    doc="Frequency-domain audio feature extraction: synthesize real "
+        "int16-PCM WAV files each carrying a pure sine from the "
+        "440/880/1320/1760 Hz tone table (tone = doc_id %% 4), decode "
+        "with the fuzz-tested chunk walker, and classify by single-bin "
+        "DFT — project the sample vector onto cos/sin at each candidate "
+        "frequency (Goertzel shape, numpy GEMV inside Arrow-batched "
+        "mapInPandas) and argmax the energies. Candidates are exact DFT "
+        "bins of the synthesized length (zero leakage), so the true "
+        "tone's energy is ~(N*A/2)^2 against near-zero off bins — the "
+        "argmax label is float-noise-invariant and the oracle checks "
+        "the RECOVERED label against doc_id %% 4 plus exact integer "
+        "metadata, never a float. The spectral companion to the "
+        "time-domain RMS/zero-cross features.",
+)
+def mm_wav_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    return MM.detect_wav_tone(MM.synthesize_wav_tone_payloads(docs))

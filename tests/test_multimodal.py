@@ -547,3 +547,35 @@ if _HAVE_HYPOTHESIS:
         major, n_top, ts, dur, w, h, _ = MM.parse_mp4_header(stream)
         assert (major, ts, dur, w, h) == ("isom", 600, 4242, 1280, 720)
         assert n_top == 2 + n_junk
+
+
+def test_tone_detect_robust_to_noise():
+    """Single-bin DFT classification must survive additive deterministic
+    noise well below the tone amplitude (the argmax margin is the
+    contract, not bit-exact energies)."""
+    import math
+    import struct
+
+    import numpy as np
+
+    for k, f in enumerate(MM.TONE_FREQS):
+        samples = [
+            int(round(12000 * math.sin(2 * math.pi * f * i / 8000)))
+            + ((i * 2654435761) % 997 - 498)  # +/-500 hash noise
+            for i in range(800)
+        ]
+        pcm = struct.pack("<800h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        x = np.asarray(got, dtype=np.float64)
+        t = np.arange(len(x)) / rate
+        es = [
+            float(np.dot(x, np.cos(2 * np.pi * fq * t)) ** 2
+                  + np.dot(x, np.sin(2 * np.pi * fq * t)) ** 2)
+            for fq in MM.TONE_FREQS
+        ]
+        assert max(range(4), key=lambda i: es[i]) == k
