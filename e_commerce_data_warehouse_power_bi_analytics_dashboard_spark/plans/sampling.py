@@ -674,3 +674,75 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "slot")
     )
+
+
+#: group-split coin: md5 of the GROUP key (user), not the row key
+_S_UCOIN = f"({T.s_md5_long('CAST(user_id AS STRING)', 8)}) % 100"
+_O_UCOIN = f"({T.o_md5_long('CAST(user_id AS VARCHAR)', 8)}) % 100"
+
+
+@register(
+    "sample_group_split_events",
+    oracle=f"""
+        WITH s AS (
+            SELECT CASE WHEN {_O_UCOIN} < 80 THEN 'train'
+                        WHEN {_O_UCOIN} < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   user_id
+            FROM events
+        ), leak AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS leaky_users FROM (
+                SELECT user_id FROM s GROUP BY user_id
+                HAVING COUNT(DISTINCT split) > 1
+            )
+        )
+        SELECT split,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               leaky_users
+        FROM s CROSS JOIN leak
+        GROUP BY split, leaky_users
+        ORDER BY split
+    """,
+    tags=("llm", "sampling", "split", "leakage"),
+    doc="GROUP-aware 80/10/10 split of the event stream: the coin hashes "
+        "the USER, not the event, so every user's whole history lands in "
+        "one fold — the leakage guard row-level splits cannot give "
+        "(a user in both train and test lets the model memorize its "
+        "way to inflated eval metrics). The output carries its own "
+        "audit: leaky_users counts users observed in >1 fold and must "
+        "be 0 BY CONSTRUCTION (a pure function of user_id cannot "
+        "disagree with itself) — the oracle re-derives it rather than "
+        "trusting it. Map-side coin, one split-grain aggregate plus a "
+        "user-grain distinct; everything deterministic across "
+        "retries/executors/engines.",
+)
+def sample_group_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_events
+
+    ev = read_events(spark, sf_dir)
+    coin = F.expr(_S_UCOIN)
+    s = ev.select(
+        F.when(coin < 80, "train")
+        .when(coin < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        "user_id",
+    )
+    leak = (
+        s.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .groupBy()
+        .agg(F.count("*").cast("long").alias("leaky_users"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_users", "n_events", "leaky_users")
+        .orderBy("split")
+    )
