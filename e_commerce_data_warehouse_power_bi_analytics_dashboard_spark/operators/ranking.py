@@ -132,15 +132,17 @@ def top_k_ranked(
 
 
 #: internal columns of ordered_prefix_sum; inputs must not collide.
-_PS_RESERVED = ("_ps_pid", "_ps_local", "_ps_total", "_ps_offset")
+#: every internal column carries this prefix (suffixed per value column)
+_PS_RESERVED_PREFIX = "_ps_"
+_PS_RESERVED = ("_ps_pid",)  # kept for the docstring; checks use the prefix
 
 
 def ordered_prefix_sum(
     df: DataFrame,
     order: Sequence[tuple[str, str]],
-    value: str,
+    value: str | Sequence[str],
     *,
-    out: str = "cumsum",
+    out: str | Sequence[str] = "cumsum",
     num_partitions: int | None = None,
     cache_out: list | None = None,
 ) -> DataFrame:
@@ -184,9 +186,16 @@ def ordered_prefix_sum(
     bad = [d for _, d in order if d not in ("asc", "desc")]
     if bad:
         raise ValueError(f"order directions must be 'asc'|'desc', got {bad}")
-    if out in _PS_RESERVED:
-        raise ValueError(f"out={out!r} collides with prefix-sum internals")
-    clash = [c for c in df.columns if c in _PS_RESERVED or c == out]
+    values = [value] if isinstance(value, str) else list(value)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(values) != len(outs):
+        raise ValueError(f"{len(values)} value column(s) but {len(outs)} out name(s)")
+    bad_out = [o for o in outs if o.startswith(_PS_RESERVED_PREFIX)]
+    if bad_out:
+        raise ValueError(f"out={bad_out!r} collides with prefix-sum internals")
+    clash = [
+        c for c in df.columns if c.startswith(_PS_RESERVED_PREFIX) or c in outs
+    ]
     if clash:
         raise ValueError(f"input columns collide with prefix-sum internals: {clash}")
 
@@ -213,21 +222,35 @@ def ordered_prefix_sum(
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = with_pid.withColumn("_ps_local", F.sum(value).over(w))
+    local = with_pid
+    for k, v in enumerate(values):
+        local = local.withColumn(f"_ps_local{k}", F.sum(v).over(w))
 
     # per-partition totals: ≤P rows after a map-side partial agg; offsets
     # by broadcast non-equi self-join over that tiny frame (range
-    # partition ids are ordered by construction, so pid < pid is "ahead")
-    totals = with_pid.groupBy("_ps_pid").agg(F.sum(value).alias("_ps_total"))
+    # partition ids are ordered by construction, so pid < pid is "ahead").
+    # Multiple value columns share the ONE range exchange, window pass,
+    # and offsets frame — a k-column prefix sum costs one shuffle, not k.
+    totals = with_pid.groupBy("_ps_pid").agg(
+        *[F.sum(v).alias(f"_ps_total{k}") for k, v in enumerate(values)]
+    )
     a, b = totals.alias("a"), totals.alias("b")
     offsets = (
         a.join(F.broadcast(b), F.col("b._ps_pid") < F.col("a._ps_pid"), "left")
         .groupBy(F.col("a._ps_pid").alias("_ps_pid"))
-        .agg(F.coalesce(F.sum("b._ps_total"), F.lit(0)).alias("_ps_offset"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._ps_total{k}"), F.lit(0)).alias(f"_ps_offset{k}")
+                for k in range(len(values))
+            ]
+        )
     )
 
-    return (
-        local.join(F.broadcast(offsets), "_ps_pid")
-        .withColumn(out, F.col("_ps_offset") + F.col("_ps_local"))
-        .drop(*_PS_RESERVED)
+    res = local.join(F.broadcast(offsets), "_ps_pid")
+    for k, o in enumerate(outs):
+        res = res.withColumn(o, F.col(f"_ps_offset{k}") + F.col(f"_ps_local{k}"))
+    return res.drop(
+        "_ps_pid",
+        *[f"_ps_local{k}" for k in range(len(values))],
+        *[f"_ps_offset{k}" for k in range(len(values))],
     )

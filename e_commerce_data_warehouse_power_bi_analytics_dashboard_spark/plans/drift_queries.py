@@ -12,8 +12,9 @@ over *statistic-grain* frames so the data-sized work is one scan:
 - **Kolmogorov-Smirnov** (two-sample, exact): the ECDF difference only
   changes at distinct observed values, so the detector aggregates to the
   value-grain first (one data-sized shuffle on the value) and runs the
-  cumulative step on that GROUPED frame with the range-partitioned
-  prefix sum of operators/ranking.py — never a single-partition window,
+  cumulative step on that GROUPED frame with ONE multi-column
+  range-partitioned prefix sum (operators/ranking.py) — never a
+  single-partition window,
   even if the value domain is millions of distinct lengths.
 - **Population Stability Index**: fixed-width binning is map-side
   (no quantile pass needed), so PSI is one scan + a ≤``_PSI_NB``-row
@@ -86,8 +87,9 @@ _PSI_W = 25.0
         "band — the entry reports the exact statistic and the verdict "
         "either way.) Exact, not sampled: ECDFs over every doc. Scale shape: one conditional-count aggregation "
         "to the DISTINCT-VALUE grain (the only data-sized shuffle), "
-        "then two range-partitioned prefix sums (ordered_prefix_sum — "
-        "never a single-partition window) over that value-grain frame, "
+        "then ONE range-partitioned prefix-sum pass carrying both ECDF "
+        "counters (multi-column ordered_prefix_sum — never a "
+        "single-partition window) over that value-grain frame, "
         "then a scalar MAX. The ECDF ratio is one IEEE division of "
         "exact integers per value and MAX over doubles is exact, so the "
         "statistic is bit-identical cross-engine. The oracle pins the "
@@ -105,11 +107,12 @@ def drift_ks_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("lang") == "zh", 1).otherwise(0)).alias("cb"),
         )
     )
-    # two prefix sums over the value-grain frame (distinct lengths ≪ docs);
-    # ordered_prefix_sum range-partitions on v so neither pass is
-    # single-partition even for a multimillion-value domain
-    c = ordered_prefix_sum(g, [("v", "asc")], "ca", out="cum_a")
-    c = ordered_prefix_sum(c, [("v", "asc")], "cb", out="cum_b")
+    # ONE range-partitioned prefix-sum pass carries both ECDF counters
+    # (multi-column ordered_prefix_sum: one exchange, one window) — and
+    # it is never single-partition even for a multimillion-value domain
+    c = ordered_prefix_sum(
+        g, [("v", "asc")], ["ca", "cb"], out=["cum_a", "cum_b"]
+    )
     tot = g.groupBy().agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
