@@ -195,6 +195,15 @@ HEADLINE = [
     "drift_chi2_lang_source",
     "drift_ks_doclen_by_lang",
     "events_attribution_last_touch",
+    # round-6e additions: the CDC snapshot+delta apply, the bigram-LM
+    # scorer, rank-2 PCA, the rolling-distinct expansion, the Holt fold,
+    # and the DFT tone classifier (Arrow+numpy path)
+    "cdc_apply_customer_feed",
+    "text_bigram_perplexity",
+    "pca_top2_deflation",
+    "events_rolling_7d_active_users",
+    "ts_holt_linear_daily",
+    "mm_wav_tone_detect",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict

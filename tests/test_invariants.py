@@ -98,3 +98,25 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark):
         for r in CATALOG["dedup_ngram_jaccard_pairs"].fn(spark, SF_ORACLE).collect()
     }
     assert lsh == exact
+
+
+def test_contrastive_negatives_never_self(spark):
+    """Every sampled negative must differ from its anchor (the bucket's
+    second minimum absorbs self-collisions) and be a real corpus doc."""
+    from .conftest import SF_ORACLE
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.sampling import (
+        sample_contrastive_negatives,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+        read_table,
+    )
+
+    rows = sample_contrastive_negatives(spark, SF_ORACLE).collect()
+    assert rows, "anchor cohort empty"
+    ids = {
+        r.doc_id for r in read_table(spark, SF_ORACLE, "documents").select("doc_id").collect()
+    }
+    for r in rows:
+        assert r.negative_id is not None
+        assert r.negative_id != r.anchor_id
+        assert r.negative_id in ids

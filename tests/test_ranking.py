@@ -147,3 +147,44 @@ def test_ordered_prefix_sum_rejects_reserved_out(spark):
     df = spark.range(5).select(F.col("id"), F.lit(1).alias("v"))
     with pytest.raises(ValueError, match="collides"):
         ordered_prefix_sum(df, [("v", "asc")], "v", out="_ps_local")
+
+
+def test_ordered_prefix_sum_multi_column_matches_two_passes(spark):
+    """A k-column prefix sum (one exchange) must equal k independent
+    single-column passes, and both must equal the single-partition
+    window — including on ties broken by the order spec."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 37).alias("v"),
+        F.col("id").alias("tie"),
+        (F.col("id") % 7).alias("x"),
+        (F.col("id") % 11).alias("y"),
+    )
+    multi = ordered_prefix_sum(
+        df, [("v", "asc"), ("tie", "asc")], ["x", "y"], out=["cx", "cy"]
+    )
+    w = (
+        Window.orderBy(F.col("v").asc(), F.col("tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cx", F.sum("x").over(w)).withColumn(
+        "cy", F.sum("y").over(w)
+    )
+    got = {(r.v, r.tie): (r.cx, r.cy) for r in multi.collect()}
+    exp = {(r.v, r.tie): (r.cx, r.cy) for r in want.collect()}
+    assert got == exp
+
+
+def test_ordered_prefix_sum_multi_column_guards(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("v"), F.lit(1).alias("x"))
+    with pytest.raises(ValueError, match="value column"):
+        ordered_prefix_sum(df, [("v", "asc")], ["x", "x"], out=["a"])
+    with pytest.raises(ValueError, match="internals"):
+        ordered_prefix_sum(df, [("v", "asc")], "x", out="_ps_evil")
