@@ -382,3 +382,20 @@ def test_tpch_q2_q13_q15_q20_shapes(spark):
     assert "LeftSemi" in p20, f"q20 IN chain not semi joins:\n{p20}"
     for name, p in (("q2", p2), ("q13", p13), ("q15", p15), ("q20", p20)):
         assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
+
+
+def test_tpch_q19_disjunction_stays_equi_join(spark):
+    """Round-6 pin (the q19 doc's claim): the OR-of-conjunctions
+    predicate must ride a partkey equi-join as a residual filter —
+    Spark extracts the common p_partkey = l_partkey key itself — never
+    degrade to a nested-loop/cartesian plan."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.tpch_queries import (
+        tpch_q19_discounted_revenue,
+    )
+
+    p = tpch_q19_discounted_revenue(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, f"q19 lost its equi-join:\n{p}"
+    assert "BroadcastNestedLoopJoin" not in p, f"q19 degraded to BNLJ:\n{p}"
+    assert "CartesianProduct" not in p, f"q19 went cartesian:\n{p}"
