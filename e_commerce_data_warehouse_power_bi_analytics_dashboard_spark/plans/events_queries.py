@@ -828,3 +828,70 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+@register(
+    "sketch_rolling_distinct_users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT d FROM du
+        )
+        SELECT strftime(days.d, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS exact_7d,
+               true AS sketch_within_5pct
+        FROM days
+        JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("events", "sketch", "W4", "rolling-distinct"),
+    doc="Rolling 7-day active users via MERGEABLE sketches: one HLL "
+        "sketch per day (hll_sketch_agg over the event scan), then "
+        "hll_union_agg over a 7-row window merges the daily sketches "
+        "per target day — the estimate must land within 5% of the "
+        "exact count (the boolean IS the oracle contract, computed "
+        "against events_rolling_7d_active_users' expansion rewrite). "
+        "This is the 100 TB path the exact twin cannot take at larger "
+        "windows: daily sketches are a few KB each and re-mergeable to "
+        "ANY window size without re-touching events, where the exact "
+        "expansion re-shuffles (window x day-user-grain) rows per "
+        "window change. The union window runs on the |days| calendar "
+        "frame (allowlisted day grain).",
+)
+def sketch_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    per_day = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    est = per_day.withColumn(
+        "sk7", F.expr("hll_union_agg(sk)").over(w)
+    ).select("d", F.expr("hll_sketch_estimate(sk7)").alias("est_7d"))
+    # exact side: the expansion rewrite shared with the exact twin
+    du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    exact = (
+        du.select(
+            F.explode(
+                F.expr("sequence(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)")
+            ).alias("d"),
+            "user_id",
+        )
+        .join(F.broadcast(days), "d")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("exact_7d"))
+    )
+    return (
+        exact.join(est, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "exact_7d",
+            (
+                F.abs(F.col("est_7d") - F.col("exact_7d"))
+                <= 0.05 * F.col("exact_7d")
+            ).alias("sketch_within_5pct"),
+        )
+        .orderBy("day")
+    )
