@@ -895,3 +895,105 @@ def sketch_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+#: per-step deadline for the funnel sequence match: 3 days in
+#: microseconds (sized to the fixture's ~4.5-day per-user event gap —
+#: selective but non-vacuous at every test scale; a real clickstream
+#: would use minutes, the plan is identical)
+_SEQ_STEP_US = 3 * 86_400 * 1_000_000
+
+
+@register(
+    "events_sequence_match",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us
+            FROM events
+        ), lv AS (
+            SELECT *,
+                   last_value(CASE WHEN event_type = 'view' THEN us END
+                              IGNORE NULLS) OVER w AS view_us
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), lc AS (
+            SELECT *,
+                   last_value(CASE WHEN event_type = 'click'
+                              THEN {{'us': us, 'view_us': view_us}} END
+                              IGNORE NULLS) OVER w AS click
+            FROM lv
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id AS purchase_event_id,
+               CAST(click.us - click.view_us AS BIGINT) AS view_to_click_us,
+               CAST(us - click.us AS BIGINT) AS click_to_purchase_us
+        FROM lc
+        WHERE event_type = 'purchase'
+          AND click.us IS NOT NULL AND click.view_us IS NOT NULL
+          AND us - click.us <= {_SEQ_STEP_US}
+          AND click.us - click.view_us <= {_SEQ_STEP_US}
+        ORDER BY user_id, purchase_event_id
+    """,
+    tags=("events", "W6", "cep", "sequence"),
+    doc="Sequential-pattern (CEP) match: view -> click -> purchase per "
+        "user, each step within a per-step deadline of the previous — the "
+        "MATCH_RECOGNIZE shape Spark lacks, expressed as TWO chained "
+        "IGNORE-NULLS carry-forward windows (the last-touch trick "
+        "squared): pass 1 carries each event's latest preceding view "
+        "time; pass 2 carries the latest preceding CLICK as a struct "
+        "that has FROZEN the view time as of that click — so the view "
+        "provably precedes the matched click, not merely the purchase. "
+        "Both passes share the one user-keyed shuffle (same partition "
+        "spec, O(1) running state per user); deadlines are exact "
+        "integer microsecond diffs. Emits one row per qualifying "
+        "purchase with both step latencies.",
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = ev.withColumn(
+        "view_us",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("us")), ignorenulls=True
+        ).over(w),
+    )
+    lc = lv.withColumn(
+        "click",
+        F.last(
+            F.when(
+                F.col("event_type") == "click",
+                F.struct(F.col("us").alias("us"), F.col("view_us").alias("view_us")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        lc.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("click.us").isNotNull()
+            & F.col("click.view_us").isNotNull()
+            & (F.col("us") - F.col("click.us") <= _SEQ_STEP_US)
+            & (F.col("click.us") - F.col("click.view_us") <= _SEQ_STEP_US)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            (F.col("click.us") - F.col("click.view_us"))
+            .cast("long")
+            .alias("view_to_click_us"),
+            (F.col("us") - F.col("click.us")).cast("long").alias("click_to_purchase_us"),
+        )
+        .orderBy("user_id", "purchase_event_id")
+    )
