@@ -997,3 +997,66 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_event_id")
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0
+                   AS mean_gap_s,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p50_gap_us,
+               1000000.0 / (CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us))
+                   AS poisson_rate_per_s
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("events", "W", "A4", "timeseries"),
+    doc="Per-user inter-arrival statistics by the type of the ARRIVING "
+        "event: mean/median gap and the implied Poisson rate — the "
+        "traffic model a capacity planner or anomaly baseline fits "
+        "(and, for a streaming deployment, the watermark-delay sizing "
+        "input). The gap is an exact integer microsecond lag over the "
+        "user-partitioned order (one user-keyed shuffle); mean and "
+        "rate follow the avg2 discipline — exact integer sum over "
+        "exact count, surfaced as UNROUNDED IEEE quotients (the "
+        "reciprocal is one further deterministic division); the median "
+        "is percentile_disc (picks an actual gap, no interpolation).",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    mean_gap_s = (
+        F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1000000.0)
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            mean_gap_s.alias("mean_gap_s"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+            .cast("long")
+            .alias("p50_gap_us"),
+            (
+                F.lit(1000000.0)
+                / (F.sum("gap_us").cast("double") / F.count("gap_us"))
+            ).alias("poisson_rate_per_s"),
+        )
+        .orderBy("event_type")
+    )
