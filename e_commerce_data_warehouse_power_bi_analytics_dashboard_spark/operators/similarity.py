@@ -160,9 +160,13 @@ def brute_force_topk_arrow(
 def assign_centroids(
     emb: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF coarse quantization: nearest centroid per vector
-    (cosine, deterministic tiebreak on centroid id). One broadcast join,
+    (cosine by default, deterministic tiebreak on centroid id;
+    ``metric="dot"`` switches to inner-product argmax — division-free,
+    so zero vectors score 0 everywhere and tie to the min centroid id
+    instead of tripping the ANSI divide-by-zero). One broadcast join,
     then a map-side-combinable max_by argmax over the thin score frame
     and a single vid-keyed join to reattach the vectors — output
     (vid, v, vn, centroid_id) with the norm precomputed for downstream
@@ -175,12 +179,14 @@ def assign_centroids(
     # window that would shuffle all N×k rows WITH their vectors.
     # max(struct(cos, -centroid_id)) == orderBy(cos DESC, centroid_id
     # ASC) limit 1: same deterministic tiebreak as the old window.
+    score = (
+        s_cosine_prenorm("v", "cv", "vn", "cn")
+        if metric == "cosine"
+        else s_dot("v", "cv")
+    )
     best = (
         vecs.crossJoin(F.broadcast(cents))
-        .select(
-            "vid", "centroid_id",
-            F.expr(s_cosine_prenorm("v", "cv", "vn", "cn")).alias("cos"),
-        )
+        .select("vid", "centroid_id", F.expr(score).alias("cos"))
         .groupBy("vid")
         .agg(
             F.expr(
@@ -251,10 +257,13 @@ def ivf_topk(
 def kmeans_fit(
     emb: DataFrame, k: int = 8, iters: int = 3, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column → (centroid_id,
-    centroid double[], n_members). Cosine assignment (the same
-    ``assign_centroids`` argmax the IVF path uses), element-wise-mean
+    centroid double[], n_members). Cosine assignment by default (the
+    same ``assign_centroids`` argmax the IVF path uses; ``metric="dot"``
+    is the division-free inner-product argmax — required when inputs
+    can be exactly zero, e.g. coarse residuals), element-wise-mean
     update. Returns the trained centroid table for IVF / SemDeDup.
 
     Iterative-algorithm pattern (like the CC dedup loop): a bounded
@@ -287,16 +296,18 @@ def kmeans_fit(
     vecs = _with_dvec(emb, id_col, vec_col, "vid", "v", norm_col="vn").localCheckpoint(
         eager=True
     )
+    _km_score = (
+        s_cosine_prenorm("v", "cv", "vn", "cn")
+        if metric == "cosine"
+        else s_dot("v", "cv")
+    )
     for _ in range(iters):
         cents = centroids.select(
             "centroid_id", "cv", F.expr(s_norm("cv")).alias("cn")
         )
         best = (
             vecs.crossJoin(F.broadcast(cents))
-            .select(
-                "vid", "centroid_id",
-                F.expr(s_cosine_prenorm("v", "cv", "vn", "cn")).alias("cos"),
-            )
+            .select("vid", "centroid_id", F.expr(_km_score).alias("cos"))
             .groupBy("vid")
             .agg(
                 F.expr(
@@ -343,10 +354,7 @@ def kmeans_fit(
                 centroids.select("centroid_id", "cv", F.expr(s_norm("cv")).alias("cn"))
             )
         )
-        .select(
-            "vid", "centroid_id",
-            F.expr(s_cosine_prenorm("v", "cv", "vn", "cn")).alias("cos"),
-        )
+        .select("vid", "centroid_id", F.expr(_km_score).alias("cos"))
         .groupBy("vid")
         .agg(
             F.expr("max_by(centroid_id, struct(cos AS c, -centroid_id AS nc))").alias(
@@ -370,6 +378,7 @@ def _sub_slice(vec_col: str, s: int, sub_dim: int) -> str:
 def pq_fit_codebooks(
     emb: DataFrame, m: int = 4, k: int = 8, iters: int = 2, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the ``dim``-dim
@@ -399,7 +408,7 @@ def pq_fit_codebooks(
             F.col(id_col).alias("vec_id"),
             F.expr(_sub_slice(vec_col, s, sub_dim)).alias("embedding"),
         )
-        fit = kmeans_fit(sub, k=k, iters=iters, dim=sub_dim)
+        fit = kmeans_fit(sub, k=k, iters=iters, dim=sub_dim, metric=metric)
         b = fit.select(F.lit(s).alias("subspace"), "centroid_id", "cv")
         books = b if books is None else books.unionAll(b)
     # materialize the m·k-row codebook table once: kmeans_fit's returned
@@ -412,6 +421,7 @@ def pq_fit_codebooks(
 def pq_encode(
     emb: DataFrame, codebooks: DataFrame, m: int = 4, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """PQ encoding: each vector compresses to ``m`` code ids — the
     nearest codebook centroid per subspace (cosine argmax, deterministic
@@ -428,7 +438,7 @@ def pq_encode(
         cb = codebooks.filter(F.col("subspace") == s).select(
             F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")
         )
-        a = assign_centroids(sub, cb)
+        a = assign_centroids(sub, cb, metric=metric)
         part = a.select(
             "vid", F.lit(s).alias("subspace"), F.col("centroid_id").alias("code")
         )
@@ -1161,4 +1171,98 @@ def pca_top2_components(
         .select(
             F.col("i").alias("pos"), "loading1", "loading2", "ratio1", "ratio2"
         )
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame, coarse: DataFrame, query_pred: str, k: int = 5,
+    m: int = 4, kk: int = 8, iters: int = 2, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The classical IVFADC with RESIDUAL encoding (Jégou et al. 2011
+    §V.A, the part ivfpq_adc_topk deliberately skipped): every vector is
+    PQ-encoded as its residual x − c(x) from its coarse centroid, the
+    codebooks are trained on those residuals, and a query's lookup table
+    is built from ITS residual q − c(q) — so within the probed bucket
+    (nprobe=1: candidates share the query's centroid)
+
+        dot(q, x) = dot(q, c) + dot(q, x − c) ≈ qc + Σ_s LUT[q, s, code_s]
+
+    with qc = dot(q, c) a per-query constant added back for a faithful
+    score. Residuals concentrate near the origin, which is exactly what
+    a small codebook quantizes well — the recall argument for residual
+    over raw encoding.
+
+    Metric note: residual codebook training/encoding use the
+    DIVISION-FREE inner-product argmax (``metric="dot"`` — the metric
+    ADC approximates anyway), because a vector that IS a coarse
+    centroid has residual exactly zero, whose cosine is 0/0 (an
+    ANSI-mode error). Under dot, the zero residual scores 0 against
+    every codeword and ties to the min centroid id — deterministic in
+    both engines, its LUT contribution exactly 0.
+
+    Scale shape: one corpus-wide coarse assignment (broadcast argmax),
+    residuals computed map-side (zip_with), the m codebook fits see only
+    thin subvector frames, and query-time work is the candidate bucket
+    equi-join + broadcast LUT join — identical exchanges to the raw-code
+    scan, no extra shuffle for the residual step.
+    """
+    assigned = assign_centroids(emb, coarse, id_col, vec_col)
+    cents = coarse.select(
+        F.col(id_col).alias("centroid_id"),
+        F.expr(s_to_double(vec_col)).alias("cv"),
+    )
+    er = (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .select(
+            F.col("vid").alias(id_col),
+            F.expr("zip_with(v, cv, (a, b) -> a - b)").alias(vec_col),
+        )
+    )
+    books = pq_fit_codebooks(er, m=m, k=kk, iters=iters, dim=dim,
+                             id_col=id_col, vec_col=vec_col, metric="dot")
+    codes = pq_encode(er, books, m, dim, id_col, vec_col, metric="dot")
+    lut = _pq_lut(er, books, query_pred, m, dim, id_col, vec_col)
+    qb = (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .filter(F.expr(query_pred.replace(id_col, "vid")))
+        .select(
+            F.col("vid").alias("query_id"),
+            "centroid_id",
+            F.expr(s_dot("v", "cv")).alias("qc"),
+        )
+    )
+    cand = (
+        assigned.select("vid", "centroid_id")
+        .join(F.broadcast(qb.select("query_id", "centroid_id")), "centroid_id")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid")
+    )
+    scored = (
+        cand.join(codes, "vid")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "vid")
+        .agg(
+            *[
+                F.sum(F.when(F.col("subspace") == s, F.col("lut"))).alias(f"_l{s}")
+                for s in range(m)
+            ]
+        )
+        .join(F.broadcast(qb.select("query_id", "qc")), "query_id")
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            (
+                F.col("qc")
+                + F.expr(" + ".join(f"_l{s}" for s in range(m)))
+            ).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score")
     )

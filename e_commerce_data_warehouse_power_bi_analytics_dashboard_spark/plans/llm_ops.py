@@ -1289,6 +1289,8 @@ _PQ_TOPK = 5
 
 def _o_pq_ctes(
     m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS, dim: int = _PQ_DIM,
+    src: str = "e", head: str | None = None,
+    ofn: str = "list_cosine_similarity",
 ) -> str:
     """DuckDB twin of operators/similarity.py::pq_fit_codebooks /
     pq_encode / pq_adc_topk: per subspace, the same unrolled Lloyd's
@@ -1297,11 +1299,11 @@ def _o_pq_ctes(
     then code assignment, the query LUT, and the fixed-order ADC sum.
     Ends in CTEs ``codes``, ``lut``, ``adc``."""
     sd = dim // m
-    sql = f"WITH e AS ({_O_EMB})"
+    sql = head if head is not None else f"WITH e AS ({_O_EMB})"
     for s in range(m):
         a, b = s * sd + 1, (s + 1) * sd
         sql += f""",
-        e{s} AS (SELECT vec_id, v[{a}:{b}] AS v FROM e),
+        e{s} AS (SELECT vec_id, v[{a}:{b}] AS v FROM {src}),
         m{s}_0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e{s}
                    ORDER BY vec_id LIMIT {k})"""
         for i in range(1, iters + 1):
@@ -1310,7 +1312,7 @@ def _o_pq_ctes(
             SELECT vid, centroid_id FROM (
                 SELECT e{s}.vec_id AS vid, c.centroid_id,
                        ROW_NUMBER() OVER (PARTITION BY e{s}.vec_id
-                           ORDER BY list_cosine_similarity(e{s}.v, c.cv) DESC,
+                           ORDER BY {ofn}(e{s}.v, c.cv) DESC,
                                     c.centroid_id) AS rn
                 FROM e{s}, m{s}_{i - 1} c
             ) WHERE rn = 1
@@ -1333,7 +1335,7 @@ def _o_pq_ctes(
             SELECT vid, {s} AS subspace, centroid_id AS code FROM (
                 SELECT e{s}.vec_id AS vid, c.centroid_id,
                        ROW_NUMBER() OVER (PARTITION BY e{s}.vec_id
-                           ORDER BY list_cosine_similarity(e{s}.v, c.cv) DESC,
+                           ORDER BY {ofn}(e{s}.v, c.cv) DESC,
                                     c.centroid_id) AS rn
                 FROM e{s}, m{s}_{iters} c
             ) WHERE rn = 1
@@ -1342,7 +1344,7 @@ def _o_pq_ctes(
             SELECT q.vec_id AS query_id, {s} AS subspace,
                    b.centroid_id AS code,
                    list_dot_product(q.v[{a}:{b}], b.cv) AS lut
-            FROM e q, m{s}_{iters} b WHERE q.{_PQ_QPRED}
+            FROM {src} q, m{s}_{iters} b WHERE q.{_PQ_QPRED}
         )"""
     codes_u = " UNION ALL ".join(f"SELECT * FROM codes{s}" for s in range(m))
     lut_u = " UNION ALL ".join(f"SELECT * FROM lut{s}" for s in range(m))
@@ -1448,6 +1450,80 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_adc_topk(
         emb, emb.filter("vec_id % 50 = 0"), books, _PQ_QPRED,
         k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM,
+    )
+
+
+#: residual-IVFADC oracle head: coarse quantizer, assignment, residuals
+_O_RES_HEAD = f"""WITH e AS ({_O_EMB}),
+        cq AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        car AS (
+            SELECT vid, centroid_id FROM (
+                SELECT e.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e, cq c
+            ) WHERE rn = 1
+        ),
+        er AS (
+            SELECT e.vec_id,
+                   list_transform(generate_series(1, 64),
+                                  i -> e.v[i] - c.cv[i]) AS v
+            FROM e
+            JOIN car ON car.vid = e.vec_id
+            JOIN cq c ON c.centroid_id = car.centroid_id
+        )"""
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    oracle=_o_pq_ctes(src="er", head=_O_RES_HEAD, ofn="list_dot_product") + f"""
+        , qb AS (
+            SELECT e.vec_id AS query_id, car.centroid_id,
+                   list_dot_product(e.v, c.cv) AS qc
+            FROM e
+            JOIN car ON car.vid = e.vec_id
+            JOIN cq c ON c.centroid_id = car.centroid_id
+            WHERE e.{_PQ_QPRED}
+        ),
+        cand AS (
+            SELECT qb.query_id, car.vid
+            FROM car JOIN qb USING (centroid_id)
+            WHERE car.vid <> qb.query_id
+        )
+        SELECT query_id, neighbor_id, rank, adc_score FROM (
+            SELECT a.query_id, a.neighbor_id,
+                   qb.qc + a.adc_score AS adc_score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.query_id
+                       ORDER BY qb.qc + a.adc_score DESC, a.neighbor_id) AS rank
+            FROM adc a
+            JOIN cand ON cand.query_id = a.query_id AND cand.vid = a.neighbor_id
+            JOIN qb ON qb.query_id = a.query_id
+        ) WHERE rank <= {_PQ_TOPK}
+    """,
+    tags=("llm", "similarity", "ivf", "pq", "iterative"),
+    doc="IVFADC with RESIDUAL encoding (Jegou et al. 2011 sec V.A — the "
+        "classical recipe ann_ivfpq_topk's documented deviation skips): "
+        "vectors PQ-encode as x - c(x), codebooks train on the "
+        "residuals (which concentrate near the origin — exactly what a "
+        "small codebook quantizes well), queries build their LUT from "
+        "q - c(q), and the within-bucket score adds back the per-query "
+        "constant dot(q, c) for a faithful approximation of dot(q, x). "
+        "Residual training/encoding use the division-free DOT-product "
+        "argmax (the metric ADC approximates anyway): a vector that IS "
+        "a coarse centroid has the exactly-zero residual, whose cosine "
+        "is 0/0 — under dot it scores 0 everywhere and ties to the min "
+        "centroid id, identically in both engines. Plan "
+        "shape identical to the raw-code scan — the residual step is "
+        "map-side zip_with, no extra shuffle. operators/similarity.py::"
+        "ivfpq_residual_topk.",
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_residual_topk(
+        emb, emb.filter("vec_id % 50 = 0"), _PQ_QPRED,
+        k=_PQ_TOPK, m=_PQ_M, kk=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
     )
 
 
