@@ -1528,6 +1528,99 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_residual_recall_audit",
+    oracle=_o_pq_ctes(src="er", head=_O_RES_HEAD, ofn="list_dot_product") + f"""
+        , qb AS (
+            SELECT e.vec_id AS query_id, car.centroid_id,
+                   list_dot_product(e.v, c.cv) AS qc
+            FROM e
+            JOIN car ON car.vid = e.vec_id
+            JOIN cq c ON c.centroid_id = car.centroid_id
+            WHERE e.{_PQ_QPRED}
+        ),
+        cand AS (
+            SELECT qb.query_id, car.vid
+            FROM car JOIN qb USING (centroid_id)
+            WHERE car.vid <> qb.query_id
+        ),
+        res5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.query_id, a.neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.query_id
+                           ORDER BY qb.qc + a.adc_score DESC,
+                                    a.neighbor_id) AS rank
+                FROM adc a
+                JOIN cand ON cand.query_id = a.query_id
+                         AND cand.vid = a.neighbor_id
+                JOIN qb ON qb.query_id = a.query_id
+            ) WHERE rank <= {_PQ_TOPK}
+        ),
+        exact5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.v, e.v) DESC,
+                                    e.vec_id) AS rank
+                FROM e, e q WHERE q.{_PQ_QPRED} AND e.vec_id <> q.vec_id
+            ) WHERE rank <= {_PQ_TOPK}
+        )
+        SELECT x.query_id,
+               CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(p.neighbor_id) AS DOUBLE) / {_PQ_TOPK} AS recall_at_5
+        FROM exact5 x
+        LEFT JOIN res5 p USING (query_id, neighbor_id)
+        GROUP BY x.query_id
+    """,
+    tags=("llm", "similarity", "ivf", "pq", "eval", "iterative"),
+    doc="Residual-IVFADC quality gate (the ann_pq_recall_audit pattern "
+        "applied to the classical-recipe scan): per-query recall@5 of "
+        "the residual-encoded bucket scan against the exact dot-product "
+        "brute force — quantifies BOTH loss sources at once, the "
+        "nprobe=1 bucket prune and the residual-codebook quantization, "
+        "so it reads head-to-head against ann_ivf_recall_audit (prune "
+        "only) and ann_pq_recall_audit (quantization only); zero-recall "
+        "queries kept via the left join.",
+)
+def ann_residual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    dv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(V.s_to_double("embedding")).alias("nv"),
+    )
+    qv = emb.filter(_PQ_QPRED).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(V.s_to_double("embedding")).alias("qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    exact = (
+        dv.join(F.broadcast(qv), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(V.s_dot("qv", "nv")).alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        S.ivfpq_residual_topk(
+            emb, emb.filter("vec_id % 50 = 0"), _PQ_QPRED,
+            k=_PQ_TOPK, m=_PQ_M, kk=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / _PQ_TOPK
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
     "ann_pq_recall_audit",
     oracle=_o_pq_ctes() + f"""
         , exact5 AS (
