@@ -204,6 +204,11 @@ HEADLINE = [
     "events_rolling_7d_active_users",
     "ts_holt_linear_daily",
     "mm_wav_tone_detect",
+    # round-6f additions: the residual IVFADC scan, the chained
+    # carry-forward sequence match, and the HLL rolling-window merge
+    "ann_ivfpq_residual_topk",
+    "events_sequence_match",
+    "sketch_rolling_distinct_users",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
