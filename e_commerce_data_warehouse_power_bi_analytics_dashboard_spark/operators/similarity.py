@@ -464,7 +464,11 @@ def _pq_lut(
         cb = codebooks.filter(F.col("subspace") == s).select(
             F.col("centroid_id").alias("code"), "cv"
         )
-        part = qs.crossJoin(cb).select(
+        # pin the k-row codebook side as broadcast: when the query side
+        # is a derived tree with no size estimate (the residual path)
+        # the planner otherwise degrades this cross join to a true
+        # CartesianProduct instead of a BroadcastNestedLoopJoin
+        part = qs.crossJoin(F.broadcast(cb)).select(
             "query_id", F.lit(s).alias("subspace"), "code",
             F.expr(s_dot("qv", "cv")).alias("lut"),
         )
