@@ -204,9 +204,12 @@ HEADLINE = [
     "events_rolling_7d_active_users",
     "ts_holt_linear_daily",
     "mm_wav_tone_detect",
-    # round-6f additions: the residual IVFADC scan, the chained
-    # carry-forward sequence match, and the HLL rolling-window merge
-    "ann_ivfpq_residual_topk",
+    # round-6f additions: the chained carry-forward sequence match and
+    # the HLL rolling-window merge. (ann_ivfpq_residual_topk is NOT a
+    # headliner: per-rep it re-trains 4 subspace codebooks plus the
+    # coarse assignment — ~14 s of honest TRAINING cost that the
+    # kmeans/pagerank entries already represent; its query-time scan
+    # shape is identical to the benched ann_ivfpq_topk.)
     "events_sequence_match",
     "sketch_rolling_distinct_users",
 ]
