@@ -377,7 +377,15 @@ def main() -> None:
                 df = catalog[name].fn(spark, sf_dir)
             materialize(df)
             samples.append(time.perf_counter() - t0)
-            if len(samples) == reps and statistics.median(samples) < micro_cutoff:
+            if len(samples) == reps and (
+                statistics.median(samples) < micro_cutoff
+                or name in BASELINE_REF_SEC
+            ):
+                # micro-queries AND every baseline-compared query get the
+                # larger sample: the published ratios are medians, and a
+                # 0.7s forced-join's 5-rep median still swings ~±20%
+                # run-to-run (r6 observed 1.07..1.37 on the same code) —
+                # the bigger honest sample stabilizes the trend line
                 target = micro_reps
         leftover = persistent_rdd_ids(spark) - base_ids
         if saw_internal or leftover:
