@@ -29,8 +29,14 @@ def chi2_scaled(cells: DataFrame, a: str, b: str, o: str = "o") -> DataFrame:
     toward zero; all operands non-negative, so it equals floor and
     DuckDB's HUGEINT ``//``), and the cross-cell SUM is an integer —
     no float-summation-order hazard, the fixed-point-PageRank
-    discipline. Intermediates are bounded by (n·SCALE)² < 10³⁸, good to
-    n ≈ 10¹⁶ observations. The e_s >= 1 clamp guards degenerate margins
+    discipline. The widest intermediate is (o·SCALE − e_s)², bounded by
+    (n·SCALE)² < 10³⁸ — good to n ≈ 10¹³ observations with SCALE = 10⁶
+    (past that the DECIMAL(38,0) square overflows and Spark 4 raises
+    under ANSI rather than corrupting). 10¹³ cells-worth of observed
+    counts is comfortably past the 100 TB target; if more headroom is
+    ever needed, rearrange to ((o·SCALE − e_s) div e_s)·(o·SCALE − e_s)
+    to shed one factor of SCALE at the cost of an extra floor.
+    The e_s >= 1 clamp guards degenerate margins
     (an expected count that floors to zero).
 
     Scale shape: the margins re-aggregate from ``cells`` itself (never a

@@ -26,8 +26,8 @@ over *statistic-grain* frames so the data-sized work is one scan:
   matches Spark ``div`` over DECIMAL(38,0) for non-negative operands),
   so the cross-cell SUM is an order-independent integer and the final
   statistic hash-matches bit-for-bit cross-engine. Intermediates are
-  bounded by (n·10⁶)² < 10³⁸ up to n ≈ 10¹⁶ rows — comfortably past a
-  100 TB corpus.
+  bounded by (n·10⁶)² < 10³⁸ up to n ≈ 10¹³ rows — comfortably past a
+  100 TB corpus at document grain.
 
 All determinism-by-construction: no rand(), no unordered float folds.
 """
@@ -136,7 +136,7 @@ def drift_ks_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _KS_C
             * F.sqrt(
                 (F.max("na") + F.max("nb")).cast("double")
-                / (F.max("na") * F.max("nb"))
+                / (F.max("na").cast("double") * F.max("nb").cast("double"))
             )
         ).alias("drifted"),
     )
@@ -276,7 +276,7 @@ def drift_psi_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "only data-sized shuffle), margins re-aggregated from those "
         "cells (never a second scan), broadcast back onto the "
         "cell-grain frame. Intermediates bounded by (n*10^6)^2 < "
-        "10^38 up to n ~ 10^16 docs. Core: operators/drift.py::"
+        "10^38 up to n ~ 10^13 docs. Core: operators/drift.py::"
         "chi2_scaled, equivalence-tested against its pure-Python serial "
         "twin on randomized contingency tables "
         "(tests/test_drift_properties.py).",

@@ -857,21 +857,34 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
         "windows: daily sketches are a few KB each and re-mergeable to "
         "ANY window size without re-touching events, where the exact "
         "expansion re-shuffles (window x day-user-grain) rows per "
-        "window change. The union window runs on the |days| calendar "
-        "frame (allowlisted day grain).",
+        "window change. Sketches merge by explicit day arithmetic "
+        "(sequence fan-out to d..d+6, day-grain groupBy) so the frame "
+        "equals the calendar window by construction even across gap "
+        "days — no observed-row ROWS frame, no global window.",
 )
 def sketch_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     per_day = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.expr("hll_sketch_agg(user_id)").alias("sk"),
     )
-    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
-    est = per_day.withColumn(
-        "sk7", F.expr("hll_union_agg(sk)").over(w)
-    ).select("d", F.expr("hll_sketch_estimate(sk7)").alias("est_7d"))
-    # exact side: the expansion rewrite shared with the exact twin
     du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
     days = du.select("d").distinct()
+    # Merge sketches by EXPLICIT day arithmetic (each day's sketch fans
+    # out to the calendar targets d..d+6 it covers), mirroring the exact
+    # side's expansion — a ROWS(-6,0) frame over OBSERVED days would
+    # silently widen the calendar window across gap days.
+    est = (
+        per_day.select(
+            F.explode(
+                F.expr("sequence(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)")
+            ).alias("d"),
+            "sk",
+        )
+        .join(F.broadcast(days), "d")
+        .groupBy("d")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk7"))
+        .select("d", F.expr("hll_sketch_estimate(sk7)").alias("est_7d"))
+    )
     exact = (
         du.select(
             F.explode(

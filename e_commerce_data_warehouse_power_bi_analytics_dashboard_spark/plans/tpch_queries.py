@@ -606,8 +606,8 @@ def tpch_q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFra
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
-                             AND TIMESTAMP '1997-12-31 00:00:00'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n1.n_name, n2.n_name, l_year
         ORDER BY supp_nation, cust_nation, l_year
     """,
@@ -623,10 +623,8 @@ def tpch_q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").between(
-            F.lit("1996-01-01 00:00:00").cast("timestamp"),
-            F.lit("1997-12-31 00:00:00").cast("timestamp"),
-        )
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")

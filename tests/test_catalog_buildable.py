@@ -47,7 +47,6 @@ SINGLE_PARTITION_OK = {
     "ts_anomaly_zscore_daily",      # day grain
     "ts_gapfill_daily_revenue",     # day grain
     "stats_category_percentiles",   # category grain
-    "sketch_rolling_distinct_users",  # day grain (HLL union window)
 }
 
 #: forced-degradation join study — the only entry allowed a true
