@@ -205,13 +205,15 @@ HEADLINE = [
     "ts_holt_linear_daily",
     "mm_wav_tone_detect",
     # round-6f additions: the chained carry-forward sequence match and
-    # the HLL rolling-window merge. (ann_ivfpq_residual_topk is NOT a
-    # headliner: per-rep it re-trains 4 subspace codebooks plus the
-    # coarse assignment — ~14 s of honest TRAINING cost that the
-    # kmeans/pagerank entries already represent; its query-time scan
-    # shape is identical to the benched ann_ivfpq_topk.)
+    # the HLL rolling-window merge
     "events_sequence_match",
     "sketch_rolling_distinct_users",
+    # round-7 additions: the ANN train/serve split landed — the three
+    # PQ entries are now pure scans over the persisted index (built in
+    # the load phase, the reference's CREATE INDEX analog), so the
+    # residual IVFADC scan joins the headline set at its honest serve
+    # cost (r6 had excluded it for paying ~14 s of per-rep training)
+    "ann_ivfpq_residual_topk",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
@@ -301,11 +303,22 @@ def main() -> None:
         StarSchema,
     )
 
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+        ann_index as _ann_ix,
+    )
+
     session_artifacts = {
         "star_tables": lambda: [
             materialize(t)
             for t in (star.dim_customer, star.dim_product, star.dim_date, star.fact_sales)
         ],
+        # the persisted ANN index (coarse centroids, bucket assignment,
+        # raw+residual PQ codebooks/codes): trained ONCE here — the
+        # reference's CREATE INDEX analog — so the five ANN serve
+        # entries measure pure query-time scans. Idempotent: a completed
+        # index from a prior run is reused (its build cost then shows in
+        # neither load_sec nor the queries, like a pre-existing index).
+        "ann_index": lambda: _ann_ix.build_ann_index(spark, sf_dir),
         "staging_clean_frames": lambda: [
             materialize(_products_clean(spark, sf_dir)),
             materialize(_sales_clean(spark, sf_dir)),

@@ -212,9 +212,12 @@ def minhash_signatures(
     return minhash_signatures_from_shingles(shingle_set(df, id_col, text_col, k), n_hashes)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band become a
-    candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+def band_rows(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """LSH band table from an m0..m{n-1} signature frame: one
+    (doc, band_idx, bh) row per band, bh = md5 of the band's signature
+    slice. This IS the persistable LSH index representation — an
+    incremental pipeline stores the corpus's band rows once and probes
+    them with each new batch's bands (operators/minhash_index.py)."""
     sig_cols = [c for c in signatures.columns if c.startswith("m")]
     if bands < 1 or len(sig_cols) % bands != 0 or len(sig_cols) // bands < 1:
         raise ValueError(
@@ -229,12 +232,18 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
         for b in range(bands)
     ]
     banded = signatures.select("doc", *band_exprs)
-    stacked = banded.select(
+    return banded.select(
         "doc",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
         ).alias("bk"),
     ).select("doc", F.col("bk.band_idx").alias("band_idx"), F.col("bk.bh").alias("bh"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band become a
+    candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    stacked = band_rows(signatures, bands)
     l = stacked.select(F.col("doc").alias("doc_a"), "band_idx", "bh")
     r = stacked.select(F.col("doc").alias("doc_b"), "band_idx", "bh")
     return (
@@ -293,6 +302,98 @@ def minhash_lsh_near_dups(
     pruned = est.filter(F.col("est_j") >= threshold - margin).select("doc_a", "doc_b")
     return jaccard_pairs(
         df, id_col, text_col, k, threshold, candidates=pruned, shingles=sh
+    )
+
+
+def incremental_minhash_near_dups(
+    batch: DataFrame, corpus: DataFrame, id_col: str, text_col: str,
+    k: int = 2, n_hashes: int = 32, bands: int = 16, threshold: float = 0.5,
+    corpus_bands: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-dup twin of the incremental exact-hash batch dedup: LSH-probe
+    an arriving batch against a STANDING corpus whose band signatures are
+    already persisted — candidates are new×corpus only, never
+    corpus×corpus (a growing corpus must never re-pay its own quadratic).
+
+    Returns (doc_a = batch doc, doc_b = corpus doc, jaccard) for exact
+    Jaccard ≥ threshold, verified — so the output equals the from-scratch
+    batch×corpus answer given LSH recall (same banding math as
+    :func:`minhash_lsh_near_dups`).
+
+    ``corpus_bands`` (doc, band_idx, bh) and ``corpus_sigs`` (doc,
+    sig array) are the persisted index (operators/minhash_index.py);
+    when omitted both are derived in-query (the from-scratch twin the
+    equivalence tests compare against). The corpus side of the candidate
+    join is then a pure columnar SCAN — no re-shingling, no re-hashing
+    of corpus text; only candidate-matched corpus docs are re-shingled
+    for the exact verify (candidate-bounded by construction).
+
+    Scale shape: batch shingles/signatures are |batch|-sized; the
+    candidate join keys on (band_idx, bh) — the persisted corpus table
+    would be bucketed on exactly that key at 100 TB, making the probe
+    exchange-free on the corpus side; verify joins touch only candidate
+    pairs.
+    """
+
+    def _sig_arr(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+        )
+
+    b_ids = batch.select(F.col(id_col).alias("doc"))
+    bsh = (
+        shingles.join(F.broadcast(b_ids), "doc")
+        if shingles is not None
+        else shingle_set(batch, id_col, text_col, k)
+    )
+    bsigs = minhash_signatures_from_shingles(bsh, n_hashes)
+    bbands = band_rows(bsigs, bands)
+    if corpus_bands is None or corpus_sigs is None:
+        csigs_cols = minhash_signatures_from_shingles(
+            shingle_set(corpus, id_col, text_col, k), n_hashes
+        )
+        corpus_bands = band_rows(csigs_cols, bands)
+        corpus_sigs = _sig_arr(csigs_cols)
+    cands = (
+        bbands.select(F.col("doc").alias("doc_a"), "band_idx", "bh")
+        .join(
+            corpus_bands.select(F.col("doc").alias("doc_b"), "band_idx", "bh"),
+            ["band_idx", "bh"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    est = (
+        cands.join(
+            _sig_arr(bsigs).select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            corpus_sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "est_j",
+            F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+            / F.lit(float(n_hashes)),
+        )
+    )
+    margin = 2.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
+    pruned = est.filter(F.col("est_j") >= threshold - margin).select("doc_a", "doc_b")
+    if shingles is not None:
+        ver_sh = shingles
+    else:
+        cand_c = corpus.join(
+            pruned.select(F.col("doc_b").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        ver_sh = bsh.unionByName(shingle_set(cand_c, id_col, text_col, k))
+    return jaccard_pairs(
+        batch, id_col, text_col, k, threshold,
+        candidates=pruned, shingles=ver_sh,
     )
 
 

@@ -200,6 +200,7 @@ def assign_centroids(
 def ivf_topk(
     emb: DataFrame, centroids: DataFrame, query_pred: str, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding", nprobe: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: search the query's ``nprobe`` nearest centroid
     buckets (nprobe=1 = classic IVF; higher nprobe trades scan volume for
@@ -211,8 +212,19 @@ def ivf_topk(
     original ``id_col`` name — never via string surgery on the predicate
     text, which would corrupt any predicate where the id name occurs as
     a substring of another identifier or inside a literal.
+
+    Train/serve split: pass the persisted bucket ``assigned``
+    (vid, centroid_id — operators/ann_index.py) to skip the
+    N×nlist coarse argmax at query time; the raw vectors are joined
+    back by vid (IVFFlat keeps raw vectors for in-bucket scoring).
     """
-    assigned = assign_centroids(emb, centroids, id_col, vec_col)
+    if assigned is not None:
+        vecs_all = _with_dvec(emb, id_col, vec_col, "vid", "v", norm_col="vn")
+        assigned = vecs_all.join(
+            assigned.select("vid", "centroid_id"), "vid"
+        ).select("vid", "v", "vn", "centroid_id")
+    else:
+        assigned = assign_centroids(emb, centroids, id_col, vec_col)
     if nprobe <= 1:
         # evaluate the predicate on the ORIGINAL frame (it may reference
         # any emb column), then semi-join the ids into the assignment
@@ -447,14 +459,16 @@ def pq_encode(
 
 
 def _pq_lut(
-    emb: DataFrame, codebooks: DataFrame, query_pred: str,
+    q: DataFrame, codebooks: DataFrame,
     m: int, dim: int, id_col: str, vec_col: str,
 ) -> DataFrame:
     """ADC lookup table: each query subvector's dot with every codebook
     centroid -> (query_id, subspace, code, lut). |Q|·m·k rows —
-    broadcast material shared by the flat-ADC and IVF+ADC scans."""
+    broadcast material shared by the flat-ADC and IVF+ADC scans.
+    ``q`` is the ALREADY-FILTERED query frame (callers apply their
+    query predicate on a frame that still carries the original column
+    names — never via string surgery on the predicate text)."""
     sub_dim = dim // m
-    q = emb.filter(F.expr(query_pred))
     lut: DataFrame | None = None
     for s in range(m):
         qs = q.select(
@@ -480,6 +494,7 @@ def pq_adc_topk(
     emb: DataFrame, codebooks: DataFrame, query_pred: str, k: int = 5,
     m: int = 4, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over the PQ index:
     dot(q, x) = Σ_s dot(q_s, x_s) ≈ Σ_s LUT[q, s, code_s(x)] where the
@@ -494,9 +509,15 @@ def pq_adc_topk(
     conditional-sum slot and the m slots are added in fixed textual
     order, so adc_score is bit-identical to the oracle (never an
     order-dependent float SUM across subspaces).
+
+    Train/serve split: pass prebuilt ``codes`` (the persisted PQ index,
+    operators/ann_index.py) to skip corpus re-encoding — the serve-time
+    plan then touches the raw vectors only for the |Q| query rows.
     """
-    codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col)
-    lut = _pq_lut(emb, codebooks, query_pred, m, dim, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col)
+    lut = _pq_lut(emb.filter(F.expr(query_pred)), codebooks, m, dim,
+                  id_col, vec_col)
     scored = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
         .filter(F.col("vid") != F.col("query_id"))
@@ -525,6 +546,7 @@ def ivfpq_adc_topk(
     emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
     query_pred: str, k: int = 5, m: int = 4, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    assigned: DataFrame | None = None, codes: DataFrame | None = None,
 ) -> DataFrame:
     """The full IVF+PQ index scan (Jégou et al. 2011 §V): a coarse
     quantizer prunes the corpus to the query's centroid bucket
@@ -546,10 +568,19 @@ def ivfpq_adc_topk(
     broadcast. Shuffles: the candidate equi-join on centroid_id and
     the (query, vid)-keyed ADC sum — both candidate-bounded, never
     corpus × queries.
+
+    Train/serve split: pass prebuilt ``assigned`` (vid, centroid_id)
+    and ``codes`` (the persisted IVF+PQ index, operators/ann_index.py)
+    to skip the corpus-wide coarse assignment and re-encoding — the
+    serve-time plan never touches a corpus vector, only its 4 thin
+    code rows and its bucket id.
     """
-    assigned = assign_centroids(emb, coarse, id_col, vec_col)
-    codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col)
-    lut = _pq_lut(emb, codebooks, query_pred, m, dim, id_col, vec_col)
+    if assigned is None:
+        assigned = assign_centroids(emb, coarse, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, m, dim, id_col, vec_col)
+    lut = _pq_lut(emb.filter(F.expr(query_pred)), codebooks, m, dim,
+                  id_col, vec_col)
     q_ids = emb.filter(F.expr(query_pred)).select(F.col(id_col).alias("vid"))
     qbuckets = assigned.join(F.broadcast(q_ids), "vid").select(
         F.col("vid").alias("query_id"), "centroid_id"
@@ -1182,6 +1213,8 @@ def ivfpq_residual_topk(
     emb: DataFrame, coarse: DataFrame, query_pred: str, k: int = 5,
     m: int = 4, kk: int = 8, iters: int = 2, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    books: DataFrame | None = None, codes: DataFrame | None = None,
 ) -> DataFrame:
     """The classical IVFADC with RESIDUAL encoding (Jégou et al. 2011
     §V.A, the part ivfpq_adc_topk deliberately skipped): every vector is
@@ -1210,31 +1243,50 @@ def ivfpq_residual_topk(
     thin subvector frames, and query-time work is the candidate bucket
     equi-join + broadcast LUT join — identical exchanges to the raw-code
     scan, no extra shuffle for the residual step.
+
+    Train/serve split: pass prebuilt ``assigned`` (vid, centroid_id),
+    ``books`` and ``codes`` (the persisted residual index,
+    operators/ann_index.py) to skip training entirely — serve-time then
+    computes residuals only for the |Q| query rows (one broadcast join)
+    and the corpus is touched through its thin code/bucket rows alone.
     """
-    assigned = assign_centroids(emb, coarse, id_col, vec_col)
     cents = coarse.select(
         F.col(id_col).alias("centroid_id"),
         F.expr(s_to_double(vec_col)).alias("cv"),
     )
-    er = (
-        assigned.join(F.broadcast(cents), "centroid_id")
-        .select(
-            F.col("vid").alias(id_col),
-            F.expr("zip_with(v, cv, (a, b) -> a - b)").alias(vec_col),
+    if assigned is None or books is None or codes is None:
+        a_full = assign_centroids(emb, coarse, id_col, vec_col)
+        assigned = a_full.select("vid", "centroid_id")
+        er = (
+            a_full.join(F.broadcast(cents), "centroid_id")
+            .select(
+                F.col("vid").alias(id_col),
+                F.expr("zip_with(v, cv, (a, b) -> a - b)").alias(vec_col),
+            )
         )
+        books = pq_fit_codebooks(er, m=m, k=kk, iters=iters, dim=dim,
+                                 id_col=id_col, vec_col=vec_col, metric="dot")
+        codes = pq_encode(er, books, m, dim, id_col, vec_col, metric="dot")
+    # Query-side residuals: evaluate query_pred on the ORIGINAL frame
+    # (exact column names — never string surgery on the predicate),
+    # then attach each query's bucket + centroid via one broadcast join.
+    q = emb.filter(F.expr(query_pred)).select(
+        F.col(id_col).alias("vid"), F.expr(s_to_double(vec_col)).alias("v")
     )
-    books = pq_fit_codebooks(er, m=m, k=kk, iters=iters, dim=dim,
-                             id_col=id_col, vec_col=vec_col, metric="dot")
-    codes = pq_encode(er, books, m, dim, id_col, vec_col, metric="dot")
-    lut = _pq_lut(er, books, query_pred, m, dim, id_col, vec_col)
-    qb = (
-        assigned.join(F.broadcast(cents), "centroid_id")
-        .filter(F.expr(query_pred.replace(id_col, "vid")))
-        .select(
-            F.col("vid").alias("query_id"),
-            "centroid_id",
-            F.expr(s_dot("v", "cv")).alias("qc"),
-        )
+    qa = (
+        assigned.select("vid", "centroid_id")
+        .join(F.broadcast(q), "vid")
+        .join(F.broadcast(cents), "centroid_id")
+    )
+    er_q = qa.select(
+        F.col("vid").alias(id_col),
+        F.expr("zip_with(v, cv, (a, b) -> a - b)").alias(vec_col),
+    )
+    lut = _pq_lut(er_q, books, m, dim, id_col, vec_col)
+    qb = qa.select(
+        F.col("vid").alias("query_id"),
+        "centroid_id",
+        F.expr(s_dot("v", "cv")).alias("qc"),
     )
     cand = (
         assigned.select("vid", "centroid_id")

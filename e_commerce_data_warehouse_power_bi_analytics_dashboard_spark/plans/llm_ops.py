@@ -17,7 +17,9 @@ from pyspark.sql.window import Window
 
 from ..functions import text as T
 from ..functions import vectors as V
+from ..operators import ann_index as IX
 from ..operators import dedup as D
+from ..operators import minhash_index as MI
 from ..operators import similarity as S
 from ..sources.tpch import read_table
 from .catalog import register
@@ -250,11 +252,10 @@ def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-#: the incremental-batch coin: stable per-doc hash in [0, 100); 9 hex
-#: chars so the stream is independent of both the 7-char dedup hashes
-#: and the 8-char sampling coin
-_S_BATCH_COIN = f"({T.s_md5_long('CAST(doc_id AS STRING)', 9)}) % 100"
-_O_BATCH_COIN = f"({T.o_md5_long('CAST(doc_id AS VARCHAR)', 9)}) % 100"
+#: the incremental-batch coin (now shared with the persisted MinHash
+#: corpus index — operators/minhash_index.py defines the split)
+_S_BATCH_COIN = MI.S_BATCH_COIN
+_O_BATCH_COIN = MI.O_BATCH_COIN
 
 
 @register(
@@ -310,6 +311,61 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("new"))
             .alias("status"),
         )
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, ({_O_BATCH_COIN}) AS coin FROM documents
+        ),
+        shb AS (
+            SELECT DISTINCT doc_id AS doc, unnest({T.o_shingles('text', 2)}) AS g
+            FROM d WHERE coin < {MI.BATCH_PCT}
+        ),
+        shc AS (
+            SELECT DISTINCT doc_id AS doc, unnest({T.o_shingles('text', 2)}) AS g
+            FROM d WHERE coin >= {MI.BATCH_PCT}
+        ),
+        szb AS (SELECT doc, COUNT(*) AS sz FROM shb GROUP BY doc),
+        szc AS (SELECT doc, COUNT(*) AS sz FROM shc GROUP BY doc),
+        inter AS (
+            SELECT b.doc AS doc_a, c.doc AS doc_b, COUNT(*) AS inter
+            FROM shb b JOIN shc c ON b.g = c.g
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (szb.sz + szc.sz - inter) AS jaccard
+        FROM inter
+        JOIN szb ON szb.doc = inter.doc_a
+        JOIN szc ON szc.doc = inter.doc_b
+        WHERE CAST(inter AS DOUBLE) / (szb.sz + szc.sz - inter) >= 0.5
+    """,
+    tags=("llm", "dedup", "lsh", "incremental", "serve"),
+    doc="Incremental MINHASH dedup (r7 — the near-dup twin of "
+        "dedup_incremental_new_batch): the arriving batch's band "
+        "signatures LSH-probe the corpus's PERSISTED band table "
+        "(operators/minhash_index.py — built once per corpus, like a "
+        "real ingest pipeline stamps signatures at write time), so "
+        "candidates are batch×corpus ONLY — the standing corpus never "
+        "re-pays its own quadratic, is never re-shingled for the probe "
+        "(pure columnar scan of (doc, band_idx, bh), bucketed on the "
+        "band key at 100 TB for an exchange-free probe), and only "
+        "candidate-matched corpus docs are touched by the exact-Jaccard "
+        "verify. Oracle re-derives the batch×corpus near-dup pairs "
+        "from scratch — exact given LSH recall (>1-1e-4 at τ=0.5 for "
+        "16×2 banding). operators/dedup.py::incremental_minhash_near_dups.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.expr(_S_BATCH_COIN) < MI.BATCH_PCT)
+    return D.incremental_minhash_near_dups(
+        batch, MI.corpus_docs(spark, sf_dir), "doc_id", "text",
+        k=2, n_hashes=32, bands=16, threshold=0.5,
+        corpus_bands=MI.read_artifact(spark, sf_dir, "bands"),
+        corpus_sigs=MI.read_artifact(spark, sf_dir, "sigs"),
+        shingles=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -616,7 +672,8 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), "vec_id < 10", k=3)
+    return S.ivf_topk(emb, emb.filter(IX.COARSE_RULE), "vec_id < 10", k=3,
+                      assigned=IX.read_artifact(spark, sf_dir, "assign"))
 
 
 def _o_srp_sig_cte(nbits: int = 32, dim: int = 64, lead: str = "WITH") -> str:
@@ -1262,7 +1319,8 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     approx = (
-        S.ivf_topk(emb, emb.filter("vec_id % 50 = 0"), "vec_id < 10", k=3)
+        S.ivf_topk(emb, emb.filter(IX.COARSE_RULE), "vec_id < 10", k=3,
+                   assigned=IX.read_artifact(spark, sf_dir, "assign"))
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
@@ -1365,6 +1423,176 @@ def _o_pq_ctes(
     return sql
 
 
+#: residual-IVFADC oracle head: coarse quantizer, assignment, residuals
+_O_RES_HEAD = f"""WITH e AS ({_O_EMB}),
+        cq AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        car AS (
+            SELECT vid, centroid_id FROM (
+                SELECT e.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e, cq c
+            ) WHERE rn = 1
+        ),
+        er AS (
+            SELECT e.vec_id,
+                   list_transform(generate_series(1, 64),
+                                  i -> e.v[i] - c.cv[i]) AS v
+            FROM e
+            JOIN car ON car.vid = e.vec_id
+            JOIN cq c ON c.centroid_id = car.centroid_id
+        )"""
+
+
+def _o_manifest_row(artifact: str, ctes: str, rel: str,
+                    key_expr: str, pay_from: str, pay_expr: str) -> str:
+    """One manifest row as a self-contained nested-WITH subquery (CTE
+    names stay local, so the raw and residual PQ machineries — which
+    share CTE names — can coexist in one UNION ALL oracle)."""
+    return f"""
+        SELECT '{artifact}' AS artifact, n_rows, key_sum, payload_sum
+        FROM (
+            {ctes},
+            base_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                             CAST({key_expr} AS BIGINT) AS key_sum
+                      FROM {rel}),
+            pay_ AS (SELECT CAST({pay_expr} AS BIGINT) AS payload_sum
+                     FROM {pay_from})
+            SELECT base_.n_rows, base_.key_sum, pay_.payload_sum
+            FROM base_, pay_
+        )
+    """
+
+
+def _o_books_union(iters: int = _PQ_ITERS, m: int = _PQ_M) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {s} AS subspace, centroid_id, cv FROM m{s}_{iters}"
+        for s in range(m)
+    )
+
+
+#: integer mixing constants for the manifest checksums — shared
+#: verbatim by the Spark side and the DuckDB oracle below.
+_MAN_VAL_SCALE = "1e6"
+_MAN_ASSIGN_MIX = 53
+_MAN_CODE_MIX = (37, 11)
+_MAN_BOOK_MIX = 1000
+
+_O_MAN_COARSE_CTES = f"""WITH e AS ({_O_EMB}),
+            cq AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                   WHERE vec_id % 50 = 0)"""
+
+_O_MAN_ASSIGN_CTES = _O_RES_HEAD  # e, cq, car, er — car is the assignment
+
+
+@register(
+    "ann_index_build_manifest",
+    oracle="SELECT * FROM (" + " UNION ALL ".join([
+        _o_manifest_row(
+            "coarse", _O_MAN_COARSE_CTES, "cq",
+            "SUM(centroid_id)",
+            "cq, UNNEST(cq.cv) AS t(x)",
+            f"SUM(CAST(FLOOR(t.x * {_MAN_VAL_SCALE}) AS BIGINT))",
+        ),
+        _o_manifest_row(
+            "assign", _O_MAN_ASSIGN_CTES, "car",
+            "SUM(vid)",
+            "car",
+            f"SUM(vid * {_MAN_ASSIGN_MIX} + centroid_id)",
+        ),
+        _o_manifest_row(
+            "books_raw",
+            _o_pq_ctes() + f", b_ AS ({_o_books_union()})", "b_",
+            f"SUM(subspace * {_MAN_BOOK_MIX} + centroid_id)",
+            "b_, UNNEST(b_.cv) AS t(x)",
+            f"SUM(CAST(FLOOR(t.x * {_MAN_VAL_SCALE}) AS BIGINT))",
+        ),
+        _o_manifest_row(
+            "codes_raw", _o_pq_ctes(), "codes",
+            "SUM(vid)",
+            "codes",
+            f"SUM(vid * {_MAN_CODE_MIX[0]} + subspace * {_MAN_CODE_MIX[1]}"
+            " + code)",
+        ),
+        _o_manifest_row(
+            "books_res",
+            _o_pq_ctes(src="er", head=_O_RES_HEAD, ofn="list_dot_product")
+            + f", b_ AS ({_o_books_union()})", "b_",
+            f"SUM(subspace * {_MAN_BOOK_MIX} + centroid_id)",
+            "b_, UNNEST(b_.cv) AS t(x)",
+            f"SUM(CAST(FLOOR(t.x * {_MAN_VAL_SCALE}) AS BIGINT))",
+        ),
+        _o_manifest_row(
+            "codes_res",
+            _o_pq_ctes(src="er", head=_O_RES_HEAD, ofn="list_dot_product"),
+            "codes",
+            "SUM(vid)",
+            "codes",
+            f"SUM(vid * {_MAN_CODE_MIX[0]} + subspace * {_MAN_CODE_MIX[1]}"
+            " + code)",
+        ),
+    ]) + ") ORDER BY artifact",
+    tags=("llm", "similarity", "pq", "lifecycle", "iterative"),
+    doc="ANN index TRAIN step + integrity manifest (r7 — the "
+        "train/serve split): operators/ann_index.py builds the coarse "
+        "centroids, corpus bucket assignment, raw + residual PQ "
+        "codebooks and codes ONCE per scale factor and persists them "
+        "as parquet (FAISS's train/add/search lifecycle); the five ANN "
+        "serve entries are pure scans over these artifacts. This entry "
+        "reads the PERSISTED artifacts and emits one row per artifact "
+        "(row count + two order-independent integer checksums: keys, "
+        "and payload values scaled by FLOOR(x*1e6) — exact BIGINT "
+        "sums, no float-order hazard), while the oracle re-derives "
+        "every artifact FROM SCRATCH via the unrolled-CTE k-means "
+        "twins — so a hash match proves the persisted index is "
+        "bit-identical to retraining, i.e. serve-time results cannot "
+        "drift from the from-scratch semantics the other oracles pin.",
+)
+def ann_index_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scale = F.lit(1_000_000.0)
+
+    def _row(name: str, key_sum, pay_df: DataFrame, pay_sum) -> DataFrame:
+        df = IX.read_artifact(spark, sf_dir, name)
+        base = df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            key_sum.cast("long").alias("key_sum"),
+        )
+        pay = pay_df if pay_df is not None else df
+        payload = pay.agg(pay_sum.cast("long").alias("payload_sum"))
+        return base.crossJoin(payload).select(
+            F.lit(name).alias("artifact"), "n_rows", "key_sum", "payload_sum"
+        )
+
+    def _vec_payload(name: str) -> DataFrame:
+        return IX.read_artifact(spark, sf_dir, name).select(
+            F.explode("cv").alias("x")
+        )
+
+    vec_pay = F.sum(F.floor(F.col("x") * scale))
+    book_key = F.sum(
+        F.col("subspace") * _MAN_BOOK_MIX + F.col("centroid_id")
+    )
+    code_pay = F.sum(
+        F.col("vid") * _MAN_CODE_MIX[0]
+        + F.col("subspace") * _MAN_CODE_MIX[1]
+        + F.col("code")
+    )
+    parts = [
+        _row("coarse", F.sum("centroid_id"), _vec_payload("coarse"), vec_pay),
+        _row("assign", F.sum("vid"), None,
+             F.sum(F.col("vid") * _MAN_ASSIGN_MIX + F.col("centroid_id"))),
+        _row("books_raw", book_key, _vec_payload("books_raw"), vec_pay),
+        _row("codes_raw", F.sum("vid"), None, code_pay),
+        _row("books_res", book_key, _vec_payload("books_res"), vec_pay),
+        _row("codes_res", F.sum("vid"), None, code_pay),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("artifact")
+
+
 @register(
     "ann_pq_adc_topk",
     oracle=_o_pq_ctes() + f"""
@@ -1375,7 +1603,7 @@ def _o_pq_ctes(
             FROM adc
         ) WHERE rank <= {_PQ_TOPK}
     """,
-    tags=("llm", "similarity", "pq", "iterative"),
+    tags=("llm", "similarity", "pq", "serve"),
     doc="IVF+PQ completion (r6): product-quantization ADC top-5 — "
         "4 subspaces × 8-centroid codebooks trained by the kmeans_fit "
         "machinery on subvector slices, corpus compressed to 4 thin "
@@ -1383,16 +1611,19 @@ def _o_pq_ctes(
         "dot-product lookup table summed in fixed subspace order "
         "(bit-stable vs the unrolled-CTE oracle). Query-time cost is "
         "LUT build (|Q|·m·k dots) + a broadcast join over codes — no "
-        "per-corpus-row vector math (operators/similarity.py::"
-        "pq_fit_codebooks/pq_encode/pq_adc_topk).",
+        "per-corpus-row vector math. SERVE-TIME entry (r7): codebooks "
+        "and codes come from the persisted index built once by "
+        "ann_index_build_manifest (operators/ann_index.py) — no "
+        "training inside the query; the oracle still re-derives from "
+        "scratch, pinning persisted == retrained "
+        "(operators/similarity.py::pq_adc_topk).",
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    books = S.pq_fit_codebooks(
-        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
-    )
+    books = IX.read_artifact(spark, sf_dir, "books_raw")
+    codes = IX.read_artifact(spark, sf_dir, "codes_raw")
     return S.pq_adc_topk(
-        emb, books, _PQ_QPRED, k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM
+        emb, books, _PQ_QPRED, k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM, codes=codes
     )
 
 
@@ -1431,7 +1662,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM adc_ivf
         ) WHERE rank <= {_PQ_TOPK}
     """,
-    tags=("llm", "similarity", "ivf", "pq", "iterative"),
+    tags=("llm", "similarity", "ivf", "pq", "serve"),
     doc="The COMBINED IVF+PQ scan (the classical billion-scale ANN "
         "layout, Jégou et al. 2011 §V): coarse quantizer "
         "(centroids = vec_id%50==0, nprobe=1) prunes the corpus to the "
@@ -1440,39 +1671,20 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "no raw-vector math at query time. Codebooks trained on raw "
         "subvectors (IVFFlat-style, not residuals — documented "
         "deviation; quantization loss is audited by the recall "
-        "entries). operators/similarity.py::ivfpq_adc_topk.",
+        "entries). SERVE-TIME entry (r7): bucket assignment, codebooks "
+        "and codes are pure scans of the persisted index — the plan "
+        "touches raw vectors only for the |Q| query rows. "
+        "operators/similarity.py::ivfpq_adc_topk.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    books = S.pq_fit_codebooks(
-        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
-    )
+    books = IX.read_artifact(spark, sf_dir, "books_raw")
+    codes = IX.read_artifact(spark, sf_dir, "codes_raw")
+    assigned = IX.read_artifact(spark, sf_dir, "assign")
     return S.ivfpq_adc_topk(
-        emb, emb.filter("vec_id % 50 = 0"), books, _PQ_QPRED,
-        k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM,
+        emb, emb.filter(IX.COARSE_RULE), books, _PQ_QPRED,
+        k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM, assigned=assigned, codes=codes,
     )
-
-
-#: residual-IVFADC oracle head: coarse quantizer, assignment, residuals
-_O_RES_HEAD = f"""WITH e AS ({_O_EMB}),
-        cq AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
-        car AS (
-            SELECT vid, centroid_id FROM (
-                SELECT e.vec_id AS vid, c.centroid_id,
-                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                                    c.centroid_id) AS rn
-                FROM e, cq c
-            ) WHERE rn = 1
-        ),
-        er AS (
-            SELECT e.vec_id,
-                   list_transform(generate_series(1, 64),
-                                  i -> e.v[i] - c.cv[i]) AS v
-            FROM e
-            JOIN car ON car.vid = e.vec_id
-            JOIN cq c ON c.centroid_id = car.centroid_id
-        )"""
 
 
 @register(
@@ -1502,7 +1714,7 @@ _O_RES_HEAD = f"""WITH e AS ({_O_EMB}),
             JOIN qb ON qb.query_id = a.query_id
         ) WHERE rank <= {_PQ_TOPK}
     """,
-    tags=("llm", "similarity", "ivf", "pq", "iterative"),
+    tags=("llm", "similarity", "ivf", "pq", "serve"),
     doc="IVFADC with RESIDUAL encoding (Jegou et al. 2011 sec V.A — the "
         "classical recipe ann_ivfpq_topk's documented deviation skips): "
         "vectors PQ-encode as x - c(x), codebooks train on the "
@@ -1515,15 +1727,20 @@ _O_RES_HEAD = f"""WITH e AS ({_O_EMB}),
         "a coarse centroid has the exactly-zero residual, whose cosine "
         "is 0/0 — under dot it scores 0 everywhere and ties to the min "
         "centroid id, identically in both engines. Plan "
-        "shape identical to the raw-code scan — the residual step is "
-        "map-side zip_with, no extra shuffle. operators/similarity.py::"
-        "ivfpq_residual_topk.",
+        "shape identical to the raw-code scan. SERVE-TIME entry (r7): "
+        "assignment, residual codebooks and residual codes are scans "
+        "of the persisted index; only the |Q| query residuals are "
+        "computed in-query (one broadcast join + map-side zip_with). "
+        "operators/similarity.py::ivfpq_residual_topk.",
 )
 def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.ivfpq_residual_topk(
-        emb, emb.filter("vec_id % 50 = 0"), _PQ_QPRED,
+        emb, emb.filter(IX.COARSE_RULE), _PQ_QPRED,
         k=_PQ_TOPK, m=_PQ_M, kk=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
+        assigned=IX.read_artifact(spark, sf_dir, "assign"),
+        books=IX.read_artifact(spark, sf_dir, "books_res"),
+        codes=IX.read_artifact(spark, sf_dir, "codes_res"),
     )
 
 
@@ -1572,7 +1789,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN res5 p USING (query_id, neighbor_id)
         GROUP BY x.query_id
     """,
-    tags=("llm", "similarity", "ivf", "pq", "eval", "iterative"),
+    tags=("llm", "similarity", "ivf", "pq", "eval", "serve"),
     doc="Residual-IVFADC quality gate (the ann_pq_recall_audit pattern "
         "applied to the classical-recipe scan): per-query recall@5 of "
         "the residual-encoded bucket scan against the exact dot-product "
@@ -1602,8 +1819,11 @@ def ann_residual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = (
         S.ivfpq_residual_topk(
-            emb, emb.filter("vec_id % 50 = 0"), _PQ_QPRED,
+            emb, emb.filter(IX.COARSE_RULE), _PQ_QPRED,
             k=_PQ_TOPK, m=_PQ_M, kk=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
+            assigned=IX.read_artifact(spark, sf_dir, "assign"),
+            books=IX.read_artifact(spark, sf_dir, "books_res"),
+            codes=IX.read_artifact(spark, sf_dir, "codes_res"),
         )
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
@@ -1647,7 +1867,7 @@ def ann_residual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN pq5 p USING (query_id, neighbor_id)
         GROUP BY x.query_id
     """,
-    tags=("llm", "similarity", "pq", "eval", "iterative"),
+    tags=("llm", "similarity", "pq", "eval", "serve"),
     doc="PQ quality gate (the ann_ivf_recall_audit pattern): per-query "
         "recall@5 of the ADC scan against the exact DOT-product "
         "brute-force baseline — dot, not cosine, because ADC "
@@ -1676,11 +1896,11 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "neighbor_id")
     )
-    books = S.pq_fit_codebooks(
-        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
-    )
+    books = IX.read_artifact(spark, sf_dir, "books_raw")
+    codes = IX.read_artifact(spark, sf_dir, "codes_raw")
     approx = (
-        S.pq_adc_topk(emb, books, _PQ_QPRED, k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM)
+        S.pq_adc_topk(emb, books, _PQ_QPRED, k=_PQ_TOPK, m=_PQ_M,
+                      dim=_PQ_DIM, codes=codes)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )

@@ -1,0 +1,83 @@
+"""Incremental MinHash dedup (r7): the batch-vs-corpus LSH probe over
+the PERSISTED band index must equal the from-scratch derivation, the
+candidate space must be batch×corpus only, and the plan must read the
+corpus bands/signatures from parquet (scan-only corpus — no
+re-shingling for the probe)."""
+
+from __future__ import annotations
+
+import os
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+    dedup as D,
+)
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+    minhash_index as MI,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_build_is_idempotent_and_marked(spark):
+    root = MI.build_minhash_index(spark, SF_SMOKE)
+    assert os.path.exists(os.path.join(root, "_INDEX_COMPLETE"))
+    for name in MI.ARTIFACTS:
+        assert os.path.isdir(os.path.join(root, name)), name
+    mtime = os.path.getmtime(os.path.join(root, "_INDEX_COMPLETE"))
+    assert MI.build_minhash_index(spark, SF_SMOKE) == root
+    assert os.path.getmtime(os.path.join(root, "_INDEX_COMPLETE")) == mtime
+
+
+def test_persisted_index_equals_from_scratch(spark):
+    batch = MI.batch_docs(spark, SF_SMOKE)
+    corpus = MI.corpus_docs(spark, SF_SMOKE)
+    served = D.incremental_minhash_near_dups(
+        batch, corpus, "doc_id", "text",
+        corpus_bands=MI.read_artifact(spark, SF_SMOKE, "bands"),
+        corpus_sigs=MI.read_artifact(spark, SF_SMOKE, "sigs"),
+    )
+    scratch = D.incremental_minhash_near_dups(batch, corpus, "doc_id", "text")
+    assert _rows(served) == _rows(scratch)
+
+
+def test_candidates_are_batch_cross_corpus_only(spark):
+    """Every output pair must be (batch doc, corpus doc) — the standing
+    corpus never self-joins, the batch side is the probe."""
+    served = D.incremental_minhash_near_dups(
+        MI.batch_docs(spark, SF_SMOKE), MI.corpus_docs(spark, SF_SMOKE),
+        "doc_id", "text",
+        corpus_bands=MI.read_artifact(spark, SF_SMOKE, "bands"),
+        corpus_sigs=MI.read_artifact(spark, SF_SMOKE, "sigs"),
+    )
+    batch_ids = {
+        r[0]
+        for r in MI.batch_docs(spark, SF_SMOKE).select("doc_id").collect()
+    }
+    for doc_a, doc_b, _ in served.collect():
+        assert doc_a in batch_ids
+        assert doc_b not in batch_ids
+
+
+def test_probe_plan_scans_persisted_corpus_bands(spark):
+    """Plan pin: the corpus side of the candidate join is a parquet
+    scan of the persisted index, not a re-derivation from text."""
+    served = D.incremental_minhash_near_dups(
+        MI.batch_docs(spark, SF_SMOKE), MI.corpus_docs(spark, SF_SMOKE),
+        "doc_id", "text",
+        corpus_bands=MI.read_artifact(spark, SF_SMOKE, "bands"),
+        corpus_sigs=MI.read_artifact(spark, SF_SMOKE, "sigs"),
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "minhash_index" in plan  # the persisted artifact path is read
+    # and the persisted schemas appear as plain parquet scans
+    assert "band_idx" in plan
