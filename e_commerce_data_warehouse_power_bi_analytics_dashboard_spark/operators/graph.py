@@ -22,7 +22,7 @@ DAMP_NUM, BASE_NUM, DAMP_DEN = 85, 15, 100
 
 def fixed_point_pagerank(
     edges: DataFrame, iters: int, salt_hubs: int = 0,
-    broadcast_contrib: bool = True,
+    broadcast_contrib: bool = True, broadcast_degree: bool = True,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list ``(src, dst)`` (pass both
     orientations for an undirected graph) → ``(node, pr)`` with integer
@@ -51,14 +51,34 @@ def fixed_point_pagerank(
     pinned once per invocation (operators/pins.py — the registry releases
     the previous invocation's pins, so long-lived sessions don't
     accumulate cache); each round is one edges⋈rank shuffle plus a
-    dst-keyed aggregation; degree broadcasts (pre-join it instead if the
-    node table outgrows the broadcast limit).
+    dst-keyed aggregation. ``broadcast_degree=True`` (default) joins the
+    node-cardinality degree frame broadcast per round; pass False when
+    the node table outgrows the broadcast limit (billion-node graphs) —
+    degree is then pre-joined into the pinned edge frame ONCE (one extra
+    co-partitioned shuffle at pin time, none per round). Both flags'
+    plans are bit-identical in output (integer arithmetic — the property
+    tests run all combinations on the same graphs).
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     fresh_pins()
-    edges = pin(edges.select("src", "dst"))
-    deg = pin(edges.groupBy("src").agg(F.count("*").cast("long").alias("deg")))
+    if broadcast_degree:
+        edges = pin(edges.select("src", "dst"))
+        deg = pin(
+            edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+        )
+    else:
+        # billion-node fallback: degree rides the pinned edge frame, so
+        # no per-round degree join at all (the division needs deg on the
+        # per-edge row anyway) — one src-keyed window at pin time.
+        from pyspark.sql.window import Window
+
+        edges = pin(
+            edges.select("src", "dst").withColumn(
+                "deg", F.count("*").over(Window.partitionBy("src")).cast("long")
+            )
+        )
+        deg = None
     nodes = pin(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -71,10 +91,11 @@ def fixed_point_pagerank(
         .select("node", F.expr(f"{SCALE} div nn").cast("long").alias("pr"))
     )
     for _ in range(iters):
-        per_edge = (
-            edges.join(pr, edges.src == pr.node)
-            .join(F.broadcast(deg), "src")
-            .select("src", "dst", F.expr("pr div deg").alias("c"))
+        joined = edges.join(pr, edges.src == pr.node)
+        if deg is not None:
+            joined = joined.join(F.broadcast(deg), "src")
+        per_edge = joined.select(
+            "src", "dst", F.expr("pr div deg").alias("c")
         )
         if salt_hubs > 1:
             # two-level salted sum: spread each hub's in-edges over
