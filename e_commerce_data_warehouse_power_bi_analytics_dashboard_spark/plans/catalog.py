@@ -85,6 +85,7 @@ def get_catalog() -> dict[str, Query]:
         from . import stats_queries  # noqa: F401
         from . import graph_queries  # noqa: F401
         from . import tpch_queries  # noqa: F401
+        from . import tpcds_queries  # noqa: F401
         from . import sql_surfaces  # noqa: F401
         from . import classifier_queries  # noqa: F401
         from . import drift_queries  # noqa: F401
