@@ -194,12 +194,17 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(pixels: list[list[int]], filter_of_row, channels: int = 1) -> bytes:
-    """Encode a pixel grid as a real PNG byte stream — grayscale-8
-    (``channels=1``, color type 0) or truecolor-8 (``channels=3``,
-    color type 2; each row holds w*3 interleaved RGB samples). PNG
-    filters operate at the bytes-per-pixel stride, so ``left`` is the
-    sample ``channels`` bytes back.
+def encode_png(
+    pixels: list[list[int]], filter_of_row, channels: int = 1,
+    depth: int = 8,
+) -> bytes:
+    """Encode a pixel grid as a real PNG byte stream — grayscale
+    (``channels=1``, color type 0), gray+alpha (2 → type 4), truecolor
+    (3 → type 2; each row holds w*3 interleaved RGB samples) or RGBA
+    (4 → type 6), at ``depth`` 8 or 16 bits per sample. PNG filters
+    operate at the BYTES-per-pixel stride regardless of depth, so a
+    16-bit row first serializes to big-endian byte pairs and ``left``
+    is the byte ``channels * depth/8`` back (PNG spec §9.2).
 
     ``filter_of_row(y)`` picks the scanline filter (0=None 1=Sub 2=Up
     3=Average 4=Paeth) so a corpus exercises every decoder branch.
@@ -210,22 +215,33 @@ def encode_png(pixels: list[list[int]], filter_of_row, channels: int = 1) -> byt
 
     if channels not in (1, 2, 3, 4):
         raise ValueError(
-            f"channels={channels}: PNG 8-bit subset covers 1 (gray), "
+            f"channels={channels}: PNG subset covers 1 (gray), "
             "2 (gray+alpha), 3 (RGB), 4 (RGBA)"
         )
+    if depth not in (8, 16):
+        raise ValueError(f"depth={depth}: PNG byte-aligned depths are 8 and 16")
     h = len(pixels)
-    stride = len(pixels[0]) if h else 0
-    w = stride // channels
+    n_samples = len(pixels[0]) if h else 0
+    w = n_samples // channels
+    bpp = channels * (depth // 8)
+    if depth == 16:
+        byte_rows = [
+            [b for v in row for b in ((v >> 8) & 0xFF, v & 0xFF)]
+            for row in pixels
+        ]
+    else:
+        byte_rows = pixels
+    stride = w * bpp
     raw = bytearray()
     prev = [0] * stride
     for y in range(h):
-        row = pixels[y]
+        row = byte_rows[y]
         ft = filter_of_row(y) % 5
         raw.append(ft)
         for x in range(stride):
-            left = row[x - channels] if x >= channels else 0
+            left = row[x - bpp] if x >= bpp else 0
             up = prev[x]
-            ul = prev[x - channels] if x >= channels else 0
+            ul = prev[x - bpp] if x >= bpp else 0
             v = row[x]
             if ft == 0:
                 raw.append(v)
@@ -239,7 +255,7 @@ def encode_png(pixels: list[list[int]], filter_of_row, channels: int = 1) -> byt
                 raw.append((v - _paeth(left, up, ul)) & 0xFF)
         prev = row
     colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, colortype, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -307,9 +323,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
     1-byte index stride and then expand through PLTE to interleaved RGB
     (so palette output is shape-identical to truecolor); gray+alpha
     (type 4) and RGBA (type 6) de-filter at their 2-/4-byte strides and
-    return interleaved samples. Raises on corrupt CRCs / out-of-range
-    palette indices; sub-byte / 16-bit depths and Adam7 interlace raise
-    NotImplementedError (those need PIL — absent here).
+    return interleaved samples. 16-BIT depths (r7) of every non-palette
+    color type de-filter bytewise at the doubled stride (PNG filters
+    are byte-lane operations at any depth, spec §9.2) and re-assemble
+    big-endian sample values 0..65535. Raises on corrupt CRCs /
+    out-of-range palette indices; sub-byte depths and Adam7 interlace
+    raise NotImplementedError (those need PIL — absent here).
     """
     import struct
     import zlib as _z
@@ -336,17 +355,26 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if bitdepth != 8 or colortype not in (0, 2, 3, 4, 6):
+    if (
+        bitdepth not in (8, 16)
+        or colortype not in (0, 2, 3, 4, 6)
+        or (bitdepth == 16 and colortype == 3)  # spec: palette is ≤ 8-bit
+    ):
         raise NotImplementedError(
             f"PNG bitdepth={bitdepth} colortype={colortype} needs a codec "
             "library (PIL, absent here); stdlib path covers every 8-bit "
-            "color type (gray/gray+alpha/truecolor/palette/RGBA) — the "
-            "remaining gates are sub-byte and 16-bit depths and Adam7 "
-            "interlace"
+            "color type (gray/gray+alpha/truecolor/palette/RGBA) and "
+            "16-bit gray/gray+alpha/truecolor/RGBA (r7 — the "
+            "scientific/medical-imagery depth) — the remaining gates "
+            "are sub-byte depths and Adam7 interlace"
         )
     if colortype == 3 and (not plte or len(plte) % 3):
         raise ValueError("corrupt PNG: palette image without a valid PLTE chunk")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    # PNG filters operate on BYTES at the bytes-per-pixel stride, at
+    # every depth — a 16-bit pixel de-filters as 2 independent byte
+    # lanes and re-assembles big-endian afterwards (spec §9.2)
+    bpp = nch * (bitdepth // 8)
     stride = w * bpp
     raw = _z.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
@@ -375,6 +403,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
             row.append(v)
         grid.append(row)
         prev = row
+    if bitdepth == 16:
+        grid = [
+            [(row[2 * i] << 8) | row[2 * i + 1] for i in range(w * nch)]
+            for row in grid
+        ]
+        return w, h, nch, grid
     if colortype == 3:
         n_entries = len(plte) // 3
         rgb: list[list[int]] = []
@@ -418,6 +452,73 @@ def synthesize_png_payloads(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "png"])
 
     return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+#: deterministic 16-bit pixel formula shared with the SQL oracle —
+#: multipliers chosen so values sweep the full 0..65535 range (both
+#: byte lanes vary, exercising the bytewise filter reassembly)
+def _pixel16(doc_id: int, x: int, y: int) -> int:
+    return (doc_id * 257 + y * 301 + x * 977) % 65536
+
+
+def synthesize_png_gray16_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, png binary): real 16-bit grayscale PNG
+    files (color type 0 depth 16: big-endian byte pairs, CRC'd chunks,
+    per-row filter cycling through all five types at the 2-byte
+    stride) built per-partition in mapInPandas — the scientific /
+    medical-imagery depth. Dims/pixels are closed-form in doc_id so a
+    SQL oracle reproduces the decoded stats without the bytes."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 3), 4 * (1 + d % 4)
+                grid = [[_pixel16(d, x, y) for x in range(w)] for y in range(h)]
+                rows.append((d, encode_png(grid, lambda y, d=d: d + y, depth=16)))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def decode_image_gray16(with_png: DataFrame) -> DataFrame:
+    """Pixel stats over REAL 16-bit grayscale PNG payloads: the stdlib
+    decoder de-filters the byte lanes at the 2-byte stride and
+    re-assembles big-endian samples; stats are exact integer sums
+    (min/max/sum over 0..65535 values) so the oracle comparison has no
+    float hazard beyond one terminal division. Arrow-batched
+    mapInPandas; payload pruned from the output."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+            T.StructField("sum_px", T.LongType()),
+        ]
+    )
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, c, grid = decode_png(bytes(png))
+                flat = [v for r in grid for v in r]
+                rows.append(
+                    (int(doc_id), w, h, min(flat), max(flat), sum(flat))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return with_png.select("doc_id", "png").mapInPandas(dec, schema)
 
 
 #: deterministic per-channel pixel formula shared with the SQL oracle

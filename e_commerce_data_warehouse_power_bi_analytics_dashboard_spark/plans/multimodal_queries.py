@@ -305,6 +305,45 @@ def mm_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_png_gray16_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id, 8*(1 + doc_id % 3) AS w, 4*(1 + doc_id % 4) AS h
+            FROM documents WHERE doc_id % 4 = 3
+        ),
+        px AS (
+            SELECT i.doc_id, i.w, i.h,
+                   (i.doc_id * 257 + y.y * 301 + x.x * 977) % 65536 AS v
+            FROM img i
+            JOIN range(0, 16) y(y) ON y.y < i.h
+            JOIN range(0, 24) x(x) ON x.x < i.w
+        )
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px,
+               CAST(SUM(v) AS BIGINT) AS sum_px
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+    doc="REAL 16-bit grayscale PNG decode (r7 — the highest-value "
+        "remaining codec gate: scientific/medical imagery is 16-bit "
+        "gray): synthesize valid depth-16 color-type-0 PNG files "
+        "(big-endian byte pairs, CRC'd chunks, all five scanline "
+        "filters at the 2-byte stride), decode with the stdlib codec — "
+        "PNG filters are BYTE-lane operations at every depth, so the "
+        "de-filter runs at the doubled stride and samples re-assemble "
+        "big-endian — and emit exact integer pixel stats (min/max/sum "
+        "over 0..65535). Oracle reproduces the stats from the "
+        "closed-form pixel formula without touching the bytes. The "
+        "codec gate narrows to sub-byte depths + Adam7 interlace "
+        "(operators/multimodal.py::encode_png depth=16 / decode_png).",
+)
+def mm_png_gray16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    return MM.decode_image_gray16(MM.synthesize_png_gray16_payloads(docs))
+
+
+@register(
     "mm_image_resize_box",
     oracle=f"""
         WITH img AS ({_IMG_DOCS}),

@@ -126,9 +126,10 @@ def test_png_unsupported_colortype_is_codec_gated():
     import struct
     import zlib
 
-    # IHDR declaring 16-bit depth: needs PIL, raises from the parse
-    # (every 8-bit color type 0/2/3/4/6 is handled natively since r6)
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    # IHDR declaring a SUB-BYTE depth: needs PIL, raises from the parse
+    # (every 8-bit color type 0/2/3/4/6 is native since r6, 16-bit
+    # non-palette since r7 — the remaining gates are sub-byte + Adam7)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
     png = (
         MM._PNG_SIG
         + MM._png_chunk(b"IHDR", ihdr)
@@ -137,6 +138,17 @@ def test_png_unsupported_colortype_is_codec_gated():
     )
     with pytest.raises(NotImplementedError, match="bitdepth"):
         MM.decode_png(png)
+    # 16-bit PALETTE is not a legal PNG combination — still gated
+    ihdr16p = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+    png16p = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr16p)
+        + MM._png_chunk(b"PLTE", bytes(48))
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 9)))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bitdepth"):
+        MM.decode_png(png16p)
 
 
 def test_png_palette_roundtrip_all_filters():
@@ -271,6 +283,48 @@ if _HAVE_HYPOTHESIS:
         filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
         out = MM.decode_png(MM.encode_png(grid, lambda y: filters[y]))
         assert out == (w, h, 1, grid)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 12),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31),
+        data=st.data(),
+    )
+    def test_png16_roundtrip_property(w, h, channels, seed, data):
+        """r7: encode->decode identity for 16-bit grids of every
+        non-palette color type under ANY filter sequence — the bytewise
+        de-filter at the doubled stride plus big-endian reassembly must
+        invert exactly, including first row/column edges and both byte
+        lanes (values span the full 0..65535 range)."""
+        import random
+
+        rng = random.Random(seed)
+        grid = [
+            [rng.randrange(65536) for _ in range(w * channels)]
+            for _ in range(h)
+        ]
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+        out = MM.decode_png(
+            MM.encode_png(grid, lambda y: filters[y], channels=channels, depth=16)
+        )
+        assert out == (w, h, channels, grid)
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(2, 12), h=st.integers(2, 8), pos=st.integers(0, 10**6))
+    def test_png16_single_byte_corruption_never_silent(w, h, pos):
+        """r7: the corruption property extends to depth 16 — flipping
+        any byte after the signature must raise or decode identically."""
+        grid = [[(x * 977 + y * 301) % 65536 for x in range(w)] for y in range(h)]
+        png = bytearray(MM.encode_png(grid, lambda y: y, depth=16))
+        idx = pos % len(png)
+        png[idx] ^= 0xFF
+        try:
+            decoded = MM.decode_png(bytes(png))
+        except Exception:
+            return
+        assert decoded == (w, h, 1, grid), "corrupted PNG16 decoded to different pixels"
 
     @settings(max_examples=40, deadline=None)
     @given(w=st.integers(2, 20), h=st.integers(2, 12), pos=st.integers(0, 10**6))
