@@ -56,7 +56,8 @@ _REPO_ROOT = os.path.dirname(
 
 #: bump when any training/encoding rule changes — stale on-disk
 #: artifacts from an older recipe must never serve a newer query.
-ANN_INDEX_VERSION = "v1"
+#: (v2: added the bucket-partitioned codes_ivf layout)
+ANN_INDEX_VERSION = "v2"
 
 #: index hyper-parameters — shared with plans/llm_ops.py's PQ entries
 #: and baked into the DuckDB oracles (m subspaces × k codewords,
@@ -66,6 +67,7 @@ COARSE_RULE = "vec_id % 50 = 0"
 
 ARTIFACTS = (
     "coarse", "assign", "books_raw", "codes_raw", "books_res", "codes_res",
+    "codes_ivf",
 )
 
 #: (applicationId, sf_dir) pairs whose index is known good this session
@@ -119,7 +121,23 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     # raw-subvector codebooks + codes (the flat-ADC / IVFFlat-style path)
     books_raw = pq_fit_codebooks(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=PQ_DIM)
     _write(books_raw, "books_raw")
-    _write(pq_encode(emb, books_raw, PQ_M, PQ_DIM), "codes_raw")
+    codes_raw = pq_encode(emb, books_raw, PQ_M, PQ_DIM)
+    _write(codes_raw, "codes_raw")
+    # the classical IVF LIST-FILE layout: the same codes, physically
+    # clustered by coarse bucket (hive-partitioned on centroid_id) so a
+    # bucket probe is a PARTITION-PRUNED scan — at 100 TB this is the
+    # difference between touching nprobe/nlist of the index and all of
+    # it. A layout of codes_raw, not new training output: its content
+    # is pinned by ann_ivfpq_partitioned_scan hash-matching the same
+    # oracle as the unpartitioned scan.
+    stored_codes = spark.read.parquet(os.path.join(root, "codes_raw"))
+    stored_assign = spark.read.parquet(os.path.join(root, "assign"))
+    (
+        stored_codes.join(stored_assign, "vid")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(root, "codes_ivf"))
+    )
 
     # residual codebooks + codes (IVFADC, Jégou §V.A; dot metric —
     # zero residuals are cosine-undefined, see ivfpq_residual_topk)

@@ -615,6 +615,59 @@ def ivfpq_adc_topk(
     )
 
 
+def ivfpq_partitioned_scan(
+    emb: DataFrame, codes_ivf: DataFrame, codebooks: DataFrame,
+    assigned: DataFrame, query_pred: str, k: int = 5, m: int = 4,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ serve over the LIST-FILE layout: semantically identical to
+    :func:`ivfpq_adc_topk` on prebuilt artifacts, but the codes are read
+    from ``codes_ivf`` — the persisted code table hive-partitioned on
+    ``centroid_id`` (operators/ann_index.py) — and the bucket probe is
+    an equi-join on the PARTITION column against the broadcast query
+    buckets, so Catalyst's dynamic partition pruning restricts the scan
+    to the probed buckets' files (plan-pinned in
+    tests/test_ann_index.py). This is the classical inverted-list scan:
+    at 100 TB with nlist=√N buckets a query touches nprobe/nlist of the
+    index, not all of it — and it falls out of the LAYOUT, not a custom
+    reader.
+
+    Shuffle budget: zero on the corpus side (broadcast probe + DPP-
+    pruned scan); the (query, vid) ADC sum is candidate-bounded.
+    """
+    lut = _pq_lut(emb.filter(F.expr(query_pred)), codebooks, m, dim,
+                  id_col, vec_col)
+    q_ids = emb.filter(F.expr(query_pred)).select(F.col(id_col).alias("vid"))
+    qb = (
+        assigned.select("vid", "centroid_id")
+        .join(F.broadcast(q_ids), "vid")
+        .select(F.col("vid").alias("query_id"), "centroid_id")
+    )
+    scored = (
+        codes_ivf.join(F.broadcast(qb), "centroid_id")
+        .filter(F.col("vid") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "vid")
+        .agg(
+            *[
+                F.sum(F.when(F.col("subspace") == s, F.col("lut"))).alias(f"_l{s}")
+                for s in range(m)
+            ]
+        )
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.expr(" + ".join(f"_l{s}" for s in range(m))).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score")
+    )
+
+
 def kmeans_objective(emb: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> float:
     """Mean cosine of each vector to its nearest trained centroid —

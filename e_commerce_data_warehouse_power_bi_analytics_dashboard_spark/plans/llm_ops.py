@@ -1627,9 +1627,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivfpq_topk",
-    oracle=_o_pq_ctes() + f"""
+#: the combined IVF+PQ oracle — shared verbatim by the unpartitioned
+#: scan and the DPP list-file scan (identical semantics, different
+#: physical access path; a hash match on both pins the layout lossless)
+_O_IVFPQ = _o_pq_ctes() + f"""
         , c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
         cassigned AS (
             SELECT vid, centroid_id FROM (
@@ -1661,7 +1662,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ORDER BY adc_score DESC, neighbor_id) AS rank
             FROM adc_ivf
         ) WHERE rank <= {_PQ_TOPK}
-    """,
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_O_IVFPQ,
     tags=("llm", "similarity", "ivf", "pq", "serve"),
     doc="The COMBINED IVF+PQ scan (the classical billion-scale ANN "
         "layout, Jégou et al. 2011 §V): coarse quantizer "
@@ -1684,6 +1690,33 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_adc_topk(
         emb, emb.filter(IX.COARSE_RULE), books, _PQ_QPRED,
         k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM, assigned=assigned, codes=codes,
+    )
+
+
+@register(
+    "ann_ivfpq_partitioned_scan",
+    oracle=_O_IVFPQ,
+    tags=("llm", "similarity", "ivf", "pq", "serve", "layout"),
+    doc="IVF+PQ over the LIST-FILE layout (r7): the persisted codes "
+        "table hive-partitioned on centroid_id (the classical inverted "
+        "list, operators/ann_index.py::codes_ivf), probed by an "
+        "equi-join on the PARTITION column against the broadcast query "
+        "buckets — Catalyst's dynamic partition pruning restricts the "
+        "scan to the probed buckets' FILES (plan-pinned: dynamicpruning "
+        "subquery in tests/test_ann_index.py). Same oracle as "
+        "ann_ivfpq_topk verbatim: a hash match on both entries proves "
+        "the layout is lossless while the access path drops from "
+        "whole-index to nprobe/nlist of the files — the 100 TB serve "
+        "shape. operators/similarity.py::ivfpq_partitioned_scan.",
+)
+def ann_ivfpq_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_partitioned_scan(
+        emb,
+        IX.read_artifact(spark, sf_dir, "codes_ivf"),
+        IX.read_artifact(spark, sf_dir, "books_raw"),
+        IX.read_artifact(spark, sf_dir, "assign"),
+        _PQ_QPRED, k=_PQ_TOPK, m=_PQ_M, dim=_PQ_DIM,
     )
 
 

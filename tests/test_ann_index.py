@@ -90,6 +90,37 @@ def test_serve_equals_inline_ivf(spark):
     assert _rows(served) == _rows(inline)
 
 
+def test_partitioned_scan_equals_unpartitioned_and_prunes(spark):
+    """The list-file layout (codes hive-partitioned on centroid_id) must
+    return exactly the unpartitioned serve scan's rows, and its plan
+    must carry a dynamic-partition-pruning subquery on centroid_id —
+    the probe touches the probed buckets' files, not the whole index."""
+    import io
+    from contextlib import redirect_stdout
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    part = S.ivfpq_partitioned_scan(
+        emb,
+        IX.read_artifact(spark, SF_SMOKE, "codes_ivf"),
+        IX.read_artifact(spark, SF_SMOKE, "books_raw"),
+        IX.read_artifact(spark, SF_SMOKE, "assign"),
+        _PRED, k=5, m=_M, dim=_DIM,
+    )
+    flat = S.ivfpq_adc_topk(
+        emb, emb.filter(IX.COARSE_RULE),
+        IX.read_artifact(spark, SF_SMOKE, "books_raw"),
+        _PRED, k=5, m=_M, dim=_DIM,
+        assigned=IX.read_artifact(spark, SF_SMOKE, "assign"),
+        codes=IX.read_artifact(spark, SF_SMOKE, "codes_raw"),
+    )
+    assert _rows(part) == _rows(flat)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        part.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_serve_plan_never_scans_query_vectors_corpus_wide(spark):
     """The serve-time IVF+PQ plan must not contain the corpus-wide
     N×nlist argmax (`max_by` aggregate over a crossJoin with centroids)
