@@ -212,8 +212,17 @@ HEADLINE = [
     # PQ entries are now pure scans over the persisted index (built in
     # the load phase, the reference's CREATE INDEX analog), so the
     # residual IVFADC scan joins the headline set at its honest serve
-    # cost (r6 had excluded it for paying ~14 s of per-rep training)
+    # cost (r6 had excluded it for paying ~14 s of per-rep training).
+    # The index-build (TRAIN) cost itself is paid once in load_sec on a
+    # cold run; the manifest entry benched here is the serve-side
+    # integrity scan over the persisted artifacts. Also new: the
+    # incremental MinHash probe against the persisted corpus bands, the
+    # rank-over-ROLLUP TPC-DS shape, and the 16-bit PNG decode.
     "ann_ivfpq_residual_topk",
+    "ann_index_build_manifest",
+    "dedup_incremental_minhash",
+    "tpcds_q67_rollup_rank",
+    "mm_png_gray16_decode",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
@@ -306,6 +315,9 @@ def main() -> None:
     from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
         ann_index as _ann_ix,
     )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+        minhash_index as _mh_ix,
+    )
 
     session_artifacts = {
         "star_tables": lambda: [
@@ -319,6 +331,9 @@ def main() -> None:
         # index from a prior run is reused (its build cost then shows in
         # neither load_sec nor the queries, like a pre-existing index).
         "ann_index": lambda: _ann_ix.build_ann_index(spark, sf_dir),
+        # the corpus MinHash band/signature index (same lifecycle: what
+        # a real ingest pipeline stamps at document write time)
+        "minhash_index": lambda: _mh_ix.build_minhash_index(spark, sf_dir),
         "staging_clean_frames": lambda: [
             materialize(_products_clean(spark, sf_dir)),
             materialize(_sales_clean(spark, sf_dir)),
