@@ -223,6 +223,12 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "tpcds_q67_rollup_rank",
     "mm_png_gray16_decode",
+    # round-7b additions: the DPP-pruned IVF list-file scan, the BM25
+    # inverted-index serve path, and the two new index manifests
+    "ann_ivfpq_partitioned_scan",
+    "bm25_index_serve_topk",
+    "minhash_index_manifest",
+    "bm25_index_manifest",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
@@ -318,6 +324,9 @@ def main() -> None:
     from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
         minhash_index as _mh_ix,
     )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+        text_index as _tx_ix,
+    )
 
     session_artifacts = {
         "star_tables": lambda: [
@@ -334,6 +343,8 @@ def main() -> None:
         # the corpus MinHash band/signature index (same lifecycle: what
         # a real ingest pipeline stamps at document write time)
         "minhash_index": lambda: _mh_ix.build_minhash_index(spark, sf_dir),
+        # the BM25 inverted index (postings/term_stats/stats)
+        "bm25_index": lambda: _tx_ix.build_bm25_index(spark, sf_dir),
         "staging_clean_frames": lambda: [
             materialize(_products_clean(spark, sf_dir)),
             materialize(_sales_clean(spark, sf_dir)),

@@ -343,8 +343,11 @@ def incremental_minhash_near_dups(
         )
 
     b_ids = batch.select(F.col(id_col).alias("doc"))
+    # semi-join (no forced broadcast): a "batch" can itself be large at
+    # ingest scale — AQE broadcasts the id set when it is small enough
+    # and falls back to a co-partitioned semi join when it is not
     bsh = (
-        shingles.join(F.broadcast(b_ids), "doc")
+        shingles.join(b_ids, "doc", "left_semi")
         if shingles is not None
         else shingle_set(batch, id_col, text_col, k)
     )

@@ -369,6 +369,94 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_minhash_sig_ctes() -> str:
+    """DuckDB twin of operators/dedup.py::minhash_signatures_from_shingles
+    + band_rows over the CORPUS split: the same md5-derived 28-bit
+    shingle hash, the same 32 LCG-derived affine permutations (inlined
+    as literals), min per permutation, and the same md5-of-'m0,m1' band
+    hashes. Ends in CTEs ``msig`` (doc, m0..m31) and ``mbands``
+    (doc, band_idx, bh)."""
+    coeffs = D.minhash_coefficients(32)
+    p = D.MINHASH_PRIME
+    mins = ",\n".join(
+        f"MIN(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band_idx, "
+        f"md5(CAST(m{2 * b} AS VARCHAR) || ',' || CAST(m{2 * b + 1} AS VARCHAR)) AS bh "
+        "FROM msig"
+        for b in range(16)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents
+            WHERE ({_O_BATCH_COIN}) >= {MI.BATCH_PCT}
+        ),
+        msh AS (
+            SELECT DISTINCT doc_id AS doc, unnest({T.o_shingles('text', 2)}) AS g
+            FROM d
+        ),
+        mh AS (SELECT doc, {T.o_md5_long('g', 7)} AS h FROM msh),
+        msig AS (SELECT doc, {mins} FROM mh GROUP BY doc),
+        mbands AS ({band_selects})
+    """
+
+
+@register(
+    "minhash_index_manifest",
+    oracle=_o_minhash_sig_ctes() + f"""
+        SELECT * FROM (
+            SELECT 'bands' AS artifact,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc * 17 + band_idx) AS BIGINT) AS key_sum,
+                   CAST(SUM({T.o_md5_long('bh', 7)}) AS BIGINT) AS payload_sum
+            FROM mbands
+            UNION ALL
+            SELECT 'sigs' AS artifact,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc) AS BIGINT) AS key_sum,
+                   CAST(SUM({' + '.join(f'm{i}' for i in range(32))}) AS BIGINT)
+                       AS payload_sum
+            FROM msig
+        ) ORDER BY artifact
+    """,
+    tags=("llm", "dedup", "lsh", "lifecycle"),
+    doc="MinHash index TRAIN step + integrity manifest (r7 — the "
+        "dedup twin of ann_index_build_manifest): reads the PERSISTED "
+        "corpus band + signature artifacts (operators/minhash_index.py) "
+        "and emits per-artifact row counts and exact integer checksums "
+        "(key mixes + md5-derived band-hash sums — order-independent "
+        "BIGINT arithmetic), while the oracle re-derives both artifacts "
+        "FROM SCRATCH: the same 28-bit md5 shingle hash, the same 32 "
+        "LCG affine permutations inlined as literals, min per "
+        "permutation, the same md5('m0,m1') banding. A hash match "
+        "proves the persisted index equals retraining, so every probe "
+        "served from it inherits the from-scratch semantics.",
+)
+def minhash_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = MI.read_artifact(spark, sf_dir, "bands")
+    sigs = MI.read_artifact(spark, sf_dir, "sigs")
+    b_row = (
+        bands.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("doc") * 17 + F.col("band_idx")).cast("long").alias("key_sum"),
+            F.sum(F.expr(T.s_md5_long("bh", 7))).cast("long").alias("payload_sum"),
+        )
+        .select(F.lit("bands").alias("artifact"), "n_rows", "key_sum", "payload_sum")
+    )
+    s_row = (
+        sigs.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc").cast("long").alias("key_sum"),
+            F.sum(F.expr("aggregate(sig, 0L, (a, x) -> a + x)"))
+            .cast("long")
+            .alias("payload_sum"),
+        )
+        .select(F.lit("sigs").alias("artifact"), "n_rows", "key_sum", "payload_sum")
+    )
+    return b_row.unionAll(s_row).orderBy("artifact")
+
+
 #: shared CTE text: exact 2-shingle Jaccard pairs at τ=0.5 as `jpairs`
 #: (reused by the pair entries and as the edge set of the clustering
 #: oracle's transitive closure)

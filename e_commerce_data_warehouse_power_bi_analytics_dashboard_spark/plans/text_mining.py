@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import o_tokens, s_tokens
+from ..functions import text as T2
+from ..functions.text import o_tokens, s_md5_long, s_tokens
+from ..operators import text_index as TX
 from ..sources.tpch import read_table
 from .catalog import register
 
@@ -157,9 +159,10 @@ def _o_bm25_ctes(terms: tuple[str, ...]) -> str:
     """
 
 
-@register(
-    "bm25_topk_search",
-    oracle=f"""
+#: the BM25 top-10 oracle — shared verbatim by the inline entry and the
+#: persisted-index serve entry (identical semantics; a hash match on
+#: both pins the index lossless)
+_O_BM25_TOPK = f"""
         WITH {_o_bm25_ctes(QUERY_TERMS)}
         SELECT doc_id, score FROM (
             SELECT t.doc_id,
@@ -172,7 +175,12 @@ def _o_bm25_ctes(terms: tuple[str, ...]) -> str:
             GROUP BY t.doc_id
         )
         ORDER BY score DESC, doc_id LIMIT 10
-    """,
+    """
+
+
+@register(
+    "bm25_topk_search",
+    oracle=_O_BM25_TOPK,
     tags=("llm", "text", "search", "T2"),
     doc="Okapi BM25 ranked retrieval (k1=1.2, b=0.75) for a broadcast "
         "bag-of-terms query over the documents corpus — term-keyed "
@@ -185,6 +193,102 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents"),
         tokd=tokenized_docs(spark, sf_dir),
     )
+
+
+@register(
+    "bm25_index_serve_topk",
+    oracle=_O_BM25_TOPK,
+    tags=("llm", "text", "search", "T2", "serve", "lifecycle"),
+    doc="BM25 served from the PERSISTED inverted index (r7 — the "
+        "text-retrieval member of the train/serve family): postings "
+        "(term, doc_id, tf, dl) built once, term-sorted so the query's "
+        "literal IN-list prunes parquet row groups; per-term df and the "
+        "corpus scalars joined broadcast. No tokenization, no "
+        "corpus-wide aggregation at query time — the only data-sized "
+        "work is the doc-keyed score sum over matched postings. Same "
+        "oracle as bm25_topk_search verbatim: a hash match on both "
+        "pins the index lossless. operators/text_index.py.",
+)
+def bm25_index_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bm25_serve_topk(
+        TX.read_artifact(spark, sf_dir, "postings"),
+        TX.read_artifact(spark, sf_dir, "term_stats"),
+        TX.read_artifact(spark, sf_dir, "stats"),
+        QUERY_TERMS, k=10, k1=_K1, b=_B,
+    )
+
+
+@register(
+    "bm25_index_manifest",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, len({o_tokens("text")}) AS dl,
+                   unnest({o_tokens("text")}) AS term
+            FROM documents
+        ),
+        pfull AS (
+            SELECT term, doc_id, count(*) AS tf, dl
+            FROM toks GROUP BY term, doc_id, dl
+        ),
+        ts AS (SELECT term, count(*) AS df FROM pfull GROUP BY term),
+        st AS (
+            SELECT count(*)::DOUBLE AS n_docs,
+                   avg(len({o_tokens("text")})) AS avgdl
+            FROM documents
+        )
+        SELECT * FROM (
+            SELECT 'postings' AS artifact,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+                   CAST(SUM({T2.o_md5_long('term', 7)} + tf * 31 + dl * 7)
+                        AS BIGINT) AS payload_sum
+            FROM pfull
+            UNION ALL
+            SELECT 'stats',
+                   CAST(1 AS BIGINT),
+                   CAST(n_docs AS BIGINT),
+                   CAST(FLOOR(avgdl * 1e6) AS BIGINT)
+            FROM st
+            UNION ALL
+            SELECT 'term_stats',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM({T2.o_md5_long('term', 7)}) AS BIGINT),
+                   CAST(SUM(df) AS BIGINT)
+            FROM ts
+        ) ORDER BY artifact
+    """,
+    tags=("llm", "text", "search", "lifecycle"),
+    doc="BM25 index TRAIN step + integrity manifest (r7): reads the "
+        "persisted postings / term_stats / stats artifacts and emits "
+        "row counts + exact integer checksums (md5-derived term sums, "
+        "tf/dl mixes, FLOOR(avgdl*1e6)); the oracle re-derives the "
+        "whole inverted index from the raw corpus — a hash match "
+        "proves persisted == re-tokenized, so every query served from "
+        "the index inherits from-scratch semantics.",
+)
+def bm25_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings = TX.read_artifact(spark, sf_dir, "postings")
+    term_stats = TX.read_artifact(spark, sf_dir, "term_stats")
+    stats = TX.read_artifact(spark, sf_dir, "stats")
+    p_row = postings.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("key_sum"),
+        F.sum(
+            F.expr(s_md5_long("term", 7)) + F.col("tf") * 31 + F.col("dl") * 7
+        ).cast("long").alias("payload_sum"),
+    ).select(F.lit("postings").alias("artifact"), "n_rows", "key_sum", "payload_sum")
+    s_row = stats.select(
+        F.lit("stats").alias("artifact"),
+        F.lit(1).cast("long").alias("n_rows"),
+        F.col("n_docs").cast("long").alias("key_sum"),
+        F.floor(F.col("avgdl") * 1e6).cast("long").alias("payload_sum"),
+    )
+    t_row = term_stats.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.expr(s_md5_long("term", 7))).cast("long").alias("key_sum"),
+        F.sum("df").cast("long").alias("payload_sum"),
+    ).select(F.lit("term_stats").alias("artifact"), "n_rows", "key_sum", "payload_sum")
+    return p_row.unionAll(s_row).unionAll(t_row).orderBy("artifact")
 
 
 @register(
