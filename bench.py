@@ -229,6 +229,11 @@ HEADLINE = [
     "bm25_index_serve_topk",
     "minhash_index_manifest",
     "bm25_index_manifest",
+    # round-7c additions: the MDM record-linkage pipeline (banded
+    # blocking + composite-rank best match) and the Holt backtest
+    # (train-prefix fold + holdout scoring in one calendar-grain frame)
+    "er_customer_linkage",
+    "ts_backtest_holt_daily",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict

@@ -89,6 +89,7 @@ def get_catalog() -> dict[str, Query]:
         from . import sql_surfaces  # noqa: F401
         from . import classifier_queries  # noqa: F401
         from . import drift_queries  # noqa: F401
+        from . import entity_resolution  # noqa: F401
 
         _LOADED = True
     return CATALOG

@@ -1073,3 +1073,66 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sketch_audience_overlap",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(SUM(saw) AS BIGINT) AS exact_viewers,
+               CAST(SUM(bought) AS BIGINT) AS exact_buyers,
+               CAST(SUM(saw * bought) AS BIGINT) AS exact_both,
+               true AS sketch_within_10pct
+        FROM per_user
+    """,
+    tags=("events", "sketch", "A3"),
+    doc="Audience-overlap estimation via HLL set algebra: |viewers ∩ "
+        "buyers| by inclusion-exclusion over three mergeable sketches "
+        "(est(A) + est(B) − est(A ∪ B), the union sketch from "
+        "hll_union of the two per-segment sketches — HLL unions are "
+        "LOSSLESS, so the only error is the two ±2% cardinality "
+        "reads). The estimate must land within 10% of the exact "
+        "per-user-flag intersection — the boolean IS the oracle "
+        "contract, the sketch_distinct_comparison discipline. At 100 "
+        "TB the sketches are the only viable path: segment audiences "
+        "are pre-aggregated per day/shard and intersections of ANY "
+        "segment pair come from merging fixed-size sketches, never "
+        "re-scanning events.",
+)
+def sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    is_view = F.col("event_type") == "view"
+    is_buy = F.col("event_type") == "purchase"
+    agg = ev.agg(
+        F.countDistinct(F.when(is_view, F.col("user_id"))).cast("long").alias("exact_viewers"),
+        F.countDistinct(F.when(is_buy, F.col("user_id"))).cast("long").alias("exact_buyers"),
+        F.countDistinct(
+            F.when(is_view | is_buy, F.col("user_id"))
+        ).cast("long").alias("_exact_union"),
+        F.hll_sketch_agg(F.when(is_view, F.col("user_id"))).alias("_sk_view"),
+        F.hll_sketch_agg(F.when(is_buy, F.col("user_id"))).alias("_sk_buy"),
+    )
+    est_inter = (
+        F.hll_sketch_estimate("_sk_view")
+        + F.hll_sketch_estimate("_sk_buy")
+        - F.hll_sketch_estimate(F.hll_union("_sk_view", "_sk_buy"))
+    )
+    # exact intersection by inclusion-exclusion over exact counts (the
+    # same identity the sketch path uses, so the gate compares like
+    # with like); the oracle derives it from per-user flags instead —
+    # two independent formulations pinning the same number
+    exact_inter = F.col("exact_viewers") + F.col("exact_buyers") - F.col("_exact_union")
+    return agg.select(
+        "exact_viewers",
+        "exact_buyers",
+        exact_inter.alias("exact_both"),
+        (
+            F.abs(est_inter - exact_inter)
+            <= 0.10 * exact_inter
+        ).alias("sketch_within_10pct"),
+    )

@@ -150,3 +150,37 @@ def scd2_asof_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, dim, key="stockcode", fact_time="ship_date", dim_time="valid_from",
         dim_attrs=["unitprice", "valid_from"],
     ).withColumnsRenamed({"valid_from": "price_valid_from"})
+
+
+@register(
+    "scd2_snapshot_asof",
+    oracle=f"""
+        WITH {_O_SCD2_CTES}
+        SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice,
+               valid_from, valid_to IS NULL AS is_open_ended
+        FROM versioned
+        WHERE valid_from <= DATE '1997-01-15'
+          AND (valid_to IS NULL OR valid_to > DATE '1997-01-15')
+    """,
+    tags=("lifecycle", "scd2", "P5"),
+    doc="Dimension time travel: reconstruct dim_product exactly as it "
+        "stood on 1997-01-15 from the SCD2 version table — one row per "
+        "key, the version whose half-open interval covers the snapshot "
+        "date (mod-10 keys show their 1996 price bump, the 1997 batch "
+        "is correctly invisible). The query is a pure per-row interval "
+        "filter on the version table: map-side, no join, no window — "
+        "at 100 TB a snapshot costs one pruned scan, which is the "
+        "point of keeping SCD2 intervals instead of nightly copies.",
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = F.lit("1997-01-15").cast("date")
+    dim = _product_scd2(spark, sf_dir)
+    return dim.filter(
+        (F.col("valid_from") <= snap)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > snap))
+    ).select(
+        "stockcode",
+        F.col("unitprice").cast("double").alias("unitprice"),
+        "valid_from",
+        F.col("valid_to").isNull().alias("is_open_ended"),
+    )

@@ -612,3 +612,230 @@ def stats_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+#: Benford expected first-digit shares, log10(1+1/d) rounded to 10
+#: decimals and embedded as LITERALS in both dialects — the expectation
+#: is a constant of the test, not something either engine recomputes
+#: (keeps libm out of the contract entirely)
+_BENFORD = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366,
+    4: 0.0969100130, 5: 0.0791812460, 6: 0.0669467896,
+    7: 0.0579919470, 8: 0.0511525224, 9: 0.0457574906,
+}
+
+
+@register(
+    "stats_benford_amounts",
+    oracle=with_star(f"""
+        , digits AS (
+            SELECT CAST(substr(regexp_replace(CAST(totalamount AS VARCHAR),
+                                              '[^1-9]', '', 'g'), 1, 1) AS INTEGER)
+                       AS leading_digit
+            FROM fact_sales WHERE totalamount > 0
+        ),
+        expected(d, benford_share) AS (
+            VALUES {', '.join(f'({d}, {s})' for d, s in _BENFORD.items())}
+        ),
+        obs AS (
+            SELECT leading_digit, CAST(COUNT(*) AS BIGINT) AS observed
+            FROM digits GROUP BY leading_digit
+        ),
+        tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM obs)
+        SELECT e.d AS leading_digit,
+               COALESCE(o.observed, 0) AS observed,
+               t.total,
+               CAST(COALESCE(o.observed, 0) AS DOUBLE) / t.total AS obs_share,
+               e.benford_share,
+               CAST(COALESCE(o.observed, 0) AS DOUBLE) / t.total
+                   - e.benford_share AS excess
+        FROM expected e
+        LEFT JOIN obs o ON o.leading_digit = e.d
+        CROSS JOIN tot t
+    """),
+    tags=("stats", "quality", "A6", "F16"),
+    doc="Benford's-law screen over sale amounts — the classic forensic "
+        "first-digit test an auditor points at a revenue ledger. The "
+        "leading significant digit is extracted by STRING surgery on the "
+        "exact DECIMAL rendering (strip every non-1-9 character, take "
+        "the head) so no log10/float classification can disagree between "
+        "engines; expected shares are 10-dec literals of log10(1+1/d). "
+        "Plan: one map-side digit extraction + a 9-row aggregation, the "
+        "grand total broadcast back over the 9-row frame; obs_share and "
+        "excess are single IEEE expressions of exact integers. TPC-H "
+        "prices are uniform-ish, so the EXCESS column is the finding — "
+        "synthetic data visibly violates Benford, which is exactly what "
+        "the screen is for.",
+)
+def stats_benford_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    digits = (
+        s.fact_sales.filter(F.col("totalamount") > 0)
+        .select(
+            F.substring(
+                F.regexp_replace(F.col("totalamount").cast("string"), "[^1-9]", ""),
+                1, 1,
+            ).cast("int").alias("leading_digit")
+        )
+    )
+    obs = digits.groupBy("leading_digit").agg(F.count("*").cast("long").alias("observed"))
+    tot = obs.agg(F.sum("observed").cast("long").alias("total"))
+    expected = spark.createDataFrame(
+        [(d, s_) for d, s_ in _BENFORD.items()], "d INT, benford_share DOUBLE"
+    )
+    return (
+        F.broadcast(expected)
+        .join(obs, expected.d == obs.leading_digit, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+            "total",
+            (F.coalesce(F.col("observed"), F.lit(0)).cast("double") / F.col("total"))
+            .alias("obs_share"),
+            "benford_share",
+            (
+                F.coalesce(F.col("observed"), F.lit(0)).cast("double") / F.col("total")
+                - F.col("benford_share")
+            ).alias("excess"),
+        )
+    )
+
+
+@register(
+    "stats_ab_conversion_ztest",
+    oracle="""
+        WITH assigned AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                   event_type
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        sides AS (
+            SELECT
+                CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS trials_a,
+                CAST(SUM(CASE WHEN variant = 'A' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases_a,
+                CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS trials_b,
+                CAST(SUM(CASE WHEN variant = 'B' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases_b
+            FROM assigned
+        )
+        SELECT trials_a, purchases_a, trials_b, purchases_b,
+               CAST(purchases_a AS DOUBLE) / trials_a AS rate_a,
+               CAST(purchases_b AS DOUBLE) / trials_b AS rate_b,
+               (CAST(purchases_a AS DOUBLE) / trials_a
+                - CAST(purchases_b AS DOUBLE) / trials_b)
+               / sqrt(
+                   (CAST(purchases_a + purchases_b AS DOUBLE) / (trials_a + trials_b))
+                   * (1.0 - CAST(purchases_a + purchases_b AS DOUBLE) / (trials_a + trials_b))
+                   * (1.0 / trials_a + 1.0 / trials_b)
+                 ) AS z_score
+        FROM sides
+    """,
+    tags=("stats", "analytics", "A8"),
+    doc="Two-proportion z-test between hash-assigned experiment arms "
+        "(user_id parity — the deterministic-coin discipline of "
+        "plans/sampling.py): the tested proportion is purchases / "
+        "(views + purchases), a TRUE proportion strictly inside (0,1) "
+        "— a raw purchases-per-view ratio can exceed 1 and blows up "
+        "the pooled variance (sqrt of a negative), which sf0.1 "
+        "actually triggered. All four counts are exact integers from "
+        "ONE map-side conditional aggregation; rates and the pooled z "
+        "are fixed-shape IEEE expressions of those ints (sqrt is "
+        "correctly rounded per IEEE 754, so the statistic is "
+        "bit-identical across engines). The experiment-readout shape "
+        "every growth dashboard needs.",
+)
+def stats_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import read_table
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    is_a = F.col("user_id") % 2 == 0
+    is_buy = F.col("event_type") == "purchase"
+    sides = ev.agg(
+        F.sum(is_a.cast("int")).cast("long").alias("trials_a"),
+        F.sum((is_a & is_buy).cast("int")).cast("long").alias("purchases_a"),
+        F.sum((~is_a).cast("int")).cast("long").alias("trials_b"),
+        F.sum((~is_a & is_buy).cast("int")).cast("long").alias("purchases_b"),
+    )
+    rate_a = F.col("purchases_a").cast("double") / F.col("trials_a")
+    rate_b = F.col("purchases_b").cast("double") / F.col("trials_b")
+    pooled = (F.col("purchases_a") + F.col("purchases_b")).cast("double") / (
+        F.col("trials_a") + F.col("trials_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("trials_a") + F.lit(1.0) / F.col("trials_b"))
+    )
+    return sides.select(
+        "trials_a", "purchases_a", "trials_b", "purchases_b",
+        rate_a.alias("rate_a"), rate_b.alias("rate_b"), z.alias("z_score"),
+    )
+
+
+@register(
+    "stats_price_elasticity",
+    oracle=with_star("""
+        , pts AS (
+            SELECT p.category,
+                   ln(CAST(p.unitprice AS DOUBLE)) AS x,
+                   ln(CAST(SUM(f.quantity) AS DOUBLE)) AS y
+            FROM fact_sales f
+            JOIN dim_product p USING (product_key)
+            GROUP BY p.category, p.product_key, p.unitprice
+        ),
+        m AS (
+            SELECT category, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy
+            FROM pts GROUP BY category
+        )
+        SELECT category, CAST(n AS BIGINT) AS n_products,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                   AS intercept
+        FROM m WHERE n >= 3
+    """),
+    tags=("stats", "analytics", "A6"),
+    doc="Log-log price elasticity of demand per category: OLS slope of "
+        "ln(units sold) on ln(list price) across the category's "
+        "products — the pricing-analytics staple (elasticity < -1 = "
+        "elastic). Same discipline as text_zipf_slope: the per-product "
+        "grain is an exact-integer quantity sum, the OLS closed form "
+        "runs on per-category moment sums (category grain, ~dozen "
+        "points each — a PARTITIONED aggregation, never global), and "
+        "6-dec terminal rounding absorbs ln()/summation-order noise. "
+        "Categories with < 3 price points are excluded (a 2-point fit "
+        "is exact and meaningless).",
+)
+def stats_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = StarSchema(spark, sf_dir)
+    prod = s.dim_product.select(
+        "product_key", "category", F.col("unitprice").alias("list_price")
+    )
+    pts = (
+        s.fact_sales.select("product_key", "quantity")
+        .join(F.broadcast(prod), "product_key")
+        .groupBy("category", "product_key", "list_price")
+        .agg(F.sum("quantity").alias("units"))
+        .select(
+            "category",
+            F.log(F.col("list_price").cast("double")).alias("x"),
+            F.log(F.col("units").cast("double")).alias("y"),
+        )
+    )
+    m = pts.groupBy("category").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.filter(F.col("n") >= 3).select(
+        "category",
+        F.col("n").cast("long").alias("n_products"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )

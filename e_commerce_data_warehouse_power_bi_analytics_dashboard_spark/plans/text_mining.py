@@ -872,3 +872,103 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_ce", 6).alias("cross_entropy_nats"),
         F.round(F.exp("_ce"), 2).alias("perplexity"),
     )
+
+
+#: PMI collocation knobs: candidate floor and report size
+_PMI_MIN_COUNT = 25
+_PMI_TOP = 20
+
+
+@register(
+    "text_bigram_pmi",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS l
+            FROM documents
+        ),
+        uni AS (
+            SELECT t AS w, COUNT(*) AS cu
+            FROM toks, unnest(l) AS u(t) GROUP BY t
+        ),
+        n AS (SELECT SUM(cu) AS n_tokens FROM uni),
+        bg AS (
+            SELECT b, COUNT(*) AS cb
+            FROM toks, unnest(
+                list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])
+            ) AS u(b)
+            GROUP BY b
+            HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+        ),
+        scored AS (
+            SELECT bg.b AS bigram, bg.cb, u1.cu AS c_w1, u2.cu AS c_w2,
+                   (CAST(bg.cb AS DOUBLE) * n.n_tokens)
+                   / (CAST(u1.cu AS DOUBLE) * u2.cu) AS pmi_ratio
+            FROM bg
+            JOIN uni u1 ON u1.w = split_part(bg.b, ' ', 1)
+            JOIN uni u2 ON u2.w = split_part(bg.b, ' ', 2)
+            CROSS JOIN n
+        )
+        SELECT bigram, CAST(cb AS BIGINT) AS c_bigram,
+               CAST(c_w1 AS BIGINT) AS c_w1, CAST(c_w2 AS BIGINT) AS c_w2,
+               pmi_ratio,
+               CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, bigram)
+                    AS BIGINT) AS rank
+        FROM scored
+        ORDER BY pmi_ratio DESC, bigram
+        LIMIT {_PMI_TOP}
+    """,
+    tags=("llm", "text", "analytics", "T2"),
+    doc=f"PMI collocation mining: the top-{_PMI_TOP} bigrams by pointwise "
+        "mutual information with a count floor of "
+        f"{_PMI_MIN_COUNT} — the standard phrase/collocation detector "
+        "(Church & Hanks 1990) a tokenizer or phrase-vocab builder runs "
+        "before merging multiword units. The statistic is surfaced as "
+        "the RAW probability ratio p(xy)/(p(x)p(y)) — ln of it is PMI "
+        "and is monotone in it, so the ranking is identical and libm "
+        "stays out of the contract; the ratio itself is one fixed-shape "
+        "IEEE expression of exact counts. Scale: bigrams assemble "
+        "map-side from token arrays (the text_bigram_perplexity "
+        "discipline), two vocabulary-keyed count joins, N broadcast, "
+        "head via TakeOrderedAndProject — no global window.",
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import top_k_ranked
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("_toks")
+    )
+    uni = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cu"))
+    )
+    n = uni.agg(F.sum("cu").alias("n_tokens"))
+    bg = (
+        toks.select(F.explode(F.expr(_S_BIGRAMS)).alias("b"))
+        .groupBy("b").agg(F.count("*").alias("cb"))
+        .filter(F.col("cb") >= _PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("w").alias("_w1"), F.col("cu").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("_w2"), F.col("cu").alias("c_w2"))
+    scored = (
+        bg.withColumn("_w1", F.split("b", " ").getItem(0))
+        .withColumn("_w2", F.split("b", " ").getItem(1))
+        .join(u1, "_w1")
+        .join(u2, "_w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("cb").cast("long").alias("c_bigram"),
+            F.col("c_w1").cast("long").alias("c_w1"),
+            F.col("c_w2").cast("long").alias("c_w2"),
+            (
+                (F.col("cb").cast("double") * F.col("n_tokens"))
+                / (F.col("c_w1").cast("double") * F.col("c_w2"))
+            ).alias("pmi_ratio"),
+        )
+    )
+    return top_k_ranked(
+        scored, [("pmi_ratio", "desc"), ("bigram", "asc")], _PMI_TOP, out="rank"
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -427,3 +427,108 @@ def ts_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.b").alias("trend"),
         (F.col("u.l") + F.col("u.b")).alias("forecast_next"),
     )
+
+
+#: backtest holdout length (observed days)
+_BT_H = 7
+
+
+@register(
+    "ts_backtest_holt_daily",
+    oracle=with_star(_DAILY_CTE + f"""
+        , arr AS (
+            SELECT list({{'day': day, 'rev': CAST(rev_dec AS DOUBLE)}}
+                        ORDER BY day) AS a, COUNT(*) AS n
+            FROM daily
+        ),
+        st AS (
+            -- NOTE: the fold grows a list and reads acc[-1] (the
+            -- ts_holt_linear_daily formulation) — a scalar-struct
+            -- accumulator over list_reduce returns wrong 'b' values
+            -- past 2 elements in this DuckDB build, so the 1-list
+            -- spelling is load-bearing for the oracle, not style
+            SELECT a, n,
+                   (list_reduce(
+                       list_transform(a[1 : n - {_BT_H}],
+                                      x -> [{{'rev': x.rev, 'l': x.rev,
+                                              'b': CAST(0.0 AS DOUBLE)}}]),
+                       (acc, x) -> list_append(acc, {{'rev': x[1].rev,
+                           'l': {_HOLT_A} * x[1].rev
+                                + {1 - _HOLT_A} * (acc[-1].l + acc[-1].b),
+                           'b': {_HOLT_B} * (({_HOLT_A} * x[1].rev
+                                + {1 - _HOLT_A} * (acc[-1].l + acc[-1].b))
+                                - acc[-1].l)
+                                + {1 - _HOLT_B} * acc[-1].b}})
+                   ))[-1] AS s
+            FROM arr
+        )
+        SELECT strftime(a[n - {_BT_H} + h].day, '%Y-%m-%d') AS day,
+               CAST(h AS INTEGER) AS horizon,
+               a[n - {_BT_H} + h].rev AS actual,
+               s.l + CAST(h AS DOUBLE) * s.b AS holt_forecast,
+               a[n - {2 * _BT_H} + h].rev AS naive_forecast,
+               abs(a[n - {_BT_H} + h].rev
+                   - (s.l + CAST(h AS DOUBLE) * s.b)) AS abs_err_holt,
+               abs(a[n - {_BT_H} + h].rev
+                   - a[n - {2 * _BT_H} + h].rev) AS abs_err_naive
+        FROM st, unnest(generate_series(1, {_BT_H})) AS u(h)
+    """),
+    tags=("timeseries", "fold", "forecast", "audit"),
+    doc=f"Forecast backtest: hold out the last {_BT_H} observed days, "
+        f"fit Holt's linear smoothing (alpha={_HOLT_A}, beta={_HOLT_B}) "
+        "on the train prefix, score h-step-ahead forecasts l + h·b "
+        "against the actuals, head-to-head with the seasonal-naive "
+        "baseline (the value 7 observed days earlier) — the evaluation "
+        "lifecycle the forecast entries were missing (the ANN family's "
+        "recall-audit discipline applied to ts_holt_linear_daily). The "
+        "fold carries SCALAR (level, trend) state — O(1) memory, no "
+        "per-step list growth — and the whole backtest happens inside "
+        "the same 1-row calendar-grain array frame as the fold "
+        "entries: no new window, no self-join. Per-day absolute errors "
+        "surface individually (never float-summed); aggregation to "
+        "MAE is the reader's one division away. Outputs unrounded "
+        "(the fold family's cross-engine bit-identity discipline).",
+)
+def ts_backtest_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    arr = daily.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("day"), F.col("rev_dec").cast("double").alias("rev"))
+            )
+        ).alias("a")
+    )
+    lt = _HOLT_L.format(a=_HOLT_A, oa=1 - _HOLT_A, x="x", last="acc")
+    rows = arr.select(
+        F.col("a"),
+        F.size("a").alias("n"),
+        F.expr(f"""
+            aggregate(
+                slice(slice(a, 1, size(a) - {_BT_H}), 2,
+                      greatest(size(a) - {_BT_H} - 1, 0)),
+                struct(a[0].rev AS l, 0.0D AS b),
+                (acc, x) -> struct(
+                    {lt} AS l,
+                    {_HOLT_B}D * (({lt}) - acc.l)
+                      + {1 - _HOLT_B}D * acc.b AS b)
+            )
+        """).alias("s"),
+    ).select(
+        "a", "n", "s",
+        F.explode(F.sequence(F.lit(1), F.lit(_BT_H))).alias("h"),
+    )
+    actual = F.element_at("a", F.col("n") - _BT_H + F.col("h")).getField("rev")
+    holt = F.col("s.l") + F.col("h").cast("double") * F.col("s.b")
+    naive = F.element_at("a", F.col("n") - 2 * _BT_H + F.col("h")).getField("rev")
+    return rows.select(
+        F.date_format(
+            F.element_at("a", F.col("n") - _BT_H + F.col("h")).getField("day"),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("h").cast("int").alias("horizon"),
+        actual.alias("actual"),
+        holt.alias("holt_forecast"),
+        naive.alias("naive_forecast"),
+        F.abs(actual - holt).alias("abs_err_holt"),
+        F.abs(actual - naive).alias("abs_err_naive"),
+    )
