@@ -366,3 +366,121 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention_rate"),
         )
     )
+
+
+#: recommender knobs: pair-support floor and per-product list size
+_RECO_MIN_PAIR = 2
+_RECO_N = 3
+
+
+@register(
+    "reco_item_item_topn",
+    oracle=with_star(f"""
+        , items AS (
+            SELECT DISTINCT invoiceid, product_key FROM fact_sales
+        ),
+        supp AS (
+            SELECT product_key, CAST(COUNT(*) AS BIGINT) AS n_supp
+            FROM items GROUP BY product_key
+        ),
+        und AS (
+            SELECT a.product_key AS pa, b.product_key AS pb,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM items a
+            JOIN items b ON a.invoiceid = b.invoiceid
+                        AND a.product_key < b.product_key
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_RECO_MIN_PAIR}
+        ),
+        directed AS (
+            SELECT pa AS product_key, pb AS rec_product_key, n_ab FROM und
+            UNION ALL
+            SELECT pb, pa, n_ab FROM und
+        ),
+        scored AS (
+            SELECT d.product_key, d.rec_product_key, d.n_ab,
+                   CAST(d.n_ab AS DOUBLE)
+                       / sqrt(CAST(sa.n_supp * sb.n_supp AS DOUBLE)) AS cosine
+            FROM directed d
+            JOIN supp sa ON sa.product_key = d.product_key
+            JOIN supp sb ON sb.product_key = d.rec_product_key
+        )
+        SELECT product_key, rec_product_key, n_ab, cosine,
+               CAST(rec_rank AS INTEGER) AS rec_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY product_key
+                                         ORDER BY cosine DESC, rec_product_key)
+                          AS rec_rank
+            FROM scored
+        )
+        WHERE rec_rank <= {_RECO_N}
+    """),
+    tags=("analytics", "reco", "W6", "J1"),
+    doc=f"Item-item collaborative filtering: top-{_RECO_N} 'customers "
+        "also bought' per product, scored by co-occurrence cosine "
+        "n_ab / sqrt(n_a·n_b) over invoice baskets (Sarwar et al. "
+        "2001's memory-based recommender, the one every commerce "
+        "dashboard ships) with a pair-support floor of "
+        f"{_RECO_MIN_PAIR}. The basket-pairs shape bounds the pair "
+        "explosion by per-order line count; supports broadcast at "
+        "product cardinality; the score is ONE IEEE division of exact "
+        "integer counts (sqrt correctly rounded) and the per-product "
+        "ranking window partitions on product_key — never global. "
+        "Deterministic under ties (cosine DESC, rec_product_key).",
+)
+def reco_item_item_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.pins import fresh_pins, pin
+
+    s = StarSchema(spark, sf_dir)
+    fresh_pins()
+    per_invoice = pin(
+        s.fact_sales.select("invoiceid", "product_key")
+        .groupBy("invoiceid")
+        .agg(F.array_sort(F.collect_set("product_key")).alias("ps"))
+    )
+    supp = (
+        per_invoice.select(F.explode("ps").alias("product_key"))
+        .groupBy("product_key")
+        .agg(F.count("*").cast("long").alias("n_supp"))
+    )
+    directed = (
+        per_invoice.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "flatten(transform(slice(ps, i + 2, size(ps)), "
+                    "y -> array(struct(x AS product_key, y AS rec_product_key), "
+                    "struct(y AS product_key, x AS rec_product_key))))))"
+                )
+            ).alias("p")
+        )
+        .select("p.product_key", "p.rec_product_key")
+        .groupBy("product_key", "rec_product_key")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _RECO_MIN_PAIR)
+    )
+    sa = supp.select(F.col("product_key"), F.col("n_supp").alias("_na"))
+    sb = supp.select(
+        F.col("product_key").alias("rec_product_key"), F.col("n_supp").alias("_nb")
+    )
+    scored = (
+        directed.join(F.broadcast(sa), "product_key")
+        .join(F.broadcast(sb), "rec_product_key")
+        .select(
+            "product_key", "rec_product_key", "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                / F.sqrt((F.col("_na") * F.col("_nb")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("product_key").orderBy(
+        F.desc("cosine"), F.asc("rec_product_key")
+    )
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= _RECO_N)
+        .withColumn("rec_rank", F.col("rec_rank").cast("int"))
+    )

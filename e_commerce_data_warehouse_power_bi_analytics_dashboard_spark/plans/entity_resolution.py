@@ -62,12 +62,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.linkage import SIM_PCT, link_crm_records
 from ..sources.tpch import read_table
 from .catalog import register
 
-#: accept a candidate iff 100*distance <= _SIM_PCT * max(len) — i.e.
-#: normalized similarity >= 0.85, tested in exact integers
-_SIM_PCT = 15
 
 _DIRTY_NAME_SQL = """
     CASE
@@ -121,7 +119,7 @@ _O_LINK_CTES = f"""
         FROM crm_k
         JOIN dw_k ON dw_k.bid BETWEEN crm_k.bid - 1 AND crm_k.bid + 1
         WHERE 100 * levenshtein(crm_k.name_norm, dw_k.dw_norm)
-              <= {_SIM_PCT} * greatest(length(crm_k.name_norm), length(dw_k.dw_norm))
+              <= {SIM_PCT} * greatest(length(crm_k.name_norm), length(dw_k.dw_norm))
     ),
     best AS (
         SELECT crm_id, customer_key, dist, maxlen,
@@ -153,67 +151,12 @@ def _crm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _norm_name(col: str) -> F.Column:
-    return F.lower(F.regexp_replace(F.col(col), "#", " "))
-
-
-def _band_id(col: str) -> F.Column:
-    return F.expr(f"CAST(regexp_replace({col}, '[^0-9]', '') AS BIGINT) DIV 100")
-
-
 def _linked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CRM roster left-joined to its thresholded best DW match."""
-    crm = _crm_extract(spark, sf_dir).withColumns(
-        {"name_norm": _norm_name("name_dirty"), "bid": _band_id("name_dirty")}
-    )
-    dw = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("customer_key"),
-        F.col("c_nationkey").alias("dw_nationkey"),
-        F.col("c_acctbal").alias("dw_acctbal"),
-        _norm_name("c_name").alias("dw_norm"),
-        _band_id("c_name").alias("bid"),
-    )
-    # numeric-band blocking: CRM fans out to the 3 adjacent blocks, the
-    # DW side stays put — one equi-join shuffle on bid
-    probes = crm.select(
-        "crm_id", "name_norm", "crm_nationkey", "crm_acctbal",
-        F.explode(F.array(F.col("bid") - 1, F.col("bid"), F.col("bid") + 1)).alias("bid"),
-    )
-    dist = F.levenshtein("name_norm", "dw_norm")
-    maxlen = F.greatest(F.length("name_norm"), F.length("dw_norm"))
-    cand = (
-        probes.join(dw, "bid")
-        .select(
-            "crm_id", "customer_key",
-            dist.alias("dist"), maxlen.alias("maxlen"),
-            (F.col("crm_nationkey") != F.col("dw_nationkey"))
-            .cast("int").alias("nation_miss"),
-            (F.abs(F.col("crm_acctbal") - F.col("dw_acctbal")) > F.lit(10.0))
-            .cast("int").alias("bal_miss"),
-        )
-        .filter(F.lit(100) * F.col("dist") <= F.lit(_SIM_PCT) * F.col("maxlen"))
-    )
-    # Fellegi-Sunter-style composite rank: name distance primary, nation
-    # a strong corroborator (5 > the truth's worst composite 2·2, so a
-    # wrong-nation exact name loses), balance a weak one (3 < 4 —
-    # balances legitimately drift between systems, so an exact-name
-    # same-nation collision still out-ranks a 2-edit truth: the audit's
-    # deliberate residual wrong-match class). All-integer, deterministic
-    w = Window.partitionBy("crm_id").orderBy(
-        2 * F.col("dist") + 5 * F.col("nation_miss") + 3 * F.col("bal_miss"),
-        "customer_key",
-    )
-    best = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    return crm.drop("name_norm", "bid").join(best, "crm_id", "left").select(
-        "crm_id", "name_dirty", "true_key", "crm_acctbal",
-        F.col("customer_key").alias("matched_customer_key"),
-        F.col("dist").cast("int").alias("match_distance"),
-        (F.col("dist").cast("double") / F.col("maxlen")).alias("_norm_dist"),
-        F.col("customer_key").isNotNull().alias("matched"),
+    """CRM roster left-joined to its thresholded best DW match — the
+    operator core lives in operators/linkage.py (shared with the
+    streaming twin, streaming/er.py)."""
+    return link_crm_records(
+        _crm_extract(spark, sf_dir), read_table(spark, sf_dir, "customer")
     )
 
 

@@ -285,3 +285,77 @@ def cdc_apply_customer_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_id")
     )
+
+
+#: right-to-erasure tombstone selector (deterministic, both dialects)
+_ERASE_MOD = 211
+
+
+@register(
+    "lifecycle_right_to_erasure",
+    oracle=f"""
+        WITH tombstones AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0
+        ),
+        fact AS (
+            SELECT l_orderkey, o_custkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM tombstones) AS BIGINT) AS n_tombstones,
+            CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS customers_before,
+            CAST((SELECT COUNT(*) FROM customer
+                  WHERE c_custkey NOT IN (SELECT c_custkey FROM tombstones))
+                 AS BIGINT) AS customers_after,
+            CAST((SELECT COUNT(*) FROM fact) AS BIGINT) AS facts_before,
+            CAST((SELECT COUNT(*) FROM fact
+                  WHERE o_custkey NOT IN (SELECT c_custkey FROM tombstones))
+                 AS BIGINT) AS facts_after,
+            CAST((SELECT COUNT(*) FROM fact
+                  WHERE o_custkey IN (SELECT c_custkey FROM tombstones)
+                    AND o_custkey NOT IN (SELECT c_custkey FROM tombstones))
+                 AS BIGINT) AS orphans_remaining
+    """,
+    tags=("lifecycle", "gdpr", "J7", "A2"),
+    doc="Right-to-erasure propagation report: given a tombstone list of "
+        "customers, anti-join-purge the dimension AND every fact row "
+        "keyed to them, then PROVE completeness (orphans_remaining is 0 "
+        "by construction — the column exists so the hash match pins the "
+        "invariant, not a comment). Both purges are broadcast anti-joins "
+        "against the tombstone list (erasure requests are tiny vs the "
+        "corpus); at 100 TB the same plan drives a partition-rewrite "
+        "writer (plans/layout.py compaction) instead of a count. The "
+        "deletion-lifecycle companion to CDC deletes (operators/cdc.py) "
+        "— those tombstone one key's FEED, this propagates erasure "
+        "ACROSS tables.",
+)
+def lifecycle_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    tomb = cust.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    fact = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .join(
+            read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    cust_after = cust.join(F.broadcast(tomb), "c_custkey", "left_anti")
+    fact_after = fact.join(
+        F.broadcast(tomb), fact.o_custkey == tomb.c_custkey, "left_anti"
+    )
+    orphans = fact_after.join(
+        F.broadcast(tomb), fact_after.o_custkey == tomb.c_custkey, "inner"
+    )
+    counts = [
+        tomb.agg(F.count("*").cast("long").alias("n_tombstones")),
+        cust.agg(F.count("*").cast("long").alias("customers_before")),
+        cust_after.agg(F.count("*").cast("long").alias("customers_after")),
+        fact.agg(F.count("*").cast("long").alias("facts_before")),
+        fact_after.agg(F.count("*").cast("long").alias("facts_after")),
+        orphans.agg(F.count("*").cast("long").alias("orphans_remaining")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
