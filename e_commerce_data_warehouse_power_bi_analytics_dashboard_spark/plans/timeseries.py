@@ -532,3 +532,151 @@ def ts_backtest_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(actual - holt).alias("abs_err_holt"),
         F.abs(actual - naive).alias("abs_err_naive"),
     )
+
+
+#: Holt-Winters additive constants (level / trend / seasonal), period 7
+_HW_A, _HW_B, _HW_G, _HW_P = 0.3, 0.1, 0.2, 7
+
+#: HW level update l_t — inlined THREE times per step (in the l, b and
+#: s fields; SQL lambdas cannot bind intermediates). Textually identical
+#: expressions are IEEE-identical, so the triplication is semantically a
+#: let-binding — the ts_holt_linear_daily discipline, one field deeper.
+#: {head} is the seasonal-queue head s_(t-7); it must be spelled
+#: element_at(..., 1) on the Spark side (bare sq[1] is 0-based there
+#: but 1-based in DuckDB — a silent off-by-one, caught by the oracle)
+_HW_L = "{a} * ({x}.rev - {head}) + {oa} * ({last}.l + {last}.b)"
+
+#: the same level update in the DuckDB 1-list fold spelling
+_HW_L_O = (
+    f"{_HW_A} * (x[1].rev - acc[-1].sq[1]) "
+    f"+ {1 - _HW_A} * (acc[-1].l + acc[-1].b)"
+)
+
+
+@register(
+    "ts_holt_winters_daily",
+    oracle=with_star(_DAILY_CTE + f"""
+        , arr AS (
+            SELECT list({{'day': day, 'rev': CAST(rev_dec AS DOUBLE)}}
+                        ORDER BY day) AS a
+            FROM daily
+        ),
+        init AS (
+            SELECT a,
+                   list_reduce(list_transform(a[1:{_HW_P}], x -> x.rev),
+                               (acc, x) -> acc + x) / {_HW_P} AS l0
+            FROM arr
+        ),
+        seeded AS (
+            SELECT a, l0,
+                   list_transform(a[1:{_HW_P}], x -> x.rev - l0) AS sq0
+            FROM init
+        ),
+        f AS (
+            SELECT list_reduce(
+                list_prepend(
+                    [{{'day': a[{_HW_P}].day, 'rev': CAST(0.0 AS DOUBLE),
+                       'l': l0, 'b': CAST(0.0 AS DOUBLE),
+                       's': CAST(0.0 AS DOUBLE), 'fc': CAST(0.0 AS DOUBLE),
+                       'sq': sq0}}],
+                    list_transform(a[{_HW_P + 1}:],
+                        x -> [{{'day': x.day, 'rev': x.rev,
+                                'l': CAST(0.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE),
+                                's': CAST(0.0 AS DOUBLE), 'fc': CAST(0.0 AS DOUBLE),
+                                'sq': sq0}}])),
+                (acc, x) -> list_append(acc, {{
+                    'day': x[1].day, 'rev': x[1].rev,
+                    'l': {_HW_L_O},
+                    'b': {_HW_B} * (({_HW_L_O}) - acc[-1].l) + {1 - _HW_B} * acc[-1].b,
+                    's': {_HW_G} * (x[1].rev - ({_HW_L_O})) + {1 - _HW_G} * acc[-1].sq[1],
+                    'fc': acc[-1].l + acc[-1].b + acc[-1].sq[1],
+                    'sq': list_append(acc[-1].sq[2:{_HW_P}],
+                        {_HW_G} * (x[1].rev - ({_HW_L_O})) + {1 - _HW_G} * acc[-1].sq[1])
+                }})
+            ) AS lst
+            FROM seeded
+        )
+        SELECT strftime(u.day, '%Y-%m-%d') AS day,
+               u.rev AS revenue,
+               u.l AS level,
+               u.b AS trend,
+               u.s AS seasonal,
+               u.fc AS one_step_forecast
+        FROM f, unnest(f.lst[2:]) AS t(u)
+    """),
+    tags=("timeseries", "fold", "forecast", "W3"),
+    doc=f"Holt-Winters additive seasonal smoothing of daily revenue "
+        f"(alpha={_HW_A}, beta={_HW_B}, gamma={_HW_G}, period={_HW_P}): "
+        "the third and hardest fold-family member — the accumulator "
+        "state is now a VECTOR (level, trend, plus the rotating 7-slot "
+        "seasonal queue), proving the calendar-array fold pattern "
+        "extends beyond scalar state. Init: level = mean of the first "
+        "week (explicit left-associative fold in BOTH engines so the "
+        "7-term double sum is order-pinned), seasonals = that week's "
+        "deviations, trend = 0; smoothing starts at day 8 and the "
+        "one-step forecast l+b+s_(t-7) is emitted alongside each "
+        "smoothed day. The level update is inlined three times per "
+        "step (SQL lambdas cannot bind intermediates) — textually "
+        "identical IS IEEE-identical. The seasonal queue advances by "
+        "slice+append (no modulo indexing, so the expression shape "
+        "stays engine-portable). Outputs unrounded (fold-family "
+        "bit-identity discipline). The DuckDB twin keeps the "
+        "1-list/acc[-1] spelling — scalar-struct list_reduce "
+        "mis-evaluates dependent fields past 2 elements in this build "
+        "(see ts_backtest_holt_daily).",
+)
+def ts_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    arr = daily.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("day"), F.col("rev_dec").cast("double").alias("rev"))
+            )
+        ).alias("a")
+    )
+    sq_ref = "element_at(acc, -1).sq"
+    lt = _HW_L.format(a=f"{_HW_A}D", oa=f"{1 - _HW_A}D", x="x",
+                      last="element_at(acc, -1)",
+                      head=f"element_at({sq_ref}, 1)")
+    s_new = (
+        f"{_HW_G}D * (x.rev - ({lt})) + {1 - _HW_G}D * element_at({sq_ref}, 1)"
+    )
+    folded = arr.select(
+        F.explode(
+            F.expr(f"""
+                slice(
+                    aggregate(
+                        slice(a, {_HW_P + 1}, greatest(size(a) - {_HW_P}, 0)),
+                        array(struct(
+                            a[{_HW_P - 1}].day AS day, 0.0D AS rev,
+                            aggregate(slice(a, 1, {_HW_P}), 0.0D,
+                                      (acc, x) -> acc + x.rev) / {_HW_P}.0D AS l,
+                            0.0D AS b, 0.0D AS s, 0.0D AS fc,
+                            transform(slice(a, 1, {_HW_P}),
+                                x -> x.rev - aggregate(slice(a, 1, {_HW_P}), 0.0D,
+                                              (acc, x) -> acc + x.rev) / {_HW_P}.0D)
+                                AS sq)),
+                        (acc, x) -> concat(acc, array(struct(
+                            x.day AS day, x.rev AS rev,
+                            {lt} AS l,
+                            {_HW_B}D * (({lt}) - element_at(acc, -1).l)
+                              + {1 - _HW_B}D * element_at(acc, -1).b AS b,
+                            {s_new} AS s,
+                            element_at(acc, -1).l + element_at(acc, -1).b
+                              + element_at({sq_ref}, 1) AS fc,
+                            concat(slice({sq_ref}, 2, {_HW_P - 1}),
+                                   array({s_new})) AS sq)))
+                    ),
+                    2, greatest(size(a), 1)
+                )
+            """)
+        ).alias("u")
+    )
+    return folded.select(
+        F.date_format("u.day", "yyyy-MM-dd").alias("day"),
+        F.col("u.rev").alias("revenue"),
+        F.col("u.l").alias("level"),
+        F.col("u.b").alias("trend"),
+        F.col("u.s").alias("seasonal"),
+        F.col("u.fc").alias("one_step_forecast"),
+    )
