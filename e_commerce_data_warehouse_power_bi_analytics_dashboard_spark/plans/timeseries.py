@@ -472,6 +472,7 @@ _BT_H = 7
                abs(a[n - {_BT_H} + h].rev
                    - a[n - {2 * _BT_H} + h].rev) AS abs_err_naive
         FROM st, unnest(generate_series(1, {_BT_H})) AS u(h)
+        WHERE n >= {2 * _BT_H}
     """),
     tags=("timeseries", "fold", "forecast", "audit"),
     doc=f"Forecast backtest: hold out the last {_BT_H} observed days, "
@@ -487,7 +488,10 @@ _BT_H = 7
         "entries: no new window, no self-join. Per-day absolute errors "
         "surface individually (never float-summed); aggregation to "
         "MAE is the reader's one division away. Outputs unrounded "
-        "(the fold family's cross-engine bit-identity discipline).",
+        "(the fold family's cross-engine bit-identity discipline). "
+        f"Requires >= {2 * _BT_H} observed days (guarded on BOTH "
+        "engines — shorter frames return 0 rows rather than diverging "
+        "on element_at's negative-index semantics).",
 )
 def ts_backtest_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily(spark, sf_dir)
@@ -513,6 +517,13 @@ def ts_backtest_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + {1 - _HOLT_B}D * acc.b AS b)
             )
         """).alias("s"),
+    ).filter(
+        # guard: the naive term indexes a[n - 2H + h]; with fewer than
+        # 2H observed days the index goes non-positive — element_at then
+        # errors (0) or counts from the array END (negative) while DuckDB
+        # yields NULL. Both engines filter identically → 0 rows, never a
+        # divergence, on degenerate frames.
+        F.col("n") >= 2 * _BT_H
     ).select(
         "a", "n", "s",
         F.explode(F.sequence(F.lit(1), F.lit(_BT_H))).alias("h"),
