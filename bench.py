@@ -234,6 +234,14 @@ HEADLINE = [
     # (train-prefix fold + holdout scoring in one calendar-grain frame)
     "er_customer_linkage",
     "ts_backtest_holt_daily",
+    # round-8 additions: the table-format serve paths (snapshot read =
+    # manifest fold + active-file scan; time travel = three historical
+    # folds — the build itself, create + 2 COW merges, is in load_sec
+    # with the other index TRAIN jobs) and the Adam7-interlaced PNG
+    # decode (7-pass scatter in the Arrow/mapInPandas path)
+    "tf_merge_snapshot",
+    "tf_time_travel_versions",
+    "mm_png_interlaced_decode",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
@@ -332,24 +340,45 @@ def main() -> None:
     from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
         text_index as _tx_ix,
     )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import (
+        table_format_queries as _tf_q,
+    )
 
-    session_artifacts = {
-        "star_tables": lambda: [
-            materialize(t)
-            for t in (star.dim_customer, star.dim_product, star.dim_date, star.fact_sales)
-        ],
+    # Index TRAINING runs first (the reference's CREATE INDEX analog),
+    # then its session debris is dropped BEFORE the warm artifacts are
+    # cached. Context: r7's core-28 read +36% (16.2 -> 22.1 s) in the
+    # driver's round-end run. r8's controlled A/B on a QUIET machine
+    # cleared the code: fresh in-session builds -> core 16.06 s
+    # (BENCH_r06 line: 16.23 s), so the r7 number was machine
+    # contention during the round-end window, not build contamination.
+    # The hygiene below is kept as cheap insurance anyway: training
+    # leaves eagerly localCheckpoint-ed RDD blocks whose driver refs
+    # are gone but whose JVM blocks linger until a GC lets
+    # ContextCleaner reap them — evict every persistent RDD the builds
+    # created and force one full GC, so the timed phase starts from the
+    # same memory state whether the index was built or reused. Build
+    # cost itself stays honestly inside load_sec.
+    index_builds = {
         # the persisted ANN index (coarse centroids, bucket assignment,
-        # raw+residual PQ codebooks/codes): trained ONCE here — the
-        # reference's CREATE INDEX analog — so the five ANN serve
-        # entries measure pure query-time scans. Idempotent: a completed
-        # index from a prior run is reused (its build cost then shows in
-        # neither load_sec nor the queries, like a pre-existing index).
+        # raw+residual PQ codebooks/codes): trained ONCE here so the
+        # five ANN serve entries measure pure query-time scans.
+        # Idempotent: a completed index from a prior run is reused (its
+        # build cost then shows in neither load_sec nor the queries,
+        # like a pre-existing index).
         "ann_index": lambda: _ann_ix.build_ann_index(spark, sf_dir),
         # the corpus MinHash band/signature index (same lifecycle: what
         # a real ingest pipeline stamps at document write time)
         "minhash_index": lambda: _mh_ix.build_minhash_index(spark, sf_dir),
         # the BM25 inverted index (postings/term_stats/stats)
         "bm25_index": lambda: _tx_ix.build_bm25_index(spark, sf_dir),
+        # the versioned-manifest table (create + 2 COW merges)
+        "table_format": lambda: _tf_q.ensure_demo_table(spark, sf_dir),
+    }
+    session_artifacts = {
+        "star_tables": lambda: [
+            materialize(t)
+            for t in (star.dim_customer, star.dim_product, star.dim_date, star.fact_sales)
+        ],
         "staging_clean_frames": lambda: [
             materialize(_products_clean(spark, sf_dir)),
             materialize(_sales_clean(spark, sf_dir)),
@@ -359,6 +388,11 @@ def main() -> None:
         "joinstudy_date_bound": lambda: materialize(_min_date_bound(spark, sf_dir)),
     }
     t0 = time.perf_counter()
+    pre_build_ids = persistent_rdd_ids(spark)
+    for build in index_builds.values():
+        build()
+    evict_rdds(spark, persistent_rdd_ids(spark) - pre_build_ids)
+    spark.sparkContext._jvm.System.gc()
     star = StarSchema(spark, sf_dir)
     for build in session_artifacts.values():
         build()

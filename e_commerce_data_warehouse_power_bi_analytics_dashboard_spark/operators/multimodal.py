@@ -194,51 +194,39 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(
-    pixels: list[list[int]], filter_of_row, channels: int = 1,
-    depth: int = 8,
-) -> bytes:
-    """Encode a pixel grid as a real PNG byte stream — grayscale
-    (``channels=1``, color type 0), gray+alpha (2 → type 4), truecolor
-    (3 → type 2; each row holds w*3 interleaved RGB samples) or RGBA
-    (4 → type 6), at ``depth`` 8 or 16 bits per sample. PNG filters
-    operate at the BYTES-per-pixel stride regardless of depth, so a
-    16-bit row first serializes to big-endian byte pairs and ``left``
-    is the byte ``channels * depth/8`` back (PNG spec §9.2).
-
-    ``filter_of_row(y)`` picks the scanline filter (0=None 1=Sub 2=Up
-    3=Average 4=Paeth) so a corpus exercises every decoder branch.
-    Runs inside the Arrow-batched synthesis UDF — never on the driver.
-    """
-    import struct
-    import zlib as _z
-
-    if channels not in (1, 2, 3, 4):
-        raise ValueError(
-            f"channels={channels}: PNG subset covers 1 (gray), "
-            "2 (gray+alpha), 3 (RGB), 4 (RGBA)"
-        )
-    if depth not in (8, 16):
-        raise ValueError(f"depth={depth}: PNG byte-aligned depths are 8 and 16")
-    h = len(pixels)
-    n_samples = len(pixels[0]) if h else 0
-    w = n_samples // channels
-    bpp = channels * (depth // 8)
+def _pack_row(samples: list[int], depth: int) -> list[int]:
+    """Serialize one scanline of sample values to packed bytes: identity
+    at depth 8, big-endian pairs at 16, MSB-first bit packing with
+    row-end padding at 1/2/4 (PNG spec §7.2)."""
+    if depth == 8:
+        return list(samples)
     if depth == 16:
-        byte_rows = [
-            [b for v in row for b in ((v >> 8) & 0xFF, v & 0xFF)]
-            for row in pixels
-        ]
-    else:
-        byte_rows = pixels
-    stride = w * bpp
-    raw = bytearray()
-    prev = [0] * stride
-    for y in range(h):
-        row = byte_rows[y]
+        return [b for v in samples for b in ((v >> 8) & 0xFF, v & 0xFF)]
+    out: list[int] = []
+    acc = nbits = 0
+    mask = (1 << depth) - 1
+    for v in samples:
+        acc = (acc << depth) | (v & mask)
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc = nbits = 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return out
+
+
+def _filter_rows(byte_rows: list[list[int]], bpp: int, filter_of_row, raw: bytearray) -> None:
+    """Append filtered scanlines (filter byte + data) to ``raw``.
+    Filter state (the ``up`` row) starts at zero — each call is one
+    independent image or Adam7 pass (spec §8.2)."""
+    if not byte_rows:
+        return
+    prev = [0] * len(byte_rows[0])
+    for y, row in enumerate(byte_rows):
         ft = filter_of_row(y) % 5
         raw.append(ft)
-        for x in range(stride):
+        for x in range(len(row)):
             left = row[x - bpp] if x >= bpp else 0
             up = prev[x]
             ul = prev[x - bpp] if x >= bpp else 0
@@ -254,8 +242,67 @@ def encode_png(
             else:
                 raw.append((v - _paeth(left, up, ul)) & 0xFF)
         prev = row
+
+
+def encode_png(
+    pixels: list[list[int]], filter_of_row, channels: int = 1,
+    depth: int = 8, interlace: int = 0,
+) -> bytes:
+    """Encode a pixel grid as a real PNG byte stream — grayscale
+    (``channels=1``, color type 0), gray+alpha (2 → type 4), truecolor
+    (3 → type 2; each row holds w*3 interleaved RGB samples) or RGBA
+    (4 → type 6), at ``depth`` 16/8 bits per sample (any channels) or
+    1/2/4 (grayscale only, per spec §11.2.2), sequential or
+    Adam7-interlaced (``interlace=1``). PNG filters operate at the
+    BYTES-per-pixel stride regardless of depth — 16-bit rows serialize
+    to big-endian pairs, sub-byte rows bit-pack MSB-first, and then the
+    packed bytes are filtered (spec §9.2). Interlaced output filters
+    each of the 7 passes as an independent sub-image.
+
+    ``filter_of_row(y)`` picks the scanline filter (0=None 1=Sub 2=Up
+    3=Average 4=Paeth) so a corpus exercises every decoder branch.
+    Runs inside the Arrow-batched synthesis UDF — never on the driver.
+    """
+    import struct
+    import zlib as _z
+
+    if channels not in (1, 2, 3, 4):
+        raise ValueError(
+            f"channels={channels}: PNG subset covers 1 (gray), "
+            "2 (gray+alpha), 3 (RGB), 4 (RGBA)"
+        )
+    if depth not in (8, 16) and not (channels == 1 and depth in (1, 2, 4)):
+        raise ValueError(
+            f"depth={depth}/channels={channels}: sub-byte depths are "
+            "grayscale-only (PNG spec §11.2.2)"
+        )
+    h = len(pixels)
+    n_samples = len(pixels[0]) if h else 0
+    w = n_samples // channels
+    bpp = max(1, channels * depth // 8)
+    raw = bytearray()
+    if interlace == 0:
+        _filter_rows([_pack_row(r, depth) for r in pixels], bpp, filter_of_row, raw)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pass_rows = [
+                _pack_row(
+                    [
+                        pixels[y0 + j * dy][(x0 + i * dx) * channels + c]
+                        for i in range(pw)
+                        for c in range(channels)
+                    ],
+                    depth,
+                )
+                for j in range(ph)
+            ]
+            _filter_rows(pass_rows, bpp, filter_of_row, raw)
     colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, colortype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, colortype, 0, 0, interlace)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -310,82 +357,36 @@ def encode_png_palette(
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
-    """Parse a PNG byte stream → (width, height, channels, sample grid);
-    each grid row holds width*channels bytes (interleaved RGB for
-    truecolor).
+#: Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass (PNG spec
+#: §8.2) — pass p covers pixels (x0 + i*dx, y0 + j*dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Real decoder for the 8-bit gray (color type 0), 8-bit truecolor
-    (color type 2), and 8-bit indexed/palette (color type 3) subsets:
-    walks chunks, VERIFIES each CRC, concatenates IDATs, zlib-inflates,
-    and reverses all five scanline filters (None/Sub/Up/Average/Paeth)
-    at the bytes-per-pixel stride; palette images de-filter at the
-    1-byte index stride and then expand through PLTE to interleaved RGB
-    (so palette output is shape-identical to truecolor); gray+alpha
-    (type 4) and RGBA (type 6) de-filter at their 2-/4-byte strides and
-    return interleaved samples. 16-BIT depths (r7) of every non-palette
-    color type de-filter bytewise at the doubled stride (PNG filters
-    are byte-lane operations at any depth, spec §9.2) and re-assemble
-    big-endian sample values 0..65535. Raises on corrupt CRCs /
-    out-of-range palette indices; sub-byte depths and Adam7 interlace
-    raise NotImplementedError (those need PIL — absent here).
-    """
-    import struct
-    import zlib as _z
+#: valid (colortype -> bit depths) combinations (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
 
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    pos, w = 8, 0
-    h = bitdepth = colortype = -1
-    idat = bytearray()
-    plte = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
-        if _z.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r}")
-        if ctype == b"IHDR":
-            w, h, bitdepth, colortype = struct.unpack(">IIBB", body[:10])
-        elif ctype == b"PLTE":
-            plte = body
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if (
-        bitdepth not in (8, 16)
-        or colortype not in (0, 2, 3, 4, 6)
-        or (bitdepth == 16 and colortype == 3)  # spec: palette is ≤ 8-bit
-    ):
-        raise NotImplementedError(
-            f"PNG bitdepth={bitdepth} colortype={colortype} needs a codec "
-            "library (PIL, absent here); stdlib path covers every 8-bit "
-            "color type (gray/gray+alpha/truecolor/palette/RGBA) and "
-            "16-bit gray/gray+alpha/truecolor/RGBA (r7 — the "
-            "scientific/medical-imagery depth) — the remaining gates "
-            "are sub-byte depths and Adam7 interlace"
-        )
-    if colortype == 3 and (not plte or len(plte) % 3):
-        raise ValueError("corrupt PNG: palette image without a valid PLTE chunk")
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
-    # PNG filters operate on BYTES at the bytes-per-pixel stride, at
-    # every depth — a 16-bit pixel de-filters as 2 independent byte
-    # lanes and re-assembles big-endian afterwards (spec §9.2)
-    bpp = nch * (bitdepth // 8)
-    stride = w * bpp
-    raw = _z.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("corrupt PNG: scanline payload size mismatch")
-    grid: list[list[int]] = []
-    prev = [0] * stride
-    for y in range(h):
-        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        ft, fdata = line[0], line[1:]
+
+def _png_rowbytes(width_px: int, nch: int, depth: int) -> int:
+    """Packed scanline width in bytes (sub-byte samples pack MSB-first
+    with pad bits at the row end — spec §7.2)."""
+    return (width_px * nch * depth + 7) // 8
+
+
+def _defilter(raw: bytes, off: int, n_rows: int, rowbytes: int, bpp: int):
+    """Reverse the five scanline filters over ``n_rows`` consecutive
+    scanlines of ``raw`` starting at ``off``; returns (byte rows, new
+    offset). Filters are byte-lane ops at the filter stride ``bpp``
+    (max(1, ceil bytes per pixel)) regardless of depth — spec §9.2."""
+    rows: list[list[int]] = []
+    prev = [0] * rowbytes
+    for _ in range(n_rows):
+        ft = raw[off]
+        fdata = raw[off + 1 : off + 1 + rowbytes]
+        off += 1 + rowbytes
         row: list[int] = []
-        for x in range(stride):
+        for x in range(rowbytes):
             left = row[x - bpp] if x >= bpp else 0
             up = prev[x]
             ul = prev[x - bpp] if x >= bpp else 0
@@ -401,14 +402,119 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
             elif ft != 0:
                 raise ValueError(f"corrupt PNG: unknown filter {ft}")
             row.append(v)
-        grid.append(row)
+        rows.append(row)
         prev = row
-    if bitdepth == 16:
-        grid = [
-            [(row[2 * i] << 8) | row[2 * i + 1] for i in range(w * nch)]
-            for row in grid
-        ]
-        return w, h, nch, grid
+    return rows, off
+
+
+def _unpack_samples(byte_row: list[int], width_px: int, nch: int, depth: int) -> list[int]:
+    """Packed scanline bytes → ``width_px * nch`` sample values.
+    Depth 8 is identity, 16 re-assembles big-endian pairs, sub-byte
+    depths extract MSB-first bit fields (row-end pad bits dropped)."""
+    n = width_px * nch
+    if depth == 8:
+        return byte_row[:n]
+    if depth == 16:
+        return [(byte_row[2 * i] << 8) | byte_row[2 * i + 1] for i in range(n)]
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    return [
+        (byte_row[i // per_byte] >> (8 - depth * (i % per_byte + 1))) & mask
+        for i in range(n)
+    ]
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """Parse a PNG byte stream → (width, height, channels, sample grid);
+    each grid row holds width*channels sample values (interleaved RGB
+    for truecolor).
+
+    COMPLETE stdlib decoder for every valid PNG depth/colortype combo
+    (spec §11.2.2): gray 1/2/4/8/16, palette 1/2/4/8, truecolor,
+    gray+alpha and RGBA 8/16 — sequential AND Adam7-interlaced (r8;
+    the r7 gates on sub-byte depths and interlace are gone). Walks
+    chunks, VERIFIES each CRC, concatenates IDATs, zlib-inflates, then
+    reverses all five scanline filters (None/Sub/Up/Average/Paeth) —
+    byte-lane operations at the filter stride whatever the depth
+    (§9.2); sub-byte samples unpack MSB-first with row-end pad bits
+    dropped (§7.2); 16-bit samples re-assemble big-endian; interlaced
+    images de-filter each of the 7 Adam7 passes as an independent
+    sub-image (per-pass filter state, partial/empty edge passes) and
+    scatter into the full grid (§8.2). Palette images de-filter and
+    unpack at the INDEX stride, then expand through PLTE to interleaved
+    RGB — shape-identical to truecolor. Raises ValueError on corrupt
+    CRC / size / filter / palette-index bytes; sub-byte gray returns
+    raw sample values 0..2^depth-1 (no bit replication — stats oracles
+    work on raw samples).
+    """
+    import struct
+    import zlib as _z
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, 0
+    h = bitdepth = colortype = interlace = -1
+    idat = bytearray()
+    plte = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if _z.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if bitdepth not in _PNG_DEPTHS.get(colortype, ()):
+        raise ValueError(
+            f"corrupt PNG: invalid bitdepth={bitdepth} for colortype={colortype}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: unknown interlace method {interlace}")
+    if colortype == 3 and (not plte or len(plte) % 3):
+        raise ValueError("corrupt PNG: palette image without a valid PLTE chunk")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    bpp = max(1, nch * bitdepth // 8)
+    raw = _z.decompress(bytes(idat))
+
+    if interlace == 0:
+        rowbytes = _png_rowbytes(w, nch, bitdepth)
+        if len(raw) != h * (rowbytes + 1):
+            raise ValueError("corrupt PNG: scanline payload size mismatch")
+        byte_rows, _ = _defilter(raw, 0, h, rowbytes, bpp)
+        grid = [_unpack_samples(r, w, nch, bitdepth) for r in byte_rows]
+    else:
+        expected = sum(
+            ((h - y0 + dy - 1) // dy) * (1 + _png_rowbytes((w - x0 + dx - 1) // dx, nch, bitdepth))
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        )
+        if len(raw) != expected:
+            raise ValueError("corrupt PNG: interlaced payload size mismatch")
+        grid = [[0] * (w * nch) for _ in range(h)]
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty edge pass contributes no scanlines (§8.2)
+            byte_rows, off = _defilter(raw, off, ph, _png_rowbytes(pw, nch, bitdepth), bpp)
+            for j, brow in enumerate(byte_rows):
+                samples = _unpack_samples(brow, pw, nch, bitdepth)
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    grid[y][x * nch : (x + 1) * nch] = samples[i * nch : (i + 1) * nch]
+
     if colortype == 3:
         n_entries = len(plte) // 3
         rgb: list[list[int]] = []
@@ -422,7 +528,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[list[int]]]:
                 out.extend(plte[3 * idx : 3 * idx + 3])
             rgb.append(out)
         return w, h, 3, rgb
-    return w, h, bpp, grid
+    return w, h, nch, grid
 
 
 #: deterministic synthetic pixel formula shared with the SQL oracle
@@ -519,6 +625,69 @@ def decode_image_gray16(with_png: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return with_png.select("doc_id", "png").mapInPandas(dec, schema)
+
+
+def synthesize_png_interlaced_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, png binary): real ADAM7-INTERLACED
+    grayscale-8 PNG files (r8 — the last user-visible codec gate: web
+    image corpora contain interlaced PNGs). Dims 3..15 × 2..12 are
+    deliberately NOT multiples of 8, so every image exercises partial
+    and empty interlace passes; each of the 7 passes filters
+    independently through all five filter types. Dims/pixels are
+    closed-form in doc_id so a SQL oracle reproduces the decoded stats
+    without the bytes."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 3 + d % 13, 2 + d % 11
+                grid = [[_pixel(d, x, y) for x in range(w)] for y in range(h)]
+                rows.append(
+                    (d, encode_png(grid, lambda y, d=d: d + y, interlace=1))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def synthesize_png_sub8_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, png binary): real SUB-BYTE grayscale PNG
+    files (r8 — depth 1/2/4, the bilevel/fax end of the spec): packed
+    MSB-first samples with row-end pad bits (widths chosen so most rows
+    need padding), filtered at the packed-byte stride through all five
+    filter types. depth = (1,2,4)[doc_id % 3]; samples are raw values
+    0..2^depth-1 (no bit replication). Closed-form in doc_id for the
+    SQL oracle."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                depth = (1, 2, 4)[d % 3]
+                w, h = 5 + d % 12, 3 + d % 6
+                grid = [
+                    [_pixel(d, x, y) % (1 << depth) for x in range(w)]
+                    for y in range(h)
+                ]
+                rows.append(
+                    (d, encode_png(grid, lambda y, d=d: d + y, depth=depth))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
 
 
 #: deterministic per-channel pixel formula shared with the SQL oracle

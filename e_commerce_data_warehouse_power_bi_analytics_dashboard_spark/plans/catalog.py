@@ -90,6 +90,8 @@ def get_catalog() -> dict[str, Query]:
         from . import classifier_queries  # noqa: F401
         from . import drift_queries  # noqa: F401
         from . import entity_resolution  # noqa: F401
+        from . import table_format_queries  # noqa: F401
+        from . import cbo_queries  # noqa: F401
 
         _LOADED = True
     return CATALOG

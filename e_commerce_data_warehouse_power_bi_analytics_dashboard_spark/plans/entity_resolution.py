@@ -18,22 +18,31 @@ both engines derive the identical input and the TRUE identity is known
   name     : by c_custkey % 4 —
              0: lowercased; 1: '#' → ' '; 2: last two characters
              transposed (the classic adjacent-digit typo);
-             3: unchanged
+             3: unchanged, EXCEPT c_custkey % 8 == 3 (r8): the FIRST
+             digit substituted ('0' → '8' — the OCR/keypunch class
+             that corrupts a high-order digit)
   poison   : c_custkey % 97 == 0 overrides with reverse(c_name) —
              records with NO legitimate match (new/garbage entities)
   acctbal  : c_acctbal + 5.0               (the "fresher" balance)
 
 Scale design (100 TB):
-  - Blocking is a numeric band on the digit payload of the name:
-    block id = digits DIV 100, CRM side fans out to {bid-1, bid, bid+1}.
-    An adjacent-digit transposition in the last two positions moves the
-    numeric value by at most 9·9 = 81 < 100, so every modeled typo's
-    truth lands inside the probed band — recall is 1.0 by construction
-    while candidates stay bounded by key density per block at ANY
-    corpus size: an equi-join, never all-pairs, the banded cousin of
-    the LSH band join (operators/dedup.py). Real deployments union
-    several such passes (soundex, zip, phone); one pass keeps the
-    oracle honest here.
+  - Blocking is a UNION of two passes (r8 — real deployments union
+    several; one pass left a single point of failure, VERDICT r7 §5):
+      pass 1 (BAND): block id = digits DIV 100, CRM side fans out to
+        {bid-1, bid, bid+1}. An adjacent-digit transposition in the
+        last two positions moves the numeric value by at most
+        9·9 = 81 < 100, so that class's truth always lands inside the
+        probed band — but a HIGH-digit corruption displaces the value
+        by a multiple of 1e6 and escapes it.
+      pass 2 (SUFFIX): block id = digits MOD 1e6 (exact join). The
+        low 6 digits are invariant under high-digit corruption — but
+        a low-digit transposition changes them.
+    Each pass provably misses the other's typo class; the union covers
+    both with recall 1.0 by construction, and er_linkage_quality
+    REPORTS per-pass truth reach so the domination is hash-pinned, not
+    asserted. Candidates stay bounded by key density per block at ANY
+    corpus size: equi-joins, never all-pairs, the banded cousins of
+    the LSH band join (operators/dedup.py).
   - Scoring is JVM ``levenshtein`` on normalized names (lower, '#'→' ')
     inside the candidate join — whole-stage codegen, no UDF — ranked by
     a Fellegi-Sunter-style integer composite: 2·name-distance +
@@ -62,6 +71,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators import linkage as LK
 from ..operators.linkage import SIM_PCT, link_crm_records
 from ..sources.tpch import read_table
 from .catalog import register
@@ -76,6 +86,8 @@ _DIRTY_NAME_SQL = """
             substr(c_name, 1, length(c_name) - 2),
             substr(c_name, length(c_name), 1),
             substr(c_name, length(c_name) - 1, 1))
+        WHEN c_custkey % 8 = 3 THEN concat(
+            substr(c_name, 1, 9), '8', substr(c_name, 11))
         ELSE c_name
     END
 """
@@ -96,7 +108,8 @@ _O_LINK_CTES = f"""
     crm_k AS (
         SELECT *,
                lower(replace(name_dirty, '#', ' ')) AS name_norm,
-               CAST(regexp_replace(name_dirty, '[^0-9]', '', 'g') AS BIGINT) // 100 AS bid
+               CAST(regexp_replace(name_dirty, '[^0-9]', '', 'g') AS BIGINT) // 100 AS bid,
+               CAST(regexp_replace(name_dirty, '[^0-9]', '', 'g') AS BIGINT) % 1000000 AS sid
         FROM crm
     ),
     dw_k AS (
@@ -104,7 +117,8 @@ _O_LINK_CTES = f"""
                c_nationkey AS dw_nationkey,
                c_acctbal AS dw_acctbal,
                lower(replace(c_name, '#', ' ')) AS dw_norm,
-               CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) // 100 AS bid
+               CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) // 100 AS bid,
+               CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) % 1000000 AS sid
         FROM customer
     ),
     cand AS (
@@ -118,6 +132,19 @@ _O_LINK_CTES = f"""
                     THEN 1 ELSE 0 END AS bal_miss
         FROM crm_k
         JOIN dw_k ON dw_k.bid BETWEEN crm_k.bid - 1 AND crm_k.bid + 1
+        WHERE 100 * levenshtein(crm_k.name_norm, dw_k.dw_norm)
+              <= {SIM_PCT} * greatest(length(crm_k.name_norm), length(dw_k.dw_norm))
+        UNION ALL
+        SELECT crm_k.crm_id, crm_k.true_key, crm_k.crm_acctbal,
+               dw_k.customer_key,
+               levenshtein(crm_k.name_norm, dw_k.dw_norm) AS dist,
+               greatest(length(crm_k.name_norm), length(dw_k.dw_norm)) AS maxlen,
+               CASE WHEN crm_k.crm_nationkey <> dw_k.dw_nationkey
+                    THEN 1 ELSE 0 END AS nation_miss,
+               CASE WHEN abs(crm_k.crm_acctbal - dw_k.dw_acctbal) > 10.0
+                    THEN 1 ELSE 0 END AS bal_miss
+        FROM crm_k
+        JOIN dw_k ON dw_k.sid = crm_k.sid
         WHERE 100 * levenshtein(crm_k.name_norm, dw_k.dw_norm)
               <= {SIM_PCT} * greatest(length(crm_k.name_norm), length(dw_k.dw_norm))
     ),
@@ -170,9 +197,13 @@ def _linked(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM linked
     """,
     tags=("mdm", "er", "J3", "W1"),
-    doc="Record linkage of a dirty CRM extract to dim_customer: numeric-"
-        "band blocking (digits DIV 100, ±1 fan-out — every modeled typo "
-        "moves the value <= 81 < 100, so recall is 1.0 by construction) → JVM "
+    doc="Record linkage of a dirty CRM extract to dim_customer: TWO-"
+        "pass blocking union (r8) — a numeric band (digits DIV 100, ±1 "
+        "fan-out: catches displacement <= 81, i.e. the low-digit "
+        "transposition class) unioned with a low-6-digit suffix block "
+        "(digits MOD 1e6: catches high-digit corruption the band "
+        "provably misses) — recall 1.0 over both modeled typo classes "
+        "by construction, pinned per-pass by er_linkage_quality → JVM "
         "levenshtein scoring on normalized names → exact-integer accept "
         "test (100·d ≤ 15·maxlen) → per-record best match under a "
         "Fellegi-Sunter-style composite rank (2·distance + 5·nation-"
@@ -194,7 +225,15 @@ def er_customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "er_linkage_quality",
     oracle=f"""
-        WITH {_O_LINK_CTES}
+        WITH {_O_LINK_CTES},
+        reach AS (
+            SELECT k.crm_id, k.true_key,
+                   CASE WHEN d.bid BETWEEN k.bid - 1 AND k.bid + 1
+                        THEN 1 ELSE 0 END AS in_band,
+                   CASE WHEN d.sid = k.sid THEN 1 ELSE 0 END AS in_suffix
+            FROM crm_k k JOIN dw_k d ON d.customer_key = k.true_key
+            WHERE k.true_key % 97 <> 0
+        )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_crm,
                CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
                CAST(SUM(CASE WHEN matched AND matched_customer_key = true_key
@@ -204,23 +243,40 @@ def er_customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN NOT matched AND true_key % 97 = 0
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_poison,
                CAST(SUM(CASE WHEN NOT matched AND true_key % 97 <> 0
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM reach) AS n_nonpoison,
+               (SELECT CAST(SUM(in_band) AS BIGINT) FROM reach)
+                   AS n_truth_reach_band,
+               (SELECT CAST(SUM(in_suffix) AS BIGINT) FROM reach)
+                   AS n_truth_reach_suffix,
+               (SELECT CAST(SUM(CASE WHEN in_band = 1 OR in_suffix = 1
+                                     THEN 1 ELSE 0 END) AS BIGINT) FROM reach)
+                   AS n_truth_reach_union
         FROM linked
     """,
     tags=("mdm", "er", "audit", "A2"),
     doc="Linkage quality audit against the synthesized truth: matched-"
         "correct / matched-wrong / unmatched split, with the poison "
-        "(reversed-name) records separated from genuine misses. Wrong "
+        "(reversed-name) records separated from genuine misses, PLUS "
+        "per-blocking-pass truth reach (r8): of the non-poison records, "
+        "how many have their true customer inside the band pass, the "
+        "suffix pass, and the union. The fixture contains a typo class "
+        "each pass misses (high-digit corruption escapes the ±1 band; "
+        "low-digit transposition changes the suffix), so "
+        "n_truth_reach_union = n_nonpoison while both single-pass "
+        "counts are strictly smaller — the hash match PINS that the "
+        "union dominates, rather than asserting it in prose. Wrong "
         "matches are EXPECTED — a transposed digit pair can equal "
         "another real customer's name exactly, and the linker must "
         "prefer that distance-0 candidate; this report is how an MDM "
-        "pipeline watches that rate. One candidate-bounded pass plus a "
-        "1-row aggregation, all exact integers.",
+        "pipeline watches that rate. Candidate-bounded passes plus a "
+        "1-row aggregation, all exact integers; the reach audit is a "
+        "1:1 key join, never a blocking join.",
 )
 def er_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lk = _linked(spark, sf_dir)
     is_poison = F.col("true_key") % 97 == 0
-    return lk.agg(
+    counts = lk.agg(
         F.count("*").cast("long").alias("n_crm"),
         F.sum(F.col("matched").cast("int")).cast("long").alias("n_matched"),
         F.sum((F.col("matched") & (F.col("matched_customer_key") == F.col("true_key"))).cast("int"))
@@ -230,6 +286,27 @@ def er_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("matched") & is_poison).cast("int")).cast("long").alias("n_unmatched_poison"),
         F.sum((~F.col("matched") & ~is_poison).cast("int")).cast("long").alias("n_missed"),
     )
+    # per-pass truth reach: a 1:1 join of each non-poison CRM record to
+    # its true dimension row, evaluating the blocking predicates directly
+    crm = _crm_extract(spark, sf_dir).filter(F.col("true_key") % 97 != 0).select(
+        "crm_id", "true_key",
+        LK.band_id("name_dirty").alias("bid"),
+        LK.suffix_id("name_dirty").alias("sid"),
+    )
+    dw = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("true_key"),
+        LK.band_id("c_name").alias("d_bid"),
+        LK.suffix_id("c_name").alias("d_sid"),
+    )
+    in_band = (F.col("d_bid") >= F.col("bid") - 1) & (F.col("d_bid") <= F.col("bid") + 1)
+    in_suffix = F.col("d_sid") == F.col("sid")
+    reach = crm.join(dw, "true_key").agg(
+        F.count("*").cast("long").alias("n_nonpoison"),
+        F.sum(in_band.cast("int")).cast("long").alias("n_truth_reach_band"),
+        F.sum(in_suffix.cast("int")).cast("long").alias("n_truth_reach_suffix"),
+        F.sum((in_band | in_suffix).cast("int")).cast("long").alias("n_truth_reach_union"),
+    )
+    return counts.crossJoin(F.broadcast(reach))
 
 
 @register(

@@ -344,6 +344,93 @@ def mm_png_gray16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_png_interlaced_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id, 3 + doc_id % 13 AS w, 2 + doc_id % 11 AS h
+            FROM documents WHERE doc_id % 5 = 2
+        ),
+        px AS (
+            SELECT i.doc_id, i.w, i.h,
+                   (i.doc_id * 7 + y.y * 3 + x.x) % 256 AS v
+            FROM img i
+            JOIN range(0, 13) y(y) ON y.y < i.h
+            JOIN range(0, 16) x(x) ON x.x < i.w
+        )
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px,
+               CAST(SUM(v) AS BIGINT) AS sum_px
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+    doc="REAL Adam7-INTERLACED PNG decode (r8 — the last user-visible "
+        "codec gate closed: web corpora contain interlaced PNGs): "
+        "synthesize valid interlace-method-1 grayscale PNGs whose dims "
+        "(3..15 × 2..12) are deliberately not multiples of 8 — every "
+        "image exercises partial and EMPTY interlace passes — then "
+        "decode with the stdlib codec: each of the 7 passes de-filters "
+        "as an independent sub-image (fresh filter state per pass, all "
+        "five filter types) and scatters into the full grid per spec "
+        "§8.2. Exact integer pixel stats; the oracle reproduces them "
+        "from the closed-form formula without touching the bytes "
+        "(operators/multimodal.py::encode_png interlace=1 / decode_png).",
+)
+def mm_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    return MM.decode_image_gray16(MM.synthesize_png_interlaced_payloads(docs))
+
+
+@register(
+    "mm_png_sub8_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id, 5 + doc_id % 12 AS w, 3 + doc_id % 6 AS h,
+                   CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+                       AS depth
+            FROM documents WHERE doc_id % 5 = 4
+        ),
+        px AS (
+            SELECT i.doc_id, i.w, i.h, i.depth,
+                   (i.doc_id * 7 + y.y * 3 + x.x)
+                       % (CASE i.depth WHEN 1 THEN 2 WHEN 2 THEN 4
+                          ELSE 16 END) AS v
+            FROM img i
+            JOIN range(0, 9) y(y) ON y.y < i.h
+            JOIN range(0, 17) x(x) ON x.x < i.w
+        )
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(depth AS INT) AS depth,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px,
+               CAST(SUM(v) AS BIGINT) AS sum_px
+        FROM px GROUP BY doc_id, w, h, depth
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+    doc="REAL sub-byte PNG decode (r8 — depth 1/2/4 grayscale, the "
+        "bilevel/fax end of the spec; completes the depth matrix after "
+        "the 16-bit r7 entry, so the stdlib codec now covers EVERY "
+        "valid PNG depth/colortype combination): widths are chosen so "
+        "most packed rows carry pad bits; scanlines filter at the "
+        "packed-BYTE stride (spec §9.2) and samples unpack MSB-first "
+        "(§7.2), surfaced raw (0..2^depth-1, no bit replication). "
+        "Exact integer stats; oracle from the closed-form formula "
+        "(operators/multimodal.py::encode_png depth<8 / decode_png).",
+)
+def mm_png_sub8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 4)
+    stats = MM.decode_image_gray16(MM.synthesize_png_sub8_payloads(docs))
+    return stats.select(
+        "doc_id", "width", "height",
+        F.element_at(
+            F.array(F.lit(1), F.lit(2), F.lit(4)),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).cast("int").alias("depth"),
+        "min_px", "max_px", "sum_px",
+    )
+
+
+@register(
     "mm_image_resize_box",
     oracle=f"""
         WITH img AS ({_IMG_DOCS}),

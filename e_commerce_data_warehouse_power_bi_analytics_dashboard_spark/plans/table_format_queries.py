@@ -1,0 +1,290 @@
+"""ACID table-format entries: MERGE upsert, snapshot time travel, and
+manifest audit over the versioned-manifest parquet table
+(operators/table_format.py).
+
+The reference's upsert is ``INSERT ... ON CONFLICT DO UPDATE`` on a
+mutable heap table (ETL.sql:304-315); its time-travel analog is the SCD2
+dimension history it rebuilds by hand. On an immutable parquet lake both
+need a table format, and the engine's own docs kept pointing at one
+(layout_schema_evolution_read: "pin the schema in a table format";
+streaming/cdc.py's ``v=<epoch>`` dirs are a hand-rolled prefix of the
+idea) — this module realizes it (VERDICT r7 "Next round" #3).
+
+Demo table: dim_customer clustered on ``c_bucket = c_custkey % 4``,
+three commits, all derived DETERMINISTICALLY from the customer table so
+every entry has a closed-form DuckDB oracle that reconstructs each
+version's state from ``customer`` alone:
+
+  v0  CREATE  = customers with  c_custkey % 4 != 0       (the base)
+  v1  MERGE   = U (%8==1): acctbal+1000, segment 'MERGED'
+              + I (%8==4): first appearance of those keys
+  v2  MERGE   = D (%16==3) + U (%16==5): acctbal-500, 'MERGED2'
+
+The mod classes are disjoint where it matters (%8==1 vs %16==5 never
+overlap; inserts %8==4 are even, deletes %16==3 odd), so version state
+is pure CASE arithmetic — no replay needed oracle-side. The build runs
+once per (session, sf_dir) under ``.scratch/`` with the published
+commit log as the idempotence marker (the ann_index lifecycle); entries
+then only READ — manifest folds + pruned parquet scans, the actual
+serve path of a table format at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import table_format as tf
+from ..sources.tpch import read_table
+from ._helpers import money_sum, o_money_sum
+from .catalog import register
+from .layout import SCRATCH_ROOT
+
+#: payload columns of the demo table (key is c_custkey)
+_PAYLOAD = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "c_bucket"]
+
+#: tables already built this session, keyed (application, sf_dir)
+_BUILT: set[tuple[str, str]] = set()
+
+
+def table_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v1",
+        os.path.basename(sf_dir.rstrip("/")), "dim_customer",
+    )
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    """Add the cluster column and pin acctbal to DECIMAL(12,2) — the
+    table's money type. All writers preserve it exactly, so every data
+    file across every version shares ONE schema (a mixed-precision read
+    would fail) and sums are partition-order-independent."""
+    return df.withColumn(
+        "c_bucket", (F.col("c_custkey") % 4).cast("int")
+    ).withColumn("c_acctbal", F.col("c_acctbal").cast("decimal(12,2)"))
+
+
+def _feed1(cust: DataFrame) -> DataFrame:
+    """Version-1 change batch: updates for %8==1, inserts for %8==4."""
+    upd = cust.filter(F.col("c_custkey") % 8 == 1).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 1000).cast("decimal(12,2)").alias("c_acctbal"),
+        F.lit("MERGED").alias("c_mktsegment"),
+        "c_bucket",
+    )
+    ins = cust.filter(F.col("c_custkey") % 8 == 4).select(
+        "c_custkey", F.lit("I").alias("op"), *_PAYLOAD
+    )
+    return (
+        upd.unionByName(ins)
+        .withColumn("seq", F.lit(1))
+        .withColumn("tb", F.col("c_custkey"))
+    )
+
+
+def _feed2(cust: DataFrame) -> DataFrame:
+    """Version-2 change batch: deletes %16==3, updates %16==5."""
+    dele = cust.filter(F.col("c_custkey") % 16 == 3).select(
+        "c_custkey", F.lit("D").alias("op"), *_PAYLOAD
+    )
+    upd = cust.filter(F.col("c_custkey") % 16 == 5).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        "c_name", "c_nationkey",
+        (F.col("c_acctbal") - 500).cast("decimal(12,2)").alias("c_acctbal"),
+        F.lit("MERGED2").alias("c_mktsegment"),
+        "c_bucket",
+    )
+    return (
+        dele.unionByName(upd)
+        .withColumn("seq", F.lit(2))
+        .withColumn("tb", F.col("c_custkey"))
+    )
+
+
+def ensure_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build the 3-commit demo table once per (session, sf_dir).
+
+    Across processes the COMMIT LOG is the idempotence marker: a table
+    whose last published manifest is version 2 is complete (commits are
+    atomic — a crashed build leaves an unpublished version that a redo
+    simply overwrites)."""
+    root = table_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUILT:
+        return root
+    if os.path.exists(tf._commit_path(root, 2)):
+        _BUILT.add(key)
+        return root
+    cust = _with_bucket(read_table(spark, sf_dir, "customer"))
+    base = cust.filter(F.col("c_custkey") % 4 != 0).select("c_custkey", *_PAYLOAD)
+    tf.create_table(spark, root, base, cluster_by="c_bucket")
+    tf.merge(spark, root, _feed1(cust), "c_custkey", _PAYLOAD, "seq", "tb")
+    tf.merge(spark, root, _feed2(cust), "c_custkey", _PAYLOAD, "seq", "tb")
+    _BUILT.add(key)
+    return root
+
+
+#: oracle CASE fragments reconstructing each version's state from customer
+_O_V0 = "SELECT * FROM customer WHERE c_custkey % 4 != 0"
+_O_V1 = """
+    SELECT c_custkey,
+           CAST(c_acctbal AS DECIMAL(12,2))
+             + CASE WHEN c_custkey % 8 = 1 THEN 1000 ELSE 0 END
+               AS c_acctbal,
+           CASE WHEN c_custkey % 8 = 1 THEN 'MERGED'
+                ELSE c_mktsegment END AS c_mktsegment,
+           c_name, c_nationkey
+    FROM customer
+    WHERE c_custkey % 4 != 0 OR c_custkey % 8 = 4
+"""
+_O_V2 = """
+    SELECT c_custkey,
+           CAST(c_acctbal AS DECIMAL(12,2))
+             + CASE WHEN c_custkey % 8 = 1 THEN 1000 ELSE 0 END
+             - CASE WHEN c_custkey % 16 = 5 THEN 500 ELSE 0 END
+               AS c_acctbal,
+           CASE WHEN c_custkey % 16 = 5 THEN 'MERGED2'
+                WHEN c_custkey % 8 = 1 THEN 'MERGED'
+                ELSE c_mktsegment END AS c_mktsegment,
+           c_name, c_nationkey
+    FROM customer
+    WHERE (c_custkey % 4 != 0 OR c_custkey % 8 = 4)
+      AND c_custkey % 16 != 3
+"""
+
+
+@register(
+    "tf_merge_snapshot",
+    oracle=f"""
+        WITH v2 AS ({_O_V2})
+        SELECT c_custkey, c_name,
+               CAST(c_nationkey AS INTEGER) AS nationkey,
+               CAST(c_acctbal AS DOUBLE) AS acctbal,
+               c_mktsegment AS segment
+        FROM v2
+    """,
+    tags=("table_format", "merge", "S5", "acid"),
+    doc="MERGE-into-table, the reference upsert (ETL.sql:304-315) on an "
+        "immutable lake: two copy-on-write MERGE commits (upserts, "
+        "inserts, deletes via operators/cdc.py change feeds) applied to "
+        "a versioned-manifest parquet table, then the LATEST snapshot "
+        "read back — a manifest fold plus a scan of only the active "
+        "files. The oracle reconstructs the same end state from the raw "
+        "customer table with closed-form CASE arithmetic, so the hash "
+        "match proves the full commit/rewrite/carry-forward machinery "
+        "preserved every row. COW at file granularity: each merge "
+        "rewrites only the cluster files containing fed keys "
+        "(tests/test_table_format.py pins bucket-2 files surviving "
+        "both merges untouched); at 100 TB merge cost follows the "
+        "change batch, never the table.",
+)
+def tf_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_demo_table(spark, sf_dir)
+    return tf.read_version(spark, root).select(
+        "c_custkey", "c_name",
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "tf_time_travel_versions",
+    oracle=f"""
+        SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {o_money_sum('CAST(c_acctbal AS DECIMAL(12,2))')} AS sum_acctbal
+        FROM ({_O_V0})
+        UNION ALL
+        SELECT 1, CAST(COUNT(*) AS BIGINT), {o_money_sum('c_acctbal')}
+        FROM ({_O_V1})
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT), {o_money_sum('c_acctbal')}
+        FROM ({_O_V2})
+    """,
+    tags=("table_format", "time_travel", "acid"),
+    doc="Snapshot time travel: read the SAME table as of versions 0, 1 "
+        "and 2 (each a fold of the commit log prefix + a scan of that "
+        "version's active files — committed versions are immutable, so "
+        "v0 still reads the original base after two merges rewrote "
+        "parts of it) and report per-version row count and exact-"
+        "decimal balance sum. The oracle recomputes each historical "
+        "state independently from customer; matching all three rows "
+        "proves reads are repeatable AND that merges never leaked into "
+        "history — the isolation property, tested rather than claimed. "
+        "The read path is what a 100 TB reproducible-training-snapshot "
+        "pipeline pins its manifests to.",
+)
+def tf_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_demo_table(spark, sf_dir)
+    parts = [
+        tf.read_version(spark, root, v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").cast("long").alias("n_rows"),
+            money_sum("c_acctbal").alias("sum_acctbal"),
+        ).select("version", "n_rows", "sum_acctbal")
+        for v in (0, 1, 2)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "tf_manifest_audit",
+    oracle="""
+        SELECT 0 AS version, 'create' AS op,
+               CAST((SELECT COUNT(*) FROM customer WHERE c_custkey % 4 != 0)
+                    AS BIGINT) AS n_changes,
+               CAST((SELECT COUNT(*) FROM customer WHERE c_custkey % 4 != 0)
+                    AS BIGINT) AS rows_after
+        UNION ALL
+        SELECT 1, 'merge',
+               CAST((SELECT COUNT(*) FROM customer WHERE c_custkey % 8 IN (1, 4))
+                    AS BIGINT),
+               CAST((SELECT COUNT(*) FROM customer
+                     WHERE c_custkey % 4 != 0 OR c_custkey % 8 = 4) AS BIGINT)
+        UNION ALL
+        SELECT 2, 'merge',
+               CAST((SELECT COUNT(*) FROM customer WHERE c_custkey % 16 IN (3, 5))
+                    AS BIGINT),
+               CAST((SELECT COUNT(*) FROM customer
+                     WHERE (c_custkey % 4 != 0 OR c_custkey % 8 = 4)
+                       AND c_custkey % 16 != 3) AS BIGINT)
+    """,
+    tags=("table_format", "audit", "acid"),
+    doc="Commit-log audit: per version, the manifest's own op kind and "
+        "row-level change count (metadata written AT commit time) "
+        "joined against a live recount of that version's snapshot. The "
+        "oracle derives every number independently from customer, so a "
+        "manifest that lied about its change count — or a snapshot "
+        "whose file fold drifted from what the commits recorded — "
+        "breaks the hash. Manifests are driver-side JSON a few KB "
+        "large at any table size (they name files, never rows); the "
+        "recount is the only distributed work.",
+)
+def tf_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_demo_table(spark, sf_dir)
+    meta = [
+        (m["version"], m["op"], int(m["n_changes"]))
+        for m in tf.history(root)
+    ]
+    meta_df = spark.createDataFrame(
+        meta, "version INT, op STRING, n_changes BIGINT"
+    )
+    counts = [
+        tf.read_version(spark, root, v)
+        .agg(F.lit(v).alias("version"), F.count("*").cast("long").alias("rows_after"))
+        for v, _, _ in meta
+    ]
+    cnt = counts[0]
+    for c in counts[1:]:
+        cnt = cnt.unionByName(c)
+    return meta_df.join(cnt, "version").select(
+        "version", "op", "n_changes", "rows_after"
+    )

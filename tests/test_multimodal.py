@@ -122,23 +122,14 @@ def test_png_crc_detects_corruption():
         MM.decode_png(bytes(png))
 
 
-def test_png_unsupported_colortype_is_codec_gated():
+def test_png_invalid_depth_colortype_raises():
     import struct
     import zlib
 
-    # IHDR declaring a SUB-BYTE depth: needs PIL, raises from the parse
-    # (every 8-bit color type 0/2/3/4/6 is native since r6, 16-bit
-    # non-palette since r7 — the remaining gates are sub-byte + Adam7)
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
-    png = (
-        MM._PNG_SIG
-        + MM._png_chunk(b"IHDR", ihdr)
-        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 9)))
-        + MM._png_chunk(b"IEND", b"")
-    )
-    with pytest.raises(NotImplementedError, match="bitdepth"):
-        MM.decode_png(png)
-    # 16-bit PALETTE is not a legal PNG combination — still gated
+    # r8: the depth matrix is COMPLETE (1/2/4/8/16 gray, 1/2/4/8
+    # palette, 8/16 for the multi-channel types) — what remains is only
+    # the spec-invalid combinations, which raise ValueError, never
+    # misparse. 16-bit PALETTE is not a legal PNG (spec §11.2.2):
     ihdr16p = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
     png16p = (
         MM._PNG_SIG
@@ -147,8 +138,44 @@ def test_png_unsupported_colortype_is_codec_gated():
         + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 9)))
         + MM._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="bitdepth"):
+    with pytest.raises(ValueError, match="invalid bitdepth"):
         MM.decode_png(png16p)
+    # sub-byte TRUECOLOR is likewise invalid
+    ihdr2rgb = struct.pack(">IIBBBBB", 4, 4, 2, 2, 0, 0, 0)
+    png2rgb = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr2rgb)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="invalid bitdepth"):
+        MM.decode_png(png2rgb)
+    # unknown interlace method (2) raises rather than misparsing
+    ihdr_il = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
+    png_il = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr_il)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 5)))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        MM.decode_png(png_il)
+
+
+def test_png_interlaced_roundtrip_mixed_filters():
+    # 11x7: every Adam7 pass is partial; filters cycle within each pass
+    grid = [[(x * 3 + y * 7) % 256 for x in range(11)] for y in range(7)]
+    out = MM.decode_png(MM.encode_png(grid, lambda y: y, interlace=1))
+    assert out == (11, 7, 1, grid)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub8_roundtrip_mixed_filters(depth):
+    # width 13 so packed rows carry pad bits at every depth
+    mx = (1 << depth) - 1
+    grid = [[(x + y * 3) & mx for x in range(13)] for y in range(6)]
+    out = MM.decode_png(MM.encode_png(grid, lambda y: y, depth=depth))
+    assert out == (13, 6, 1, grid)
 
 
 def test_png_palette_roundtrip_all_filters():
@@ -344,6 +371,74 @@ if _HAVE_HYPOTHESIS:
         # compressed bytes, IHDR CRC covers dims — reaching here with a
         # DIFFERENT result would be silent corruption
         assert decoded == (w, h, 1, grid), "corrupted PNG decoded to different pixels"
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 14),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        depth=st.sampled_from([8, 16]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_png_interlaced_roundtrip_property(w, h, channels, depth, seed):
+        """r8: encode->decode identity for ADAM7-interlaced images of
+        every non-palette color type at depths 8 and 16, any dims —
+        including dims < 8 where whole passes are EMPTY and edge passes
+        are partial; each pass carries its own filter state."""
+        import random
+
+        rng = random.Random(seed)
+        mx = (1 << depth) - 1
+        grid = [
+            [rng.randint(0, mx) for _ in range(w * channels)] for _ in range(h)
+        ]
+        out = MM.decode_png(
+            MM.encode_png(
+                grid, lambda y: (seed + y) % 5, channels=channels,
+                depth=depth, interlace=1,
+            )
+        )
+        assert out == (w, h, channels, grid)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 25),
+        h=st.integers(1, 12),
+        depth=st.sampled_from([1, 2, 4]),
+        interlace=st.sampled_from([0, 1]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_png_sub8_roundtrip_property(w, h, depth, interlace, seed):
+        """r8: encode->decode identity for sub-byte grayscale at any
+        width (pad bits in most packed rows), sequential AND interlaced
+        — MSB-first unpacking must drop exactly the row-end pad bits,
+        per pass."""
+        import random
+
+        rng = random.Random(seed)
+        mx = (1 << depth) - 1
+        grid = [[rng.randint(0, mx) for _ in range(w)] for _ in range(h)]
+        out = MM.decode_png(
+            MM.encode_png(
+                grid, lambda y: (seed + y) % 5, depth=depth, interlace=interlace
+            )
+        )
+        assert out == (w, h, 1, grid)
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(2, 16), h=st.integers(2, 12), pos=st.integers(0, 10**6))
+    def test_png_interlaced_corruption_never_silent(w, h, pos):
+        """r8: the corruption property extends to interlaced streams —
+        flipping any byte must raise or decode identically."""
+        grid = [[(x * 7 + y) % 256 for x in range(w)] for y in range(h)]
+        png = bytearray(MM.encode_png(grid, lambda y: y, interlace=1))
+        idx = pos % len(png)
+        png[idx] ^= 0xFF
+        try:
+            decoded = MM.decode_png(bytes(png))
+        except Exception:
+            return
+        assert decoded == (w, h, 1, grid), "corrupted interlaced PNG decoded differently"
 
 if _HAVE_HYPOTHESIS:
 
