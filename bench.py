@@ -242,6 +242,13 @@ HEADLINE = [
     "tf_merge_snapshot",
     "tf_time_travel_versions",
     "mm_png_interlaced_decode",
+    # the stats-driven join (ANALYZE lifecycle; the managed-table build
+    # + ANALYZE is in load_sec), the 24-bit PCM and G.711 mu-law
+    # decodes, and the evolved-append merge_schema snapshot
+    "cbo_stats_filtered_dim_join",
+    "mm_wav_pcm24_decode",
+    "mm_wav_mulaw_decode",
+    "tf_append_schema_evolution",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
@@ -341,6 +348,9 @@ def main() -> None:
         text_index as _tx_ix,
     )
     from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import (
+        cbo_queries as _cbo_q,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans import (
         table_format_queries as _tf_q,
     )
 
@@ -371,8 +381,13 @@ def main() -> None:
         "minhash_index": lambda: _mh_ix.build_minhash_index(spark, sf_dir),
         # the BM25 inverted index (postings/term_stats/stats)
         "bm25_index": lambda: _tx_ix.build_bm25_index(spark, sf_dir),
-        # the versioned-manifest table (create + 2 COW merges)
+        # the versioned-manifest tables (create + 2 COW merges; the
+        # schema-evolution twin's create + evolved append)
         "table_format": lambda: _tf_q.ensure_demo_table(spark, sf_dir),
+        "table_format_evo": lambda: _tf_q.ensure_evo_table(spark, sf_dir),
+        # the ANALYZEd catalog tables (saveAsTable + COMPUTE STATISTICS
+        # — the reference's scheduled ANALYZE maintenance job)
+        "cbo_stats": lambda: _cbo_q.ensure_stats_tables(spark, sf_dir),
     }
     session_artifacts = {
         "star_tables": lambda: [
@@ -477,6 +492,51 @@ def main() -> None:
             "p95": round(srt[max(0, -(-95 * len(srt) // 100) - 1)], 3),
         }
         samples_taken[name] = len(samples)
+
+    # EXECUTED-plan audit at the bench scale (r7 verdict #9): the
+    # per-entry PLAN_AUDIT profiles analyzed plans at sf0.001, where AQE
+    # decisions (skew splits, broadcast demotions, partition coalescing)
+    # never materialize. Here every headliner is executed ONCE more
+    # (untimed, driver-side toLocalIterator so the heap never holds a
+    # full result) and the FINAL adaptive plan is profiled. Written to
+    # PLAN_AUDIT_EXEC.json; plan_audit.py merges it into PLAN_AUDIT.md.
+    exec_audit: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_EXEC_AUDIT", "1") == "1":
+        exec_patterns = {
+            "hash_ex": re.compile(r"Exchange hashpartitioning"),
+            "range_ex": re.compile(r"Exchange rangepartitioning"),
+            "single_ex": re.compile(r"Exchange SinglePartition"),
+            "bcast": re.compile(r"BroadcastExchange"),
+            "windows": re.compile(r"\bWindow(?:Exec|\b)"),
+            "py": re.compile(
+                r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|"
+                r"BatchEvalPython|PythonMapInArrow"
+            ),
+            "cartesian": re.compile(r"CartesianProduct"),
+            "aqe_shuffle_reads": re.compile(r"AQEShuffleRead"),
+            "skew_joins": re.compile(r"skew=true"),
+            "codegen_spans": re.compile(r"WholeStageCodegen"),
+        }
+        for name in HEADLINE:
+            base_ids = persistent_rdd_ids(spark)
+            try:
+                df = catalog[name].fn(spark, sf_dir)
+                for _ in df.toLocalIterator():
+                    pass
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                exec_audit[name] = {
+                    k: len(p.findall(plan)) for k, p in exec_patterns.items()
+                }
+                exec_audit[name]["aqe_final"] = "isFinalPlan=true" in plan
+            except Exception as e:  # noqa: BLE001 — audit records, never dies
+                exec_audit[name] = {"err": f"{type(e).__name__}: {e}"[:200]}
+            evict_rdds(spark, persistent_rdd_ids(spark) - base_ids)
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "PLAN_AUDIT_EXEC.json"), "w"
+        ) as f:
+            json.dump({"sf_dir": sf_dir, "mode": "executed(final AQE)",
+                       "entries": exec_audit}, f, indent=1, sort_keys=True)
 
     baseline = {
         name: {

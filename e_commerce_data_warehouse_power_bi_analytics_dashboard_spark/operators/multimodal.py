@@ -918,6 +918,120 @@ def synthesize_wav_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(synth, schema)
 
 
+def _sample24(doc_id: int, i: int) -> int:
+    """Deterministic 24-bit sample (range ±1e6, well inside ±2^23) —
+    closed-form in doc_id for the SQL oracle."""
+    return ((doc_id * 131 + i * 37) % 2000001) - 1000000
+
+
+def synthesize_wav_pcm24_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): real RIFF/WAVE files at the
+    studio/DAW interchange depth — 24-bit little-endian two's-complement
+    PCM mono @ 8 kHz (3-byte frames, blockalign 3), with an odd-length
+    LIST junk chunk BEFORE fmt so the decode also exercises the RIFF
+    word-alignment walk. Built per-partition in mapInPandas; samples are
+    closed-form in doc_id for the SQL oracle."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 40 + (d % 16) * 20
+                pcm = b"".join(
+                    struct.pack("<i", _sample24(d, i) & 0xFFFFFF)[:3]
+                    for i in range(n)
+                )
+                fmt = struct.pack(
+                    "<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 3, 3, 24
+                )
+                junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+                body = (
+                    b"WAVE"
+                    + junk
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def synthesize_wav_mulaw_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): real RIFF/WAVE files in G.711
+    mu-law (fmt code 7, 8 bits/sample, the telephony codec) — the first
+    NON-linear-PCM encoding the walker decodes. The companded BYTES are
+    closed-form in doc_id, so the SQL oracle reproduces the decoded
+    linear samples by applying the canonical integer expansion
+    (_mulaw_expand) in arithmetic."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 30 + (d % 10) * 15
+                pcm = bytes((d * 17 + i * 29) % 256 for i in range(n))
+                fmt = struct.pack("<HHIIHH", 7, 1, _WAV_RATE, _WAV_RATE, 1, 8)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+WAV24_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("min_s", T.LongType()),
+        T.StructField("max_s", T.LongType()),
+        T.StructField("sum_s", T.LongType()),
+    ]
+)
+
+
+def decode_wav_stats(with_wav: DataFrame) -> DataFrame:
+    """Exact integer sample stats over RIFF/WAVE payloads (depth-
+    agnostic — parse_wav returns native-scale ints): min/max/sum, no
+    float hazard. Arrow-batched mapInPandas; payload pruned."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                rate, ch, samples = parse_wav(bytes(wav))
+                rows.append(
+                    (int(doc_id), rate, len(samples), min(samples),
+                     max(samples), sum(samples))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV24_SCHEMA.fields])
+
+    return with_wav.select("doc_id", "wav").mapInPandas(dec, WAV24_SCHEMA)
+
+
 WAV_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -929,21 +1043,37 @@ WAV_SCHEMA = T.StructType(
 )
 
 
+def _mulaw_expand(u: int) -> int:
+    """G.711 mu-law byte → linear PCM (range ±32124): the canonical
+    CCITT expansion — invert the complement, rebuild the biased
+    mantissa (mant·8 + 0x84) shifted by the exponent, subtract the
+    bias, apply sign. Pure integer arithmetic, so the oracle can
+    reproduce it with closed-form SQL."""
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
 def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
     """Parse a RIFF/WAVE byte stream → (sample_rate, channels,
-    interleaved int16 samples).
+    interleaved integer samples).
 
     Real chunk walk: tolerates unknown chunks (LIST/INFO/...) in any
     position, honors RIFF word alignment for odd-length bodies, and
-    validates fmt. Decodes 16-bit PCM mono AND stereo (interleaved
-    L/R); raises NotImplementedError for other encodings (those need
-    ffmpeg, absent here). Pure function so the walker is
-    property-testable without a session."""
+    validates fmt. Decodes the full INTEGER-PCM matrix (r8): 8-bit
+    (stored unsigned per the spec, returned centered at 0 by the
+    conventional −128 offset), 16-bit, and 24-bit (3-byte little-endian
+    two's-complement — the studio/DAW interchange depth), mono AND
+    stereo (interleaved L/R); raises NotImplementedError for non-PCM
+    encodings (IEEE float, ADPCM, µ-law — those need ffmpeg, absent
+    here). Pure function so the walker is property-testable without a
+    session."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, rate, channels, pcm = 12, None, None, None
+    pos, rate, channels, pcm, bits = 12, None, None, None, None
+    audio_fmt = None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
@@ -951,10 +1081,14 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            if audio_fmt != 1 or bits != 16 or channels not in (1, 2):
+            ok = (audio_fmt == 1 and bits in (8, 16, 24)) or (
+                audio_fmt == 7 and bits == 8  # G.711 mu-law
+            )
+            if not ok or channels not in (1, 2):
                 raise NotImplementedError(
                     f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
-                    "only 16-bit PCM mono/stereo decodable without ffmpeg"
+                    "only 8/16/24-bit integer PCM and 8-bit G.711 mu-law "
+                    "mono/stereo decodable without ffmpeg"
                 )
         elif cid == b"data":
             pcm = body
@@ -963,8 +1097,21 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
         raise ValueError("WAV missing fmt or data chunk")
     import struct as _s
 
-    n = len(pcm) // 2
-    return int(rate), int(channels), _s.unpack(f"<{n}h", pcm[: n * 2])
+    if bits == 16:
+        n = len(pcm) // 2
+        samples = _s.unpack(f"<{n}h", pcm[: n * 2])
+    elif bits == 8 and audio_fmt == 7:
+        samples = tuple(_mulaw_expand(v) for v in pcm)
+    elif bits == 8:
+        samples = tuple(v - 128 for v in pcm)
+    else:  # 24-bit: 3-byte LE two's-complement
+        n = len(pcm) // 3
+        samples = tuple(
+            (v - 0x1000000) if (v := pcm[3 * i] | (pcm[3 * i + 1] << 8)
+                                | (pcm[3 * i + 2] << 16)) >= 0x800000 else v
+            for i in range(n)
+        )
+    return int(rate), int(channels), samples
 
 
 def decode_wav(with_wav: DataFrame) -> DataFrame:

@@ -37,8 +37,11 @@ proportional to touched files, never table size. Time travel
 (``read_version``) is a fold over the same manifests; ``vacuum``
 deletes files unreferenced by any retained version.
 
-Single-table, single-cluster scope; no schema evolution (the
-layout_schema_evolution_read entry covers read-side mergeSchema).
+Single-table, single-cluster scope. ADDITIVE schema evolution is
+supported via ``append`` (new files may carry new columns; a
+merge_schema snapshot reads old files' values as NULL — the
+tf_append_schema_evolution entry); type changes still require a
+rewrite and are out of scope.
 """
 
 from __future__ import annotations
@@ -179,13 +182,42 @@ def create_table(
 
 
 def read_version(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read: the table exactly as of ``version`` (default
     latest). Resolves the manifest fold once, then reads only the named
-    files — concurrent in-flight writers are invisible."""
+    files — concurrent in-flight writers are invisible.
+    ``merge_schema`` unions file schemas across commits (needed after an
+    evolved ``append``; costs a footer read per file, so off by
+    default)."""
     files = [os.path.join(root, f) for f in active_files(root, version)]
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
+
+
+def append(
+    spark: SparkSession, root: str, df: DataFrame, files: int = 4
+) -> int:
+    """INSERT INTO as a commit: add new data files, remove nothing —
+    the cheapest write a table format supports (no read, no rewrite).
+    ``df`` may carry MORE columns than earlier commits (schema
+    evolution by addition): old files simply lack the column and a
+    ``merge_schema`` snapshot reads them as NULL — the additive half of
+    evolution, without the rewrite a type change would force."""
+    versions = list_versions(root)
+    new_v = versions[-1] + 1
+    cb = read_manifest(root, 0).get("cluster_by")
+    adds = _write_data(df, root, new_v, files, cb if cb in df.columns else None)
+    _publish(root, new_v, {
+        "version": new_v, "op": "append", "adds": adds, "removes": [],
+        "n_changes": df.count(),
+    })
+    return new_v
 
 
 def merge(
@@ -237,6 +269,78 @@ def merge(
         "removes": sorted(touched_set),
         "n_changes": feed.count(),
         "untouched_carried": len([f for f in current if f not in touched_set]),
+    })
+    return new_v
+
+
+def merge_compacted(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    key: str,
+    payload: Sequence[str],
+    order_col: str,
+    tiebreak: str,
+    op_col: str = "op",
+    epoch: int | None = None,
+    files: int = 4,
+    cluster_by: str | None = None,
+) -> int:
+    """Copy-on-write merge for a COMPACTED CHANGE-STATE table: the table
+    holds one sequence-maximal change record per ever-touched key —
+    tombstones INCLUDED (schema: key, op, *payload, order_col,
+    tiebreak). Each call folds ``batch`` in by latest-wins, which is
+    associative and commutative over (order_col, tiebreak), so any
+    batch split in any arrival order converges to the same state (the
+    streaming/cdc.py argument, now over manifest-tracked immutable
+    files instead of hand-rolled ``v=`` dirs).
+
+    ``epoch`` makes retries exactly-once at the COMMIT level: a replay
+    of an epoch already recorded in a manifest is a no-op (the
+    checkpoint-recovery contract of foreachBatch sinks). Creates the
+    table on first call.
+    """
+    cols = [key, op_col, *list(payload), order_col, tiebreak]
+    from .dedup import latest_wins
+
+    versions = list_versions(root)
+    if epoch is not None:
+        for v in versions:
+            if read_manifest(root, v).get("epoch") == epoch:
+                return v
+    if not versions:
+        merged = latest_wins(batch.select(*cols), key, order_col, tiebreak)
+        adds = _write_data(merged, root, 0, files, cluster_by)
+        _publish(root, 0, {
+            "version": 0, "op": "merge_compacted", "adds": adds,
+            "removes": [], "n_changes": batch.count(), "epoch": epoch,
+            "cluster_by": cluster_by,
+        })
+        return 0
+    new_v = versions[-1] + 1
+    cb = read_manifest(root, 0).get("cluster_by")
+    cur = read_version(spark, root).withColumn("_tf_file", F.input_file_name())
+    rel = F.regexp_extract(
+        "_tf_file", re.escape(os.path.abspath(root)) + "/(.*)$", 1
+    )
+    cur = cur.withColumn("_tf_file", rel)
+    keys = batch.select(F.col(key)).distinct()
+    touched = [
+        r[0]
+        for r in cur.join(F.broadcast(keys), key, "left_semi")
+        .select("_tf_file").distinct().collect()
+    ]
+    base_rows = cur.filter(
+        F.col("_tf_file").isin(touched) if touched else F.lit(False)
+    ).select(*cols)
+    merged = latest_wins(
+        base_rows.unionByName(batch.select(*cols)), key, order_col, tiebreak
+    )
+    adds = _write_data(merged, root, new_v, files, cb)
+    _publish(root, new_v, {
+        "version": new_v, "op": "merge_compacted", "adds": adds,
+        "removes": sorted(touched), "n_changes": batch.count(),
+        "epoch": epoch,
     })
     return new_v
 

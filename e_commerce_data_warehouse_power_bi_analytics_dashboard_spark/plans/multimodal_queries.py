@@ -490,6 +490,85 @@ def mm_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_pcm24_decode",
+    oracle="""
+        WITH aud AS (
+            SELECT doc_id, 40 + (doc_id % 16) * 20 AS n
+            FROM documents WHERE doc_id % 5 = 3
+        ),
+        s AS (
+            SELECT a.doc_id, a.n,
+                   ((a.doc_id * 131 + i.i * 37) % 2000001) - 1000000 AS v
+            FROM aud a JOIN range(0, 340) i(i) ON i.i < a.n
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(MIN(v) AS BIGINT) AS min_s,
+               CAST(MAX(v) AS BIGINT) AS max_s,
+               CAST(SUM(v) AS BIGINT) AS sum_s
+        FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "mapInPandas"),
+    doc="REAL 24-bit PCM WAV decode (r8 — the studio/DAW interchange "
+        "depth; completes the integer-PCM matrix 8/16/24 in "
+        "operators/multimodal.py::parse_wav): synthesize valid "
+        "RIFF/WAVE files with 3-byte little-endian two's-complement "
+        "frames AND an odd-length LIST junk chunk before fmt (the "
+        "word-alignment walk is part of what's tested), decode in "
+        "Arrow-batched mapInPandas, emit exact integer sample stats. "
+        "Oracle reproduces them from the closed-form sample formula "
+        "without touching the bytes.",
+)
+def mm_wav_pcm24_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 3)
+    return MM.decode_wav_stats(MM.synthesize_wav_pcm24_payloads(docs))
+
+
+@register(
+    "mm_wav_mulaw_decode",
+    oracle="""
+        WITH aud AS (
+            SELECT doc_id, 30 + (doc_id % 10) * 15 AS n
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        b AS (
+            SELECT a.doc_id, a.n,
+                   255 - ((a.doc_id * 17 + i.i * 29) % 256) AS u
+            FROM aud a JOIN range(0, 165) i(i) ON i.i < a.n
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   CASE WHEN u >= 128
+                        THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+                        ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+                   END AS v
+            FROM b
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(MIN(v) AS BIGINT) AS min_s,
+               CAST(MAX(v) AS BIGINT) AS max_s,
+               CAST(SUM(v) AS BIGINT) AS sum_s
+        FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "mapInPandas"),
+    doc="REAL G.711 mu-law WAV decode (r8 — the telephony codec; the "
+        "first NON-linear-PCM encoding the chunk walker accepts): "
+        "synthesize fmt-code-7 RIFF/WAVE files whose companded bytes "
+        "are closed-form in doc_id, decode via the canonical integer "
+        "expansion (invert complement, mant*8+0x84 << exponent, "
+        "de-bias, sign — operators/multimodal.py::_mulaw_expand) in "
+        "Arrow-batched mapInPandas, emit exact integer sample stats. "
+        "The oracle replays the SAME expansion in pure SQL arithmetic "
+        "on the byte formula — two independent implementations of the "
+        "standard must agree bit-for-bit on every byte value.",
+)
+def mm_wav_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return MM.decode_wav_stats(MM.synthesize_wav_mulaw_payloads(docs))
+
+
+@register(
     "mm_wav_stereo_decode",
     oracle="""
         WITH aud AS (

@@ -235,6 +235,68 @@ def tf_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _evo_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v1",
+        os.path.basename(sf_dir.rstrip("/")), "dim_customer_evo",
+    )
+
+
+def ensure_evo_table(spark: SparkSession, sf_dir: str) -> str:
+    """A second demo table for ADDITIVE SCHEMA EVOLUTION: commit 0 is
+    the same %4!=0 base (no loyalty_tier column); commit 1 APPENDS the
+    remaining customers WITH a new loyalty_tier column. Own root so the
+    merge/time-travel entries' snapshots stay untouched."""
+    root = _evo_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir + "#evo")
+    if key in _BUILT:
+        return root
+    if os.path.exists(tf._commit_path(root, 1)):
+        _BUILT.add(key)
+        return root
+    cust = _with_bucket(read_table(spark, sf_dir, "customer"))
+    base = cust.filter(F.col("c_custkey") % 4 != 0).select("c_custkey", *_PAYLOAD)
+    tf.create_table(spark, root, base, cluster_by="c_bucket")
+    evolved = cust.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey", *_PAYLOAD,
+        (F.col("c_custkey") % 3).cast("int").alias("loyalty_tier"),
+    )
+    tf.append(spark, root, evolved)
+    _BUILT.add(key)
+    return root
+
+
+@register(
+    "tf_append_schema_evolution",
+    oracle="""
+        SELECT c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS acctbal,
+               CASE WHEN c_custkey % 4 = 0
+                    THEN CAST(c_custkey % 3 AS INTEGER) END AS loyalty_tier
+        FROM customer
+    """,
+    tags=("table_format", "S4", "schema_evolution", "acid"),
+    doc="INSERT INTO + additive schema evolution on the table format: "
+        "an append commit adds files carrying a NEW loyalty_tier "
+        "column (no read, no rewrite — the cheapest table-format "
+        "write); a merge_schema snapshot then unions file schemas, so "
+        "pre-evolution rows surface the column as NULL. The oracle "
+        "derives the same 1500-row frame from customer with CASE — "
+        "the hash match pins both halves: appended rows carry their "
+        "tier, original rows a real NULL (never a default). This is "
+        "the in-format answer to layout_schema_evolution_read's "
+        "100 TB note ('pin the schema in a table format'); type "
+        "CHANGES still require a rewrite and are out of scope.",
+)
+def tf_append_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_evo_table(spark, sf_dir)
+    return tf.read_version(spark, root, merge_schema=True).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("loyalty_tier").cast("int").alias("loyalty_tier"),
+    )
+
+
 @register(
     "tf_manifest_audit",
     oracle="""

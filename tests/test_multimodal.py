@@ -728,3 +728,33 @@ def test_tone_detect_robust_to_noise():
             for fq in MM.TONE_FREQS
         ]
         assert max(range(4), key=lambda i: es[i]) == k
+
+
+def test_wav_pcm24_roundtrip():
+    """24-bit encode→parse identity at the extremes of the sample range
+    (two's-complement boundaries ±2^23)."""
+    import struct
+
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -654321, 42]
+    pcm = b"".join(struct.pack("<i", v & 0xFFFFFF)[:3] for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, ch, list(got)) == (8000, 1, vals)
+
+
+def test_wav_pcm8_centered():
+    """8-bit PCM is stored unsigned (spec) and returned centered at 0."""
+    import struct
+
+    pcm = bytes([0, 128, 255, 100])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert list(got) == [-128, 0, 127, -28]

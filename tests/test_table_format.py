@@ -106,3 +106,26 @@ def test_vacuum_keeps_latest_drops_history(spark, demo_root, tmp_path):
     for relp in deleted:
         assert not os.path.exists(os.path.join(root, relp))
     assert tf.read_version(spark, root).count() == before
+
+
+def test_append_commits_remove_nothing(spark):
+    """INSERT-INTO commits add files only; every prior file stays live
+    (nothing for vacuum to reclaim at latest)."""
+    root = tfq.ensure_evo_table(spark, SF_SMOKE)
+    h = tf.history(root)
+    assert [m["op"] for m in h] == ["create", "append"]
+    assert h[1]["removes"] == [] and h[1]["adds"]
+    assert set(tf.active_files(root)) == set(h[0]["adds"]) | set(h[1]["adds"])
+
+
+def test_evolved_append_nulls_only_on_old_rows(spark):
+    """merge_schema read: the new column is NULL exactly on
+    pre-evolution rows."""
+    from pyspark.sql import functions as F
+
+    root = tfq.ensure_evo_table(spark, SF_SMOKE)
+    df = tf.read_version(spark, root, merge_schema=True)
+    bad = df.filter(
+        (F.col("loyalty_tier").isNull()) != (F.col("c_custkey") % 4 != 0)
+    ).count()
+    assert bad == 0
