@@ -248,6 +248,7 @@ HEADLINE = [
     "cbo_stats_filtered_dim_join",
     "mm_wav_pcm24_decode",
     "mm_wav_mulaw_decode",
+    "mm_wav_float32_decode",
     "tf_append_schema_evolution",
 ]
 

@@ -999,6 +999,78 @@ def synthesize_wav_mulaw_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(synth, schema)
 
 
+def synthesize_wav_float32_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): real RIFF/WAVE files in
+    32-bit IEEE-float PCM (fmt code 3 — the DAW/processing-chain
+    format). Samples are exact multiples of 2^-15 with |numerator| <=
+    10000 < 2^14, so every value is float32-EXACT and sums of hundreds
+    of them are float64-exact — the oracle reproduces the stats as one
+    integer aggregation divided once, no float-accumulation hazard."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 35 + (d % 12) * 18
+                vals = [
+                    ((d * 131 + i * 37) % 20001 - 10000) / 32768.0
+                    for i in range(n)
+                ]
+                pcm = struct.pack(f"<{n}f", *vals)
+                fmt = struct.pack("<HHIIHH", 3, 1, _WAV_RATE, _WAV_RATE * 4, 4, 32)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+WAVF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("min_v", T.DoubleType()),
+        T.StructField("max_v", T.DoubleType()),
+        T.StructField("sum_v", T.DoubleType()),
+    ]
+)
+
+
+def decode_wav_fstats(with_wav: DataFrame) -> DataFrame:
+    """Float sample stats over RIFF/WAVE payloads: min/max/sum as
+    doubles. Deterministic despite IEEE addition: the synthetic samples
+    are multiples of 2^-15 whose sequential float64 sum stays exact
+    (|numerator sum| < 2^23 << 2^53). Arrow-batched mapInPandas."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                rate, ch, samples = parse_wav(bytes(wav))
+                rows.append(
+                    (int(doc_id), rate, len(samples), min(samples),
+                     max(samples), sum(samples))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAVF_SCHEMA.fields])
+
+    return with_wav.select("doc_id", "wav").mapInPandas(dec, WAVF_SCHEMA)
+
+
 WAV24_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1064,10 +1136,12 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
     (stored unsigned per the spec, returned centered at 0 by the
     conventional −128 offset), 16-bit, and 24-bit (3-byte little-endian
     two's-complement — the studio/DAW interchange depth), mono AND
-    stereo (interleaved L/R); raises NotImplementedError for non-PCM
-    encodings (IEEE float, ADPCM, µ-law — those need ffmpeg, absent
-    here). Pure function so the walker is property-testable without a
-    session."""
+    stereo (interleaved L/R), plus G.711 mu-law (fmt 7, canonical
+    integer expansion) and 32-bit IEEE-float (fmt 3 — returned as
+    Python floats; every other format returns ints). Raises
+    NotImplementedError for encodings that genuinely need ffmpeg
+    (ADPCM, µ/A-law variants beyond G.711 mu, float64). Pure function
+    so the walker is property-testable without a session."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -1081,14 +1155,16 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            ok = (audio_fmt == 1 and bits in (8, 16, 24)) or (
-                audio_fmt == 7 and bits == 8  # G.711 mu-law
+            ok = (
+                (audio_fmt == 1 and bits in (8, 16, 24))
+                or (audio_fmt == 7 and bits == 8)   # G.711 mu-law
+                or (audio_fmt == 3 and bits == 32)  # IEEE float32
             )
             if not ok or channels not in (1, 2):
                 raise NotImplementedError(
                     f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
-                    "only 8/16/24-bit integer PCM and 8-bit G.711 mu-law "
-                    "mono/stereo decodable without ffmpeg"
+                    "only 8/16/24-bit integer PCM, 8-bit G.711 mu-law and "
+                    "32-bit IEEE-float mono/stereo decodable without ffmpeg"
                 )
         elif cid == b"data":
             pcm = body
@@ -1097,7 +1173,10 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
         raise ValueError("WAV missing fmt or data chunk")
     import struct as _s
 
-    if bits == 16:
+    if audio_fmt == 3:  # float32: samples are Python floats, not ints
+        n = len(pcm) // 4
+        samples = _s.unpack(f"<{n}f", pcm[: n * 4])
+    elif bits == 16:
         n = len(pcm) // 2
         samples = _s.unpack(f"<{n}h", pcm[: n * 2])
     elif bits == 8 and audio_fmt == 7:

@@ -569,6 +569,40 @@ def mm_wav_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_float32_decode",
+    oracle="""
+        WITH aud AS (
+            SELECT doc_id, 35 + (doc_id % 12) * 18 AS n
+            FROM documents WHERE doc_id % 5 = 1
+        ),
+        s AS (
+            SELECT a.doc_id, a.n,
+                   (a.doc_id * 131 + i.i * 37) % 20001 - 10000 AS numer
+            FROM aud a JOIN range(0, 234) i(i) ON i.i < a.n
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(MIN(numer) AS DOUBLE) / 32768.0 AS min_v,
+               CAST(MAX(numer) AS DOUBLE) / 32768.0 AS max_v,
+               CAST(SUM(numer) AS DOUBLE) / 32768.0 AS sum_v
+        FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "mapInPandas"),
+    doc="REAL 32-bit IEEE-float WAV decode (r8 — fmt code 3, the "
+        "DAW/processing-chain format; struct-unpackable, so the old "
+        "'needs ffmpeg' gate was dishonest and is gone): samples are "
+        "exact multiples of 2^-15 (numerators < 2^14), so min/max/sum "
+        "are float64-exact on BOTH engines — the oracle aggregates the "
+        "integer numerators exactly and divides ONCE, sidestepping "
+        "float-accumulation order entirely. The remaining audio gates "
+        "are the genuinely-ffmpeg encodings (ADPCM, A-law, float64).",
+)
+def mm_wav_float32_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    return MM.decode_wav_fstats(MM.synthesize_wav_float32_payloads(docs))
+
+
+@register(
     "mm_wav_stereo_decode",
     oracle="""
         WITH aud AS (

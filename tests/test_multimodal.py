@@ -270,8 +270,9 @@ def test_wav_decode_spark(spark):
 def test_wav_non_pcm_is_codec_gated(spark):
     import struct
 
-    # fmt chunk declaring IEEE-float (code 3): needs ffmpeg, gate fires
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    # fmt chunk declaring MS-ADPCM (code 2): needs ffmpeg, gate fires
+    # (IEEE float32 / G.711 mu-law decode natively as of r8)
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, wav binary")
