@@ -47,10 +47,15 @@ rewrite and are out of scope.
 from __future__ import annotations
 
 import glob
+import itertools
 import json
 import os
 import re
+import threading
 from typing import Sequence
+
+#: monotonically-unique suffix for commit temp files (per-attempt)
+_ATTEMPT = itertools.count()
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,7 +99,10 @@ def _publish(root: str, version: int, manifest: dict) -> None:
     """
     os.makedirs(_commit_dir(root), exist_ok=True)
     final = _commit_path(root, version)
-    tmp = final + f".tmp.{os.getpid()}"
+    # temp name must be unique per ATTEMPT, not per process — two
+    # threads of one writer (or a retry) sharing a pid-only name would
+    # clobber each other's temp mid-link (caught by the race test)
+    tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}.{next(_ATTEMPT)}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     try:
@@ -341,6 +349,30 @@ def merge_compacted(
         "version": new_v, "op": "merge_compacted", "adds": adds,
         "removes": sorted(touched), "n_changes": batch.count(),
         "epoch": epoch,
+    })
+    return new_v
+
+
+def compact(
+    spark: SparkSession, root: str, files: int = 1
+) -> int:
+    """OPTIMIZE: rewrite the CURRENT snapshot into ``files`` files per
+    cluster value (or ``files`` total, unclustered) as one commit that
+    removes every previously-active file — bin-packing the small files
+    merges/appends accumulate. Pure layout change: the snapshot's rows
+    are bit-identical before and after (pinned by test), history stays
+    time-travelable until vacuumed. The table-format twin of the
+    reference's VACUUM/maintenance pass (Maintenance.sql:134-137) and
+    of plans/layout.py's compaction entry, now manifest-committed."""
+    versions = list_versions(root)
+    new_v = versions[-1] + 1
+    cb = read_manifest(root, 0).get("cluster_by")
+    current = sorted(active_files(root))
+    snap = read_version(spark, root)
+    adds = _write_data(snap, root, new_v, files, cb)
+    _publish(root, new_v, {
+        "version": new_v, "op": "compact", "adds": adds,
+        "removes": current, "n_changes": 0,
     })
     return new_v
 

@@ -129,3 +129,63 @@ def test_evolved_append_nulls_only_on_old_rows(spark):
         (F.col("loyalty_tier").isNull()) != (F.col("c_custkey") % 4 != 0)
     ).count()
     assert bad == 0
+
+
+def test_compact_preserves_rows_and_unifies_files(spark, demo_root, tmp_path):
+    """OPTIMIZE: post-compaction snapshot is row-identical; every
+    previously-active file is removed from the manifest (still on disk
+    for time travel until vacuum); active files shrink to one per
+    cluster value."""
+    root = str(tmp_path / "opt")
+    shutil.copytree(demo_root, root)
+    before = sorted(map(tuple, tf.read_version(spark, root).collect()))
+    pre_active = set(tf.active_files(root))
+    v = tf.compact(spark, root)
+    after = sorted(map(tuple, tf.read_version(spark, root).collect()))
+    assert after == before
+    m = tf.read_manifest(root, v)
+    assert set(m["removes"]) == pre_active
+    post = tf.active_files(root)
+    assert len(post) <= 4 and all(f.startswith(f"data{os.sep}v={v}") for f in post)
+    # history before the compaction is still readable
+    assert tf.read_version(spark, root, 0).count() > 0
+    # and vacuum now reclaims every pre-compaction file
+    deleted = tf.vacuum(root, keep_versions=1)
+    assert pre_active <= set(deleted)
+    assert sorted(map(tuple, tf.read_version(spark, root).collect())) == before
+
+
+def test_concurrent_writers_exactly_one_commit_wins(spark, demo_root, tmp_path):
+    """Optimistic concurrency under a REAL race: N threads publish the
+    same next version concurrently; exactly one manifest lands, every
+    loser gets CommitConflict, and no temp debris survives."""
+    import threading
+
+    root = str(tmp_path / "race")
+    tf._publish(root, 0, {"version": 0, "op": "create", "adds": [],
+                          "removes": [], "n_changes": 0})
+    results = []
+    barrier = threading.Barrier(8)
+
+    def writer(i):
+        barrier.wait()
+        try:
+            tf._publish(root, 1, {"version": 1, "op": "merge",
+                                  "adds": [f"w{i}"], "removes": [],
+                                  "n_changes": i})
+            results.append(("ok", i))
+        except tf.CommitConflict:
+            results.append(("conflict", i))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(1 for r, _ in results if r == "ok") == 1
+    assert sum(1 for r, _ in results if r == "conflict") == 7
+    assert sorted(os.listdir(tf._commit_dir(root))) == [
+        "00000000.json", "00000001.json"
+    ]
+    winner = [i for r, i in results if r == "ok"][0]
+    assert tf.read_manifest(root, 1)["adds"] == [f"w{winner}"]
