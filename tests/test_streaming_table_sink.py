@@ -134,3 +134,40 @@ def test_epoch_replay_is_noop(spark, tmp_path):
     v_again = tf.merge_compacted(spark, root, batch, "k", _PAYLOAD, "seq", "tie", epoch=5)
     assert (v0, v_again) == (0, 0)
     assert tf.list_versions(root) == [0]
+
+
+def test_merge_compacted_converges_for_any_split(spark, tmp_path):
+    """Latest-wins associativity, exercised: the SAME shuffled feed cut
+    into 1, 2, 3 and 5 micro-batches (boundaries misaligned with
+    sequence order) must fold to identical table state every time."""
+    rows = _feed_rows()
+    base = _base(spark)
+    want = None
+    for n_splits, tag in ((1, "a"), (2, "b"), (3, "c"), (5, "d")):
+        root = str(tmp_path / f"t{tag}")
+        size = -(-len(rows) // n_splits)
+        for e, i in enumerate(range(0, len(rows), size)):
+            batch = spark.createDataFrame(rows[i : i + size], _FEED_SCHEMA)
+            tf.merge_compacted(
+                spark, root, batch, "k", _PAYLOAD, "seq", "tie", epoch=e
+            )
+        got = _snap(
+            TS.read_table_snapshot(spark, base, root, "k", _PAYLOAD, "seq", "tie")
+        )
+        if want is None:
+            want = got
+        assert got == want, f"{n_splits}-way split diverged"
+
+
+def test_merge_compacted_empty_batch_is_a_version_without_drift(spark, tmp_path):
+    """An empty micro-batch (a trigger that found no files) commits a
+    version whose state is unchanged — no row loss, no resurrection."""
+    root = str(tmp_path / "t")
+    rows = _feed_rows()[:10]
+    b1 = spark.createDataFrame(rows, _FEED_SCHEMA)
+    tf.merge_compacted(spark, root, b1, "k", _PAYLOAD, "seq", "tie", epoch=0)
+    before = _snap(tf.read_version(spark, root))
+    empty = spark.createDataFrame([], _FEED_SCHEMA)
+    v = tf.merge_compacted(spark, root, empty, "k", _PAYLOAD, "seq", "tie", epoch=1)
+    assert v == 1
+    assert _snap(tf.read_version(spark, root)) == before
