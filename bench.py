@@ -293,10 +293,31 @@ def evict_rdds(spark, ids: set[int]) -> None:
             jmap.get(k).unpersist(True)
 
 
+def machine_load() -> dict:
+    """Contention marker (r8 advisory #2 / verdict #6): 1/5/15-min
+    loadavg + running-process count at sample time, recorded at bench
+    start AND end so a future reader can separate machine contention
+    from code regression without a quiet-machine rerun. Reading:
+    load1 >> cpu count at either edge means the round-end window was
+    contended and the totals are upper bounds (r7's +36% "drift" was
+    exactly this — see the A/B note below in main())."""
+    la = os.getloadavg()
+    try:
+        nproc = sum(1 for d in os.listdir("/proc") if d.isdigit())
+    except OSError:
+        nproc = -1
+    return {
+        "load1": round(la[0], 2), "load5": round(la[1], 2),
+        "load15": round(la[2], 2), "procs": nproc,
+        "cpus": os.cpu_count(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    load_at_start = machine_load()
 
     # sf0.1 shuffle volumes are a few hundred MB at most: 8 initial
     # shuffle partitions (AQE coalesces further) beat the session
@@ -494,13 +515,17 @@ def main() -> None:
         }
         samples_taken[name] = len(samples)
 
-    # EXECUTED-plan audit at the bench scale (r7 verdict #9): the
-    # per-entry PLAN_AUDIT profiles analyzed plans at sf0.001, where AQE
-    # decisions (skew splits, broadcast demotions, partition coalescing)
-    # never materialize. Here every headliner is executed ONCE more
-    # (untimed, driver-side toLocalIterator so the heap never holds a
-    # full result) and the FINAL adaptive plan is profiled. Written to
-    # PLAN_AUDIT_EXEC.json; plan_audit.py merges it into PLAN_AUDIT.md.
+    # EXECUTED-plan audit at the bench scale (r7 verdict #9; widened to
+    # the FULL catalog in r9 per verdict #4): the per-entry PLAN_AUDIT
+    # profiles analyzed plans at sf0.001, where AQE decisions (skew
+    # splits, broadcast demotions, partition coalescing) never
+    # materialize. Here EVERY catalog entry is executed ONCE (untimed,
+    # driver-side toLocalIterator so the heap never holds a full
+    # result) and the FINAL adaptive plan is profiled — so AQE
+    # demotions at scale are visible for the long tail too, not just
+    # the headline set. Written to PLAN_AUDIT_EXEC.json; plan_audit.py
+    # merges it into PLAN_AUDIT.md; tests/test_artifacts.py gates
+    # completeness + cartesian=0 + the Python-boundary allowlist.
     exec_audit: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_EXEC_AUDIT", "1") == "1":
         exec_patterns = {
@@ -518,7 +543,7 @@ def main() -> None:
             "skew_joins": re.compile(r"skew=true"),
             "codegen_spans": re.compile(r"WholeStageCodegen"),
         }
-        for name in HEADLINE:
+        for name in sorted(catalog):
             base_ids = persistent_rdd_ids(spark)
             try:
                 df = catalog[name].fn(spark, sf_dir)
@@ -581,6 +606,9 @@ def main() -> None:
                     "session_artifacts_in_load_sec": sorted(session_artifacts),
                     "internal_caches_evicted": evicted,
                 },
+                "machine_load": {
+                    "start": load_at_start, "end": machine_load(),
+                },
                 "sf": sf,
             },
             f,
@@ -597,6 +625,7 @@ def main() -> None:
     compact_queries = {
         n: t for n, t in timings.items() if n in CORE or n in BASELINE_REF_SEC
     }
+    load_at_end = machine_load()
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -605,6 +634,10 @@ def main() -> None:
         "queries": compact_queries,
         "load_sec": load_sec,
         "worst_baseline_ratio": worst,
+        # contention marker: 1-min loadavg at bench start/end (full
+        # sample incl. process counts in BENCH_DETAIL.json) — read a
+        # high value as "totals are contended upper bounds"
+        "load1_start_end": [load_at_start["load1"], load_at_end["load1"]],
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
     }

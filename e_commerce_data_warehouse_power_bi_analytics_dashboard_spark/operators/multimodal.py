@@ -163,13 +163,14 @@ def sample_frames(with_payload: DataFrame, frame_size: int = 256, every: int = 4
 # real PNG wire format — stdlib-only (zlib + struct), no codec package
 # ---------------------------------------------------------------------------
 #
-# Grayscale 8-bit (color type 0) and truecolor 8-bit (color type 2,
-# 3 bytes/pixel) PNG need nothing beyond zlib: signature, CRC-checked
-# chunks, DEFLATE'd scanlines, per-row filters 0-4 applied at the
-# bytes-per-pixel stride. encode_png/decode_png below implement that
-# subset for real — byte-identical to what libpng would produce/accept —
-# so the pixel-level decode path is no longer a stub. Palette / alpha /
-# sub-byte depths stay gated on PIL (absent here).
+# PNG needs nothing beyond zlib: signature, CRC-checked chunks,
+# DEFLATE'd scanlines, per-row filters 0-4 applied at the
+# bytes-per-pixel stride. encode_png/decode_png below implement the
+# format for real — byte-identical to what libpng would produce/accept
+# — across EVERY valid depth/colortype combination (r8): gray /
+# gray+alpha / truecolor / RGBA at 8 and 16 bits, palette (type 3),
+# sub-byte grayscale (1/2/4-bit, MSB-first packed), sequential AND
+# Adam7-interlaced. No codec package involved anywhere.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
 
@@ -1135,13 +1136,14 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
     validates fmt. Decodes the full INTEGER-PCM matrix (r8): 8-bit
     (stored unsigned per the spec, returned centered at 0 by the
     conventional −128 offset), 16-bit, and 24-bit (3-byte little-endian
-    two's-complement — the studio/DAW interchange depth), mono AND
-    stereo (interleaved L/R), plus G.711 mu-law (fmt 7, canonical
-    integer expansion) and 32-bit IEEE-float (fmt 3 — returned as
-    Python floats; every other format returns ints). Raises
-    NotImplementedError for encodings that genuinely need ffmpeg
-    (ADPCM, µ/A-law variants beyond G.711 mu, float64). Pure function
-    so the walker is property-testable without a session."""
+    two's-complement — the studio/DAW interchange depth), at ANY
+    interleaved channel count (r9 — mono, stereo, and N-channel
+    surround all deinterleave at stride ``channels``), plus G.711
+    mu-law (fmt 7, canonical integer expansion) and 32-bit IEEE-float
+    (fmt 3 — returned as Python floats; every other format returns
+    ints). Raises NotImplementedError for encodings that genuinely
+    need a codec library (ADPCM, A-law, float64). Pure function so the
+    walker is property-testable without a session."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -1160,11 +1162,12 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
                 or (audio_fmt == 7 and bits == 8)   # G.711 mu-law
                 or (audio_fmt == 3 and bits == 32)  # IEEE float32
             )
-            if not ok or channels not in (1, 2):
+            if not ok or channels < 1:
                 raise NotImplementedError(
                     f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
                     "only 8/16/24-bit integer PCM, 8-bit G.711 mu-law and "
-                    "32-bit IEEE-float mono/stereo decodable without ffmpeg"
+                    "32-bit IEEE-float (any interleaved channel count) "
+                    "decodable without a codec library"
                 )
         elif cid == b"data":
             pcm = body
@@ -1299,6 +1302,92 @@ def decode_wav_stereo(with_wav: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_STEREO_SCHEMA.fields])
 
     return with_wav.select("doc_id", "wav").mapInPandas(dec, WAV_STEREO_SCHEMA)
+
+
+def synthesize_wav_multichannel_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): real RIFF/WAVE files, 16-bit
+    little-endian PCM with 3-6 INTERLEAVED CHANNELS (surround layouts;
+    nch = 3 + doc_id % 4) @ 8 kHz, per-channel samples from the same
+    closed-form formula as the stereo fixture. Built per-partition in
+    mapInPandas (r9 — closes the r8 two-channel ceiling)."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nch = 3 + d % 4
+                frames = 30 + (d % 12) * 15
+                inter = [
+                    _sample_st(d, i, ch)
+                    for i in range(frames)
+                    for ch in range(nch)
+                ]
+                pcm = struct.pack(f"<{len(inter)}h", *inter)
+                # block align = channels * bytes/sample
+                fmt = struct.pack(
+                    "<HHIIHH", 1, nch, _WAV_RATE, _WAV_RATE * 2 * nch,
+                    2 * nch, 16,
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+WAV_MC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_wav_multichannel(with_wav: DataFrame) -> DataFrame:
+    """Per-channel RMS over N-CHANNEL PCM payloads, LONG format (one
+    output row per channel — the shape that scales to any layout
+    without per-channel columns): ``parse_wav`` returns the interleaved
+    flat sample tuple; channel c deinterleaves at ``samples[c::nch]``.
+    Channel sums of squares are exact Python ints, so the single
+    sqrt-of-ratio per channel is bit-stable against the SQL oracle."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math as _m
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                _rate, nch, samples = parse_wav(bytes(wav))
+                frames = len(samples) // nch
+                for c in range(nch):
+                    chan = samples[c::nch]
+                    rows.append(
+                        (
+                            int(doc_id), nch, c, frames,
+                            _m.sqrt(sum(s * s for s in chan) / frames)
+                            if frames else 0.0,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_MC_SCHEMA.fields])
+
+    return with_wav.select("doc_id", "wav").mapInPandas(dec, WAV_MC_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

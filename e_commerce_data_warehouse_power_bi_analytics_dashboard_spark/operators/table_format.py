@@ -1,20 +1,35 @@
 """Minimal ACID table format: a versioned-manifest parquet table with
-copy-on-write MERGE, snapshot isolation, time travel, and vacuum.
+copy-on-write MERGE, snapshot isolation, time travel, file-level
+statistics + data skipping, a partition spec, and vacuum.
 
 The reference's upsert is a row-level ``INSERT ... ON CONFLICT DO
-UPDATE`` against a mutable heap table (ETL.sql:304-315). On an
-immutable-file lake that operation needs a TABLE FORMAT: data lives in
-parquet files that are never mutated, and a commit log of manifests
-says which files are active at each version. This module is the
-smallest honest implementation of that idea (the Delta/Iceberg core,
-hand-rolled from public first principles):
+UPDATE`` against a mutable heap table (ETL.sql:304-315), and its whole
+Iteration 3 theme is index/partition pruning (`Iteration 3/Group
+No.6_Indexing_Partitioning.sql:35-119`). On an immutable-file lake both
+need a TABLE FORMAT: data lives in parquet files that are never
+mutated, and a commit log of manifests says which files are active at
+each version — plus per-file metadata (partition values, column
+min/max) so reads can SKIP files instead of probing indexes. This
+module is the smallest honest implementation of that idea (the
+Delta/Iceberg core, hand-rolled from public first principles):
 
-``<root>/_commits/<n>.json``  one manifest per commit — ``adds`` /
-    ``removes`` of data-file paths relative to the table root, the op
-    kind, and a row-level change count. The ACTIVE file set at version
-    ``v`` is fold(adds) - fold(removes) over commits 0..v.
-``<root>/data/v=<n>/part-*.parquet``  immutable data files, one
-    directory per commit that wrote any.
+``<root>/_commits/<n>.json``  one manifest per commit. ``adds`` is a
+    list of file records ``{"path", "rows", "partition": {col: val},
+    "stats": {col: {"min", "max", "nulls"}}}`` (stats read from the
+    parquet FOOTERS at commit time — no extra data scan); ``removes``
+    is a list of paths. The ACTIVE file set at version ``v`` is
+    fold(adds) - fold(removes) over commits 0..v. Commit 0 also records
+    the table's ``partition_by`` spec; every data-writing commit
+    records the writer's ``schema`` so an empty snapshot still has one.
+``<root>/data/v=<n>-<uid>/...part-*.parquet``  immutable data files.
+    The directory is unique PER COMMIT ATTEMPT (``uid``), so two racing
+    writers can never clobber each other's data files before the
+    manifest race is decided — the loser's files become unreferenced
+    orphans that ``vacuum`` reclaims after a grace window (the
+    Delta/Iceberg approach). With a partition spec, files land in
+    hive-style ``_p_<col>=<val>`` subdirectories (the partition column
+    itself also stays INSIDE the file, so footer stats cover it and
+    snapshots read explicit file lists, never directory inference).
 
 Commit atomicity + optimistic concurrency: the manifest is written to a
 temp name and published with ``os.link`` to its final ``<n>.json`` —
@@ -34,37 +49,58 @@ of the current snapshot to find TOUCHED files; only those are rewritten
 the same latest-wins merge the streaming path uses), every untouched
 file is carried forward by reference in the manifest. Merge cost is
 proportional to touched files, never table size. Time travel
-(``read_version``) is a fold over the same manifests; ``vacuum``
-deletes files unreferenced by any retained version.
+(``read_version``) is a fold over the same manifests; data skipping
+(``where=``) drops active files whose recorded stats are provably
+disjoint from a range predicate BEFORE the scan — at 100 TB this is
+what turns a key-range query over a partitioned table into a handful of
+file reads. ``vacuum`` deletes files unreferenced by any retained
+version (committed files immediately, never-committed orphans only
+after a grace window so in-flight writers keep their files) and records
+the earliest still-readable version so expired time travel fails fast.
 
 Single-table, single-cluster scope. ADDITIVE schema evolution is
 supported via ``append`` (new files may carry new columns; a
 merge_schema snapshot reads old files' values as NULL — the
-tf_append_schema_evolution entry); type changes still require a
-rewrite and are out of scope.
+tf_append_schema_evolution entry); ``merge`` validates that its
+key+payload covers every live column (rejecting a rewrite that would
+silently drop an evolved column) and ``compact`` rewrites under the
+merged schema, so neither can lose evolved data; type changes still
+require a rewrite and are out of scope.
 """
 
 from __future__ import annotations
 
+import datetime
 import glob
 import itertools
 import json
 import os
 import re
 import threading
-from typing import Sequence
+import time
+import uuid
+from typing import Mapping, Sequence
 
 #: monotonically-unique suffix for commit temp files (per-attempt)
 _ATTEMPT = itertools.count()
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from .cdc import apply_change_feed
+
+#: string min/max longer than this are not recorded (truncation would be
+#: unsound for pruning; real formats truncate-with-pad, we simply skip)
+_MAX_STAT_STR = 64
 
 
 class CommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic loser)."""
+
+
+class VersionExpired(RuntimeError):
+    """The requested version is older than vacuum's retention floor."""
 
 
 def _commit_dir(root: str) -> str:
@@ -73,6 +109,10 @@ def _commit_dir(root: str) -> str:
 
 def _commit_path(root: str, version: int) -> str:
     return os.path.join(_commit_dir(root), f"{version:08d}.json")
+
+
+def _retention_path(root: str) -> str:
+    return os.path.join(_commit_dir(root), "_RETENTION.json")
 
 
 def list_versions(root: str) -> list[int]:
@@ -88,6 +128,16 @@ def list_versions(root: str) -> list[int]:
 def read_manifest(root: str, version: int) -> dict:
     with open(_commit_path(root, version)) as fh:
         return json.load(fh)
+
+
+def earliest_readable(root: str) -> int:
+    """Retention floor recorded by the last vacuum (0 if never vacuumed):
+    versions below it may reference reclaimed files and fail fast."""
+    p = _retention_path(root)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(json.load(fh)["earliest_readable"])
 
 
 def _publish(root: str, version: int, manifest: dict) -> None:
@@ -115,9 +165,16 @@ def _publish(root: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
-def active_files(root: str, version: int | None = None) -> list[str]:
-    """Active data files (relative paths) at ``version`` (default: latest),
-    by folding adds/removes over the commit log prefix."""
+def _norm_add(a) -> dict:
+    """Manifest add records are dicts; bare-string paths (hand-written
+    manifests in tests / older logs) normalize to a stats-free record."""
+    return {"path": a} if isinstance(a, str) else a
+
+
+def active_adds(root: str, version: int | None = None) -> list[dict]:
+    """Active file RECORDS (path + partition + stats) at ``version``
+    (default: latest), by folding adds/removes over the commit log
+    prefix. Fails fast (VersionExpired) past vacuum's retention floor."""
     versions = list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no commits at {root}")
@@ -125,24 +182,157 @@ def active_files(root: str, version: int | None = None) -> list[str]:
         version = versions[-1]
     if version not in versions:
         raise FileNotFoundError(f"version {version} not in {versions}")
-    active: set[str] = set()
+    floor = earliest_readable(root)
+    if version < floor:
+        raise VersionExpired(
+            f"version {version} predates vacuum retention "
+            f"(earliest readable: {floor}) at {root}"
+        )
+    active: dict[str, dict] = {}
     for v in versions:
         if v > version:
             break
         m = read_manifest(root, v)
-        active -= set(m["removes"])
-        active |= set(m["adds"])
-    return sorted(active)
+        for p in m["removes"]:
+            active.pop(p, None)
+        for a in m["adds"]:
+            rec = _norm_add(a)
+            active[rec["path"]] = rec
+    return [active[p] for p in sorted(active)]
 
 
-def _data_files(root: str, version: int) -> list[str]:
-    """Relative paths of the parquet part files under data/v=<version>
-    (recursive — cluster columns add hive-style subdirectories)."""
-    vdir = os.path.join(root, "data", f"v={version}")
-    return sorted(
-        os.path.relpath(p, root)
-        for p in glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
-    )
+def active_files(root: str, version: int | None = None) -> list[str]:
+    """Active data files (relative paths) at ``version`` (default latest)."""
+    return [a["path"] for a in active_adds(root, version)]
+
+
+def _overlaps(add: dict, col: str, lo, hi) -> bool:
+    """Can ``add``'s file contain a row with ``lo <= col <= hi``?
+    Conservative: missing/uncomparable stats keep the file. Sound only
+    for null-rejecting range predicates (NULL never satisfies BETWEEN,
+    and all-null files carry no min/max so they are kept anyway)."""
+    st = (add.get("stats") or {}).get(col)
+    if not st:
+        return True
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None or mx is None:
+        return True
+    try:
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except TypeError:  # caller's bound not comparable to stored stat
+        return True
+    return True
+
+
+def snapshot_files(
+    root: str,
+    version: int | None = None,
+    where: Mapping[str, tuple] | None = None,
+) -> tuple[list[str], int]:
+    """(selected active paths, total active count) at ``version`` after
+    stats-based data skipping. ``where`` maps column -> (lo, hi)
+    inclusive bounds (None = unbounded; equality is ``(v, v)``); a file
+    survives only if EVERY bound overlaps its recorded min/max — the
+    manifest-side pruning real formats do before the scan ever starts.
+    The caller must still apply the row-level filter: skipping is a
+    superset guarantee, never exact."""
+    adds = active_adds(root, version)
+    total = len(adds)
+    if where:
+        adds = [
+            a for a in adds
+            if all(_overlaps(a, c, b[0], b[1]) for c, b in where.items())
+        ]
+    return [a["path"] for a in adds], total
+
+
+def _snapshot_schema(root: str, version: int) -> StructType | None:
+    """Latest writer schema at or before ``version`` (for empty reads)."""
+    for v in reversed([v for v in list_versions(root) if v <= version]):
+        s = read_manifest(root, v).get("schema")
+        if s:
+            return StructType.fromJson(json.loads(s))
+    return None
+
+
+def _file_stats(abs_path: str) -> dict:
+    """Per-file row count + column min/max/null-count from the parquet
+    FOOTER (pyarrow metadata — a KB-sized read, never a data scan).
+    Columns whose statistics this arrow build cannot extract (e.g.
+    fixed-len decimals) or whose string bounds exceed _MAX_STAT_STR are
+    simply omitted — pruning treats missing stats as must-keep."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    stats: dict[str, dict] = {}
+    bad: set[str] = set()
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            name = c.path_in_schema
+            if "." in name or name in bad:
+                continue  # nested leaves / known-unextractable
+            try:
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no min/max")
+                mn, mx = _stat_value(st.min), _stat_value(st.max)
+                nulls = int(st.null_count) if st.has_null_count else None
+            except Exception:
+                bad.add(name)
+                stats.pop(name, None)
+                continue
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = {"min": mn, "max": mx, "nulls": nulls}
+            else:  # aggregate across row groups
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+                if cur["nulls"] is not None and nulls is not None:
+                    cur["nulls"] += nulls
+                else:
+                    cur["nulls"] = None
+    return {"rows": int(md.num_rows), "stats": stats}
+
+
+def _stat_value(v):
+    """Footer stat -> JSON-storable, order-preserving value (or raise)."""
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        if len(v) > _MAX_STAT_STR:
+            raise ValueError("string stat too long to store soundly")
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()  # ISO strings compare like the values
+    raise ValueError(f"unsupported stat type {type(v).__name__}")
+
+
+def _partition_values(rel: str) -> dict[str, str]:
+    """Partition values parsed from ``_p_<col>=<val>`` path components
+    (the hive dirs _write_data lays down for the partition spec)."""
+    out: dict[str, str] = {}
+    for comp in rel.split(os.sep):
+        if comp.startswith("_p_") and "=" in comp:
+            k, v = comp[3:].split("=", 1)
+            out[k] = v
+    return out
+
+
+def _normalize_spec(partition_by) -> list[str] | None:
+    if partition_by is None:
+        return None
+    if isinstance(partition_by, str):
+        return [partition_by]
+    return list(partition_by)
+
+
+def _table_spec(root: str) -> list[str] | None:
+    return read_manifest(root, 0).get("partition_by")
 
 
 def _write_data(
@@ -150,25 +340,48 @@ def _write_data(
     root: str,
     version: int,
     files: int,
-    cluster_by: str | None,
-) -> list[str]:
-    vdir = os.path.join(root, "data", f"v={version}")
-    if cluster_by:
-        # hive-partition on a COPY of the cluster column (``_pk``) so the
-        # column itself stays inside the data files — snapshots read
-        # explicit file lists, never directory-inferred partition values.
-        # Deterministic key→file placement is what lets MERGE prove
-        # which files a change batch can possibly touch.
+    partition_by: Sequence[str] | None,
+) -> list[dict]:
+    """Write ``df`` under an ATTEMPT-UNIQUE directory and return the add
+    records (path + partition values + footer stats). Uniqueness is the
+    concurrent-writer safety property: two writers racing for the same
+    version can never touch each other's files — the manifest race
+    decides the winner, the loser's directory is an orphan for vacuum."""
+    uid = uuid.uuid4().hex[:8]
+    vdir = os.path.join(root, "data", f"v={version}-{uid}")
+    if partition_by:
+        # hive-partition on COPIES (``_p_<col>``) so the columns
+        # themselves stay inside the data files — snapshots read
+        # explicit file lists (never directory inference) and footer
+        # stats cover the partition columns too. Deterministic
+        # value->file placement is what lets MERGE prove which files a
+        # change batch can possibly touch.
+        out = df
+        pcols = []
+        for c in partition_by:
+            pc = f"_p_{c}"
+            out = out.withColumn(pc, F.col(c))
+            pcols.append(pc)
         (
-            df.withColumn("_pk", F.col(cluster_by))
-            .repartition(F.col("_pk"))
-            .write.mode("overwrite")
-            .partitionBy("_pk")
+            out.repartition(*[F.col(pc) for pc in pcols])
+            .write.mode("error")
+            .partitionBy(*pcols)
             .parquet(vdir)
         )
     else:
-        df.coalesce(files).write.mode("overwrite").parquet(vdir)
-    return _data_files(root, version)
+        df.coalesce(files).write.mode("error").parquet(vdir)
+    adds = []
+    for p in sorted(
+        glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(p, root)
+        rec: dict = {"path": rel}
+        part = _partition_values(rel)
+        if part:
+            rec["partition"] = part
+        rec.update(_file_stats(p))
+        adds.append(rec)
+    return adds
 
 
 def create_table(
@@ -176,15 +389,19 @@ def create_table(
     root: str,
     df: DataFrame,
     files: int = 4,
-    cluster_by: str | None = None,
+    partition_by: str | Sequence[str] | None = None,
 ) -> int:
     """Commit 0: materialize ``df`` as the table's initial snapshot.
-    ``cluster_by`` (optional) hive-clusters data files on a column so
-    key-localized MERGEs rewrite a bounded file subset."""
-    adds = _write_data(df, root, 0, files, cluster_by)
+    ``partition_by`` (optional, str or list) records the table's
+    PARTITION SPEC in the manifest and hive-partitions every data-
+    writing commit on those columns, so key-localized MERGEs rewrite a
+    bounded file subset and stats-pruned reads skip whole partitions."""
+    spec = _normalize_spec(partition_by)
+    adds = _write_data(df, root, 0, files, spec)
     _publish(root, 0, {
         "version": 0, "op": "create", "adds": adds, "removes": [],
-        "n_changes": df.count(), "cluster_by": cluster_by,
+        "n_changes": sum(a["rows"] for a in adds),
+        "partition_by": spec, "schema": df.schema.json(),
     })
     return 0
 
@@ -194,18 +411,31 @@ def read_version(
     root: str,
     version: int | None = None,
     merge_schema: bool = False,
+    where: Mapping[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read: the table exactly as of ``version`` (default
     latest). Resolves the manifest fold once, then reads only the named
     files — concurrent in-flight writers are invisible.
     ``merge_schema`` unions file schemas across commits (needed after an
     evolved ``append``; costs a footer read per file, so off by
-    default)."""
-    files = [os.path.join(root, f) for f in active_files(root, version)]
+    default). ``where`` maps column -> (lo, hi) inclusive bounds for
+    manifest-stats DATA SKIPPING: files provably disjoint from every
+    bound are dropped before the scan (the caller still applies the
+    row filter — skipping is a superset). A snapshot whose active set
+    is empty (e.g. a merge deleted every row) returns an empty frame
+    with the recorded table schema."""
+    versions = list_versions(root)
+    v = versions[-1] if version is None else version
+    files, _ = snapshot_files(root, version, where)
+    if not files:
+        schema = _snapshot_schema(root, v)
+        if schema is None:
+            raise FileNotFoundError(f"no schema recorded at {root} v{v}")
+        return spark.createDataFrame([], schema)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
 def append(
@@ -216,16 +446,34 @@ def append(
     ``df`` may carry MORE columns than earlier commits (schema
     evolution by addition): old files simply lack the column and a
     ``merge_schema`` snapshot reads them as NULL — the additive half of
-    evolution, without the rewrite a type change would force."""
+    evolution, without the rewrite a type change would force. Follows
+    the table's partition spec when the columns are present."""
     versions = list_versions(root)
     new_v = versions[-1] + 1
-    cb = read_manifest(root, 0).get("cluster_by")
-    adds = _write_data(df, root, new_v, files, cb if cb in df.columns else None)
+    spec = _table_spec(root)
+    if spec and not all(c in df.columns for c in spec):
+        spec = None
+    adds = _write_data(df, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "append", "adds": adds, "removes": [],
-        "n_changes": df.count(),
+        "n_changes": sum(a["rows"] for a in adds),
+        "schema": df.schema.json(),
     })
     return new_v
+
+
+def _current_with_file(spark: SparkSession, root: str) -> DataFrame:
+    """Current snapshot + ``_tf_file`` root-relative provenance column
+    (merged schema, so evolved columns are visible to validation)."""
+    cur = read_version(spark, root, merge_schema=True).withColumn(
+        "_tf_file", F.input_file_name()
+    )
+    # normalize input_file_name's file:// URI back to a root-relative
+    # path: take everything after "<abs root>/", scheme-agnostic
+    rel = F.regexp_extract(
+        "_tf_file", re.escape(os.path.abspath(root)) + "/(.*)$", 1
+    )
+    return cur.withColumn("_tf_file", rel)
 
 
 def merge(
@@ -242,22 +490,24 @@ def merge(
     images — the apply_change_feed contract) into the table.
 
     Only files containing a fed key are rewritten; untouched files are
-    carried forward by reference. Returns the new version number (raises
-    CommitConflict if a concurrent writer claimed it first).
+    carried forward by reference. Raises ValueError if the live table
+    carries columns outside key+payload (a rewrite would silently drop
+    an evolved column — the caller must list every live column).
+    Returns the new version number (raises CommitConflict if a
+    concurrent writer claimed it first).
     """
     versions = list_versions(root)
     new_v = versions[-1] + 1
-    cluster_by = read_manifest(root, 0).get("cluster_by")
+    spec = _table_spec(root)
     current = sorted(active_files(root))
-    cur_df = read_version(spark, root).withColumn(
-        "_tf_file", F.input_file_name()
-    )
-    # normalize input_file_name's file:// URI back to a root-relative
-    # path: take everything after "<abs root>/", scheme-agnostic
-    rel = F.regexp_extract(
-        "_tf_file", re.escape(os.path.abspath(root)) + "/(.*)$", 1
-    )
-    cur_df = cur_df.withColumn("_tf_file", rel)
+    cur_df = _current_with_file(spark, root)
+    extra = set(cur_df.columns) - {key, *payload, "_tf_file"}
+    if extra:
+        raise ValueError(
+            f"merge payload must cover every live column; table has "
+            f"evolved columns {sorted(extra)} not in key+payload — a "
+            f"rewrite would drop their data"
+        )
     keys = feed.select(F.col(key)).distinct()
     touched = [
         r[0]
@@ -271,12 +521,13 @@ def merge(
     merged = apply_change_feed(
         base_rows, feed, key, payload, order_col, tiebreak
     ).select(key, *payload)
-    adds = _write_data(merged, root, new_v, files, cluster_by)
+    adds = _write_data(merged, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "merge", "adds": adds,
         "removes": sorted(touched_set),
         "n_changes": feed.count(),
         "untouched_carried": len([f for f in current if f not in touched_set]),
+        "schema": merged.schema.json(),
     })
     return new_v
 
@@ -292,7 +543,7 @@ def merge_compacted(
     op_col: str = "op",
     epoch: int | None = None,
     files: int = 4,
-    cluster_by: str | None = None,
+    partition_by: str | Sequence[str] | None = None,
 ) -> int:
     """Copy-on-write merge for a COMPACTED CHANGE-STATE table: the table
     holds one sequence-maximal change record per ever-touched key —
@@ -317,21 +568,18 @@ def merge_compacted(
             if read_manifest(root, v).get("epoch") == epoch:
                 return v
     if not versions:
+        spec = _normalize_spec(partition_by)
         merged = latest_wins(batch.select(*cols), key, order_col, tiebreak)
-        adds = _write_data(merged, root, 0, files, cluster_by)
+        adds = _write_data(merged, root, 0, files, spec)
         _publish(root, 0, {
             "version": 0, "op": "merge_compacted", "adds": adds,
             "removes": [], "n_changes": batch.count(), "epoch": epoch,
-            "cluster_by": cluster_by,
+            "partition_by": spec, "schema": merged.schema.json(),
         })
         return 0
     new_v = versions[-1] + 1
-    cb = read_manifest(root, 0).get("cluster_by")
-    cur = read_version(spark, root).withColumn("_tf_file", F.input_file_name())
-    rel = F.regexp_extract(
-        "_tf_file", re.escape(os.path.abspath(root)) + "/(.*)$", 1
-    )
-    cur = cur.withColumn("_tf_file", rel)
+    spec = _table_spec(root)
+    cur = _current_with_file(spark, root)
     keys = batch.select(F.col(key)).distinct()
     touched = [
         r[0]
@@ -344,11 +592,11 @@ def merge_compacted(
     merged = latest_wins(
         base_rows.unionByName(batch.select(*cols)), key, order_col, tiebreak
     )
-    adds = _write_data(merged, root, new_v, files, cb)
+    adds = _write_data(merged, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "merge_compacted", "adds": adds,
         "removes": sorted(touched), "n_changes": batch.count(),
-        "epoch": epoch,
+        "epoch": epoch, "schema": merged.schema.json(),
     })
     return new_v
 
@@ -357,45 +605,98 @@ def compact(
     spark: SparkSession, root: str, files: int = 1
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot into ``files`` files per
-    cluster value (or ``files`` total, unclustered) as one commit that
-    removes every previously-active file — bin-packing the small files
-    merges/appends accumulate. Pure layout change: the snapshot's rows
-    are bit-identical before and after (pinned by test), history stays
-    time-travelable until vacuumed. The table-format twin of the
-    reference's VACUUM/maintenance pass (Maintenance.sql:134-137) and
-    of plans/layout.py's compaction entry, now manifest-committed."""
+    partition value (or ``files`` total, unpartitioned) as one commit
+    that removes every previously-active file — bin-packing the small
+    files merges/appends accumulate. Pure layout change: the snapshot's
+    rows are identical before and after (pinned by test; the read uses
+    mergeSchema so an evolved column survives the rewrite — old rows
+    materialize their NULLs, same values a merge_schema read produced),
+    history stays time-travelable until vacuumed. The table-format twin
+    of the reference's VACUUM/maintenance pass (Maintenance.sql:134-137)
+    and of plans/layout.py's compaction entry, now manifest-committed."""
     versions = list_versions(root)
     new_v = versions[-1] + 1
-    cb = read_manifest(root, 0).get("cluster_by")
+    spec = _table_spec(root)
     current = sorted(active_files(root))
-    snap = read_version(spark, root)
-    adds = _write_data(snap, root, new_v, files, cb)
+    snap = read_version(spark, root, merge_schema=True)
+    adds = _write_data(snap, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "compact", "adds": adds,
-        "removes": current, "n_changes": 0,
+        "removes": current, "n_changes": 0, "schema": snap.schema.json(),
     })
     return new_v
 
 
-def vacuum(root: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    root: str, keep_versions: int = 1, orphan_grace_sec: float = 86400.0
+) -> list[str]:
     """Delete data files unreferenced by the last ``keep_versions``
     committed snapshots (time travel older than that is sacrificed —
-    the retention trade every real format documents). Returns deleted
-    relative paths."""
+    the retention trade every real format documents). Two-tier safety:
+    files named in SOME manifest but expired are deleted immediately
+    (they were committed; no in-flight writer owns them); files in NO
+    manifest are a possibly in-flight writer's pre-commit data and are
+    deleted only once older than ``orphan_grace_sec`` (default 24h) —
+    so vacuum can never strand a concurrent writer's about-to-commit
+    files. Records the new retention floor so ``read_version`` of an
+    expired version fails fast (VersionExpired) instead of surfacing a
+    mid-scan FileNotFound. Returns deleted relative paths."""
     versions = list_versions(root)
     retained = versions[-keep_versions:]
     live: set[str] = set()
     for v in retained:
         live |= set(active_files(root, v))
+    committed: set[str] = set()
+    for v in versions:
+        committed |= {_norm_add(a)["path"] for a in read_manifest(root, v)["adds"]}
+    now = time.time()
     deleted = []
-    for vdir in glob.glob(os.path.join(root, "data", "v=*")):
-        for p in glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True):
-            relp = os.path.relpath(p, root)
-            if relp not in live:
-                os.unlink(p)
-                deleted.append(relp)
+    for p in glob.glob(
+        os.path.join(root, "data", "**", "*.parquet"), recursive=True
+    ):
+        relp = os.path.relpath(p, root)
+        if relp in live:
+            continue
+        if relp in committed or now - os.path.getmtime(p) > orphan_grace_sec:
+            os.unlink(p)
+            deleted.append(relp)
+    floor = max(earliest_readable(root), retained[0])
+    with open(_retention_path(root), "w") as fh:
+        json.dump({"earliest_readable": floor}, fh)
     return sorted(deleted)
 
 
 def history(root: str) -> list[dict]:
     return [read_manifest(root, v) for v in list_versions(root)]
+
+
+#: ``<table> VERSION AS OF <n>`` — the SQL time-travel clause
+_TT_CLAUSE = re.compile(r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE)
+
+
+def sql(
+    spark: SparkSession, tables: Mapping[str, str], query: str
+) -> DataFrame:
+    """Tiny SQL resolver over table-format tables: rewrites
+    ``<name> VERSION AS OF <n>`` to a temp view of ``read_version(root,
+    n)`` and binds bare ``<name>`` references to the latest snapshot —
+    so time travel is reachable from SQL, not just the Python API (the
+    Delta `VERSION AS OF` surface, resolved pre-parse). ``tables`` maps
+    SQL names to table roots. Versioned views are registered as
+    ``<name>__v<n>`` (stable names: re-running the same query reuses
+    them)."""
+    def _sub(m: re.Match) -> str:
+        name, v = m.group(1), int(m.group(2))
+        if name not in tables:
+            return m.group(0)
+        view = f"{name}__v{v}"
+        read_version(spark, tables[name], v).createOrReplaceTempView(view)
+        return view
+
+    rewritten = _TT_CLAUSE.sub(_sub, query)
+    for name, root in tables.items():
+        # \b keeps <name>__v<n> views from re-binding (underscore is a
+        # word char, so there is no boundary before "__v")
+        if re.search(rf"\b{name}\b", rewritten):
+            read_version(spark, root).createOrReplaceTempView(name)
+    return spark.sql(rewritten)

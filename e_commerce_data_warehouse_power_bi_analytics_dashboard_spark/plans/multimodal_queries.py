@@ -643,6 +643,50 @@ def mm_wav_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_multichannel_decode",
+    oracle="""
+        WITH aud AS (
+            SELECT doc_id, 30 + (doc_id % 12) * 15 AS n,
+                   3 + doc_id % 4 AS nch
+            FROM documents WHERE doc_id % 7 = 5
+        ),
+        s AS (
+            SELECT a.doc_id, a.n, a.nch, c.c AS ch,
+                   ((a.doc_id * 131 + i.i * 37 + c.c * 53) % 20001) - 10000 AS v
+            FROM aud a
+            JOIN range(0, 195) i(i) ON i.i < a.n
+            JOIN range(0, 6) c(c) ON c.c < a.nch
+        )
+        SELECT doc_id, CAST(nch AS INT) AS n_channels,
+               CAST(ch AS INT) AS channel,
+               CAST(n AS BIGINT) AS n_frames,
+               round(sqrt(avg(v * v)), 6) AS rms
+        FROM s GROUP BY doc_id, nch, ch, n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "mapInPandas"),
+    doc="N-CHANNEL WAV decode (r9 — closes the r8 two-channel ceiling, "
+        "verdict task #9): synthesize valid int16-LE RIFF/WAVE files "
+        "with 3-6 interleaved channels (block align = 2*nch), "
+        "chunk-walk and deinterleave at stride nch in mapInPandas, "
+        "emitting per-channel RMS in LONG format (one row per channel "
+        "— the shape that scales to any surround layout without "
+        "per-channel columns). Channel sums of squares are exact ints, "
+        "so the sqrt-of-ratio is engine-stable; the oracle reproduces "
+        "every channel from the closed-form formula without touching "
+        "bytes.",
+)
+def mm_wav_multichannel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 5)
+    decoded = MM.decode_wav_multichannel(
+        MM.synthesize_wav_multichannel_payloads(docs)
+    )
+    return decoded.select(
+        "doc_id", "n_channels", "channel", "n_frames",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
     "mm_jpeg_header_parse",
     oracle="""
         SELECT doc_id,

@@ -50,8 +50,10 @@ _BUILT: set[tuple[str, str]] = set()
 
 
 def table_root(sf_dir: str) -> str:
+    # v2: manifest format carries per-file footer stats + partition
+    # values + writer schema (r9) — old v1 scratch tables are not reused
     return os.path.join(
-        SCRATCH_ROOT, "table_format_v1",
+        SCRATCH_ROOT, "table_format_v2",
         os.path.basename(sf_dir.rstrip("/")), "dim_customer",
     )
 
@@ -122,7 +124,7 @@ def ensure_demo_table(spark: SparkSession, sf_dir: str) -> str:
         return root
     cust = _with_bucket(read_table(spark, sf_dir, "customer"))
     base = cust.filter(F.col("c_custkey") % 4 != 0).select("c_custkey", *_PAYLOAD)
-    tf.create_table(spark, root, base, cluster_by="c_bucket")
+    tf.create_table(spark, root, base, partition_by="c_bucket")
     tf.merge(spark, root, _feed1(cust), "c_custkey", _PAYLOAD, "seq", "tb")
     tf.merge(spark, root, _feed2(cust), "c_custkey", _PAYLOAD, "seq", "tb")
     _BUILT.add(key)
@@ -237,7 +239,7 @@ def tf_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _evo_root(sf_dir: str) -> str:
     return os.path.join(
-        SCRATCH_ROOT, "table_format_v1",
+        SCRATCH_ROOT, "table_format_v2",
         os.path.basename(sf_dir.rstrip("/")), "dim_customer_evo",
     )
 
@@ -256,7 +258,7 @@ def ensure_evo_table(spark: SparkSession, sf_dir: str) -> str:
         return root
     cust = _with_bucket(read_table(spark, sf_dir, "customer"))
     base = cust.filter(F.col("c_custkey") % 4 != 0).select("c_custkey", *_PAYLOAD)
-    tf.create_table(spark, root, base, cluster_by="c_bucket")
+    tf.create_table(spark, root, base, partition_by="c_bucket")
     evolved = cust.filter(F.col("c_custkey") % 4 == 0).select(
         "c_custkey", *_PAYLOAD,
         (F.col("c_custkey") % 3).cast("int").alias("loyalty_tier"),
@@ -350,3 +352,152 @@ def tf_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_df.join(cnt, "version").select(
         "version", "op", "n_changes", "rows_after"
     )
+
+
+#: exact-decimal v2 balance expression, bucket-1 restriction (see
+#: tf_stats_pruned_read: bucket 1 ⊂ base, no deletes land there —
+#: %16==3 keys are bucket 3 — so only the two update classes apply)
+_O_BAL_V2 = """
+    CAST(c_acctbal AS DECIMAL(12,2))
+      + CASE WHEN c_custkey % 8 = 1 THEN 1000 ELSE 0 END
+      - CASE WHEN c_custkey % 16 = 5 THEN 500 ELSE 0 END
+"""
+
+
+@register(
+    "tf_stats_pruned_read",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {o_money_sum(_O_BAL_V2)} AS sum_acctbal,
+               CAST(1 AS INTEGER) AS files_scanned,
+               CAST(4 AS INTEGER) AS files_total,
+               TRUE AS pruned
+        FROM customer WHERE c_custkey % 4 = 1
+    """,
+    tags=("table_format", "data_skipping", "pruning", "acid"),
+    doc="Manifest-stats DATA SKIPPING: the latest snapshot read with "
+        "where c_bucket=(1,1) prunes every active file whose footer-"
+        "recorded min/max for c_bucket is disjoint — 1 of 4 files "
+        "survives (v2's bucket-1 rewrite; buckets 0/2/3 skipped), and "
+        "the file counts are emitted AS COLUMNS with a literal oracle, "
+        "so the hash match is a manifest-side proof that pruning "
+        "happened AND returned exactly the rows of an unpruned filtered "
+        "read. This is the reference's Iteration 3 indexing/partition-"
+        "pruning thesis (Group No.6_Indexing_Partitioning.sql:35-119) "
+        "realized on the lake surface: stats live in KB-sized manifests "
+        "written from parquet FOOTERS at commit time (no scan), so at "
+        "100 TB a key-localized query opens a handful of files instead "
+        "of the table. The row filter still applies after the skip — "
+        "pruning is a superset guarantee, pinned by the exact-decimal "
+        "balance sum.",
+)
+def tf_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_demo_table(spark, sf_dir)
+    where = {"c_bucket": (1, 1)}
+    selected, total = tf.snapshot_files(root, None, where)
+    snap = tf.read_version(spark, root, where=where)
+    return (
+        snap.filter(F.col("c_bucket") == 1)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            money_sum("c_acctbal").alias("sum_acctbal"),
+        )
+        .select(
+            "n_rows", "sum_acctbal",
+            F.lit(len(selected)).cast("int").alias("files_scanned"),
+            F.lit(total).cast("int").alias("files_total"),
+            F.lit(len(selected) < total).alias("pruned"),
+        )
+    )
+
+
+@register(
+    "tf_partitioned_merge",
+    oracle="""
+        SELECT CAST(0 AS INTEGER) AS version, 'create' AS op,
+               CAST(3 AS INTEGER) AS files_added,
+               CAST(0 AS INTEGER) AS files_removed,
+               CAST(3 AS INTEGER) AS files_active,
+               TRUE AS rewrite_bounded
+        UNION ALL
+        SELECT 1, 'merge', 2, 1, 4, TRUE
+        UNION ALL
+        SELECT 2, 'merge', 2, 2, 4, TRUE
+    """,
+    tags=("table_format", "partitioning", "merge", "acid"),
+    doc="Partition-spec file accounting: the demo table is created with "
+        "partition_by='c_bucket' (spec recorded in manifest 0; every "
+        "data-writing commit lays files down hive-partitioned, with "
+        "per-file partition values in the manifest), and each MERGE's "
+        "copy-on-write rewrite touches ONLY the partitions containing "
+        "fed keys. The per-version ledger — files added/removed/active "
+        "— is deterministic key arithmetic (3 bucket files at create — "
+        "the %4!=0 base has no bucket 0; merge 1 rewrites just the "
+        "bucket-1 file, its %8==4 inserts land as a NEW bucket-0 file; "
+        "merge 2 rewrites buckets 1 and 3), and rewrite_bounded pins "
+        "files_removed < files_active "
+        "before the commit at every merge — the 'rewrite fewer files "
+        "than the table has' property that bounds MERGE cost by the "
+        "change batch, not table size, at any scale. Literal oracle: "
+        "any drift in placement, touch detection, or carry-forward "
+        "breaks the hash.",
+)
+def tf_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_demo_table(spark, sf_dir)
+    rows = []
+    active = 0
+    for m in tf.history(root):
+        added, removed = len(m["adds"]), len(m["removes"])
+        before = active
+        active = active + added - removed
+        rows.append((
+            int(m["version"]), m["op"], added, removed, active,
+            bool(removed == 0 or removed < before),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version INT, op STRING, files_added INT, files_removed INT, "
+        "files_active INT, rewrite_bounded BOOLEAN",
+    )
+
+
+@register(
+    "tf_time_travel_sql",
+    oracle=f"""
+        SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {o_money_sum('CAST(c_acctbal AS DECIMAL(12,2))')} AS sum_acctbal
+        FROM ({_O_V0})
+        UNION ALL
+        SELECT 1, CAST(COUNT(*) AS BIGINT), {o_money_sum('c_acctbal')}
+        FROM ({_O_V1})
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT), {o_money_sum('c_acctbal')}
+        FROM ({_O_V2})
+    """,
+    tags=("table_format", "time_travel", "sql", "acid"),
+    doc="SQL-surface time travel: the same three historical states as "
+        "tf_time_travel_versions, but reached through the SQL resolver "
+        "(operators/table_format.py sql()) — `dim_customer VERSION AS "
+        "OF n` clauses are rewritten to snapshot temp views and the "
+        "query runs through spark.sql, so a SQL-only user gets the "
+        "Delta-style clause without touching the Python API. Same "
+        "closed-form oracle as the API twin: matching proves the "
+        "resolver binds each clause to exactly the right manifest "
+        "fold.",
+)
+def tf_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_demo_table(spark, sf_dir)
+    q = """
+        SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE) AS sum_acctbal
+        FROM dim_customer VERSION AS OF 0
+        UNION ALL
+        SELECT 1, CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE)
+        FROM dim_customer VERSION AS OF 1
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE)
+        FROM dim_customer VERSION AS OF 2
+    """
+    return tf.sql(spark, {"dim_customer": root}, q)

@@ -41,6 +41,39 @@ def test_artifact_covers_full_catalog(fname):
     assert data["_summary"]["bad"] == 0, f"{fname} records failures"
 
 
+def test_exec_plan_audit_covers_full_catalog():
+    """PLAN_AUDIT_EXEC.json (final-AQE EXECUTED plans at the bench
+    scale, emitted by bench.py) must cover EVERY catalog entry (r8
+    verdict #4 — the 182-entry long tail was guarded only on analyzed
+    plans, where AQE demotions are invisible), with zero errors, zero
+    cartesian products anywhere, and Python-boundary operators only in
+    the entries that declare an Arrow-batched stage (tags mapInPandas /
+    pandas-udf). Regenerate with ``python bench.py``."""
+    path = os.path.join(REPO, "PLAN_AUDIT_EXEC.json")
+    assert os.path.exists(path), "PLAN_AUDIT_EXEC.json missing — run bench.py"
+    with open(path) as f:
+        entries = json.load(f)["entries"]
+    catalog = get_catalog()
+    missing = sorted(set(catalog) - set(entries))
+    assert not missing, (
+        f"exec audit stale: {len(missing)} uncovered entries, e.g. {missing[:8]}"
+    )
+    errs = {k: v["err"] for k, v in entries.items() if "err" in v}
+    assert not errs, f"exec audit recorded errors: {dict(list(errs.items())[:4])}"
+    carts = [k for k, v in entries.items() if v.get("cartesian", 0) > 0]
+    assert not carts, f"cartesian product in executed plan(s): {carts}"
+    py_ok = {
+        n for n, q in catalog.items()
+        if "mapInPandas" in q.tags or "pandas-udf" in q.tags
+    }
+    bad_py = sorted(
+        k for k, v in entries.items() if v.get("py", 0) > 0 and k not in py_ok
+    )
+    assert not bad_py, (
+        f"undeclared Python boundary in executed plan(s): {bad_py}"
+    )
+
+
 def test_catalog_md_count_current():
     """CATALOG.md's headline entry count must match the live catalog
     (regen with ``python catalog_docs.py``)."""

@@ -1,7 +1,9 @@
 """Table-format invariants the oracle entries can't express: file-level
-copy-on-write, commit atomicity/conflict, snapshot immutability, vacuum
-retention. The data-level correctness of the same table is pinned by the
-three tf_* catalog entries (tests/test_catalog_oracle.py)."""
+copy-on-write, commit atomicity/conflict, concurrent-writer data-file
+isolation, snapshot immutability, vacuum retention + in-flight grace,
+schema-evolution safety of merge/compact, stats-based data skipping.
+The data-level correctness of the same table is pinned by the tf_*
+catalog entries (tests/test_catalog_oracle.py)."""
 
 from __future__ import annotations
 
@@ -29,27 +31,32 @@ def demo_root(spark):
     return tfq.ensure_demo_table(spark, SF_SMOKE)
 
 
+def _adds(manifest: dict) -> list[str]:
+    return [tf._norm_add(a)["path"] for a in manifest["adds"]]
+
+
 def _bucket_of(relpath: str) -> int:
     for part in relpath.split(os.sep):
-        if part.startswith("_pk="):
+        if part.startswith("_p_c_bucket="):
             return int(part.split("=", 1)[1])
-    raise AssertionError(f"no _pk= component in {relpath}")
+    raise AssertionError(f"no _p_c_bucket= component in {relpath}")
 
 
 def test_cow_rewrites_only_touched_buckets(spark, demo_root):
-    """Feed 1 touches buckets {1 (U %8==1), 0 (I %8==4)}; feed 2 touches
-    {3 (D %16==3), 1 (U %16==5)}. Bucket-2 files must survive BOTH
-    merges by reference — the copy-on-write property."""
+    """Feed 1's update keys (%8==1) live only in the bucket-1 file (its
+    %8==4 inserts are NOT in the table, so they touch nothing); feed 2
+    touches {3 (D %16==3), 1 (U %16==5)}. Buckets 0 and 2 of the base
+    must survive BOTH merges by reference — the copy-on-write property."""
     h = tf.history(demo_root)
     assert [m["op"] for m in h] == ["create", "merge", "merge"]
-    assert {_bucket_of(f) for f in h[1]["removes"]} <= {0, 1}
-    assert {_bucket_of(f) for f in h[1]["adds"]} <= {0, 1}
-    assert {_bucket_of(f) for f in h[2]["removes"]} <= {1, 3}
-    assert {_bucket_of(f) for f in h[2]["adds"]} <= {1, 3}
-    bucket2_v0 = {f for f in h[0]["adds"] if _bucket_of(f) == 2}
-    assert bucket2_v0, "base must have bucket-2 files"
-    assert bucket2_v0 <= set(tf.active_files(demo_root)), (
-        "bucket-2 files must be carried forward untouched"
+    assert {_bucket_of(f) for f in h[1]["removes"]} == {1}
+    assert {_bucket_of(f) for f in _adds(h[1])} == {0, 1}
+    assert {_bucket_of(f) for f in h[2]["removes"]} == {1, 3}
+    assert {_bucket_of(f) for f in _adds(h[2])} == {1, 3}
+    base_untouched = {f for f in _adds(h[0]) if _bucket_of(f) in (0, 2)}
+    assert base_untouched, "base must have bucket-0/2 files"
+    assert base_untouched <= set(tf.active_files(demo_root)), (
+        "untouched base files must be carried forward by reference"
     )
 
 
@@ -81,7 +88,9 @@ def test_time_travel_versions_immutable(spark, demo_root):
     cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
     assert n0 == cust.filter(F.col("c_custkey") % 4 != 0).count()
     v0_files = tf.active_files(demo_root, 0)
-    assert all(f.startswith(os.path.join("data", "v=0")) for f in v0_files)
+    assert all(
+        f.startswith(os.path.join("data", "v=0-")) for f in v0_files
+    )
 
 
 def test_commit_conflict_second_writer_loses(demo_root, tmp_path):
@@ -108,34 +117,155 @@ def test_vacuum_keeps_latest_drops_history(spark, demo_root, tmp_path):
     assert tf.read_version(spark, root).count() == before
 
 
-def test_append_commits_remove_nothing(spark):
-    """INSERT-INTO commits add files only; every prior file stays live
-    (nothing for vacuum to reclaim at latest)."""
-    root = tfq.ensure_evo_table(spark, SF_SMOKE)
-    h = tf.history(root)
-    assert [m["op"] for m in h] == ["create", "append"]
-    assert h[1]["removes"] == [] and h[1]["adds"]
-    assert set(tf.active_files(root)) == set(h[0]["adds"]) | set(h[1]["adds"])
+def test_vacuum_expired_version_fails_fast(spark, demo_root, tmp_path):
+    """Time travel past vacuum's retention floor raises a clean
+    VersionExpired at resolve time, never a mid-scan FileNotFound."""
+    root = str(tmp_path / "vacx")
+    shutil.copytree(demo_root, root)
+    tf.vacuum(root, keep_versions=1)
+    assert tf.earliest_readable(root) == 2
+    with pytest.raises(tf.VersionExpired):
+        tf.read_version(spark, root, 0)
+    # latest still reads
+    assert tf.read_version(spark, root).count() > 0
 
 
-def test_evolved_append_nulls_only_on_old_rows(spark):
-    """merge_schema read: the new column is NULL exactly on
-    pre-evolution rows."""
-    from pyspark.sql import functions as F
+def test_vacuum_grace_protects_inflight_writer(demo_root, tmp_path):
+    """A data file in NO manifest is a possibly in-flight writer's
+    pre-commit output: vacuum must keep it inside the grace window and
+    may reclaim it only once it is old enough."""
+    root = str(tmp_path / "vacg")
+    shutil.copytree(demo_root, root)
+    orphan_dir = os.path.join(root, "data", "v=99-deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1fake")
+    deleted = tf.vacuum(root, keep_versions=1)  # default 24h grace
+    rel = os.path.relpath(orphan, root)
+    assert rel not in deleted and os.path.exists(orphan)
+    os.utime(orphan, (1, 1))  # now ancient
+    deleted = tf.vacuum(root, keep_versions=1, orphan_grace_sec=3600)
+    assert rel in deleted and not os.path.exists(orphan)
 
-    root = tfq.ensure_evo_table(spark, SF_SMOKE)
-    df = tf.read_version(spark, root, merge_schema=True)
-    bad = df.filter(
-        (F.col("loyalty_tier").isNull()) != (F.col("c_custkey") % 4 != 0)
-    ).count()
-    assert bad == 0
+
+def test_racing_writers_never_clobber_data(spark, demo_root, tmp_path):
+    """THE r8-advice race: two writers both compute new_v = latest+1 and
+    write data files BEFORE the manifest race is decided. Attempt-unique
+    data directories mean the loser can never erase the winner's files:
+    exactly one commit lands, its snapshot is intact, and the loser's
+    files survive as orphans until vacuum's grace expires."""
+    import threading
+
+    root = str(tmp_path / "race")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    tf.create_table(spark, root, base, files=2)
+    results = []
+    barrier = threading.Barrier(2)
+
+    def writer(i):
+        batch = spark.range(1000 * (i + 1), 1000 * (i + 1) + 10).select(
+            F.col("id").alias("k"), F.lit(i).cast("long").alias("v")
+        )
+        barrier.wait()
+        try:
+            results.append(("ok", i, tf.append(spark, root, batch)))
+        except tf.CommitConflict:
+            results.append(("conflict", i, None))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    outcomes = sorted(r[0] for r in results)
+    assert outcomes == ["conflict", "ok"]
+    # the winner's snapshot is complete and readable (no missing files)
+    snap = tf.read_version(spark, root)
+    assert snap.count() == 110
+    # the loser's data files exist on disk but are referenced nowhere
+    all_parquet = {
+        os.path.relpath(p, root)
+        for p in __import__("glob").glob(
+            os.path.join(root, "data", "**", "*.parquet"), recursive=True
+        )
+    }
+    referenced = set()
+    for v in tf.list_versions(root):
+        referenced |= set(_adds(tf.read_manifest(root, v)))
+    orphans = all_parquet - referenced
+    assert orphans, "loser must have written orphan files"
+    # grace protects them now; zero-grace vacuum reclaims them
+    assert not set(tf.vacuum(root, keep_versions=2)) & orphans
+    deleted = tf.vacuum(root, keep_versions=2, orphan_grace_sec=-1.0)
+    assert orphans <= set(deleted)
+    assert tf.read_version(spark, root).count() == 110
+
+
+def test_read_version_empty_after_full_delete(spark, tmp_path):
+    """A merge whose feed deletes every row leaves an empty active set:
+    read_version must return an empty frame with the recorded schema,
+    not throw on a path-less parquet read."""
+    root = str(tmp_path / "empty")
+    base = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("long").alias("v")
+    )
+    tf.create_table(spark, root, base, files=1)
+    feed = base.select(
+        "k", F.lit("D").alias("op"), "v",
+        F.lit(1).alias("seq"), F.col("k").alias("tb"),
+    )
+    tf.merge(spark, root, feed, "k", ["v"], "seq", "tb", files=1)
+    snap = tf.read_version(spark, root)
+    assert snap.count() == 0
+    assert set(snap.columns) == {"k", "v"}
+    # and a subsequent merge re-inserts into the empty table
+    feed2 = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.lit("I").alias("op"),
+        F.lit(7).cast("long").alias("v"),
+        F.lit(2).alias("seq"), F.col("id").alias("tb"),
+    ).select("k", "op", "v", "seq", "tb")
+    tf.merge(spark, root, feed2, "k", ["v"], "seq", "tb", files=1)
+    assert tf.read_version(spark, root).count() == 3
+
+
+def test_merge_rejects_payload_missing_evolved_column(spark, tmp_path):
+    """MERGE on a schema-evolved table whose payload omits the evolved
+    column must fail loudly (a rewrite would silently drop its data —
+    the r8-advice corruption), never proceed."""
+    evo = tfq.ensure_evo_table(spark, SF_SMOKE)
+    root = str(tmp_path / "evo")
+    shutil.copytree(evo, root)
+    cust = tfq._with_bucket(spark.read.parquet(f"{SF_SMOKE}/customer.parquet"))
+    feed = tfq._feed1(cust)
+    with pytest.raises(ValueError, match="loyalty_tier"):
+        tf.merge(spark, root, feed, "c_custkey", tfq._PAYLOAD, "seq", "tb")
+
+
+def test_compact_preserves_evolved_column(spark, tmp_path):
+    """OPTIMIZE on an evolved table reads under the MERGED schema, so
+    the rewrite keeps loyalty_tier (old rows materialize their NULLs —
+    the exact values a merge_schema read produced before)."""
+    evo = tfq.ensure_evo_table(spark, SF_SMOKE)
+    root = str(tmp_path / "evoc")
+    shutil.copytree(evo, root)
+    before = sorted(map(tuple, tf.read_version(
+        spark, root, merge_schema=True
+    ).select("c_custkey", "c_acctbal", "loyalty_tier").collect()))
+    tf.compact(spark, root)
+    after = sorted(map(tuple, tf.read_version(spark, root)
+                       .select("c_custkey", "c_acctbal", "loyalty_tier")
+                       .collect()))
+    assert after == before
 
 
 def test_compact_preserves_rows_and_unifies_files(spark, demo_root, tmp_path):
     """OPTIMIZE: post-compaction snapshot is row-identical; every
     previously-active file is removed from the manifest (still on disk
     for time travel until vacuum); active files shrink to one per
-    cluster value."""
+    partition value."""
     root = str(tmp_path / "opt")
     shutil.copytree(demo_root, root)
     before = sorted(map(tuple, tf.read_version(spark, root).collect()))
@@ -146,13 +276,91 @@ def test_compact_preserves_rows_and_unifies_files(spark, demo_root, tmp_path):
     m = tf.read_manifest(root, v)
     assert set(m["removes"]) == pre_active
     post = tf.active_files(root)
-    assert len(post) <= 4 and all(f.startswith(f"data{os.sep}v={v}") for f in post)
+    assert len(post) <= 4 and all(
+        f.startswith(f"data{os.sep}v={v}-") for f in post
+    )
     # history before the compaction is still readable
     assert tf.read_version(spark, root, 0).count() > 0
     # and vacuum now reclaims every pre-compaction file
     deleted = tf.vacuum(root, keep_versions=1)
     assert pre_active <= set(deleted)
     assert sorted(map(tuple, tf.read_version(spark, root).collect())) == before
+
+
+def test_append_commits_remove_nothing(spark):
+    """INSERT-INTO commits add files only; every prior file stays live
+    (nothing for vacuum to reclaim at latest)."""
+    root = tfq.ensure_evo_table(spark, SF_SMOKE)
+    h = tf.history(root)
+    assert [m["op"] for m in h] == ["create", "append"]
+    assert h[1]["removes"] == [] and h[1]["adds"]
+    assert set(tf.active_files(root)) == set(_adds(h[0])) | set(_adds(h[1]))
+
+
+def test_evolved_append_nulls_only_on_old_rows(spark):
+    """merge_schema read: the new column is NULL exactly on
+    pre-evolution rows."""
+    root = tfq.ensure_evo_table(spark, SF_SMOKE)
+    df = tf.read_version(spark, root, merge_schema=True)
+    bad = df.filter(
+        (F.col("loyalty_tier").isNull()) != (F.col("c_custkey") % 4 != 0)
+    ).count()
+    assert bad == 0
+
+
+def test_manifest_records_partition_and_stats(demo_root):
+    """Every data-writing commit records per-file partition values and
+    footer min/max for the stat-extractable columns — the metadata data
+    skipping folds over."""
+    for m in tf.history(demo_root):
+        for a in m["adds"]:
+            rec = tf._norm_add(a)
+            assert rec["partition"]["c_bucket"] == str(
+                _bucket_of(rec["path"])
+            )
+            st = rec["stats"]
+            assert st["c_bucket"]["min"] == st["c_bucket"]["max"]
+            assert st["c_custkey"]["min"] <= st["c_custkey"]["max"]
+            assert rec["rows"] > 0
+    assert tf.read_manifest(demo_root, 0)["partition_by"] == ["c_bucket"]
+
+
+def test_stats_pruning_selects_only_overlapping_files(demo_root):
+    """Data skipping: a bucket-equality bound keeps exactly the files
+    whose recorded min/max overlap; an all-covering bound prunes
+    nothing; a disjoint bound prunes everything."""
+    sel, total = tf.snapshot_files(demo_root, None, {"c_bucket": (1, 1)})
+    assert total == 4 and len(sel) == 1
+    assert _bucket_of(sel[0]) == 1
+    sel_all, _ = tf.snapshot_files(demo_root, None, {"c_bucket": (0, 3)})
+    assert len(sel_all) == total
+    sel_none, _ = tf.snapshot_files(demo_root, None, {"c_bucket": (7, 9)})
+    assert sel_none == []
+
+
+def test_pruned_read_equals_filtered_unpruned_read(spark, demo_root):
+    """Superset guarantee end-to-end: pruned-scan + row filter ==
+    full-scan + row filter, row for row."""
+    pruned = (
+        tf.read_version(spark, demo_root, where={"c_bucket": (1, 1)})
+        .filter(F.col("c_bucket") == 1)
+    )
+    full = tf.read_version(spark, demo_root).filter(F.col("c_bucket") == 1)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_sql_version_as_of_binds_each_clause(spark, demo_root):
+    """The SQL resolver rewrites VERSION AS OF clauses independently and
+    binds bare names to latest."""
+    out = tf.sql(
+        spark, {"dim_customer": demo_root},
+        "SELECT (SELECT COUNT(*) FROM dim_customer VERSION AS OF 0) AS n0, "
+        "(SELECT COUNT(*) FROM dim_customer VERSION AS OF 2) AS n2, "
+        "(SELECT COUNT(*) FROM dim_customer) AS nl",
+    ).collect()[0]
+    assert out.n2 == out.nl and out.n0 != out.n2
 
 
 def test_concurrent_writers_exactly_one_commit_wins(spark, demo_root, tmp_path):
