@@ -1407,8 +1407,10 @@ def synthesize_jpeg_payloads(docs: DataFrame) -> DataFrame:
     streams — SOI, APP0(JFIF), a VARIABLE-LENGTH COM segment carrying the
     doc's text head (so the parser must genuinely walk lengths, not use
     fixed offsets), SOF0 with the metadata dimensions, EOI. Entropy-coded
-    scan data is omitted (header-only streams): dimension parsing is a
-    header walk and must not depend on pixel payload."""
+    scan data is omitted BY DESIGN here (header-only streams): dimension
+    parsing is a header walk and must not depend on pixel payload. For
+    full streams with a real scan, see encode_jpeg /
+    synthesize_jpeg_pixel_payloads below (r9)."""
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
     )
@@ -1507,6 +1509,460 @@ def decode_jpeg_header(with_jpeg: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in JPEG_SCHEMA.fields])
 
     return with_jpeg.select("doc_id", "jpeg").mapInPandas(dec, JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG entropy codec (r9) — REAL scan data, stdlib bitstream +
+# numpy DCT. Encoder + decoder for baseline sequential DCT (SOF0),
+# 8-bit, 1 or 3 components at 1x1 sampling (4:4:4). The decoder is
+# general: it builds canonical Huffman tables FROM the DHT segments and
+# dequantizes FROM the DQT segments, so it decodes any conforming
+# baseline 4:4:4 stream, not just this encoder's output. Subsampled
+# chroma (4:2:0), restart intervals, and progressive (SOF2) raise
+# NotImplementedError — honestly gated, fuzz-tested to raise.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The spec's zigzag traversal as (row, col) pairs — generated, not
+    hand-typed: anti-diagonal s runs down-left for odd s, up-right for
+    even s (ITU T.81 figure 5)."""
+    out = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        if s % 2 == 0:
+            rows = reversed(rows)
+        out.extend((r, s - r) for r in rows)
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+
+#: canonical Huffman specs this ENCODER writes into DHT (the decoder
+#: reads whatever DHT declares): 12 DC categories at code length 4;
+#: all 162 AC symbols (EOB, ZRL, run 0-15 x size 1-10) at length 8.
+#: Both are valid (incomplete) canonical codes with no all-ones word.
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_DC_VALUES = list(range(12))
+_AC_VALUES = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_COUNTS = [0] * 16
+_AC_COUNTS[7] = len(_AC_VALUES)
+
+
+def _canonical_codes(counts: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, bit length) per the canonical construction DHT
+    implies (JPEG annex C)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    a = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    a[0, :] *= 1 / np.sqrt(2)
+    return a  # F = A @ p @ A.T ; p = A.T @ F @ A
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (an 0xFF data
+    byte is followed by 0x00) and 1-padding at flush (spec D.1.6)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0xFF, 8 - self.n)  # pad with 1 bits
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, extra bits) of a DC diff / AC coefficient: category is
+    bit_length(|v|); negatives store v + 2^size - 1 (one's complement
+    convention of EXTEND, spec F.1.2.1)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(
+    planes: list[list[list[int]]],
+    quant: list[int] | None = None,
+) -> bytes:
+    """Baseline sequential JPEG encoder with a REAL entropy-coded scan:
+    level shift, float FDCT, quantization (``quant`` in NATURAL order,
+    default all-16s), zigzag, canonical-Huffman DC-diff/AC-runlength
+    coding with byte stuffing. ``planes`` is 1 (grayscale) or 3
+    (as-coded e.g. YCbCr) full-resolution grids of 0-255 ints, all the
+    same size; non-multiple-of-8 edges are replicated outward and the
+    true dimensions travel in SOF0 (the decoder crops back). All
+    components share quant table 0 and Huffman pair 0 at 1x1 sampling —
+    a valid, if uncustomized, interchange stream."""
+    import struct
+
+    import numpy as np
+
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg: 1 or 3 components")
+    h, w = len(planes[0]), len(planes[0][0])
+    qt = list(quant) if quant is not None else [16] * 64
+    a = _dct_matrix()
+    qzz = [qt[r * 8 + c] for r, c in _ZIGZAG]
+    dc_codes = _canonical_codes(_DC_COUNTS, _DC_VALUES)
+    ac_codes = _canonical_codes(_AC_COUNTS, _AC_VALUES)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    padded = []
+    for p in planes:
+        arr = np.asarray(p, dtype=np.float64)
+        arr = np.pad(
+            arr, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)), mode="edge"
+        )
+        padded.append(arr - 128.0)
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(bh_):
+        for bx in range(bw_):
+            for ci in range(ncomp):
+                blk = padded[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coef = a @ blk @ a.T
+                zz = [
+                    int(round(coef[r, c] / qt[r * 8 + c]))
+                    for r, c in _ZIGZAG
+                ]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                size, bits = _magnitude(diff)
+                wtr.put(*dc_codes[size])
+                if size:
+                    wtr.put(bits, size)
+                run = 0
+                last_nz = max(
+                    (k for k in range(1, 64) if zz[k]), default=0
+                )
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        wtr.put(*ac_codes[0xF0])  # ZRL
+                        run -= 16
+                    size, bits = _magnitude(zz[k])
+                    wtr.put(*ac_codes[(run << 4) | size])
+                    wtr.put(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    wtr.put(*ac_codes[0x00])  # EOB
+    scan = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(qzz))
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof_body += bytes([ci + 1, 0x11, 0x00])
+    sof = seg(0xC0, sof_body)
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_VALUES)
+    ) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_VALUES)
+    )
+    sos_body = bytes([ncomp])
+    for ci in range(ncomp):
+        sos_body += bytes([ci + 1, 0x00])
+    sos_body += bytes([0, 63, 0])
+    sos = seg(0xDA, sos_body)
+    app0 = seg(0xE0, _JFIF_APP0)
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with byte DE-stuffing;
+    a non-stuffing marker inside the scan is an error (this decoder
+    does not support restart intervals — DRI is rejected upstream)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("entropy data truncated")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nb = self.d[self.pos] if self.pos < len(self.d) else None
+                if nb == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        f"marker 0xFF{nb:02X} inside entropy data" if nb
+                        is not None else "entropy data truncated at 0xFF"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(rdr: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | rdr.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(bits: int, size: int) -> int:
+    """EXTEND (spec F.2.2.1): map ``size`` received bits back to the
+    signed coefficient."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
+    """Full baseline JPEG decode → (width, height, per-component pixel
+    planes, as coded — no color conversion).
+
+    Real decode, general over conforming inputs: canonical Huffman
+    tables are built from the stream's own DHT segments, quantization
+    from its DQT (8-bit precision), frame geometry from SOF0/SOF1;
+    the scan is bit-read with byte de-stuffing, DC predicted per
+    component, AC run-length/EOB/ZRL expanded, coefficients
+    de-zigzagged, dequantized, and reconstructed with the float IDCT
+    (numpy), level-shifted and clamped to 0..255. Requires 1x1 sampling
+    on every component (4:4:4 or grayscale); subsampled chroma,
+    restart intervals (DRI), progressive/arithmetic frames, and 16-bit
+    quant tables raise NotImplementedError. Cites the same marker-walk
+    contract as parse_jpeg_header above; pure function + numpy, so the
+    codec is property-testable without a session."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, tq)])
+    scan_info = None
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        marker = b[pos + 1]
+        pos += 2
+        if marker in _JPEG_BARE:
+            if marker == 0xD9:
+                break
+            continue
+        (seg_len,) = struct.unpack(">H", b[pos:pos + 2])
+        body = b[pos + 2:pos + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qts[tq] = list(body[o + 1:o + 65])
+                o += 65
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                counts = list(body[o + 1:o + 17])
+                nv = sum(counts)
+                values = list(body[o + 17:o + 17 + nv])
+                codes = _canonical_codes(counts, values)
+                huffs[(tc, th)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                o += 17 + nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            precision, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled components (only 1x1 / 4:4:4)"
+                    )
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline frame (progressive/"
+                                      "arithmetic/hierarchical)")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            ns = body[0]
+            scan_info = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                 body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            pos += seg_len
+            break
+        pos += seg_len
+    if frame is None or scan_info is None:
+        raise ValueError("missing SOF or SOS")
+    fh, fw, comps = frame
+    a = _dct_matrix()
+    inv = a.T
+    rdr = _BitReader(b, pos)
+    bw_, bh_ = (fw + 7) // 8, (fh + 7) // 8
+    planes = [
+        np.zeros((bh_ * 8, bw_ * 8), dtype=np.int64) for _ in comps
+    ]
+    preds = [0] * len(comps)
+    comp_tables = []
+    for cid, tq in comps:
+        si = next(s for s in scan_info if s[0] == cid)
+        comp_tables.append((qts[tq], huffs[(0, si[1])], huffs[(1, si[2])]))
+    zz_rc = [(r, c) for r, c in _ZIGZAG]
+    for by in range(bh_):
+        for bx in range(bw_):
+            for ci, (qt, dct_tab, act_tab) in enumerate(comp_tables):
+                coef = np.zeros((8, 8))
+                size = _huff_decode(rdr, dct_tab)
+                preds[ci] += _extend(rdr.bits(size), size)
+                coef[0, 0] = preds[ci] * qt[0]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(rdr, act_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    s = sym & 0x0F
+                    r_, c_ = zz_rc[k]
+                    coef[r_, c_] = _extend(rdr.bits(s), s) * qt[k]
+                    k += 1
+                px = inv @ coef @ a + 128.0
+                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    np.clip(np.rint(px), 0, 255).astype(np.int64)
+                )
+    return fw, fh, [p[:fh, :fw].tolist() for p in planes]
+
+
+def synthesize_jpeg_pixel_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, jpeg binary): REAL baseline JPEGs with
+    entropy-coded scan data (encode_jpeg), grayscale, sized in whole
+    8x8 blocks (width 2-4 blocks, height 1-2). Each block is a CONSTANT
+    gray — g = 2*((doc_id*7 + by*3 + bx) % 128), even by construction —
+    chosen so the DCT round-trips EXACTLY: a constant block is DC-only
+    (AC coefficients are identically zero), DC = 8*(g-128) is divisible
+    by the quant step 16, so quantize→dequantize→IDCT reproduces g bit
+    for bit and the pixel stats have a closed-form SQL oracle. The
+    general (lossy) AC path is pinned by the property tests instead
+    (tests/test_multimodal.py round-trips random blocks against an
+    independent numpy reference)."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw_, bh_ = 2 + d % 3, 1 + d % 2
+                grid = [
+                    [
+                        2 * ((d * 7 + (y // 8) * 3 + (x // 8)) % 128)
+                        for x in range(bw_ * 8)
+                    ]
+                    for y in range(bh_ * 8)
+                ]
+                rows.append((d, encode_jpeg([grid])))
+            yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+JPEG_PX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("min_px", T.LongType()),
+        T.StructField("max_px", T.LongType()),
+        T.StructField("sum_px", T.LongType()),
+    ]
+)
+
+
+def decode_jpeg_pixel_stats(with_jpeg: DataFrame) -> DataFrame:
+    """Full-decode JPEG payloads via ``parse_jpeg_pixels`` in
+    Arrow-batched ``mapInPandas`` and emit exact integer pixel stats of
+    the (grayscale) plane."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, jb in zip(pdf["doc_id"], pdf["jpeg"]):
+                w, h, planes = parse_jpeg_pixels(bytes(jb))
+                if len(planes) != 1:
+                    raise ValueError(f"doc {doc_id}: expected grayscale")
+                flat = [v for row in planes[0] for v in row]
+                rows.append(
+                    (int(doc_id), w, h, min(flat), max(flat), sum(flat))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_PX_SCHEMA.fields])
+
+    return with_jpeg.select("doc_id", "jpeg").mapInPandas(dec, JPEG_PX_SCHEMA)
 
 
 AHASH_SCHEMA = T.StructType(

@@ -500,17 +500,55 @@ def test_wav_stereo_roundtrip():
     ]
 
 
-def test_wav_unsupported_channels_gated():
+def test_wav_multichannel_roundtrip():
+    """N-channel (5.1-style, r9): parse_wav deinterleaves 6 channels at
+    stride 6, each recovering its closed-form stream exactly."""
     import struct
 
-    fmt = struct.pack("<HHIIHH", 1, 6, 8000, 96000, 12, 16)  # 5.1 layout
+    d, frames, nch = 11, 9, 6
+    inter = [MM._sample_st(d, i, ch) for i in range(frames) for ch in range(nch)]
+    pcm = struct.pack(f"<{len(inter)}h", *inter)
+    fmt = struct.pack("<HHIIHH", 1, nch, 8000, 8000 * 2 * nch, 2 * nch, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, ch) == (8000, nch)
+    for c in range(nch):
+        assert list(got[c::nch]) == [
+            MM._sample_st(d, i, c) for i in range(frames)
+        ]
+
+
+def test_wav_zero_channels_gated():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", 0)
     )
-    with pytest.raises(NotImplementedError, match="ch=6"):
+    with pytest.raises(NotImplementedError, match="ch=0"):
         MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_multichannel_decode_spark(spark):
+    docs = spark.createDataFrame([(5,), (12,), (19,)], ["doc_id"])
+    out = MM.decode_wav_multichannel(
+        MM.synthesize_wav_multichannel_payloads(docs)
+    ).collect()
+    # one row per channel, nch = 3 + d % 4
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in per_doc.items():
+        nch = 3 + d % 4
+        assert len(rows) == nch
+        assert {r.channel for r in rows} == set(range(nch))
+        assert all(r.n_frames == 30 + (d % 12) * 15 for r in rows)
 
 
 def test_jpeg_header_parse_spark(spark):
@@ -759,3 +797,127 @@ def test_wav_pcm8_centered():
     )
     rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
     assert list(got) == [-128, 0, 127, -28]
+
+
+# --- baseline JPEG entropy codec (r9) ---------------------------------------
+
+
+def test_jpeg_constant_blocks_decode_exactly():
+    """Even-valued constant blocks are DC-only with DC divisible by the
+    quant step, so encode->decode is the IDENTITY — the property the
+    mm_jpeg_pixel_decode oracle states in closed form."""
+    for d in (0, 7, 37, 101):
+        bw_, bh_ = 2 + d % 3, 1 + d % 2
+        grid = [
+            [2 * ((d * 7 + (y // 8) * 3 + (x // 8)) % 128) for x in range(bw_ * 8)]
+            for y in range(bh_ * 8)
+        ]
+        w, h, planes = MM.parse_jpeg_pixels(MM.encode_jpeg([grid]))
+        assert (w, h) == (bw_ * 8, bh_ * 8)
+        assert planes[0] == grid
+
+
+def test_jpeg_three_component_and_crop():
+    """3-component 4:4:4 interleaves one block per component per MCU;
+    non-multiple-of-8 frames crop back to the SOF dimensions."""
+    pl = [
+        [[(c * 40 + 2 * ((y // 8) + (x // 8)) * 10) % 256 for x in range(16)]
+         for y in range(16)]
+        for c in range(3)
+    ]
+    w, h, planes = MM.parse_jpeg_pixels(MM.encode_jpeg(pl))
+    assert (w, h) == (16, 16) and len(planes) == 3
+    g = [[(x * 3 + y * 7) % 256 for x in range(13)] for y in range(10)]
+    w, h, p = MM.parse_jpeg_pixels(MM.encode_jpeg([g]))
+    assert (w, h) == (13, 10)
+    assert len(p[0]) == 10 and all(len(r) == 13 for r in p[0])
+
+
+def test_jpeg_unsupported_features_gated():
+    """Progressive frames, subsampled components, restart intervals and
+    16-bit quant tables raise NotImplementedError — honest gates, never
+    silent misdecodes."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    soi = b"\xff\xd8"
+    # progressive SOF2
+    sof2 = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        MM.parse_jpeg_pixels(soi + sof2 + b"\xff\xd9")
+    # 4:2:0 subsampling (first component 2x2)
+    sof420 = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    with pytest.raises(NotImplementedError, match="1x1"):
+        MM.parse_jpeg_pixels(soi + sof420 + b"\xff\xd9")
+    # restart interval
+    dri = seg(0xDD, struct.pack(">H", 8))
+    with pytest.raises(NotImplementedError, match="DRI"):
+        MM.parse_jpeg_pixels(soi + dri + b"\xff\xd9")
+    # 16-bit quant table (Pq=1)
+    dqt16 = seg(0xDB, bytes([0x10]) + bytes(128))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        MM.parse_jpeg_pixels(soi + dqt16 + b"\xff\xd9")
+
+
+def test_jpeg_pixel_decode_spark(spark):
+    docs = spark.createDataFrame([(1,), (6,), (11,)], ["doc_id"])
+    out = {
+        r.doc_id: r
+        for r in MM.decode_jpeg_pixel_stats(
+            MM.synthesize_jpeg_pixel_payloads(docs)
+        ).collect()
+    }
+    for d, r in out.items():
+        bw_, bh_ = 2 + d % 3, 1 + d % 2
+        gs = [
+            2 * ((d * 7 + by * 3 + bx) % 128)
+            for by in range(bh_) for bx in range(bw_)
+        ]
+        assert (r.width, r.height) == (bw_ * 8, bh_ * 8)
+        assert (r.min_px, r.max_px, r.sum_px) == (
+            min(gs), max(gs), sum(gs) * 64
+        )
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        bw=st.integers(1, 3),
+        bh=st.integers(1, 3),
+        seed=st.integers(0, 2**31),
+    )
+    def test_jpeg_roundtrip_property(bw, bh, seed):
+        """General (lossy) path: for ANY pixel grid, decode(encode(g))
+        equals an INDEPENDENT numpy reimplementation of the
+        FDCT->quantize->dequantize->IDCT pipeline to within 1 LSB (the
+        only slack is float rounding at half-way boundaries) — so the
+        Huffman coding, byte stuffing, zigzag, DC prediction and AC
+        run-length layers are exactly lossless."""
+        import random
+
+        import numpy as np
+
+        rng = random.Random(seed)
+        W, H = bw * 8, bh * 8
+        grid = [[rng.randrange(256) for _ in range(W)] for _ in range(H)]
+        w, h, planes = MM.parse_jpeg_pixels(MM.encode_jpeg([grid]))
+        assert (w, h) == (W, H)
+        a = MM._dct_matrix()
+        arr = np.asarray(grid, float) - 128.0
+        q = np.full((8, 8), 16.0)
+        ref = np.zeros((H, W))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = arr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                co = np.round((a @ blk @ a.T) / q) * q
+                ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                    np.rint(a.T @ co @ a + 128.0), 0, 255
+                )
+        assert np.abs(np.asarray(planes[0]) - ref).max() <= 1
