@@ -383,6 +383,10 @@ def main() -> None:
     # cleared the code: fresh in-session builds -> core 16.06 s
     # (BENCH_r06 line: 16.23 s), so the r7 number was machine
     # contention during the round-end window, not build contamination.
+    # r9 re-confirmed the pattern on the only >10% r7->r8 regression
+    # (basket_product_pairs 1.59 -> 1.90 s with zero code change): a
+    # quiet-machine 15-rep rerun read 1.43 s median. The machine_load
+    # marker below makes this diagnosis machine-readable per round.
     # The hygiene below is kept as cheap insurance anyway: training
     # leaves eagerly localCheckpoint-ed RDD blocks whose driver refs
     # are gone but whose JVM blocks linger until a GC lets

@@ -341,12 +341,22 @@ def _write_data(
     version: int,
     files: int,
     partition_by: Sequence[str] | None,
+    sort_by: str | None = None,
 ) -> list[dict]:
     """Write ``df`` under an ATTEMPT-UNIQUE directory and return the add
     records (path + partition values + footer stats). Uniqueness is the
     concurrent-writer safety property: two writers racing for the same
     version can never touch each other's files — the manifest race
-    decides the winner, the loser's directory is an orphan for vacuum."""
+    decides the winner, the loser's directory is an orphan for vacuum.
+
+    ``sort_by`` RANGE-CLUSTERS an unpartitioned write: rows are range-
+    partitioned into ``files`` sorted files, so each file's footer
+    min/max for that column is a DISJOINT interval and a range ``where``
+    prunes to the few files that overlap — the data-layout half of data
+    skipping (what OPTIMIZE ZORDER buys in real formats, in its 1-D
+    form). Under a partition spec the sort applies within each
+    partition's file (row-group locality only; the manifest tracks one
+    stats interval per file)."""
     uid = uuid.uuid4().hex[:8]
     vdir = os.path.join(root, "data", f"v={version}-{uid}")
     if partition_by:
@@ -362,11 +372,15 @@ def _write_data(
             pc = f"_p_{c}"
             out = out.withColumn(pc, F.col(c))
             pcols.append(pc)
+        out = out.repartition(*[F.col(pc) for pc in pcols])
+        if sort_by:
+            out = out.sortWithinPartitions(*pcols, sort_by)
+        out.write.mode("error").partitionBy(*pcols).parquet(vdir)
+    elif sort_by:
         (
-            out.repartition(*[F.col(pc) for pc in pcols])
-            .write.mode("error")
-            .partitionBy(*pcols)
-            .parquet(vdir)
+            df.repartitionByRange(files, F.col(sort_by))
+            .sortWithinPartitions(sort_by)
+            .write.mode("error").parquet(vdir)
         )
     else:
         df.coalesce(files).write.mode("error").parquet(vdir)
@@ -390,18 +404,22 @@ def create_table(
     df: DataFrame,
     files: int = 4,
     partition_by: str | Sequence[str] | None = None,
+    sort_by: str | None = None,
 ) -> int:
     """Commit 0: materialize ``df`` as the table's initial snapshot.
     ``partition_by`` (optional, str or list) records the table's
     PARTITION SPEC in the manifest and hive-partitions every data-
     writing commit on those columns, so key-localized MERGEs rewrite a
-    bounded file subset and stats-pruned reads skip whole partitions."""
+    bounded file subset and stats-pruned reads skip whole partitions.
+    ``sort_by`` range-clusters the files on a column (disjoint per-file
+    min/max intervals → range predicates prune; see _write_data)."""
     spec = _normalize_spec(partition_by)
-    adds = _write_data(df, root, 0, files, spec)
+    adds = _write_data(df, root, 0, files, spec, sort_by)
     _publish(root, 0, {
         "version": 0, "op": "create", "adds": adds, "removes": [],
         "n_changes": sum(a["rows"] for a in adds),
-        "partition_by": spec, "schema": df.schema.json(),
+        "partition_by": spec, "sort_by": sort_by,
+        "schema": df.schema.json(),
     })
     return 0
 
@@ -602,7 +620,8 @@ def merge_compacted(
 
 
 def compact(
-    spark: SparkSession, root: str, files: int = 1
+    spark: SparkSession, root: str, files: int = 1,
+    sort_by: str | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot into ``files`` files per
     partition value (or ``files`` total, unpartitioned) as one commit
@@ -613,18 +632,102 @@ def compact(
     materialize their NULLs, same values a merge_schema read produced),
     history stays time-travelable until vacuumed. The table-format twin
     of the reference's VACUUM/maintenance pass (Maintenance.sql:134-137)
-    and of plans/layout.py's compaction entry, now manifest-committed."""
+    and of plans/layout.py's compaction entry, now manifest-committed.
+    ``sort_by`` additionally range-clusters the rewrite (OPTIMIZE +
+    1-D ZORDER in one pass: small-file bin-packing AND disjoint
+    per-file stats intervals for the sort column)."""
     versions = list_versions(root)
     new_v = versions[-1] + 1
     spec = _table_spec(root)
     current = sorted(active_files(root))
     snap = read_version(spark, root, merge_schema=True)
-    adds = _write_data(snap, root, new_v, files, spec)
+    adds = _write_data(snap, root, new_v, files, spec, sort_by)
     _publish(root, new_v, {
         "version": new_v, "op": "compact", "adds": adds,
-        "removes": current, "n_changes": 0, "schema": snap.schema.json(),
+        "removes": current, "n_changes": 0, "sort_by": sort_by,
+        "schema": snap.schema.json(),
     })
     return new_v
+
+
+def change_feed(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    payload: Sequence[str],
+    v_from: int = 0,
+    v_to: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED: row-level changes between versions — every
+    commit in ``(v_from, v_to]`` contributes its inserts / deletes /
+    update post-images, derived by diffing ONLY the files that commit
+    removed (pre-state) against the files it added (post-state), never
+    whole snapshots — so feed cost follows the commits' touched files,
+    exactly like the merges that produced them (the Delta
+    ``table_changes`` surface, computed from the manifests instead of
+    stored CDC files). Output: key, *payload (the post-image; for
+    deletes, the final pre-image), ``_change_type`` in {'insert',
+    'update_postimage', 'delete'}, ``_commit_version``. Rows a rewrite
+    merely carried (payload bit-identical under null-safe comparison)
+    are filtered out. Requires key-unique snapshots — the contract
+    ``merge`` maintains."""
+    versions = list_versions(root)
+    if v_to is None:
+        v_to = versions[-1]
+    pay = list(payload)
+    parts: list[DataFrame] = []
+    for v in versions:
+        if v <= v_from or v > v_to:
+            continue
+        m = read_manifest(root, v)
+        adds = [os.path.join(root, _norm_add(a)["path"]) for a in m["adds"]]
+        rems = [os.path.join(root, p) for p in m["removes"]]
+        new = (
+            spark.read.parquet(*adds).select(key, *pay) if adds else None
+        )
+        old = (
+            spark.read.parquet(*rems).select(key, *pay) if rems else None
+        )
+        if new is None and old is None:
+            continue
+        if old is None:
+            ch = new.withColumn("_change_type", F.lit("insert"))
+        elif new is None:
+            ch = old.withColumn("_change_type", F.lit("delete"))
+        else:
+            o = old.select(F.col(key), F.struct(*pay).alias("_pre"))
+            n = new.select(F.col(key), F.struct(*pay).alias("_post"))
+            j = o.join(n, key, "full_outer")
+            ch = (
+                j.withColumn(
+                    "_change_type",
+                    F.when(F.col("_pre").isNull(), F.lit("insert"))
+                    .when(F.col("_post").isNull(), F.lit("delete"))
+                    .when(
+                        ~F.col("_pre").eqNullSafe(F.col("_post")),
+                        F.lit("update_postimage"),
+                    ),  # equal pre/post -> NULL -> carried row, dropped
+                )
+                .filter(F.col("_change_type").isNotNull())
+                .withColumn("_img", F.coalesce("_post", "_pre"))
+                .select(key, "_img.*", "_change_type")
+            )
+        parts.append(ch.withColumn("_commit_version", F.lit(v)))
+    if not parts:
+        schema = _snapshot_schema(root, v_to)
+        base = spark.createDataFrame([], schema) if schema else None
+        if base is None:
+            raise FileNotFoundError(f"no readable commits at {root}")
+        return (
+            base.select(key, *pay)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0))
+            .limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def vacuum(

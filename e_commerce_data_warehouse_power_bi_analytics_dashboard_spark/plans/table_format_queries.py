@@ -501,3 +501,133 @@ def tf_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dim_customer VERSION AS OF 2
     """
     return tf.sql(spark, {"dim_customer": root}, q)
+
+
+@register(
+    "tf_change_feed",
+    oracle="""
+        SELECT CAST(1 AS INT) AS commit_version, 'insert' AS change_type,
+               c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+               c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 8 = 4
+        UNION ALL
+        SELECT 1, 'update_postimage', c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 1000 AS DOUBLE),
+               'MERGED'
+        FROM customer WHERE c_custkey % 8 = 1
+        UNION ALL
+        SELECT 2, 'delete', c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE),
+               c_mktsegment
+        FROM customer WHERE c_custkey % 16 = 3
+        UNION ALL
+        SELECT 2, 'update_postimage', c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) - 500 AS DOUBLE),
+               'MERGED2'
+        FROM customer WHERE c_custkey % 16 = 5
+    """,
+    tags=("table_format", "cdc", "change_feed", "acid"),
+    doc="CHANGE DATA FEED between versions (r9): row-level inserts / "
+        "update post-images / deletes for commits 1 and 2, derived by "
+        "diffing ONLY each commit's removed files (pre-state) against "
+        "its added files (post-state) — never whole snapshots, so feed "
+        "cost follows the merges' touched files (the Delta "
+        "table_changes surface computed from manifests, no stored CDC "
+        "files). Rows the copy-on-write rewrite merely carried are "
+        "dropped by null-safe payload comparison; the closed-form "
+        "oracle reconstructs every change class from customer mod "
+        "arithmetic, so one spurious or missing change row breaks the "
+        "hash. This is what downstream incremental consumers (a "
+        "streaming gold table, a cache invalidator) subscribe to at "
+        "100 TB instead of re-diffing snapshots.",
+)
+def tf_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_demo_table(spark, sf_dir)
+    ch = tf.change_feed(spark, root, "c_custkey", _PAYLOAD, v_from=0)
+    return ch.select(
+        F.col("_commit_version").cast("int").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def _sorted_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v2",
+        os.path.basename(sf_dir.rstrip("/")), "dim_customer_sorted",
+    )
+
+
+def ensure_sorted_table(spark: SparkSession, sf_dir: str) -> str:
+    """A third demo table for SORTED COMPACTION: commit 0 is the full
+    customer set as ONE unsorted file (every range query must scan it);
+    commit 1 is ``compact(files=4, sort_by='c_custkey')`` — OPTIMIZE +
+    1-D ZORDER: four range-clustered files whose manifest stats carry
+    DISJOINT c_custkey intervals."""
+    root = _sorted_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir + "#sorted")
+    if key in _BUILT:
+        return root
+    if os.path.exists(tf._commit_path(root, 1)):
+        _BUILT.add(key)
+        return root
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    tf.create_table(spark, root, cust, files=1)
+    tf.compact(spark, root, files=4, sort_by="c_custkey")
+    _BUILT.add(key)
+    return root
+
+
+@register(
+    "tf_sorted_range_skipping",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {o_money_sum('CAST(c_acctbal AS DECIMAL(12,2))')} AS sum_acctbal,
+               CAST(4 AS INTEGER) AS files_total,
+               TRUE AS pruned,
+               CAST(1 AS INTEGER) AS unsorted_files_total
+        FROM customer WHERE c_custkey BETWEEN 1 AND 100
+    """,
+    tags=("table_format", "data_skipping", "zorder", "compaction", "acid"),
+    doc="OPTIMIZE with range clustering -> data skipping (r9): the "
+        "sorted demo table's commit 1 is compact(files=4, "
+        "sort_by=c_custkey) — rows range-partitioned into four sorted "
+        "files, so the manifest's per-file c_custkey min/max are "
+        "DISJOINT intervals and the key-range read where=(1,100) "
+        "prunes to the overlapping file(s) (pruned column pins "
+        "selected < total; at version 0 the same query must scan the "
+        "single unsorted file — unsorted_files_total). The rows "
+        "themselves hash-match a plain customer range scan, proving "
+        "the cluster rewrite moved every row to exactly one file and "
+        "lost none. This is the layout half of the reference's "
+        "Iteration 3 range-index study (Group No.6_Indexing_"
+        "Partitioning.sql:35-49) on the lake: ORDER the data once at "
+        "OPTIMIZE time, then every range query reads a bounded file "
+        "subset forever after.",
+)
+def tf_sorted_range_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_sorted_table(spark, sf_dir)
+    where = {"c_custkey": (1, 100)}
+    selected, total = tf.snapshot_files(root, None, where)
+    sel_v0, total_v0 = tf.snapshot_files(root, 0, where)
+    snap = tf.read_version(spark, root, where=where)
+    return (
+        snap.filter(F.col("c_custkey").between(1, 100))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            money_sum("c_acctbal").alias("sum_acctbal"),
+        )
+        .select(
+            "n_rows", "sum_acctbal",
+            F.lit(total).cast("int").alias("files_total"),
+            F.lit(len(selected) < total).alias("pruned"),
+            F.lit(total_v0).cast("int").alias("unsorted_files_total"),
+        )
+    )

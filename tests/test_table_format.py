@@ -397,3 +397,57 @@ def test_concurrent_writers_exactly_one_commit_wins(spark, demo_root, tmp_path):
     ]
     winner = [i for r, i in results if r == "ok"][0]
     assert tf.read_manifest(root, 1)["adds"] == [f"w{winner}"]
+
+
+def test_change_feed_classes_match_mod_arithmetic(spark, demo_root):
+    """CDF row classes per commit match the feeds' mod classes exactly
+    (data values are oracle-gated by the tf_change_feed entry; this
+    pins the per-commit partitioning of the classes)."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    n = {
+        k: cust.filter(F.col("c_custkey") % m == r).count()
+        for k, (m, r) in {
+            "ins1": (8, 4), "upd1": (8, 1), "del2": (16, 3), "upd2": (16, 5)
+        }.items()
+    }
+    ch = tf.change_feed(spark, demo_root, "c_custkey", tfq._PAYLOAD)
+    got = {
+        (r["_commit_version"], r["_change_type"]): r["cnt"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {
+        (1, "insert"): n["ins1"], (1, "update_postimage"): n["upd1"],
+        (2, "delete"): n["del2"], (2, "update_postimage"): n["upd2"],
+    }
+    # windowed feed: only commit 2's changes
+    ch2 = tf.change_feed(spark, demo_root, "c_custkey", tfq._PAYLOAD, v_from=1)
+    assert ch2.select("_commit_version").distinct().collect()[0][0] == 2
+
+
+def test_sorted_compact_stats_are_disjoint_intervals(spark):
+    """compact(sort_by) range-clusters: the four files' c_custkey
+    manifest intervals are pairwise disjoint, and a low range prunes
+    to one file (at v0 the single unsorted file can never prune)."""
+    root = tfq.ensure_sorted_table(spark, SF_SMOKE)
+    adds = tf.active_adds(root)
+    assert len(adds) == 4
+    iv = sorted(
+        (a["stats"]["c_custkey"]["min"], a["stats"]["c_custkey"]["max"])
+        for a in adds
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(iv, iv[1:]):
+        assert hi1 < lo2, f"overlapping intervals {iv}"
+    # selection must be EXACTLY the overlapping-interval files (fewer
+    # than all 4 — the first interval alone covers well under half the
+    # keyspace), and at v0 the single unsorted file can never prune
+    lo_q, hi_q = 1, min(a["stats"]["c_custkey"]["max"] for a in adds)
+    want = {
+        a["path"] for a in adds
+        if a["stats"]["c_custkey"]["min"] <= hi_q
+        and a["stats"]["c_custkey"]["max"] >= lo_q
+    }
+    sel, total = tf.snapshot_files(root, None, {"c_custkey": (lo_q, hi_q)})
+    assert total == 4 and set(sel) == want and len(sel) == 1
+    sel0, total0 = tf.snapshot_files(root, 0, {"c_custkey": (lo_q, hi_q)})
+    assert total0 == 1 and len(sel0) == 1
