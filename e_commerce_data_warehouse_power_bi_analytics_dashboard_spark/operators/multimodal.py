@@ -1514,12 +1514,14 @@ def decode_jpeg_header(with_jpeg: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # baseline JPEG entropy codec (r9) — REAL scan data, stdlib bitstream +
 # numpy DCT. Encoder + decoder for baseline sequential DCT (SOF0),
-# 8-bit, 1 or 3 components at 1x1 sampling (4:4:4). The decoder is
-# general: it builds canonical Huffman tables FROM the DHT segments and
+# 8-bit, 1 or 3 components, sampling factors 1-2 per axis: 4:4:4 AND
+# the dominant real-corpus layout 4:2:0 (2x2 luma MCUs, box-decimated
+# chroma), plus 4:2:2/4:4:0 on the decode side. The decoder is general:
+# it builds canonical Huffman tables FROM the DHT segments and
 # dequantizes FROM the DQT segments, so it decodes any conforming
-# baseline 4:4:4 stream, not just this encoder's output. Subsampled
-# chroma (4:2:0), restart intervals, and progressive (SOF2) raise
-# NotImplementedError — honestly gated, fuzz-tested to raise.
+# baseline stream within those factors, not just this encoder's
+# output. Restart intervals, progressive (SOF2), and sampling factors
+# >2 raise NotImplementedError — honestly gated, fuzz-tested to raise.
 # ---------------------------------------------------------------------------
 
 
@@ -1608,19 +1610,51 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _encode_block(wtr, blk, a, qt, pred, dc_codes, ac_codes) -> int:
+    """FDCT -> quantize -> zigzag -> Huffman-code one 8x8 block; returns
+    the new DC predictor."""
+    coef = a @ blk @ a.T
+    zz = [int(round(coef[r, c] / qt[r * 8 + c])) for r, c in _ZIGZAG]
+    diff = zz[0] - pred
+    size, bits = _magnitude(diff)
+    wtr.put(*dc_codes[size])
+    if size:
+        wtr.put(bits, size)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            wtr.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        size, bits = _magnitude(zz[k])
+        wtr.put(*ac_codes[(run << 4) | size])
+        wtr.put(bits, size)
+        run = 0
+    if last_nz < 63:
+        wtr.put(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
 def encode_jpeg(
     planes: list[list[list[int]]],
     quant: list[int] | None = None,
+    subsample_420: bool = False,
 ) -> bytes:
     """Baseline sequential JPEG encoder with a REAL entropy-coded scan:
     level shift, float FDCT, quantization (``quant`` in NATURAL order,
     default all-16s), zigzag, canonical-Huffman DC-diff/AC-runlength
     coding with byte stuffing. ``planes`` is 1 (grayscale) or 3
     (as-coded e.g. YCbCr) full-resolution grids of 0-255 ints, all the
-    same size; non-multiple-of-8 edges are replicated outward and the
+    same size; edges are replicated outward to the MCU grid and the
     true dimensions travel in SOF0 (the decoder crops back). All
-    components share quant table 0 and Huffman pair 0 at 1x1 sampling —
-    a valid, if uncustomized, interchange stream."""
+    components share quant table 0 and Huffman pair 0. Default
+    sampling is 1x1 everywhere (4:4:4); ``subsample_420`` encodes
+    3-component input as 4:2:0 — luma at 2x2, both chromas box-mean
+    downsampled 2x in each axis and coded at 1x1, MCU = 4 luma + 1 Cb
+    + 1 Cr blocks, the dominant layout of real photo corpora."""
     import struct
 
     import numpy as np
@@ -1628,54 +1662,48 @@ def encode_jpeg(
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("encode_jpeg: 1 or 3 components")
+    if subsample_420 and ncomp != 3:
+        raise ValueError("4:2:0 needs 3 components")
+    sampling = [(2, 2), (1, 1), (1, 1)] if subsample_420 else [(1, 1)] * ncomp
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
     h, w = len(planes[0]), len(planes[0][0])
     qt = list(quant) if quant is not None else [16] * 64
     a = _dct_matrix()
     qzz = [qt[r * 8 + c] for r, c in _ZIGZAG]
     dc_codes = _canonical_codes(_DC_COUNTS, _DC_VALUES)
     ac_codes = _canonical_codes(_AC_COUNTS, _AC_VALUES)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    padded = []
-    for p in planes:
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mx, my = (w + mcu_w - 1) // mcu_w, (h + mcu_h - 1) // mcu_h
+    comp_arrays = []
+    for ci, p in enumerate(planes):
+        hi, vi = sampling[ci]
         arr = np.asarray(p, dtype=np.float64)
-        arr = np.pad(
-            arr, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)), mode="edge"
-        )
-        padded.append(arr - 128.0)
+        # pad the FULL-RES plane to the MCU grid first, then box-mean
+        # downsample to the component resolution (exact for the
+        # constant fixtures; the standard chroma decimation otherwise)
+        arr = np.pad(arr, ((0, my * mcu_h - h), (0, mx * mcu_w - w)),
+                     mode="edge")
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            arr = arr.reshape(
+                arr.shape[0] // fy, fy, arr.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        comp_arrays.append(arr - 128.0)
     wtr = _BitWriter()
     pred = [0] * ncomp
-    for by in range(bh_):
-        for bx in range(bw_):
+    for by in range(my):
+        for bx in range(mx):
             for ci in range(ncomp):
-                blk = padded[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-                coef = a @ blk @ a.T
-                zz = [
-                    int(round(coef[r, c] / qt[r * 8 + c]))
-                    for r, c in _ZIGZAG
-                ]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                size, bits = _magnitude(diff)
-                wtr.put(*dc_codes[size])
-                if size:
-                    wtr.put(bits, size)
-                run = 0
-                last_nz = max(
-                    (k for k in range(1, 64) if zz[k]), default=0
-                )
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        wtr.put(*ac_codes[0xF0])  # ZRL
-                        run -= 16
-                    size, bits = _magnitude(zz[k])
-                    wtr.put(*ac_codes[(run << 4) | size])
-                    wtr.put(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    wtr.put(*ac_codes[0x00])  # EOB
+                hi, vi = sampling[ci]
+                for v_ in range(vi):
+                    for h_ in range(hi):
+                        y0 = (by * vi + v_) * 8
+                        x0 = (bx * hi + h_) * 8
+                        blk = comp_arrays[ci][y0:y0 + 8, x0:x0 + 8]
+                        pred[ci] = _encode_block(
+                            wtr, blk, a, qt, pred[ci], dc_codes, ac_codes
+                        )
     scan = wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1684,7 +1712,8 @@ def encode_jpeg(
     dqt = seg(0xDB, bytes([0x00]) + bytes(qzz))
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof_body += bytes([ci + 1, 0x11, 0x00])
+        hi, vi = sampling[ci]
+        sof_body += bytes([ci + 1, (hi << 4) | vi, 0x00])
     sof = seg(0xC0, sof_body)
     dht = seg(
         0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_VALUES)
@@ -1769,12 +1798,14 @@ def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
     the scan is bit-read with byte de-stuffing, DC predicted per
     component, AC run-length/EOB/ZRL expanded, coefficients
     de-zigzagged, dequantized, and reconstructed with the float IDCT
-    (numpy), level-shifted and clamped to 0..255. Requires 1x1 sampling
-    on every component (4:4:4 or grayscale); subsampled chroma,
-    restart intervals (DRI), progressive/arithmetic frames, and 16-bit
-    quant tables raise NotImplementedError. Cites the same marker-walk
-    contract as parse_jpeg_header above; pure function + numpy, so the
-    codec is property-testable without a session."""
+    (numpy), level-shifted and clamped to 0..255. Sampling factors 1-2
+    per axis are decoded for real — grayscale, 4:4:4, and the dominant
+    photo layout 4:2:0 (interleaved Hi*Vi blocks per MCU, subsampled
+    planes replication-upsampled to full resolution) — while factors
+    >2, restart intervals (DRI), progressive/arithmetic frames, and
+    16-bit quant tables raise NotImplementedError. Cites the same
+    marker-walk contract as parse_jpeg_header above; pure function +
+    numpy, so the codec is property-testable without a session."""
     import struct
 
     import numpy as np
@@ -1826,11 +1857,13 @@ def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled components (only 1x1 / 4:4:4)"
+                        f"sampling factors {hi}x{vi} (1 or 2 only — "
+                        "covers 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -1854,43 +1887,62 @@ def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
     a = _dct_matrix()
     inv = a.T
     rdr = _BitReader(b, pos)
-    bw_, bh_ = (fw + 7) // 8, (fh + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mx, my = (fw + mcu_w - 1) // mcu_w, (fh + mcu_h - 1) // mcu_h
+    # each component decodes at ITS OWN resolution; subsampled planes
+    # are replication-upsampled to full resolution after the scan
     planes = [
-        np.zeros((bh_ * 8, bw_ * 8), dtype=np.int64) for _ in comps
+        np.zeros((my * vi * 8, mx * hi * 8), dtype=np.int64)
+        for _, hi, vi, _ in comps
     ]
     preds = [0] * len(comps)
     comp_tables = []
-    for cid, tq in comps:
+    for cid, hi, vi, tq in comps:
         si = next(s for s in scan_info if s[0] == cid)
-        comp_tables.append((qts[tq], huffs[(0, si[1])], huffs[(1, si[2])]))
+        comp_tables.append(
+            (hi, vi, qts[tq], huffs[(0, si[1])], huffs[(1, si[2])])
+        )
     zz_rc = [(r, c) for r, c in _ZIGZAG]
-    for by in range(bh_):
-        for bx in range(bw_):
-            for ci, (qt, dct_tab, act_tab) in enumerate(comp_tables):
-                coef = np.zeros((8, 8))
-                size = _huff_decode(rdr, dct_tab)
-                preds[ci] += _extend(rdr.bits(size), size)
-                coef[0, 0] = preds[ci] * qt[0]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(rdr, act_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    s = sym & 0x0F
-                    r_, c_ = zz_rc[k]
-                    coef[r_, c_] = _extend(rdr.bits(s), s) * qt[k]
-                    k += 1
-                px = inv @ coef @ a + 128.0
-                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
-                    np.clip(np.rint(px), 0, 255).astype(np.int64)
-                )
-    return fw, fh, [p[:fh, :fw].tolist() for p in planes]
+    for by in range(my):
+        for bx in range(mx):
+            for ci, (hi, vi, qt, dct_tab, act_tab) in enumerate(comp_tables):
+                for v_ in range(vi):
+                    for h_ in range(hi):
+                        coef = np.zeros((8, 8))
+                        size = _huff_decode(rdr, dct_tab)
+                        preds[ci] += _extend(rdr.bits(size), size)
+                        coef[0, 0] = preds[ci] * qt[0]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(rdr, act_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            s = sym & 0x0F
+                            r_, c_ = zz_rc[k]
+                            coef[r_, c_] = _extend(rdr.bits(s), s) * qt[k]
+                            k += 1
+                        px = inv @ coef @ a + 128.0
+                        y0 = (by * vi + v_) * 8
+                        x0 = (bx * hi + h_) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = np.clip(
+                            np.rint(px), 0, 255
+                        ).astype(np.int64)
+    out = []
+    for ci, (_, hi, vi, _) in enumerate(comps):
+        p = planes[ci]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        out.append(p[:fh, :fw].tolist())
+    return fw, fh, out
 
 
 def synthesize_jpeg_pixel_payloads(docs: DataFrame) -> DataFrame:
@@ -1928,6 +1980,81 @@ def synthesize_jpeg_pixel_payloads(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
     return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def synthesize_jpeg_420_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, jpeg binary): REAL 4:2:0 color JPEGs
+    (encode_jpeg(subsample_420=True)) sized in whole 16x16 MCUs (width
+    2-3, height 1-3). Luma is constant per 8x8 BLOCK, each chroma
+    constant per MCU — all even values — so box decimation, the DCT
+    round-trip, and replication upsampling are ALL exact and the
+    per-plane pixel sums have a closed-form SQL oracle."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mw, mh = 2 + d % 2, 1 + d % 3
+                y_p = [
+                    [2 * ((d * 5 + (y // 8) * 3 + (x // 8)) % 128)
+                     for x in range(mw * 16)]
+                    for y in range(mh * 16)
+                ]
+                cb = [
+                    [2 * ((d * 7 + 29 + (y // 16) * 3 + (x // 16)) % 128)
+                     for x in range(mw * 16)]
+                    for y in range(mh * 16)
+                ]
+                cr = [
+                    [2 * ((d * 7 + 58 + (y // 16) * 3 + (x // 16)) % 128)
+                     for x in range(mw * 16)]
+                    for y in range(mh * 16)
+                ]
+                rows.append(
+                    (d, encode_jpeg([y_p, cb, cr], subsample_420=True))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+JPEG_420_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("cb_sum", T.LongType()),
+        T.StructField("cr_sum", T.LongType()),
+    ]
+)
+
+
+def decode_jpeg_420_stats(with_jpeg: DataFrame) -> DataFrame:
+    """Full 4:2:0 decode via ``parse_jpeg_pixels`` in Arrow-batched
+    ``mapInPandas``; per-plane exact integer sums at FULL resolution
+    (chroma after replication upsampling)."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, jb in zip(pdf["doc_id"], pdf["jpeg"]):
+                w, h, planes = parse_jpeg_pixels(bytes(jb))
+                if len(planes) != 3:
+                    raise ValueError(f"doc {doc_id}: expected 3 components")
+                sums = [sum(v for row in p for v in row) for p in planes]
+                rows.append((int(doc_id), w, h, *sums))
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_420_SCHEMA.fields])
+
+    return with_jpeg.select("doc_id", "jpeg").mapInPandas(dec, JPEG_420_SCHEMA)
 
 
 JPEG_PX_SCHEMA = T.StructType(

@@ -759,6 +759,66 @@ def mm_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_420_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id, 2 + doc_id % 2 AS mw, 1 + doc_id % 3 AS mh
+            FROM documents WHERE doc_id % 4 = 2
+        ),
+        ys AS (
+            SELECT i.doc_id,
+                   SUM(2 * ((i.doc_id * 5 + y.y * 3 + x.x) % 128)) * 64 AS s
+            FROM img i
+            JOIN range(0, 6) x(x) ON x.x < 2 * i.mw
+            JOIN range(0, 6) y(y) ON y.y < 2 * i.mh
+            GROUP BY i.doc_id
+        ),
+        cbs AS (
+            SELECT i.doc_id,
+                   SUM(2 * ((i.doc_id * 7 + 29 + y.y * 3 + x.x) % 128)) * 256 AS s
+            FROM img i
+            JOIN range(0, 3) x(x) ON x.x < i.mw
+            JOIN range(0, 3) y(y) ON y.y < i.mh
+            GROUP BY i.doc_id
+        ),
+        crs AS (
+            SELECT i.doc_id,
+                   SUM(2 * ((i.doc_id * 7 + 58 + y.y * 3 + x.x) % 128)) * 256 AS s
+            FROM img i
+            JOIN range(0, 3) x(x) ON x.x < i.mw
+            JOIN range(0, 3) y(y) ON y.y < i.mh
+            GROUP BY i.doc_id
+        )
+        SELECT i.doc_id, CAST(i.mw * 16 AS INT) AS width,
+               CAST(i.mh * 16 AS INT) AS height,
+               CAST(ys.s AS BIGINT) AS y_sum,
+               CAST(cbs.s AS BIGINT) AS cb_sum,
+               CAST(crs.s AS BIGINT) AS cr_sum
+        FROM img i
+        JOIN ys USING (doc_id) JOIN cbs USING (doc_id)
+        JOIN crs USING (doc_id)
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+    doc="REAL 4:2:0 color JPEG decode (r9 — the dominant layout of "
+        "actual photo corpora, closing the subsampling gate the 4:4:4 "
+        "entry left): 3-component MCUs interleave FOUR luma blocks + "
+        "one Cb + one Cr; the decoder walks sampling factors from "
+        "SOF0, decodes each plane at its own resolution and "
+        "replication-upsamples chroma back to full size. Fixture luma "
+        "is constant per 8x8 block, chroma per 16x16 MCU, all even — "
+        "so box decimation and the DCT round-trip are both exact and "
+        "each plane's full-resolution pixel sum has a closed-form "
+        "oracle (luma sum x64/block, chroma x256/MCU — the x256 only "
+        "holds if upsampling replicated every subsampled pixel exactly "
+        "4x). Lossy general 4:2:0 is pinned by property test against "
+        "an independent numpy reference.",
+)
+def mm_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    return MM.decode_jpeg_420_stats(MM.synthesize_jpeg_420_payloads(docs))
+
+
+@register(
     "mm_image_ahash",
     oracle=f"""
         WITH img AS ({_IMG_DOCS}),

@@ -847,14 +847,15 @@ def test_jpeg_unsupported_features_gated():
     sof2 = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
     with pytest.raises(NotImplementedError, match="progressive"):
         MM.parse_jpeg_pixels(soi + sof2 + b"\xff\xd9")
-    # 4:2:0 subsampling (first component 2x2)
-    sof420 = seg(
+    # sampling factors beyond 2 (4x1 luma) stay gated; 2x2 (4:2:0)
+    # itself is now SUPPORTED (test_jpeg_420_roundtrip below)
+    sof41 = seg(
         0xC0,
         struct.pack(">BHHB", 8, 16, 16, 3)
-        + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+        + b"\x01\x41\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
     )
-    with pytest.raises(NotImplementedError, match="1x1"):
-        MM.parse_jpeg_pixels(soi + sof420 + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        MM.parse_jpeg_pixels(soi + sof41 + b"\xff\xd9")
     # restart interval
     dri = seg(0xDD, struct.pack(">H", 8))
     with pytest.raises(NotImplementedError, match="DRI"):
@@ -921,3 +922,87 @@ if _HAVE_HYPOTHESIS:
                     np.rint(a.T @ co @ a + 128.0), 0, 255
                 )
         assert np.abs(np.asarray(planes[0]) - ref).max() <= 1
+
+
+def test_jpeg_420_constant_mcus_decode_exactly():
+    """4:2:0: constant-per-MCU chroma + per-block luma (even values)
+    round-trip exactly through decimation, DCT, and replication
+    upsampling — the mm_jpeg_420_decode oracle property."""
+    d, mw, mh = 9, 3, 2
+    y_p = [
+        [2 * ((d * 5 + (y // 8) * 3 + (x // 8)) % 128) for x in range(mw * 16)]
+        for y in range(mh * 16)
+    ]
+    cb = [
+        [2 * ((d * 7 + 29 + (y // 16) * 3 + (x // 16)) % 128)
+         for x in range(mw * 16)]
+        for y in range(mh * 16)
+    ]
+    cr = [
+        [2 * ((d * 7 + 58 + (y // 16) * 3 + (x // 16)) % 128)
+         for x in range(mw * 16)]
+        for y in range(mh * 16)
+    ]
+    w, h, out = MM.parse_jpeg_pixels(
+        MM.encode_jpeg([y_p, cb, cr], subsample_420=True)
+    )
+    assert (w, h) == (mw * 16, mh * 16)
+    assert out == [y_p, cb, cr]
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        mw=st.integers(1, 2),
+        mh=st.integers(1, 2),
+        crop_x=st.integers(0, 5),
+        crop_y=st.integers(0, 5),
+        seed=st.integers(0, 2**31),
+    )
+    def test_jpeg_420_roundtrip_property(mw, mh, crop_x, crop_y, seed):
+        """General lossy 4:2:0 (random pixels, non-MCU-aligned crops):
+        decode(encode(p)) equals an independent numpy reimplementation
+        of pad -> box-decimate chroma -> FDCT/quant/dequant/IDCT ->
+        replicate-upsample -> crop, to within 1 LSB per pixel."""
+        import random
+
+        import numpy as np
+
+        rng = random.Random(seed)
+        W, H = mw * 16 - crop_x, mh * 16 - crop_y
+        pl = [
+            [[rng.randrange(256) for _ in range(W)] for _ in range(H)]
+            for _ in range(3)
+        ]
+        w, h, out = MM.parse_jpeg_pixels(
+            MM.encode_jpeg(pl, subsample_420=True)
+        )
+        assert (w, h) == (W, H)
+        a = MM._dct_matrix()
+        q = np.full((8, 8), 16.0)
+
+        def codec(arr):
+            res = np.zeros_like(arr)
+            for by in range(arr.shape[0] // 8):
+                for bx in range(arr.shape[1] // 8):
+                    blk = arr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                    co = np.round((a @ blk @ a.T) / q) * q
+                    res[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                        np.rint(a.T @ co @ a + 128.0), 0, 255
+                    )
+            return res
+
+        for ci in range(3):
+            arr = np.pad(
+                np.asarray(pl[ci], float),
+                ((0, mh * 16 - H), (0, mw * 16 - W)), mode="edge",
+            )
+            if ci > 0:
+                arr = arr.reshape(arr.shape[0] // 2, 2,
+                                  arr.shape[1] // 2, 2).mean(axis=(1, 3))
+            ref = codec(arr)
+            if ci > 0:
+                ref = np.repeat(np.repeat(ref, 2, axis=0), 2, axis=1)
+            ref = ref[:H, :W]
+            assert np.abs(np.asarray(out[ci]) - ref).max() <= 1
