@@ -1000,6 +1000,40 @@ def synthesize_wav_mulaw_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(synth, schema)
 
 
+def synthesize_wav_alaw_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): real RIFF/WAVE files in G.711
+    A-law (fmt code 6, 8 bits/sample — the European telephony
+    companding law, the mu-law twin). Companded BYTES are closed-form
+    in doc_id, so the SQL oracle reproduces the decoded linear samples
+    by applying the canonical integer expansion (_alaw_expand) in
+    arithmetic."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 30 + (d % 10) * 15
+                pcm = bytes((d * 23 + i * 31) % 256 for i in range(n))
+                fmt = struct.pack("<HHIIHH", 6, 1, _WAV_RATE, _WAV_RATE, 1, 8)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
 def synthesize_wav_float32_payloads(docs: DataFrame) -> DataFrame:
     """audio-docs → (doc_id, wav binary): real RIFF/WAVE files in
     32-bit IEEE-float PCM (fmt code 3 — the DAW/processing-chain
@@ -1116,6 +1150,25 @@ WAV_SCHEMA = T.StructType(
 )
 
 
+def _alaw_expand(a: int) -> int:
+    """G.711 A-law byte → linear PCM (range ±32256): the canonical
+    CCITT expansion — XOR 0x55, rebuild the mantissa<<4 with the
+    per-segment bias (8 / 0x108 / 0x108<<seg-1), sign from bit 7 (SET
+    means positive in A-law, the opposite of two's complement). Pure
+    integer arithmetic, so the oracle reproduces it in closed-form
+    SQL."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
 def _mulaw_expand(u: int) -> int:
     """G.711 mu-law byte → linear PCM (range ±32124): the canonical
     CCITT expansion — invert the complement, rebuild the biased
@@ -1138,12 +1191,13 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
     conventional −128 offset), 16-bit, and 24-bit (3-byte little-endian
     two's-complement — the studio/DAW interchange depth), at ANY
     interleaved channel count (r9 — mono, stereo, and N-channel
-    surround all deinterleave at stride ``channels``), plus G.711
-    mu-law (fmt 7, canonical integer expansion) and 32-bit IEEE-float
-    (fmt 3 — returned as Python floats; every other format returns
-    ints). Raises NotImplementedError for encodings that genuinely
-    need a codec library (ADPCM, A-law, float64). Pure function so the
-    walker is property-testable without a session."""
+    surround all deinterleave at stride ``channels``), plus BOTH G.711
+    companding laws (fmt 7 mu-law, fmt 6 A-law — canonical integer
+    expansions) and 32-bit IEEE-float (fmt 3 — returned as Python
+    floats; every other format returns ints). Raises
+    NotImplementedError for encodings that genuinely need a codec
+    library (ADPCM, float64). Pure function so the walker is
+    property-testable without a session."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -1159,15 +1213,16 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
             bits = struct.unpack("<H", body[14:16])[0]
             ok = (
                 (audio_fmt == 1 and bits in (8, 16, 24))
+                or (audio_fmt == 6 and bits == 8)   # G.711 A-law
                 or (audio_fmt == 7 and bits == 8)   # G.711 mu-law
                 or (audio_fmt == 3 and bits == 32)  # IEEE float32
             )
             if not ok or channels < 1:
                 raise NotImplementedError(
                     f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
-                    "only 8/16/24-bit integer PCM, 8-bit G.711 mu-law and "
-                    "32-bit IEEE-float (any interleaved channel count) "
-                    "decodable without a codec library"
+                    "only 8/16/24-bit integer PCM, 8-bit G.711 A-law/"
+                    "mu-law and 32-bit IEEE-float (any interleaved "
+                    "channel count) decodable without a codec library"
                 )
         elif cid == b"data":
             pcm = body
@@ -1184,6 +1239,8 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
         samples = _s.unpack(f"<{n}h", pcm[: n * 2])
     elif bits == 8 and audio_fmt == 7:
         samples = tuple(_mulaw_expand(v) for v in pcm)
+    elif bits == 8 and audio_fmt == 6:
+        samples = tuple(_alaw_expand(v) for v in pcm)
     elif bits == 8:
         samples = tuple(v - 128 for v in pcm)
     else:  # 24-bit: 3-byte LE two's-complement
@@ -1520,8 +1577,10 @@ def decode_jpeg_header(with_jpeg: DataFrame) -> DataFrame:
 # it builds canonical Huffman tables FROM the DHT segments and
 # dequantizes FROM the DQT segments, so it decodes any conforming
 # baseline stream within those factors, not just this encoder's
-# output. Restart intervals, progressive (SOF2), and sampling factors
-# >2 raise NotImplementedError — honestly gated, fuzz-tested to raise.
+# output, including DRI restart intervals (byte-aligned RST0-7 markers
+# with modulo-8 sequence verification and DC-predictor resets).
+# Progressive (SOF2) and sampling factors >2 raise
+# NotImplementedError — honestly gated, fuzz-tested to raise.
 # ---------------------------------------------------------------------------
 
 
@@ -1596,9 +1655,19 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
+        """Byte-align with 1 bits (spec D.1.6)."""
         if self.n:
-            self.put(0xFF, 8 - self.n)  # pad with 1 bits
+            self.put(0xFF, 8 - self.n)
+
+    def marker(self, m: int) -> None:
+        """Emit a bare marker (RSTn) into the scan: byte-align, then the
+        raw FF xx pair — markers are NEVER byte-stuffed."""
+        self.pad()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.out)
 
 
@@ -1642,6 +1711,7 @@ def encode_jpeg(
     planes: list[list[list[int]]],
     quant: list[int] | None = None,
     subsample_420: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JPEG encoder with a REAL entropy-coded scan:
     level shift, float FDCT, quantization (``quant`` in NATURAL order,
@@ -1654,7 +1724,10 @@ def encode_jpeg(
     sampling is 1x1 everywhere (4:4:4); ``subsample_420`` encodes
     3-component input as 4:2:0 — luma at 2x2, both chromas box-mean
     downsampled 2x in each axis and coded at 1x1, MCU = 4 luma + 1 Cb
-    + 1 Cr blocks, the dominant layout of real photo corpora."""
+    + 1 Cr blocks, the dominant layout of real photo corpora.
+    ``restart_interval`` > 0 emits a DRI segment and an RST0-7 marker
+    (byte-aligned, DC predictors reset) after every that-many MCUs —
+    what real encoders emit so corrupted scans resynchronize."""
     import struct
 
     import numpy as np
@@ -1692,6 +1765,8 @@ def encode_jpeg(
         comp_arrays.append(arr - 128.0)
     wtr = _BitWriter()
     pred = [0] * ncomp
+    n_mcus = mx * my
+    k = 0
     for by in range(my):
         for bx in range(mx):
             for ci in range(ncomp):
@@ -1704,6 +1779,14 @@ def encode_jpeg(
                         pred[ci] = _encode_block(
                             wtr, blk, a, qt, pred[ci], dc_codes, ac_codes
                         )
+            k += 1
+            if (
+                restart_interval
+                and k % restart_interval == 0
+                and k < n_mcus
+            ):
+                wtr.marker(0xD0 + ((k // restart_interval - 1) % 8))
+                pred = [0] * ncomp
     scan = wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1720,6 +1803,10 @@ def encode_jpeg(
     ) + seg(
         0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_VALUES)
     )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
     sos_body = bytes([ncomp])
     for ci in range(ncomp):
         sos_body += bytes([ci + 1, 0x00])
@@ -1727,7 +1814,8 @@ def encode_jpeg(
     sos = seg(0xDA, sos_body)
     app0 = seg(0xE0, _JFIF_APP0)
     return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + scan
+        + b"\xff\xd9"
     )
 
 
@@ -1768,6 +1856,19 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> int:
+        """Consume an RSTn marker at a restart boundary: discard the
+        current byte's remaining pad bits, then expect a raw FF Dn pair.
+        Returns n (0-7) so the caller can verify the modulo-8 sequence."""
+        self.n = 0  # drop pad bits — markers are byte-aligned
+        if self.pos + 2 > len(self.d) or self.d[self.pos] != 0xFF:
+            raise ValueError("expected restart marker at boundary")
+        m = self.d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RSTn at boundary, got 0xFF{m:02X}")
+        self.pos += 2
+        return m - 0xD0
+
 
 def _huff_decode(rdr: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
@@ -1801,9 +1902,11 @@ def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
     (numpy), level-shifted and clamped to 0..255. Sampling factors 1-2
     per axis are decoded for real — grayscale, 4:4:4, and the dominant
     photo layout 4:2:0 (interleaved Hi*Vi blocks per MCU, subsampled
-    planes replication-upsampled to full resolution) — while factors
-    >2, restart intervals (DRI), progressive/arithmetic frames, and
-    16-bit quant tables raise NotImplementedError. Cites the same
+    planes replication-upsampled to full resolution) — as are DRI
+    restart intervals (RSTn consumed byte-aligned at each boundary,
+    modulo-8 sequence verified, DC predictors reset); factors >2,
+    progressive/arithmetic frames, and 16-bit quant tables raise
+    NotImplementedError. Cites the same
     marker-walk contract as parse_jpeg_header above; pure function +
     numpy, so the codec is property-testable without a session."""
     import struct
@@ -1815,8 +1918,9 @@ def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
     pos = 2
     qts: dict[int, list[int]] = {}
     huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None  # (h, w, [(comp_id, tq)])
+    frame = None  # (h, w, [(comp_id, hi, vi, tq)])
     scan_info = None
+    restart_ri = 0
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1869,8 +1973,8 @@ def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline frame (progressive/"
                                       "arithmetic/hierarchical)")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDD:  # DRI: restart every Ri MCUs
+            (restart_ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             ns = body[0]
             scan_info = [
@@ -1905,8 +2009,19 @@ def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
             (hi, vi, qts[tq], huffs[(0, si[1])], huffs[(1, si[2])])
         )
     zz_rc = [(r, c) for r, c in _ZIGZAG]
+    k_mcu = 0
     for by in range(my):
         for bx in range(mx):
+            if restart_ri and k_mcu and k_mcu % restart_ri == 0:
+                got = rdr.restart()
+                want = (k_mcu // restart_ri - 1) % 8
+                if got != want:
+                    raise ValueError(
+                        f"restart sequence broken: RST{got}, expected "
+                        f"RST{want}"
+                    )
+                preds = [0] * len(comps)
+            k_mcu += 1
             for ci, (hi, vi, qt, dct_tab, act_tab) in enumerate(comp_tables):
                 for v_ in range(vi):
                     for h_ in range(hi):
@@ -2019,6 +2134,36 @@ def synthesize_jpeg_420_payloads(docs: DataFrame) -> DataFrame:
                 rows.append(
                     (d, encode_jpeg([y_p, cb, cr], subsample_420=True))
                 )
+            yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def synthesize_jpeg_restart_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, jpeg binary): the constant-block DC-exact
+    fixture family (see synthesize_jpeg_pixel_payloads) but encoded
+    WITH restart_interval=2 — DRI segment + byte-aligned RST0-7 markers
+    every two MCUs, DC predictors reset at each boundary."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw_, bh_ = 2 + d % 3, 1 + d % 2
+                grid = [
+                    [
+                        2 * ((d * 11 + (y // 8) * 3 + (x // 8)) % 128)
+                        for x in range(bw_ * 8)
+                    ]
+                    for y in range(bh_ * 8)
+                ]
+                rows.append((d, encode_jpeg([grid], restart_interval=2)))
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
     return docs.select("doc_id").mapInPandas(synth, schema)

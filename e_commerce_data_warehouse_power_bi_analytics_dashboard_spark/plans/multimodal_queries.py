@@ -569,6 +569,52 @@ def mm_wav_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_alaw_decode",
+    oracle="""
+        WITH aud AS (
+            SELECT doc_id, 30 + (doc_id % 10) * 15 AS n
+            FROM documents WHERE doc_id % 6 = 1
+        ),
+        b AS (
+            SELECT a.doc_id, a.n,
+                   xor((a.doc_id * 23 + i.i * 31) % 256, 85) AS x
+            FROM aud a JOIN range(0, 165) i(i) ON i.i < a.n
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   CASE WHEN (x % 128) // 16 = 0 THEN (x % 16) * 16 + 8
+                        WHEN (x % 128) // 16 = 1 THEN (x % 16) * 16 + 264
+                        ELSE ((x % 16) * 16 + 264) << ((x % 128) // 16 - 1)
+                   END * CASE WHEN x >= 128 THEN 1 ELSE -1 END AS v
+            FROM b
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(MIN(v) AS BIGINT) AS min_s,
+               CAST(MAX(v) AS BIGINT) AS max_s,
+               CAST(SUM(v) AS BIGINT) AS sum_s
+        FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "mapInPandas"),
+    doc="REAL G.711 A-law WAV decode (r9 — the European companding "
+        "twin of the r8 mu-law entry, closing the last G.711 gate): "
+        "synthesize fmt-code-6 RIFF/WAVE files whose companded bytes "
+        "are closed-form in doc_id, decode via the canonical integer "
+        "expansion (XOR 0x55, mantissa<<4 + segment bias << seg-1, "
+        "sign from bit 7 — SET means positive, the opposite of two's "
+        "complement; operators/multimodal.py::_alaw_expand) in Arrow-"
+        "batched mapInPandas, emit exact integer sample stats. The "
+        "oracle replays the SAME expansion in pure SQL arithmetic "
+        "(xor + shifts) — two independent implementations of the "
+        "standard agreeing bit-for-bit on every byte value (validated "
+        "exhaustively over all 256 bytes in tests).",
+)
+def mm_wav_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 1)
+    return MM.decode_wav_stats(MM.synthesize_wav_alaw_payloads(docs))
+
+
+@register(
     "mm_wav_float32_decode",
     oracle="""
         WITH aud AS (
@@ -992,3 +1038,43 @@ def mm_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_wav_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
     return MM.detect_wav_tone(MM.synthesize_wav_tone_payloads(docs))
+
+
+@register(
+    "mm_jpeg_restart_decode",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+            FROM documents WHERE doc_id % 6 = 3
+        ),
+        blk AS (
+            SELECT i.doc_id, i.bw, i.bh,
+                   2 * ((i.doc_id * 11 + y.y * 3 + x.x) % 128) AS g
+            FROM img i
+            JOIN range(0, 4) x(x) ON x.x < i.bw
+            JOIN range(0, 2) y(y) ON y.y < i.bh
+        )
+        SELECT doc_id,
+               CAST(bw * 8 AS INT) AS width,
+               CAST(bh * 8 AS INT) AS height,
+               CAST(MIN(g) AS BIGINT) AS min_px,
+               CAST(MAX(g) AS BIGINT) AS max_px,
+               CAST(SUM(g) * 64 AS BIGINT) AS sum_px
+        FROM blk GROUP BY doc_id, bw, bh
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+    doc="Baseline JPEG with RESTART INTERVALS (r9): same DC-exact "
+        "constant-block fixture family as mm_jpeg_pixel_decode but "
+        "encoded with restart_interval=2 — a DRI segment plus "
+        "byte-aligned RST0-7 markers every two MCUs, DC predictors "
+        "reset at each boundary (what real encoders emit so corrupted "
+        "scans resynchronize). The decoder must consume each marker at "
+        "the right bit position, verify the modulo-8 sequence, and "
+        "restart prediction — one mis-timed restart shifts every "
+        "subsequent DC and breaks the closed-form pixel-stat hash.",
+)
+def mm_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 3)
+    return MM.decode_jpeg_pixel_stats(
+        MM.synthesize_jpeg_restart_payloads(docs)
+    )

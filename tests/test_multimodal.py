@@ -834,9 +834,9 @@ def test_jpeg_three_component_and_crop():
 
 
 def test_jpeg_unsupported_features_gated():
-    """Progressive frames, subsampled components, restart intervals and
-    16-bit quant tables raise NotImplementedError — honest gates, never
-    silent misdecodes."""
+    """Progressive frames, sampling factors beyond 2, and 16-bit quant
+    tables raise NotImplementedError — honest gates, never silent
+    misdecodes."""
     import struct
 
     def seg(marker, body):
@@ -856,10 +856,6 @@ def test_jpeg_unsupported_features_gated():
     )
     with pytest.raises(NotImplementedError, match="sampling factors"):
         MM.parse_jpeg_pixels(soi + sof41 + b"\xff\xd9")
-    # restart interval
-    dri = seg(0xDD, struct.pack(">H", 8))
-    with pytest.raises(NotImplementedError, match="DRI"):
-        MM.parse_jpeg_pixels(soi + dri + b"\xff\xd9")
     # 16-bit quant table (Pq=1)
     dqt16 = seg(0xDB, bytes([0x10]) + bytes(128))
     with pytest.raises(NotImplementedError, match="16-bit"):
@@ -1006,3 +1002,60 @@ if _HAVE_HYPOTHESIS:
                 ref = np.repeat(np.repeat(ref, 2, axis=0), 2, axis=1)
             ref = ref[:H, :W]
             assert np.abs(np.asarray(out[ci]) - ref).max() <= 1
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI: a stream with RST markers every N MCUs decodes to EXACTLY
+    the same pixels as the marker-free stream (predictor resets and
+    byte-aligned marker consumption are transparent); a broken RSTn
+    sequence raises instead of silently misdecoding."""
+    import random
+
+    rng = random.Random(5)
+    for W, H, ri in [(24, 16, 1), (40, 24, 2), (21, 13, 3)]:
+        g = [[rng.randrange(256) for _ in range(W)] for _ in range(H)]
+        plain = MM.parse_jpeg_pixels(MM.encode_jpeg([g]))
+        withri = MM.parse_jpeg_pixels(
+            MM.encode_jpeg([g], restart_interval=ri)
+        )
+        assert plain == withri
+    # 4:2:0 and DRI compose
+    pl = [
+        [[rng.randrange(256) for _ in range(33)] for _ in range(18)]
+        for _ in range(3)
+    ]
+    assert MM.parse_jpeg_pixels(
+        MM.encode_jpeg(pl, subsample_420=True)
+    ) == MM.parse_jpeg_pixels(
+        MM.encode_jpeg(pl, subsample_420=True, restart_interval=2)
+    )
+    # corrupted sequence number
+    buf = bytearray(MM.encode_jpeg(
+        [[[rng.randrange(256) for _ in range(32)] for _ in range(8)]],
+        restart_interval=1,
+    ))
+    for i in range(len(buf) - 1):
+        if buf[i] == 0xFF and buf[i + 1] == 0xD0:
+            buf[i + 1] = 0xD5
+            break
+    with pytest.raises(ValueError, match="restart sequence"):
+        MM.parse_jpeg_pixels(bytes(buf))
+
+
+def test_wav_alaw_expansion_exhaustive():
+    """_alaw_expand agrees with the closed-form SQL the oracle uses on
+    ALL 256 byte values, and hits the spec extremes (±8 .. ±32256)."""
+    vals = [MM._alaw_expand(u) for u in range(256)]
+    assert min(vals) == -32256 and max(vals) == 32256
+    assert sorted(abs(v) for v in vals)[0] == 8
+    for u in range(256):
+        a = u ^ 0x55
+        seg = (a % 128) // 16
+        t = (a % 16) * 16
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 264
+        else:
+            t = (t + 264) << (seg - 1)
+        assert vals[u] == (t if a >= 128 else -t)

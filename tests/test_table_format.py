@@ -451,3 +451,28 @@ def test_sorted_compact_stats_are_disjoint_intervals(spark):
     assert total == 4 and set(sel) == want and len(sel) == 1
     sel0, total0 = tf.snapshot_files(root, 0, {"c_custkey": (lo_q, hi_q)})
     assert total0 == 1 and len(sel0) == 1
+
+
+def test_change_feed_replay_rebuilds_snapshot(spark, demo_root):
+    """Completeness: applying the CDF (mapped to I/U/D ops, sequenced by
+    commit version) onto the v0 snapshot rebuilds the v2 snapshot
+    row-for-row — the property an incremental downstream consumer
+    relies on."""
+    ch = tf.change_feed(spark, demo_root, "c_custkey", tfq._PAYLOAD)
+    feed = ch.select(
+        "c_custkey",
+        F.when(F.col("_change_type") == "insert", "I")
+        .when(F.col("_change_type") == "delete", "D")
+        .otherwise("U").alias("op"),
+        *tfq._PAYLOAD,
+        F.col("_commit_version").alias("seq"),
+        F.col("c_custkey").alias("tb"),
+    )
+    base = tf.read_version(spark, demo_root, 0)
+    rebuilt = apply_change_feed(
+        base, feed, "c_custkey", tfq._PAYLOAD, "seq", "tb"
+    ).select("c_custkey", *tfq._PAYLOAD)
+    want = sorted(map(tuple, tf.read_version(spark, demo_root)
+                      .select("c_custkey", *tfq._PAYLOAD).collect()))
+    got = sorted(map(tuple, rebuilt.collect()))
+    assert got == want
