@@ -250,6 +250,22 @@ HEADLINE = [
     "mm_wav_mulaw_decode",
     "mm_wav_float32_decode",
     "tf_append_schema_evolution",
+    # round-9 additions: the table-format serve paths grown this round —
+    # stats-pruned snapshot read (manifest data skipping), the partition
+    # ledger, SQL time travel, the change data feed (touched-file diff),
+    # and the sorted-compaction range skip — plus the new codecs: full
+    # baseline JPEG pixel decode (4:4:4, 4:2:0, restart intervals),
+    # G.711 A-law, and the N-channel WAV deinterleave
+    "tf_stats_pruned_read",
+    "tf_partitioned_merge",
+    "tf_time_travel_sql",
+    "tf_change_feed",
+    "tf_sorted_range_skipping",
+    "mm_jpeg_pixel_decode",
+    "mm_jpeg_420_decode",
+    "mm_jpeg_restart_decode",
+    "mm_wav_alaw_decode",
+    "mm_wav_multichannel_decode",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
@@ -411,6 +427,9 @@ def main() -> None:
         # schema-evolution twin's create + evolved append)
         "table_format": lambda: _tf_q.ensure_demo_table(spark, sf_dir),
         "table_format_evo": lambda: _tf_q.ensure_evo_table(spark, sf_dir),
+        # r9: the sorted-compaction demo table (create + OPTIMIZE
+        # sort_by — the tf_sorted_range_skipping serve path's build)
+        "table_format_sorted": lambda: _tf_q.ensure_sorted_table(spark, sf_dir),
         # the ANALYZEd catalog tables (saveAsTable + COMPUTE STATISTICS
         # — the reference's scheduled ANALYZE maintenance job)
         "cbo_stats": lambda: _cbo_q.ensure_stats_tables(spark, sf_dir),

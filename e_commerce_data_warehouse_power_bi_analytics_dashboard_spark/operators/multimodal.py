@@ -1679,11 +1679,16 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def _encode_block(wtr, blk, a, qt, pred, dc_codes, ac_codes) -> int:
+def _encode_block(wtr, blk, a, qzz, zz_idx, pred, dc_codes, ac_codes) -> int:
     """FDCT -> quantize -> zigzag -> Huffman-code one 8x8 block; returns
-    the new DC predictor."""
+    the new DC predictor. The quantize/zigzag step is one vectorized
+    numpy expression (``zz_idx`` gathers the zigzag order, ``qzz`` is
+    the quant table already in zigzag order); only nonzero symbols
+    reach the Python-level Huffman writer."""
+    import numpy as np
+
     coef = a @ blk @ a.T
-    zz = [int(round(coef[r, c] / qt[r * 8 + c])) for r, c in _ZIGZAG]
+    zz = np.rint(coef.ravel()[zz_idx] / qzz).astype(np.int64).tolist()
     diff = zz[0] - pred
     size, bits = _magnitude(diff)
     wtr.put(*dc_codes[size])
@@ -1744,6 +1749,8 @@ def encode_jpeg(
     qt = list(quant) if quant is not None else [16] * 64
     a = _dct_matrix()
     qzz = [qt[r * 8 + c] for r, c in _ZIGZAG]
+    zz_idx = np.array([r * 8 + c for r, c in _ZIGZAG])
+    qzz_arr = np.asarray(qzz, dtype=np.float64)
     dc_codes = _canonical_codes(_DC_COUNTS, _DC_VALUES)
     ac_codes = _canonical_codes(_AC_COUNTS, _AC_VALUES)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -1777,7 +1784,8 @@ def encode_jpeg(
                         x0 = (bx * hi + h_) * 8
                         blk = comp_arrays[ci][y0:y0 + 8, x0:x0 + 8]
                         pred[ci] = _encode_block(
-                            wtr, blk, a, qt, pred[ci], dc_codes, ac_codes
+                            wtr, blk, a, qzz_arr, zz_idx, pred[ci],
+                            dc_codes, ac_codes,
                         )
             k += 1
             if (
@@ -1891,7 +1899,18 @@ def _extend(bits: int, size: int) -> int:
 
 def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
     """Full baseline JPEG decode → (width, height, per-component pixel
-    planes, as coded — no color conversion).
+    planes as Python lists, as coded — no color conversion). Thin
+    wrapper over ``_parse_jpeg_planes`` (which returns numpy arrays —
+    the stats operators use it directly to skip the list conversion).
+
+    See _parse_jpeg_planes for the decode contract."""
+    fw, fh, planes = _parse_jpeg_planes(b)
+    return fw, fh, [p.tolist() for p in planes]
+
+
+def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
+    """Full baseline JPEG decode → (width, height, per-component pixel
+    planes as numpy int64 arrays, as coded — no color conversion).
 
     Real decode, general over conforming inputs: canonical Huffman
     tables are built from the stream's own DHT segments, quantization
@@ -2056,7 +2075,7 @@ def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
         fy, fx = vmax // vi, hmax // hi
         if fy > 1 or fx > 1:
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
-        out.append(p[:fh, :fw].tolist())
+        out.append(p[:fh, :fw])
     return fw, fh, out
 
 
@@ -2077,6 +2096,7 @@ def synthesize_jpeg_pixel_payloads(docs: DataFrame) -> DataFrame:
     )
 
     def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -2084,13 +2104,9 @@ def synthesize_jpeg_pixel_payloads(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 bw_, bh_ = 2 + d % 3, 1 + d % 2
-                grid = [
-                    [
-                        2 * ((d * 7 + (y // 8) * 3 + (x // 8)) % 128)
-                        for x in range(bw_ * 8)
-                    ]
-                    for y in range(bh_ * 8)
-                ]
+                yy, xx = np.mgrid[0:bh_, 0:bw_]
+                vals = 2 * ((d * 7 + yy * 3 + xx) % 128)
+                grid = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
                 rows.append((d, encode_jpeg([grid])))
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
@@ -2109,28 +2125,24 @@ def synthesize_jpeg_420_payloads(docs: DataFrame) -> DataFrame:
     )
 
     def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
+
+        def cellgrid(d, base, rows_, cols_, cell):
+            # value matrix at cell grain, replicated to pixel grain —
+            # numpy repeat, never a per-pixel Python loop
+            yy, xx = np.mgrid[0:rows_, 0:cols_]
+            vals = 2 * ((d + base + yy * 3 + xx) % 128)
+            return np.repeat(np.repeat(vals, cell, axis=0), cell, axis=1)
 
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 mw, mh = 2 + d % 2, 1 + d % 3
-                y_p = [
-                    [2 * ((d * 5 + (y // 8) * 3 + (x // 8)) % 128)
-                     for x in range(mw * 16)]
-                    for y in range(mh * 16)
-                ]
-                cb = [
-                    [2 * ((d * 7 + 29 + (y // 16) * 3 + (x // 16)) % 128)
-                     for x in range(mw * 16)]
-                    for y in range(mh * 16)
-                ]
-                cr = [
-                    [2 * ((d * 7 + 58 + (y // 16) * 3 + (x // 16)) % 128)
-                     for x in range(mw * 16)]
-                    for y in range(mh * 16)
-                ]
+                y_p = cellgrid(d * 5, 0, 2 * mh, 2 * mw, 8)
+                cb = cellgrid(d * 7, 29, mh, mw, 16)
+                cr = cellgrid(d * 7, 58, mh, mw, 16)
                 rows.append(
                     (d, encode_jpeg([y_p, cb, cr], subsample_420=True))
                 )
@@ -2149,6 +2161,7 @@ def synthesize_jpeg_restart_payloads(docs: DataFrame) -> DataFrame:
     )
 
     def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -2156,13 +2169,9 @@ def synthesize_jpeg_restart_payloads(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 bw_, bh_ = 2 + d % 3, 1 + d % 2
-                grid = [
-                    [
-                        2 * ((d * 11 + (y // 8) * 3 + (x // 8)) % 128)
-                        for x in range(bw_ * 8)
-                    ]
-                    for y in range(bh_ * 8)
-                ]
+                yy, xx = np.mgrid[0:bh_, 0:bw_]
+                vals = 2 * ((d * 11 + yy * 3 + xx) % 128)
+                grid = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
                 rows.append((d, encode_jpeg([grid], restart_interval=2)))
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
@@ -2187,15 +2196,16 @@ def decode_jpeg_420_stats(with_jpeg: DataFrame) -> DataFrame:
     (chroma after replication upsampling)."""
 
     def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, jb in zip(pdf["doc_id"], pdf["jpeg"]):
-                w, h, planes = parse_jpeg_pixels(bytes(jb))
+                w, h, planes = _parse_jpeg_planes(bytes(jb))
                 if len(planes) != 3:
                     raise ValueError(f"doc {doc_id}: expected 3 components")
-                sums = [sum(v for row in p for v in row) for p in planes]
+                sums = [int(p.sum()) for p in planes]
                 rows.append((int(doc_id), w, h, *sums))
             yield pd.DataFrame(rows, columns=[f.name for f in JPEG_420_SCHEMA.fields])
 
@@ -2220,17 +2230,19 @@ def decode_jpeg_pixel_stats(with_jpeg: DataFrame) -> DataFrame:
     the (grayscale) plane."""
 
     def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, jb in zip(pdf["doc_id"], pdf["jpeg"]):
-                w, h, planes = parse_jpeg_pixels(bytes(jb))
+                w, h, planes = _parse_jpeg_planes(bytes(jb))
                 if len(planes) != 1:
                     raise ValueError(f"doc {doc_id}: expected grayscale")
-                flat = [v for row in planes[0] for v in row]
+                p = planes[0]
                 rows.append(
-                    (int(doc_id), w, h, min(flat), max(flat), sum(flat))
+                    (int(doc_id), w, h,
+                     int(p.min()), int(p.max()), int(p.sum()))
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in JPEG_PX_SCHEMA.fields])
 

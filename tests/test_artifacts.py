@@ -65,6 +65,7 @@ def test_exec_plan_audit_covers_full_catalog():
     py_ok = {
         n for n, q in catalog.items()
         if "mapInPandas" in q.tags or "pandas-udf" in q.tags
+        or "udtf" in q.tags  # a Python UDTF IS a declared boundary
     }
     bad_py = sorted(
         k for k, v in entries.items() if v.get("py", 0) > 0 and k not in py_ok
