@@ -1180,6 +1180,137 @@ def _mulaw_expand(u: int) -> int:
     return (0x84 - t) if (u & 0x80) else (t - 0x84)
 
 
+#: IMA/DVI ADPCM quantizer step table (89 entries) and 3-bit index
+#: adaptation table — the published constants from the IMA spec; both
+#: are mirrored verbatim in the mm_wav_adpcm_decode SQL oracle, which
+#: replays the whole state machine as a DuckDB list fold.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, idx: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (pred, idx, 4-bit code) → next
+    (pred, idx). Per-bit truncated difference exactly per the spec
+    (NOT the (2m+1)*step>>3 shortcut — real decoders bit-test)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    if code & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    idx = max(0, min(88, idx + _IMA_INDEX[code & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_decode(
+    pcm: bytes, channels: int, block_align: int
+) -> tuple[int, ...]:
+    """Decode an IMA ADPCM (WAV fmt 0x11) data payload to interleaved
+    int16 samples. Each block: a 4-byte header PER CHANNEL (int16
+    predictor — emitted as the channel's first sample, per the spec —
+    + step index + reserved), then nibble data in 4-byte-per-channel
+    round-robin groups, low nibble first."""
+    import struct
+
+    out_frames: list[list[int]] = []
+    for boff in range(0, len(pcm), block_align):
+        block = pcm[boff : boff + block_align]
+        if len(block) < 4 * channels:
+            break  # trailing partial block: no full header, ignore
+        pred = [0] * channels
+        idx = [0] * channels
+        chans: list[list[int]] = []
+        for c in range(channels):
+            p, i, _r = struct.unpack("<hBB", block[4 * c : 4 * c + 4])
+            if i > 88:
+                raise ValueError(f"ADPCM step index {i} out of range")
+            pred[c], idx[c] = p, i
+            chans.append([p])
+        data = block[4 * channels :]
+        # 4-byte units round-robin per channel; each unit = 8 nibbles.
+        # Mono tolerates a sub-4-byte tail (every byte is still two
+        # in-order nibbles); multichannel data MUST be unit-aligned —
+        # a partial unit is ambiguous about channel ownership.
+        if channels > 1 and len(data) % 4:
+            raise ValueError(
+                "multichannel ADPCM data must be 4-byte-unit aligned"
+            )
+        for u in range(len(data) // 4):
+            c = u % channels
+            for byte in data[4 * u : 4 * u + 4]:
+                for code in (byte & 0xF, byte >> 4):
+                    pred[c], idx[c] = _ima_step(pred[c], idx[c], code)
+                    chans[c].append(pred[c])
+        if channels == 1:
+            for byte in data[(len(data) // 4) * 4 :]:
+                for code in (byte & 0xF, byte >> 4):
+                    pred[0], idx[0] = _ima_step(pred[0], idx[0], code)
+                    chans[0].append(pred[0])
+        n_frames = min(len(ch) for ch in chans)
+        for f in range(n_frames):
+            out_frames.append([chans[c][f] for c in range(channels)])
+    return tuple(s for frame in out_frames for s in frame)
+
+
+def synthesize_wav_adpcm_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): real RIFF/WAVE files in IMA
+    ADPCM (fmt code 0x11, 4 bits/sample, mono, single block) — the
+    classic 4:1 speech compressor. Header predictor/step-index and the
+    nibble CODES are all closed-form in doc_id, so the SQL oracle can
+    replay the decoder's full adaptive state machine as a list fold and
+    reproduce every decoded sample exactly."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 24 + (d % 8) * 8  # nibble count, even
+                p0 = ((d * 131) % 20001) - 10000
+                i0 = d % 89
+                codes = [(d * 7 + i * 13) % 16 for i in range(n)]
+                data = bytes(
+                    codes[j] | (codes[j + 1] << 4) for j in range(0, n, 2)
+                )
+                block_align = 4 + n // 2
+                header = struct.pack("<hBB", p0, i0, 0)
+                fmt = struct.pack(
+                    "<HHIIHHHH", 0x11, 1, _WAV_RATE,
+                    _WAV_RATE * block_align // (n + 1), block_align, 4,
+                    2, n + 1,  # cbSize=2, wSamplesPerBlock
+                )
+                pcm = header + data
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
 def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
     """Parse a RIFF/WAVE byte stream → (sample_rate, channels,
     interleaved integer samples).
@@ -1193,36 +1324,40 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
     interleaved channel count (r9 — mono, stereo, and N-channel
     surround all deinterleave at stride ``channels``), plus BOTH G.711
     companding laws (fmt 7 mu-law, fmt 6 A-law — canonical integer
-    expansions) and 32-bit IEEE-float (fmt 3 — returned as Python
-    floats; every other format returns ints). Raises
-    NotImplementedError for encodings that genuinely need a codec
-    library (ADPCM, float64). Pure function so the walker is
-    property-testable without a session."""
+    expansions), IMA ADPCM (fmt 0x11, 4-bit adaptive — r9, block walk
+    + per-nibble state machine in _ima_adpcm_decode) and 32-bit
+    IEEE-float (fmt 3 — returned as Python floats; every other format
+    returns ints). Raises NotImplementedError for encodings that
+    genuinely need a codec library (MS ADPCM fmt 2, float64). Pure
+    function so the walker is property-testable without a session."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, rate, channels, pcm, bits = 12, None, None, None, None
-    audio_fmt = None
+    audio_fmt, block_align = None, None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         body = b[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
             ok = (
                 (audio_fmt == 1 and bits in (8, 16, 24))
                 or (audio_fmt == 6 and bits == 8)   # G.711 A-law
                 or (audio_fmt == 7 and bits == 8)   # G.711 mu-law
                 or (audio_fmt == 3 and bits == 32)  # IEEE float32
+                or (audio_fmt == 0x11 and bits == 4)  # IMA ADPCM
             )
             if not ok or channels < 1:
                 raise NotImplementedError(
                     f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
                     "only 8/16/24-bit integer PCM, 8-bit G.711 A-law/"
-                    "mu-law and 32-bit IEEE-float (any interleaved "
-                    "channel count) decodable without a codec library"
+                    "mu-law, 4-bit IMA ADPCM and 32-bit IEEE-float "
+                    "(any interleaved channel count) decodable without "
+                    "a codec library"
                 )
         elif cid == b"data":
             pcm = body
@@ -1231,7 +1366,11 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
         raise ValueError("WAV missing fmt or data chunk")
     import struct as _s
 
-    if audio_fmt == 3:  # float32: samples are Python floats, not ints
+    if audio_fmt == 0x11:  # IMA ADPCM: adaptive state machine per block
+        if not block_align or block_align < 4 * channels:
+            raise ValueError("ADPCM requires a sane block_align")
+        samples = _ima_adpcm_decode(pcm, channels, block_align)
+    elif audio_fmt == 3:  # float32: samples are Python floats, not ints
         n = len(pcm) // 4
         samples = _s.unpack(f"<{n}f", pcm[: n * 4])
     elif bits == 16:

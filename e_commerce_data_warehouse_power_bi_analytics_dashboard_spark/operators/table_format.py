@@ -1,6 +1,7 @@
 """Minimal ACID table format: a versioned-manifest parquet table with
-copy-on-write MERGE, snapshot isolation, time travel, file-level
-statistics + data skipping, a partition spec, and vacuum.
+copy-on-write MERGE, merge-on-read DELETE (position-delete files),
+snapshot isolation, time travel, file-level statistics + data skipping,
+a partition spec, and vacuum.
 
 The reference's upsert is a row-level ``INSERT ... ON CONFLICT DO
 UPDATE`` against a mutable heap table (ETL.sql:304-315), and its whole
@@ -57,6 +58,23 @@ file reads. ``vacuum`` deletes files unreferenced by any retained
 version (committed files immediately, never-committed orphans only
 after a grace window so in-flight writers keep their files) and records
 the earliest still-readable version so expired time travel fails fast.
+
+DELETE is MERGE-ON-READ (``delete_where``), the other half of the
+COW-vs-MOR trade every real format exposes: instead of rewriting every
+file that contains a matched row (copy-on-write — what ``merge`` does,
+right for large change batches), the commit writes POSITION-DELETE
+files — ``(_tf_dfile, _tf_dpos)`` pairs naming physical row positions
+in immutable data files (the Iceberg v2 position-delete / Delta
+deletion-vector idea) — and removes a data file outright only when
+EVERY row matched. Snapshot reads subtract the live delete set with a
+broadcast anti-join on (file, position): ``_metadata.row_index`` is
+stable because data files are never mutated. At 100 TB a selective
+DELETE therefore writes KB of delete vectors instead of rewriting TB
+of parquet; ``compact`` applies and retires the vectors (read-amp is
+bounded by compaction cadence), and a later ``merge``'s rewrite of a
+touched file cannot resurrect deleted rows because rewritten files get
+fresh attempt-unique paths — stale vector entries reference only
+removed paths and never match.
 
 Single-table, single-cluster scope. ADDITIVE schema evolution is
 supported via ``append`` (new files may carry new columns; a
@@ -206,6 +224,29 @@ def active_files(root: str, version: int | None = None) -> list[str]:
     return [a["path"] for a in active_adds(root, version)]
 
 
+def active_delete_adds(root: str, version: int | None = None) -> list[dict]:
+    """Live POSITION-DELETE file records at ``version`` (default latest):
+    fold of ``delete_adds`` minus ``delete_removes`` over the commit-log
+    prefix — the same fold as the data side, over the vector files a
+    merge-on-read ``delete_where`` wrote and ``compact`` retires."""
+    versions = list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no commits at {root}")
+    if version is None:
+        version = versions[-1]
+    live: dict[str, dict] = {}
+    for v in versions:
+        if v > version:
+            break
+        m = read_manifest(root, v)
+        for p in m.get("delete_removes", []):
+            live.pop(p, None)
+        for a in m.get("delete_adds", []):
+            rec = _norm_add(a)
+            live[rec["path"]] = rec
+    return [live[p] for p in sorted(live)]
+
+
 def _overlaps(add: dict, col: str, lo, hi) -> bool:
     """Can ``add``'s file contain a row with ``lo <= col <= hi``?
     Conservative: missing/uncomparable stats keep the file. Sound only
@@ -247,6 +288,38 @@ def snapshot_files(
             if all(_overlaps(a, c, b[0], b[1]) for c, b in where.items())
         ]
     return [a["path"] for a in adds], total
+
+
+def _with_positions(df: DataFrame, root: str) -> DataFrame:
+    """Attach ``_tf_file`` (root-relative path) + ``_tf_pos`` (physical
+    row index) provenance from ``_metadata``, resolved AT SCAN time so
+    the columns stay correct under any later join (input_file_name is
+    not reliable there)."""
+    rel = F.regexp_extract(
+        F.col("_metadata.file_path"),
+        re.escape(os.path.abspath(root)) + "/(.*)$", 1,
+    )
+    return df.select(
+        "*", rel.alias("_tf_file"),
+        F.col("_metadata.row_index").alias("_tf_pos"),
+    )
+
+
+def _anti_vectors(
+    spark: SparkSession, root: str, df: DataFrame, version: int | None
+) -> DataFrame:
+    """Subtract the delete vectors live at ``version`` from a positioned
+    frame (broadcast anti-join — vectors are change-batch-sized)."""
+    dels = active_delete_adds(root, version)
+    if not dels:
+        return df
+    dv = spark.read.parquet(*[os.path.join(root, d["path"]) for d in dels])
+    return df.join(
+        F.broadcast(dv),
+        (F.col("_tf_file") == F.col("_tf_dfile"))
+        & (F.col("_tf_pos") == F.col("_tf_dpos")),
+        "left_anti",
+    )
 
 
 def _snapshot_schema(root: str, version: int) -> StructType | None:
@@ -430,6 +503,7 @@ def read_version(
     version: int | None = None,
     merge_schema: bool = False,
     where: Mapping[str, tuple] | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Snapshot read: the table exactly as of ``version`` (default
     latest). Resolves the manifest fold once, then reads only the named
@@ -439,21 +513,41 @@ def read_version(
     default). ``where`` maps column -> (lo, hi) inclusive bounds for
     manifest-stats DATA SKIPPING: files provably disjoint from every
     bound are dropped before the scan (the caller still applies the
-    row filter — skipping is a superset). A snapshot whose active set
-    is empty (e.g. a merge deleted every row) returns an empty frame
-    with the recorded table schema."""
+    row filter — skipping is a superset). Live merge-on-read DELETE
+    vectors are subtracted with a broadcast anti-join on (file,
+    position) — vectors are change-batch-sized, never table-sized, so
+    the broadcast is safe by construction and the data side never
+    shuffles. ``with_positions`` keeps the ``_tf_file`` (root-relative)
+    and ``_tf_pos`` provenance columns, computed from ``_metadata`` AT
+    SCAN time (stable under later joins, unlike input_file_name). A
+    snapshot whose active set is empty (e.g. a merge deleted every row)
+    returns an empty frame with the recorded table schema."""
     versions = list_versions(root)
     v = versions[-1] if version is None else version
     files, _ = snapshot_files(root, version, where)
+    dels = active_delete_adds(root, version)
     if not files:
         schema = _snapshot_schema(root, v)
         if schema is None:
             raise FileNotFoundError(f"no schema recorded at {root} v{v}")
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if with_positions:
+            out = out.withColumn(
+                "_tf_file", F.lit(None).cast("string")
+            ).withColumn("_tf_pos", F.lit(None).cast("long"))
+        return out
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(root, f) for f in files])
+    df = reader.parquet(*[os.path.join(root, f) for f in files])
+    if not dels and not with_positions:
+        return df
+    df = _with_positions(df, root)
+    if dels:
+        df = _anti_vectors(spark, root, df, version)
+    if not with_positions:
+        df = df.drop("_tf_file", "_tf_pos")
+    return df
 
 
 def append(
@@ -482,16 +576,81 @@ def append(
 
 def _current_with_file(spark: SparkSession, root: str) -> DataFrame:
     """Current snapshot + ``_tf_file`` root-relative provenance column
-    (merged schema, so evolved columns are visible to validation)."""
-    cur = read_version(spark, root, merge_schema=True).withColumn(
-        "_tf_file", F.input_file_name()
+    (merged schema, so evolved columns are visible to validation).
+    Delete vectors are already applied by read_version, so a rewrite
+    that consumes this frame can never resurrect a deleted row."""
+    return read_version(
+        spark, root, merge_schema=True, with_positions=True
+    ).drop("_tf_pos")
+
+
+def delete_where(
+    spark: SparkSession, root: str, condition: str, files: int = 1
+) -> int:
+    """MERGE-ON-READ DELETE: remove every current row satisfying the SQL
+    boolean expression ``condition`` WITHOUT rewriting data files.
+
+    The commit records (a) whole-file removes for data files where ALL
+    rows matched (no vector needed — the file just leaves the active
+    set) and (b) a POSITION-DELETE parquet file of ``(_tf_dfile,
+    _tf_dpos)`` pairs for partially-matched files, written sorted under
+    ``deletes/v=<n>-<uid>/``. Positions are ``_metadata.row_index`` —
+    stable physical row numbers in immutable files. Matching is
+    computed against the delete-applied current snapshot, so repeated
+    deletes never record the same position twice. Cost at 100 TB: one
+    pruned scan to find matches + a KB-to-MB vector write — no data
+    rewrite (that is ``compact``'s job, amortized); the COW/MOR trade
+    as real formats ship it (Iceberg v2 position deletes, Delta
+    deletion vectors). Returns the new version."""
+    versions = list_versions(root)
+    new_v = versions[-1] + 1
+    matched = (
+        read_version(spark, root, merge_schema=True, with_positions=True)
+        .filter(F.expr(condition))
+        .select("_tf_file", "_tf_pos")
     )
-    # normalize input_file_name's file:// URI back to a root-relative
-    # path: take everything after "<abs root>/", scheme-agnostic
-    rel = F.regexp_extract(
-        "_tf_file", re.escape(os.path.abspath(root)) + "/(.*)$", 1
+    # per-file matched counts: manifest-sized metadata (#touched files)
+    per_file = {
+        r["_tf_file"]: r["n"]
+        for r in matched.groupBy("_tf_file").agg(F.count("*").alias("n")).collect()
+    }
+    rows_by_file = {
+        a["path"]: a.get("rows") for a in active_adds(root)
+    }
+    full = sorted(
+        f for f, n in per_file.items()
+        if rows_by_file.get(f) is not None and n == rows_by_file[f]
     )
-    return cur.withColumn("_tf_file", rel)
+    partial = matched.filter(~F.col("_tf_file").isin(full)) if full else matched
+    n_deleted = sum(per_file.values())
+    delete_adds: list[dict] = []
+    if len(full) < len(per_file):  # some file matched only partially
+        uid = uuid.uuid4().hex[:8]
+        vdir = os.path.join(root, "deletes", f"v={new_v}-{uid}")
+        (
+            partial.select(
+                F.col("_tf_file").alias("_tf_dfile"),
+                F.col("_tf_pos").alias("_tf_dpos"),
+            )
+            .repartition(files)
+            .sortWithinPartitions("_tf_dfile", "_tf_dpos")
+            .write.mode("error").parquet(vdir)
+        )
+        for p in sorted(glob.glob(os.path.join(vdir, "*.parquet"))):
+            import pyarrow.parquet as pq
+
+            delete_adds.append({
+                "path": os.path.relpath(p, root),
+                "rows": int(pq.ParquetFile(p).metadata.num_rows),
+            })
+    schema = _snapshot_schema(root, versions[-1])
+    _publish(root, new_v, {
+        "version": new_v, "op": "delete", "adds": [], "removes": full,
+        "delete_adds": delete_adds, "n_changes": int(n_deleted),
+        "condition": condition,
+        "schema": schema.json() if schema else None,
+    })
+    return new_v
 
 
 def merge(
@@ -640,11 +799,16 @@ def compact(
     new_v = versions[-1] + 1
     spec = _table_spec(root)
     current = sorted(active_files(root))
+    cur_dels = sorted(d["path"] for d in active_delete_adds(root))
     snap = read_version(spark, root, merge_schema=True)
     adds = _write_data(snap, root, new_v, files, spec, sort_by)
     _publish(root, new_v, {
         "version": new_v, "op": "compact", "adds": adds,
         "removes": current, "n_changes": 0, "sort_by": sort_by,
+        # the rewrite APPLIED the live delete vectors (read_version
+        # subtracts them), so they are retired with the files they
+        # referenced — merge-on-read read-amp resets to zero here
+        "delete_removes": cur_dels,
         "schema": snap.schema.json(),
     })
     return new_v
@@ -665,12 +829,16 @@ def change_feed(
     whole snapshots — so feed cost follows the commits' touched files,
     exactly like the merges that produced them (the Delta
     ``table_changes`` surface, computed from the manifests instead of
-    stored CDC files). Output: key, *payload (the post-image; for
-    deletes, the final pre-image), ``_change_type`` in {'insert',
-    'update_postimage', 'delete'}, ``_commit_version``. Rows a rewrite
-    merely carried (payload bit-identical under null-safe comparison)
-    are filtered out. Requires key-unique snapshots — the contract
-    ``merge`` maintains."""
+    stored CDC files). Merge-on-read delete commits contribute the
+    pre-images of their vectored positions (read from only the
+    referenced files); every commit's pre-state subtracts the vectors
+    live at v-1 so a vector-retiring compact never re-reports rows.
+    Output: key, *payload (the post-image; for deletes, the final
+    pre-image), ``_change_type`` in {'insert', 'update_postimage',
+    'delete'}, ``_commit_version``. Rows a rewrite merely carried
+    (payload bit-identical under null-safe comparison) are filtered
+    out. Requires key-unique snapshots — the contract ``merge``
+    maintains."""
     versions = list_versions(root)
     if v_to is None:
         v_to = versions[-1]
@@ -685,9 +853,41 @@ def change_feed(
         new = (
             spark.read.parquet(*adds).select(key, *pay) if adds else None
         )
-        old = (
-            spark.read.parquet(*rems).select(key, *pay) if rems else None
-        )
+        old = None
+        if rems:
+            # the pre-state of removed files is their rows AS VISIBLE at
+            # v-1: physical rows minus the delete vectors live then —
+            # otherwise a compact (or merge) that retires vectors would
+            # re-report rows an earlier delete commit already emitted
+            old = _anti_vectors(
+                spark, root,
+                _with_positions(spark.read.parquet(*rems), root),
+                v - 1,
+            ).select(key, *pay)
+        dvec = [_norm_add(d) for d in m.get("delete_adds", [])]
+        if dvec:
+            # merge-on-read delete commit: pre-images of the vectored
+            # positions, read from ONLY the referenced data files
+            dv = spark.read.parquet(
+                *[os.path.join(root, d["path"]) for d in dvec]
+            )
+            ref = [
+                r[0] for r in dv.select("_tf_dfile").distinct().collect()
+            ]  # vector-file metadata, change-batch-sized
+            data = _with_positions(
+                spark.read.parquet(*[os.path.join(root, f) for f in ref]),
+                root,
+            )
+            pre = data.join(
+                F.broadcast(dv),
+                (F.col("_tf_file") == F.col("_tf_dfile"))
+                & (F.col("_tf_pos") == F.col("_tf_dpos")),
+                "left_semi",
+            ).select(key, *pay)
+            parts.append(
+                pre.withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v))
+            )
         if new is None and old is None:
             continue
         if old is None:
@@ -749,13 +949,18 @@ def vacuum(
     live: set[str] = set()
     for v in retained:
         live |= set(active_files(root, v))
+        live |= {d["path"] for d in active_delete_adds(root, v)}
     committed: set[str] = set()
     for v in versions:
-        committed |= {_norm_add(a)["path"] for a in read_manifest(root, v)["adds"]}
+        m = read_manifest(root, v)
+        committed |= {_norm_add(a)["path"] for a in m["adds"]}
+        committed |= {_norm_add(d)["path"] for d in m.get("delete_adds", [])}
     now = time.time()
     deleted = []
     for p in glob.glob(
         os.path.join(root, "data", "**", "*.parquet"), recursive=True
+    ) + glob.glob(
+        os.path.join(root, "deletes", "**", "*.parquet"), recursive=True
     ):
         relp = os.path.relpath(p, root)
         if relp in live:

@@ -641,7 +641,8 @@ def mm_wav_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "are float64-exact on BOTH engines — the oracle aggregates the "
         "integer numerators exactly and divides ONCE, sidestepping "
         "float-accumulation order entirely. The remaining audio gates "
-        "are the genuinely-ffmpeg encodings (ADPCM, A-law, float64).",
+        "are MS ADPCM (fmt 2) and float64 — A-law landed r9-early "
+        "(mm_wav_alaw_decode) and IMA ADPCM in r9 (mm_wav_adpcm_decode).",
 )
 def mm_wav_float32_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
@@ -1078,3 +1079,77 @@ def mm_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_jpeg_pixel_stats(
         MM.synthesize_jpeg_restart_payloads(docs)
     )
+
+
+#: IMA step table as a DuckDB list literal (inlined ONCE in the oracle)
+_IMA_ST_SQL = "[" + ",".join(str(s) for s in MM._IMA_STEPS) + "]"
+
+
+@register(
+    "mm_wav_adpcm_decode",
+    oracle=f"""
+        WITH RECURSIVE aud AS (
+            SELECT doc_id,
+                   CAST(((doc_id * 131) % 20001) - 10000 AS INTEGER) AS p0,
+                   CAST(doc_id % 89 AS INTEGER) AS i0,
+                   CAST(24 + (doc_id % 8) * 8 AS INTEGER) AS n
+            FROM documents WHERE doc_id % 7 = 2
+        ),
+        dec AS (
+            SELECT doc_id, n, 0 AS i, p0 AS pred, i0 AS idx,
+                   CAST(p0 AS BIGINT) AS mn, CAST(p0 AS BIGINT) AS mx,
+                   CAST(p0 AS BIGINT) AS s
+            FROM aud
+            UNION ALL
+            SELECT doc_id, n, i, pred, idx,
+                   LEAST(mn, pred), GREATEST(mx, pred), s + pred
+            FROM (
+                SELECT doc_id, n, i + 1 AS i,
+                       CAST(GREATEST(-32768, LEAST(32767,
+                           pred + CASE WHEN (c & 8) = 8
+                                       THEN -diff ELSE diff END))
+                            AS INTEGER) AS pred,
+                       CAST(GREATEST(0, LEAST(88,
+                           idx + ([-1,-1,-1,-1,2,4,6,8])[(c & 7) + 1]))
+                            AS INTEGER) AS idx,
+                       mn, mx, s
+                FROM (
+                    SELECT *,
+                           (st >> 3)
+                           + CASE WHEN (c & 1) = 1 THEN st >> 2 ELSE 0 END
+                           + CASE WHEN (c & 2) = 2 THEN st >> 1 ELSE 0 END
+                           + CASE WHEN (c & 4) = 4 THEN st ELSE 0 END
+                             AS diff
+                    FROM (
+                        SELECT *,
+                               CAST((doc_id * 7 + i * 13) % 16 AS INTEGER) AS c,
+                               ({_IMA_ST_SQL})[idx + 1] AS st
+                        FROM dec WHERE i < n
+                    )
+                )
+            )
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n + 1 AS BIGINT) AS n_samples,
+               mn AS min_s, mx AS max_s, s AS sum_s
+        FROM dec WHERE i = n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "adpcm", "mapInPandas"),
+    doc="REAL IMA ADPCM WAV decode (r9 — fmt code 0x11, the classic "
+        "4:1 adaptive speech compressor; closes the r8 'ADPCM needs "
+        "ffmpeg' gate): synthesize single-block mono fmt-0x11 files "
+        "whose header predictor/step-index and 4-bit nibble CODES are "
+        "closed-form in doc_id, then block-walk and decode the full "
+        "adaptive quantizer state machine (89-entry step table, "
+        "per-bit truncated difference, index adaptation, int16 clamp "
+        "— operators/multimodal.py::_ima_step) in Arrow-batched "
+        "mapInPandas. The oracle replays the SAME state machine as a "
+        "recursive-CTE fold in pure SQL — step table inlined once, "
+        "per-nibble transition per iteration — so two independent "
+        "implementations of the published IMA spec must agree on "
+        "every decoded sample (exact integer min/max/sum). MS ADPCM "
+        "(fmt 2) and float64 remain honestly gated.",
+)
+def mm_wav_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 2)
+    return MM.decode_wav_stats(MM.synthesize_wav_adpcm_payloads(docs))

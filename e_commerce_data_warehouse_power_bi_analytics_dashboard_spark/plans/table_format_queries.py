@@ -631,3 +631,165 @@ def tf_sorted_range_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(total_v0).cast("int").alias("unsorted_files_total"),
         )
     )
+
+
+def _mor_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v2",
+        os.path.basename(sf_dir.rstrip("/")), "dim_customer_mor",
+    )
+
+
+def ensure_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """A fourth demo table for MERGE-ON-READ deletes: commit 0 is the
+    full customer set in 4 files; commits 1 and 2 are ``delete_where``
+    vector commits (no data-file writes); commit 3 is a compact that
+    applies + retires the vectors. Both delete predicates are
+    closed-form over customer, so every version's state has a pure-SQL
+    oracle:
+
+      v0  CREATE  = all customers (4 files)
+      v1  DELETE  = c_mktsegment = 'BUILDING'          (position vectors)
+      v2  DELETE  = c_custkey % 10 = 7 (of remaining)  (position vectors)
+      v3  COMPACT = rewrite, vectors retired
+    """
+    root = _mor_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir + "#mor")
+    if key in _BUILT:
+        return root
+    if os.path.exists(tf._commit_path(root, 3)):
+        _BUILT.add(key)
+        return root
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    tf.create_table(spark, root, cust, files=4)
+    tf.delete_where(spark, root, "c_mktsegment = 'BUILDING'")
+    tf.delete_where(spark, root, "c_custkey % 10 = 7")
+    tf.compact(spark, root, files=2)
+    _BUILT.add(key)
+    return root
+
+
+#: survivors after both MoR deletes (v2 == v3 state)
+_O_MOR = """
+    SELECT * FROM customer
+    WHERE c_mktsegment != 'BUILDING' AND c_custkey % 10 != 7
+"""
+
+
+@register(
+    "tf_mor_delete_read",
+    oracle=f"""
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+               c_mktsegment AS segment
+        FROM ({_O_MOR})
+    """,
+    tags=("table_format", "merge_on_read", "delete", "acid"),
+    doc="MERGE-ON-READ DELETE (r9): two delete_where commits write "
+        "POSITION-DELETE vectors — (file, row_index) pairs, the Iceberg "
+        "v2 / Delta deletion-vector idea — and NO data files (pinned by "
+        "tf_mor_vector_audit's literal ledger); this entry reads the "
+        "vectored snapshot (version 2), where the scan subtracts the "
+        "vectors with a broadcast anti-join on (file, position). The "
+        "row-level oracle reconstructs the survivors from customer with "
+        "the two delete predicates, so one resurrected or over-deleted "
+        "row breaks the hash. At 100 TB this is the DELETE that writes "
+        "KB instead of rewriting TB: cost = one pruned scan to find "
+        "matches + a vector write; compaction (v3) amortizes the "
+        "read-side anti-join away (tf_mor_compact_apply).",
+)
+def tf_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_mor_table(spark, sf_dir)
+    return tf.read_version(spark, root, 2).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "tf_mor_compact_apply",
+    oracle=f"""
+        WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                          {o_money_sum('CAST(c_acctbal AS DECIMAL(12,2))')}
+                            AS sum_acctbal
+                   FROM ({_O_MOR}))
+        SELECT 'vectored' AS stage, n_rows, sum_acctbal, TRUE AS vectors_live
+        FROM s
+        UNION ALL
+        SELECT 'compacted', n_rows, sum_acctbal, FALSE FROM s
+    """,
+    tags=("table_format", "merge_on_read", "compaction", "acid"),
+    doc="Vector lifecycle: the SAME logical snapshot read twice — at "
+        "version 2 (delete vectors live: every scan pays the broadcast "
+        "anti-join) and at version 3 (after compact applied the vectors "
+        "into a clean rewrite and RETIRED them via delete_removes). Row "
+        "count and exact-decimal balance sum must be identical and the "
+        "vectors_live flag flips TRUE->FALSE (read from the manifest "
+        "fold, literal oracle). This pins the merge-on-read contract: "
+        "deletes are logically immediate, physically deferred, and "
+        "compaction is a pure layout change that resets read "
+        "amplification to zero — the COW/MOR trade as real lakes run "
+        "it, tested end to end.",
+)
+def tf_mor_compact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_mor_table(spark, sf_dir)
+    parts = []
+    for stage, v in (("vectored", 2), ("compacted", 3)):
+        parts.append(
+            tf.read_version(spark, root, v).agg(
+                F.lit(stage).alias("stage"),
+                F.count("*").cast("long").alias("n_rows"),
+                money_sum("c_acctbal").alias("sum_acctbal"),
+            ).select(
+                "stage", "n_rows", "sum_acctbal",
+                F.lit(len(tf.active_delete_adds(root, v)) > 0)
+                .alias("vectors_live"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@register(
+    "tf_mor_change_feed",
+    oracle="""
+        SELECT CAST(1 AS INT) AS commit_version, c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+               c_mktsegment AS segment
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT 2, c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE),
+               c_mktsegment
+        FROM customer
+        WHERE c_mktsegment != 'BUILDING' AND c_custkey % 10 = 7
+    """,
+    tags=("table_format", "merge_on_read", "cdc", "change_feed", "acid"),
+    doc="CDF over merge-on-read commits: each delete commit contributes "
+        "the exact PRE-IMAGES of its vectored positions (read from only "
+        "the referenced files via a broadcast semi-join on (file, "
+        "position)), and the compact at v3 contributes NOTHING — its "
+        "pre-state subtracts the vectors live at v2, so vector "
+        "retirement is invisible to downstream consumers (no "
+        "double-reported deletes; the v_from=0 feed is exercised "
+        "ACROSS the compact). The oracle derives commit 1 = BUILDING "
+        "rows and commit 2 = %10==7 of the remainder straight from "
+        "customer; every change row is 'delete' so the type column is "
+        "dropped in favor of the version split.",
+)
+def tf_mor_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_mor_table(spark, sf_dir)
+    ch = tf.change_feed(
+        spark, root, "c_custkey", ["c_name", "c_acctbal", "c_mktsegment"],
+        v_from=0,
+    )
+    return ch.select(
+        F.col("_commit_version").cast("int").alias("commit_version"),
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )

@@ -1059,3 +1059,150 @@ def test_wav_alaw_expansion_exhaustive():
         else:
             t = (t + 264) << (seg - 1)
         assert vals[u] == (t if a >= 128 else -t)
+
+
+# -------------------------------------------------------------- IMA ADPCM
+
+
+def _ima_reference_decode(codes, p0, i0):
+    """Independent straight-line IMA reference (no shared helpers with
+    the production _ima_step): tables from the published spec, diff via
+    the same per-bit truncation, implemented with float-free ints."""
+    steps = MM._IMA_STEPS  # the table itself is the published constant
+    pred, idx, out = p0, i0, [p0]
+    for c in codes:
+        step = steps[idx]
+        d = step >> 3
+        d += step >> 2 if c & 1 else 0
+        d += step >> 1 if c & 2 else 0
+        d += step if c & 4 else 0
+        pred = pred - d if c & 8 else pred + d
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        idx += (-1, -1, -1, -1, 2, 4, 6, 8)[c & 7]
+        idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+        out.append(pred)
+    return out
+
+
+def test_wav_adpcm_mono_matches_reference():
+    """Synthesized fmt-0x11 file → parse_wav equals the independent
+    reference decode of the same closed-form nibble stream."""
+    import struct
+
+    for d in (0, 3, 7, 42, 88, 123):
+        n = 24 + (d % 8) * 8
+        p0 = ((d * 131) % 20001) - 10000
+        i0 = d % 89
+        codes = [(d * 7 + i * 13) % 16 for i in range(n)]
+        data = bytes(codes[j] | (codes[j + 1] << 4) for j in range(0, n, 2))
+        block_align = 4 + n // 2
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, 8000, 8000 * block_align // (n + 1),
+            block_align, 4, 2, n + 1,
+        )
+        pcm = struct.pack("<hBB", p0, i0, 0) + data
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        assert (rate, ch) == (8000, 1)
+        assert list(got) == _ima_reference_decode(codes, p0, i0)
+
+
+def test_wav_adpcm_stereo_round_robin_groups():
+    """Stereo IMA ADPCM: after the two 4-byte headers, data alternates
+    4-byte (8-nibble) units per channel; each channel's stream decodes
+    independently and interleaves per frame."""
+    import struct
+
+    p = [(100, 10), (-200, 30)]
+    codes = [[(3 + 5 * i) % 16 for i in range(8)],
+             [(11 + 7 * i) % 16 for i in range(8)]]
+    units = []
+    for c in range(2):
+        units.append(bytes(
+            codes[c][j] | (codes[c][j + 1] << 4) for j in range(0, 8, 2)
+        ))
+    block = (
+        struct.pack("<hBB", p[0][0], p[0][1], 0)
+        + struct.pack("<hBB", p[1][0], p[1][1], 0)
+        + units[0] + units[1]
+    )
+    block_align = len(block)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, block_align, 4, 2, 9)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, ch) == (8000, 2)
+    for c in range(2):
+        assert list(got[c::2]) == _ima_reference_decode(
+            codes[c], p[c][0], p[c][1]
+        )
+
+
+def test_wav_adpcm_multi_block_resets_state():
+    """Two blocks: the second block's header re-seeds predictor/index —
+    state never leaks across block boundaries."""
+    import struct
+
+    blocks = []
+    expected = []
+    for (p0, i0, base) in ((500, 5, 1), (-1500, 60, 9)):
+        codes = [(base * 7 + i * 13) % 16 for i in range(8)]
+        data = bytes(codes[j] | (codes[j + 1] << 4) for j in range(0, 8, 2))
+        blocks.append(struct.pack("<hBB", p0, i0, 0) + data)
+        expected.extend(_ima_reference_decode(codes, p0, i0))
+    block_align = len(blocks[0])
+    assert len(blocks[1]) == block_align
+    pcm = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, block_align, 4, 2, 9)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert list(got) == expected
+
+
+def test_wav_adpcm_bad_step_index_raises():
+    import struct
+
+    pcm = struct.pack("<hBB", 0, 90, 0) + b"\x00\x00\x00\x00"
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, len(pcm), 4, 2, 9)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    with pytest.raises(ValueError, match="step index"):
+        MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        d=st.integers(0, 2**31),
+        n_pairs=st.integers(1, 40),
+        p0=st.integers(-32768, 32767),
+        i0=st.integers(0, 88),
+    )
+    def test_wav_adpcm_fuzz_matches_reference(d, n_pairs, p0, i0):
+        import struct
+
+        n = 2 * n_pairs
+        codes = [(d * 13 + i * 17) % 16 for i in range(n)]
+        data = bytes(codes[j] | (codes[j + 1] << 4) for j in range(0, n, 2))
+        block_align = 4 + n // 2
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, 8000, 8000, block_align, 4, 2, n + 1
+        )
+        pcm = struct.pack("<hBB", p0, i0, 0) + data
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        _, _, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        assert list(got) == _ima_reference_decode(codes, p0, i0)

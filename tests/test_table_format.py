@@ -476,3 +476,153 @@ def test_change_feed_replay_rebuilds_snapshot(spark, demo_root):
                       .select("c_custkey", *tfq._PAYLOAD).collect()))
     got = sorted(map(tuple, rebuilt.collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------- MoR deletes
+
+
+def _mor_base(spark):
+    return spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("int").alias("b"),
+        (F.col("id") * 2).alias("val"),
+    )
+
+
+def test_mor_delete_writes_vectors_not_data(spark, tmp_path):
+    """delete_where is MERGE-ON-READ: the commit adds NO data files —
+    only a position-delete vector — yet the snapshot subtracts exactly
+    the matched rows, and time travel to v0 still sees them."""
+    root = str(tmp_path / "mor")
+    df = _mor_base(spark)
+    tf.create_table(spark, root, df, files=4)
+    tf.delete_where(spark, root, "k % 7 = 0")
+    m = tf.read_manifest(root, 1)
+    assert m["op"] == "delete" and m["adds"] == [] and m["n_changes"] == 15
+    assert m["removes"] == []  # no file fully matched
+    assert len(m["delete_adds"]) == 1
+    assert m["delete_adds"][0]["rows"] == 15
+    snap = tf.read_version(spark, root)
+    exp = df.filter(~(F.col("k") % 7 == 0))
+    assert snap.exceptAll(exp).count() == 0
+    assert exp.exceptAll(snap).count() == 0
+    assert tf.read_version(spark, root, 0).count() == 100
+
+
+def test_mor_repeated_deletes_never_duplicate_positions(spark, tmp_path):
+    """A second delete matches against the ALREADY-SUBTRACTED snapshot,
+    so vectors never record a position twice and n_changes sums to the
+    true deleted-row total."""
+    root = str(tmp_path / "mor2")
+    df = _mor_base(spark)
+    tf.create_table(spark, root, df, files=4)
+    tf.delete_where(spark, root, "k % 7 = 0")       # 15 rows
+    tf.delete_where(spark, root, "k % 5 = 1")       # 20 rows, minus overlap
+    n1 = tf.read_manifest(root, 1)["n_changes"]
+    n2 = tf.read_manifest(root, 2)["n_changes"]
+    left = tf.read_version(spark, root).count()
+    assert n1 + n2 + left == 100
+    # overlap k in {35, 56, ...}? k%7==0 and k%5==1: k ≡ 21 (mod 35) → 21,56,91
+    assert n2 == 20 - 3
+
+
+def test_mor_whole_file_match_removes_file_without_vector(spark, tmp_path):
+    """When every row of a data file matches, the commit removes the
+    file outright — no vector entries for it (the partition-delete
+    fast path)."""
+    root = str(tmp_path / "mor3")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("b")
+    )
+    tf.create_table(spark, root, df, partition_by="b")
+    tf.delete_where(spark, root, "b = 2")
+    m = tf.read_manifest(root, 1)
+    assert m["removes"] and m["delete_adds"] == []
+    assert tf.read_version(spark, root).count() == 30
+
+
+def test_mor_compact_applies_and_retires_vectors(spark, tmp_path):
+    """compact rewrites the delete-applied snapshot and retires every
+    live vector (delete_removes); the rows are unchanged and the CDF
+    across the compact commit is empty — vector retirement is not a
+    row-level change."""
+    root = str(tmp_path / "mor4")
+    df = _mor_base(spark)
+    tf.create_table(spark, root, df, files=4)
+    tf.delete_where(spark, root, "k % 7 = 0")
+    exp = df.filter(~(F.col("k") % 7 == 0))
+    assert tf.active_delete_adds(root) != []
+    tf.compact(spark, root, files=2)
+    assert tf.active_delete_adds(root) == []
+    snap = tf.read_version(spark, root)
+    assert snap.exceptAll(exp).count() == 0
+    assert exp.exceptAll(snap).count() == 0
+    ch = tf.change_feed(spark, root, "k", ["b", "val"], v_from=1)
+    assert ch.count() == 0
+
+
+def test_mor_change_feed_emits_vectored_preimages_once(spark, tmp_path):
+    """The delete commit's CDF rows are the exact pre-images of the
+    vectored positions; a later compact does not re-report them."""
+    root = str(tmp_path / "mor5")
+    df = _mor_base(spark)
+    tf.create_table(spark, root, df, files=4)
+    tf.delete_where(spark, root, "k % 7 = 0")
+    ch = tf.change_feed(spark, root, "k", ["b", "val"], v_from=0)
+    rows = ch.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(0, 100, 7))
+    assert all(r["val"] == r["k"] * 2 for r in rows)
+    tf.compact(spark, root, files=2)
+    ch2 = tf.change_feed(spark, root, "k", ["b", "val"], v_from=0)
+    assert ch2.count() == len(rows)
+
+
+def test_mor_merge_cannot_resurrect_deleted_rows(spark, tmp_path):
+    """A copy-on-write MERGE that rewrites a file carrying vector-deleted
+    rows reads the delete-APPLIED state, and the rewritten file's fresh
+    path means stale vector entries never apply to it."""
+    root = str(tmp_path / "mor6")
+    df = _mor_base(spark)
+    tf.create_table(spark, root, df, files=2)
+    tf.delete_where(spark, root, "k = 10")
+    feed = spark.createDataFrame(
+        [(11, "U", 1, 999, 1, 0)],
+        "k long, op string, b int, val long, seq int, tb int",
+    )
+    tf.merge(spark, root, feed, "k", ["b", "val"], "seq", "tb")
+    snap = tf.read_version(spark, root)
+    assert snap.filter(F.col("k") == 10).count() == 0
+    assert snap.filter(F.col("k") == 11).select("val").first()[0] == 999
+    assert snap.count() == 99
+
+
+def test_mor_vacuum_keeps_live_vectors(spark, tmp_path):
+    """vacuum must treat live delete vectors as referenced files: after
+    a zero-grace vacuum the snapshot still subtracts them; once compact
+    retires them, vacuum reclaims the vector files."""
+    root = str(tmp_path / "mor7")
+    df = _mor_base(spark)
+    tf.create_table(spark, root, df, files=2)
+    tf.delete_where(spark, root, "k % 7 = 0")
+    deleted = tf.vacuum(root, keep_versions=1, orphan_grace_sec=0.0)
+    assert not any(p.startswith("deletes/") for p in deleted)
+    assert tf.read_version(spark, root).count() == 85
+    tf.compact(spark, root, files=1)
+    deleted = tf.vacuum(root, keep_versions=1, orphan_grace_sec=0.0)
+    assert any(p.startswith("deletes/") for p in deleted)
+    assert tf.read_version(spark, root).count() == 85
+
+
+def test_mor_delete_all_rows_yields_empty_snapshot(spark, tmp_path):
+    """Deleting every row leaves an empty active set readable with the
+    recorded schema (whole-file removes, no vectors)."""
+    root = str(tmp_path / "mor8")
+    df = _mor_base(spark)
+    tf.create_table(spark, root, df, files=2)
+    tf.delete_where(spark, root, "k >= 0")
+    m = tf.read_manifest(root, 1)
+    assert m["delete_adds"] == [] and len(m["removes"]) == 2
+    snap = tf.read_version(spark, root)
+    assert snap.count() == 0
+    assert set(snap.columns) == {"k", "b", "val"}
