@@ -415,6 +415,7 @@ def _write_data(
     files: int,
     partition_by: Sequence[str] | None,
     sort_by: str | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` under an ATTEMPT-UNIQUE directory and return the add
     records (path + partition values + footer stats). Uniqueness is the
@@ -429,10 +430,29 @@ def _write_data(
     skipping (what OPTIMIZE ZORDER buys in real formats, in its 1-D
     form). Under a partition spec the sort applies within each
     partition's file (row-group locality only; the manifest tracks one
-    stats interval per file)."""
+    stats interval per file).
+
+    ``zorder_by`` (two int-valued columns, unpartitioned writes only)
+    range-clusters on the MORTON interleave of both columns instead:
+    each file's footer min/max for BOTH dimensions becomes a bounded
+    rectangle, so a range ``where`` on EITHER column prunes — the 2-D
+    OPTIMIZE ZORDER of real formats (operators/zorder.py::zvalue)."""
     uid = uuid.uuid4().hex[:8]
     vdir = os.path.join(root, "data", f"v={version}-{uid}")
-    if partition_by:
+    if zorder_by:
+        if partition_by:
+            raise ValueError("zorder_by composes with unpartitioned writes only")
+        a, b = zorder_by
+        from .zorder import zvalue
+
+        (
+            df.withColumn("_tf_z", zvalue(a, b))
+            .repartitionByRange(files, F.col("_tf_z"))
+            .sortWithinPartitions("_tf_z")
+            .drop("_tf_z")
+            .write.mode("error").parquet(vdir)
+        )
+    elif partition_by:
         # hive-partition on COPIES (``_p_<col>``) so the columns
         # themselves stay inside the data files — snapshots read
         # explicit file lists (never directory inference) and footer
@@ -781,6 +801,7 @@ def merge_compacted(
 def compact(
     spark: SparkSession, root: str, files: int = 1,
     sort_by: str | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot into ``files`` files per
     partition value (or ``files`` total, unpartitioned) as one commit
@@ -794,17 +815,21 @@ def compact(
     and of plans/layout.py's compaction entry, now manifest-committed.
     ``sort_by`` additionally range-clusters the rewrite (OPTIMIZE +
     1-D ZORDER in one pass: small-file bin-packing AND disjoint
-    per-file stats intervals for the sort column)."""
+    per-file stats intervals for the sort column). ``zorder_by``
+    (two int columns) is the 2-D form — Morton-interleaved clustering
+    so the manifest's per-file min/max rectangles prune range
+    predicates on EITHER dimension (OPTIMIZE ZORDER BY)."""
     versions = list_versions(root)
     new_v = versions[-1] + 1
     spec = _table_spec(root)
     current = sorted(active_files(root))
     cur_dels = sorted(d["path"] for d in active_delete_adds(root))
     snap = read_version(spark, root, merge_schema=True)
-    adds = _write_data(snap, root, new_v, files, spec, sort_by)
+    adds = _write_data(snap, root, new_v, files, spec, sort_by, zorder_by)
     _publish(root, new_v, {
         "version": new_v, "op": "compact", "adds": adds,
         "removes": current, "n_changes": 0, "sort_by": sort_by,
+        "zorder_by": list(zorder_by) if zorder_by else None,
         # the rewrite APPLIED the live delete vectors (read_version
         # subtracts them), so they are retired with the files they
         # referenced — merge-on-read read-amp resets to zero here

@@ -35,6 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.zorder import zvalue  # shared with table-format OPTIMIZE
 from ..sources.star import StarSchema, with_star
 from ..sources.tpch import read_table
 from ._helpers import money_sum, o_money_sum
@@ -502,33 +503,6 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Z-order (Morton-curve) multi-dimensional clustering
 # ---------------------------------------------------------------------------
-
-
-def zvalue(a: str, b: str, bits: int = 16) -> F.Column:
-    """Morton z-value: interleave the low ``bits`` bits of two non-negative
-    int SQL expressions (a's bits land on odd positions). Pure JVM
-    higher-order expression — whole-stage-codegen'd, no UDF.
-
-    Sorting by z-value clusters rows that are close in BOTH dimensions,
-    so parquet min/max row-group stats prune on either predicate — the
-    multi-dim analog of write_range_sorted's single-dim index, and the
-    same layout trick Delta/Iceberg expose as OPTIMIZE ZORDER BY.
-
-    Size ``bits`` to cover the key domain: values wider than ``bits``
-    alias onto their low bits (e.g. custkey 100 and 100 + 2**bits
-    interleave identically), which never changes query RESULTS — the
-    layout only affects clustering — but silently destroys the per-file
-    min/max locality the z-order exists to create.
-    """
-    if not 1 <= bits <= 31:
-        # 2*bits interleaved bits must fit a signed int64 (and the
-        # shifted bit positions 2*i+1 stay < 63)
-        raise ValueError(f"bits={bits} must be in [1, 31]")
-    return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
-        f"acc | shiftleft(shiftright(CAST({a} AS BIGINT), i) & 1, 2*i+1)"
-        f"    | shiftleft(shiftright(CAST({b} AS BIGINT), i) & 1, 2*i))"
-    )
 
 
 def write_zordered(

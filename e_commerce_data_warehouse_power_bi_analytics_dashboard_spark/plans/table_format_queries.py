@@ -793,3 +793,99 @@ def tf_mor_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("acctbal"),
         F.col("c_mktsegment").alias("segment"),
     )
+
+
+def _zorder_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v2",
+        os.path.basename(sf_dir.rstrip("/")), "orders_zorder",
+    )
+
+
+def ensure_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """A fifth demo table for 2-D OPTIMIZE ZORDER: commit 0 is orders
+    (custkey, day-number, totalprice) as ONE unclustered file; commit 1
+    is ``compact(files=8, zorder_by=(o_custkey, o_day))`` — Morton-
+    interleaved range clustering, so every file's manifest stats carry
+    a bounded RECTANGLE in (custkey, day) space."""
+    root = _zorder_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir + "#zorder")
+    if key in _BUILT:
+        return root
+    if os.path.exists(tf._commit_path(root, 1)):
+        _BUILT.add(key)
+        return root
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("int").alias("o_day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    tf.create_table(spark, root, orders, files=1)
+    tf.compact(spark, root, files=8, zorder_by=("o_custkey", "o_day"))
+    _BUILT.add(key)
+    return root
+
+
+@register(
+    "tf_zorder_skip",
+    oracle=f"""
+        WITH cust AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {o_money_sum('CAST(o_totalprice AS DECIMAL(18,2))')} AS rev
+            FROM orders WHERE o_custkey BETWEEN 1 AND 150
+        ),
+        dt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {o_money_sum('CAST(o_totalprice AS DECIMAL(18,2))')} AS rev
+            FROM orders
+            WHERE o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1992-06-29'
+        )
+        SELECT cust.n AS n_rows_cust, cust.rev AS rev_cust,
+               dt.n AS n_rows_day, dt.rev AS rev_day,
+               CAST(8 AS INTEGER) AS files_total,
+               TRUE AS pruned_cust, TRUE AS pruned_day
+        FROM cust, dt
+    """,
+    tags=("table_format", "zorder", "data_skipping", "compaction", "acid"),
+    doc="OPTIMIZE ZORDER in the table format (r9): compact(files=8, "
+        "zorder_by=(o_custkey, o_day)) rewrites the snapshot clustered "
+        "on the Morton interleave of BOTH columns (operators/zorder.py "
+        "— a pure JVM aggregate/shiftleft fold, codegen'd), so each "
+        "file's footer min/max form a bounded rectangle in (custkey, "
+        "day) space and the manifest prunes range predicates on EITHER "
+        "dimension — the composite-index study of the reference "
+        "(Iteration 3/Group No.6_Indexing_Partitioning.sql:51-75) "
+        "realized as layout instead of a B-tree. The entry runs one "
+        "stats-pruned read per dimension (where= custkey 1-150 / day "
+        "0-180), pins pruned=TRUE for both (selected < 8 files), and "
+        "hash-matches exact decimal revenue against plain orders scans "
+        "— pruning is provably a superset, on two orthogonal "
+        "predicates over ONE layout. A 1-D sort can only serve one of "
+        "them; that asymmetry is the whole point of z-ordering at "
+        "100 TB.",
+)
+def tf_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_zorder_table(spark, sf_dir)
+    w_cust = {"o_custkey": (1, 150)}
+    w_day = {"o_day": (0, 180)}
+    sel_c, total = tf.snapshot_files(root, None, w_cust)
+    sel_d, _ = tf.snapshot_files(root, None, w_day)
+    cust = (
+        tf.read_version(spark, root, where=w_cust)
+        .filter(F.col("o_custkey").between(1, 150))
+        .agg(F.count("*").cast("long").alias("n_rows_cust"),
+             money_sum("o_totalprice").alias("rev_cust"))
+    )
+    day = (
+        tf.read_version(spark, root, where=w_day)
+        .filter(F.col("o_day").between(0, 180))
+        .agg(F.count("*").cast("long").alias("n_rows_day"),
+             money_sum("o_totalprice").alias("rev_day"))
+    )
+    return cust.crossJoin(day).select(
+        "n_rows_cust", "rev_cust", "n_rows_day", "rev_day",
+        F.lit(total).cast("int").alias("files_total"),
+        F.lit(len(sel_c) < total).alias("pruned_cust"),
+        F.lit(len(sel_d) < total).alias("pruned_day"),
+    )

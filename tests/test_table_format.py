@@ -626,3 +626,44 @@ def test_mor_delete_all_rows_yields_empty_snapshot(spark, tmp_path):
     snap = tf.read_version(spark, root)
     assert snap.count() == 0
     assert set(snap.columns) == {"k", "b", "val"}
+
+
+# ---------------------------------------------------------- OPTIMIZE ZORDER
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """compact(zorder_by=(x, y)) over a dense 64x64 grid: the manifest's
+    per-file min/max become bounded rectangles, so a range where= on
+    EITHER dimension selects strictly fewer than all files — the 2-D
+    property a 1-D sort cannot provide."""
+    root = str(tmp_path / "z")
+    grid = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+        F.col("id").alias("v"),
+    )
+    tf.create_table(spark, root, grid, files=1)
+    tf.compact(spark, root, files=8, zorder_by=("x", "y"))
+    sel_x, total = tf.snapshot_files(root, None, {"x": (0, 7)})
+    sel_y, _ = tf.snapshot_files(root, None, {"y": (0, 7)})
+    assert total == 8
+    assert len(sel_x) < total and len(sel_y) < total
+    # skipping is a superset: the pruned read still returns every row
+    got = (
+        tf.read_version(spark, root, where={"x": (0, 7)})
+        .filter(F.col("x") <= 7).count()
+    )
+    assert got == 8 * 64
+    m = tf.read_manifest(root, 1)
+    assert m["zorder_by"] == ["x", "y"]
+
+
+def test_zorder_rejects_partitioned_tables(spark, tmp_path):
+    root = str(tmp_path / "zp")
+    df = spark.range(0, 40).select(
+        (F.col("id") % 4).cast("int").alias("b"),
+        F.col("id").alias("x"), F.col("id").alias("y"),
+    )
+    tf.create_table(spark, root, df, partition_by="b")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tf.compact(spark, root, files=4, zorder_by=("x", "y"))
