@@ -1,0 +1,152 @@
+"""Streaming change-data-feed SOURCE (r9): readStream.format(
+"table_changes") over the table format's commit log (PySpark 4 Python
+Data Source API) must emit exactly the batch change_feed's rows —
+including merge inserts/updates/deletes, merge-on-read vector
+pre-images, and nothing for a vector-retiring compact — and a
+checkpointed restart must consume only new commits (exactly-once)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+    table_format as tf,
+)
+from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.streaming.table_source import (
+    TableChangesDataSource,
+)
+
+_PAYLOAD = ["b", "val"]
+
+
+def _base(spark):
+    return spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("b"),
+        (F.col("id") * 10).alias("val"),
+    )
+
+
+def _build_table(spark, root):
+    """create → merge (I/U/D) → MoR delete → compact: every commit kind
+    the feed distinguishes."""
+    tf.create_table(spark, root, _base(spark), files=2)
+    feed = spark.createDataFrame(
+        [
+            (3, "U", 3, 999, 1, 0),     # update
+            (100, "I", 0, 111, 1, 1),   # insert (new key)
+            (7, "D", 3, 70, 1, 2),      # delete
+        ],
+        "k long, op string, b int, val long, seq int, tb int",
+    )
+    tf.merge(spark, root, feed, "k", _PAYLOAD, "seq", "tb")
+    tf.delete_where(spark, root, "k % 10 = 4")  # MoR vectors
+    tf.compact(spark, root, files=1)            # retires vectors, no changes
+
+
+def _register(spark):
+    spark.dataSource.register(TableChangesDataSource)
+
+
+def _collect_stream(spark, root, out, cp):
+    (
+        spark.readStream.format("table_changes")
+        .option("root", root)
+        .option("key", "k")
+        .option("payload", ",".join(_PAYLOAD))
+        .load()
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start(out)
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)
+
+
+def _snap(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "k", *_PAYLOAD, "_change_type", "_commit_version"
+        ).collect()
+    )
+
+
+def test_stream_change_feed_equals_batch(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    _build_table(spark, root)
+    _register(spark)
+    got = _snap(
+        _collect_stream(
+            spark, root, str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+    )
+    want = _snap(
+        tf.change_feed(spark, root, "k", _PAYLOAD, v_from=0).withColumn(
+            "_commit_version", F.col("_commit_version").cast("int")
+        )
+    )
+    assert got == want
+    # sanity against vacuous equality: all three change kinds present,
+    # the MoR delete commit contributed its vectored pre-images, and
+    # the compact contributed nothing
+    kinds = {(r[3], r[4]) for r in got}
+    assert ("insert", 1) in kinds and ("update_postimage", 1) in kinds
+    assert ("delete", 1) in kinds and ("delete", 2) in kinds
+    assert not any(v == 3 for _, v in kinds)
+    mor_deleted = sorted(r[0] for r in got if r[4] == 2)
+    assert mor_deleted == [4, 14, 24, 34]
+
+
+def test_stream_checkpoint_resumes_with_only_new_commits(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    _build_table(spark, root)
+    _register(spark)
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    first = _snap(_collect_stream(spark, root, out, cp))
+
+    # new commits after the first run: an append and another MoR delete
+    extra = spark.createDataFrame(
+        [(200, 0, 7)], "k long, b int, val long"
+    )
+    tf.append(spark, root, extra, files=1)
+    tf.delete_where(spark, root, "k = 3")
+
+    second = _snap(_collect_stream(spark, root, out, cp))
+    new_rows = [r for r in second if r not in first]
+    assert len(second) == len(first) + len(new_rows)
+    assert {(r[0], r[3]) for r in new_rows} == {
+        (200, "insert"), (3, "delete"),
+    }
+    # and the cumulative stream still equals the cumulative batch feed
+    want = _snap(
+        tf.change_feed(spark, root, "k", _PAYLOAD, v_from=0).withColumn(
+            "_commit_version", F.col("_commit_version").cast("int")
+        )
+    )
+    assert second == want
+
+
+def test_stream_start_version_skips_history(spark, tmp_path):
+    """startVersion=2 must surface only commits > 2 (the 'subscribe
+    from here' contract a downstream consumer pins after a backfill)."""
+    root = str(tmp_path / "tbl")
+    _build_table(spark, root)
+    tf.delete_where(spark, root, "k = 5")  # v4
+    _register(spark)
+    out, cp = str(tmp_path / "out2"), str(tmp_path / "cp2")
+    (
+        spark.readStream.format("table_changes")
+        .option("root", root)
+        .option("key", "k")
+        .option("payload", ",".join(_PAYLOAD))
+        .option("startVersion", "2")
+        .load()
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start(out)
+        .awaitTermination()
+    )
+    got = _snap(spark.read.parquet(out))
+    assert {r[4] for r in got} == {4}
+    assert [r[0] for r in got] == [5]
