@@ -1,7 +1,9 @@
 """Minimal ACID table format: a versioned-manifest parquet table with
-copy-on-write MERGE, merge-on-read DELETE (position-delete files),
-snapshot isolation, time travel, file-level statistics + data skipping,
-a partition spec, and vacuum.
+copy-on-write MERGE, merge-on-read DELETE/UPDATE (position-delete
+vectors), snapshot isolation, time travel (Python + SQL), file-level
+statistics + data skipping, OPTIMIZE compaction with 1-D range / 2-D
+Z-order clustering, a partition spec, CHECK constraints, a change data
+feed (batch + streaming source), and vacuum.
 
 The reference's upsert is a row-level ``INSERT ... ON CONFLICT DO
 UPDATE`` against a mutable heap table (ETL.sql:304-315), and its whole
@@ -59,7 +61,8 @@ version (committed files immediately, never-committed orphans only
 after a grace window so in-flight writers keep their files) and records
 the earliest still-readable version so expired time travel fails fast.
 
-DELETE is MERGE-ON-READ (``delete_where``), the other half of the
+DELETE and UPDATE are MERGE-ON-READ (``delete_where`` /
+``update_where``), the other half of the
 COW-vs-MOR trade every real format exposes: instead of rewriting every
 file that contains a matched row (copy-on-write — what ``merge`` does,
 right for large change batches), the commit writes POSITION-DELETE
@@ -74,7 +77,10 @@ of parquet; ``compact`` applies and retires the vectors (read-amp is
 bounded by compaction cadence), and a later ``merge``'s rewrite of a
 touched file cannot resurrect deleted rows because rewritten files get
 fresh attempt-unique paths — stale vector entries reference only
-removed paths and never match.
+removed paths and never match. ``update_where`` composes both halves
+in one commit: vector-delete the matched rows' old positions + append
+their updated images, so UPDATE cost follows matched rows, not
+matched FILES.
 
 Single-table, single-cluster scope. ADDITIVE schema evolution is
 supported via ``append`` (new files may carry new columns; a
@@ -115,6 +121,10 @@ _MAX_STAT_STR = 64
 
 class CommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic loser)."""
+
+
+class ConstraintViolation(ValueError):
+    """A write contained rows failing an active CHECK constraint."""
 
 
 class VersionExpired(RuntimeError):
@@ -408,6 +418,78 @@ def _table_spec(root: str) -> list[str] | None:
     return read_manifest(root, 0).get("partition_by")
 
 
+def active_constraints(root: str, version: int | None = None) -> dict[str, str]:
+    """Live CHECK constraints (name -> SQL boolean expr) at ``version``:
+    fold of ``constraints_add`` / ``constraints_drop`` over the commit
+    log — the same prefix fold as files and delete vectors."""
+    versions = list_versions(root)
+    if not versions:
+        return {}
+    if version is None:
+        version = versions[-1]
+    out: dict[str, str] = {}
+    for v in versions:
+        if v > version:
+            break
+        m = read_manifest(root, v)
+        for name in m.get("constraints_drop", []):
+            out.pop(name, None)
+        out.update(m.get("constraints_add", {}))
+    return out
+
+
+def _check_constraints(df: DataFrame, constraints: Mapping[str, str]) -> None:
+    """Reject ``df`` if any row FAILS a constraint (SQL CHECK semantics:
+    NULL passes, only FALSE violates). One conditional-aggregate pass
+    over the rows being written — never the whole table; the inductive
+    argument real formats use: every active file was validated by the
+    write (or by add_constraint's one-time snapshot scan) that
+    introduced it."""
+    if not constraints:
+        return
+    names = list(constraints)
+    counts = df.agg(*[
+        F.sum(
+            F.when(~F.coalesce(F.expr(constraints[n]), F.lit(True)), 1)
+            .otherwise(0)
+        ).alias(n)
+        for n in names
+    ]).first()
+    bad = {n: int(counts[n] or 0) for n in names if counts[n]}
+    if bad:
+        raise ConstraintViolation(
+            f"write violates CHECK constraint(s) {bad} "
+            f"(violating-row counts; nothing was committed)"
+        )
+
+
+def add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
+    CURRENT snapshot once (the one-time scan Delta documents), then
+    records the constraint in an alter commit; every subsequent write
+    validates its own rows before publishing."""
+    versions = list_versions(root)
+    new_v = versions[-1] + 1
+    _check_constraints(read_version(spark, root, merge_schema=True), {name: expr})
+    _publish(root, new_v, {
+        "version": new_v, "op": "alter", "adds": [], "removes": [],
+        "n_changes": 0, "constraints_add": {name: expr},
+    })
+    return new_v
+
+
+def drop_constraint(spark: SparkSession, root: str, name: str) -> int:
+    versions = list_versions(root)
+    new_v = versions[-1] + 1
+    _publish(root, new_v, {
+        "version": new_v, "op": "alter", "adds": [], "removes": [],
+        "n_changes": 0, "constraints_drop": [name],
+    })
+    return new_v
+
+
 def _write_data(
     df: DataFrame,
     root: str,
@@ -498,6 +580,7 @@ def create_table(
     files: int = 4,
     partition_by: str | Sequence[str] | None = None,
     sort_by: str | None = None,
+    constraints: Mapping[str, str] | None = None,
 ) -> int:
     """Commit 0: materialize ``df`` as the table's initial snapshot.
     ``partition_by`` (optional, str or list) records the table's
@@ -505,13 +588,19 @@ def create_table(
     writing commit on those columns, so key-localized MERGEs rewrite a
     bounded file subset and stats-pruned reads skip whole partitions.
     ``sort_by`` range-clusters the files on a column (disjoint per-file
-    min/max intervals → range predicates prune; see _write_data)."""
+    min/max intervals → range predicates prune; see _write_data).
+    ``constraints`` (name -> SQL boolean expr) are CHECK constraints:
+    recorded in the manifest, validated against this and every later
+    write (ConstraintViolation aborts before anything publishes)."""
     spec = _normalize_spec(partition_by)
+    if constraints:
+        _check_constraints(df, constraints)
     adds = _write_data(df, root, 0, files, spec, sort_by)
     _publish(root, 0, {
         "version": 0, "op": "create", "adds": adds, "removes": [],
         "n_changes": sum(a["rows"] for a in adds),
         "partition_by": spec, "sort_by": sort_by,
+        "constraints_add": dict(constraints) if constraints else {},
         "schema": df.schema.json(),
     })
     return 0
@@ -585,6 +674,7 @@ def append(
     spec = _table_spec(root)
     if spec and not all(c in df.columns for c in spec):
         spec = None
+    _check_constraints(df, active_constraints(root))
     adds = _write_data(df, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "append", "adds": adds, "removes": [],
@@ -718,6 +808,7 @@ def merge(
     merged = apply_change_feed(
         base_rows, feed, key, payload, order_col, tiebreak
     ).select(key, *payload)
+    _check_constraints(merged, active_constraints(root))
     adds = _write_data(merged, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "merge", "adds": adds,
@@ -789,11 +880,92 @@ def merge_compacted(
     merged = latest_wins(
         base_rows.unionByName(batch.select(*cols)), key, order_col, tiebreak
     )
+    _check_constraints(merged, active_constraints(root))
     adds = _write_data(merged, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "merge_compacted", "adds": adds,
         "removes": sorted(touched), "n_changes": batch.count(),
         "epoch": epoch, "schema": merged.schema.json(),
+    })
+    return new_v
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    assignments: Mapping[str, str],
+    files: int = 1,
+) -> int:
+    """MERGE-ON-READ UPDATE: ``UPDATE t SET col = expr, ... WHERE
+    condition`` as ONE commit that position-DELETES the matched rows
+    (vectors, no data rewrite) and ADDS a small file holding their
+    updated images — the Delta deletion-vector update shape. Cost at
+    100 TB follows the matched-row count: a wide UPDATE touching 0.1%
+    of a 100 TB table writes ~100 GB of new rows + KB of vectors,
+    instead of rewriting every file that contains a match (what the
+    copy-on-write ``merge`` would do). ``assignments`` maps column ->
+    SQL expression (evaluated on the matched pre-image rows; other
+    columns carry). Unmatched rows are untouched by construction.
+    Returns the new version."""
+    versions = list_versions(root)
+    new_v = versions[-1] + 1
+    spec = _table_spec(root)
+    cur = read_version(spark, root, merge_schema=True, with_positions=True)
+    matched = cur.filter(F.expr(condition))
+    data_cols = [c for c in cur.columns if c not in ("_tf_file", "_tf_pos")]
+    updated = matched.select(
+        *[
+            F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+            for c in data_cols
+        ]
+    )
+    unknown = set(assignments) - set(data_cols)
+    if unknown:
+        raise ValueError(f"assignments reference unknown columns {sorted(unknown)}")
+    _check_constraints(updated, active_constraints(root))
+    # the delete half: same vector machinery as delete_where, but the
+    # matched positions come with the rows we are rewriting
+    per_file = {
+        r["_tf_file"]: r["n"]
+        for r in matched.groupBy("_tf_file").agg(F.count("*").alias("n")).collect()
+    }
+    rows_by_file = {a["path"]: a.get("rows") for a in active_adds(root)}
+    full = sorted(
+        f for f, n in per_file.items()
+        if rows_by_file.get(f) is not None and n == rows_by_file[f]
+    )
+    n_matched = sum(per_file.values())
+    delete_adds: list[dict] = []
+    if len(full) < len(per_file):
+        uid = uuid.uuid4().hex[:8]
+        vdir = os.path.join(root, "deletes", f"v={new_v}-{uid}")
+        partial = (
+            matched.filter(~F.col("_tf_file").isin(full)) if full else matched
+        )
+        (
+            partial.select(
+                F.col("_tf_file").alias("_tf_dfile"),
+                F.col("_tf_pos").alias("_tf_dpos"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("_tf_dfile", "_tf_dpos")
+            .write.mode("error").parquet(vdir)
+        )
+        import pyarrow.parquet as pq
+
+        for p in sorted(glob.glob(os.path.join(vdir, "*.parquet"))):
+            delete_adds.append({
+                "path": os.path.relpath(p, root),
+                "rows": int(pq.ParquetFile(p).metadata.num_rows),
+            })
+    adds = _write_data(updated, root, new_v, files, spec)
+    _publish(root, new_v, {
+        "version": new_v, "op": "update", "adds": adds, "removes": full,
+        "delete_adds": delete_adds, "n_changes": int(n_matched),
+        "condition": condition,
+        "assignments": dict(assignments),
+        "schema": updated.schema.json(),
     })
     return new_v
 
@@ -875,6 +1047,18 @@ def change_feed(
         m = read_manifest(root, v)
         adds = [os.path.join(root, _norm_add(a)["path"]) for a in m["adds"]]
         rems = [os.path.join(root, p) for p in m["removes"]]
+        if m.get("op") == "update":
+            # a MoR UPDATE's adds are, by construction, exactly the
+            # updated images of the matched rows (their pre-images are
+            # vectored/removed in the same commit) — report them as
+            # update_postimage, never delete+insert pairs
+            if adds:
+                parts.append(
+                    spark.read.parquet(*adds).select(key, *pay)
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                    .withColumn("_commit_version", F.lit(v))
+                )
+            continue
         new = (
             spark.read.parquet(*adds).select(key, *pay) if adds else None
         )

@@ -889,3 +889,173 @@ def tf_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(sel_c) < total).alias("pruned_cust"),
         F.lit(len(sel_d) < total).alias("pruned_day"),
     )
+
+
+def _upd_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v2",
+        os.path.basename(sf_dir.rstrip("/")), "dim_customer_upd",
+    )
+
+
+def ensure_upd_table(spark: SparkSession, sf_dir: str) -> str:
+    """A sixth demo table for MERGE-ON-READ UPDATE: v0 is the full
+    customer set (4 files); v1 is one ``update_where`` commit that
+    vector-deletes the MACHINERY rows' positions and appends their
+    updated images — no pre-existing file rewritten."""
+    root = _upd_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir + "#upd")
+    if key in _BUILT:
+        return root
+    if os.path.exists(tf._commit_path(root, 1)):
+        _BUILT.add(key)
+        return root
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    tf.create_table(spark, root, cust, files=4)
+    tf.update_where(
+        spark, root, "c_mktsegment = 'MACHINERY'",
+        {
+            "c_acctbal": "CAST(c_acctbal + 250 AS DECIMAL(12,2))",
+            "c_mktsegment": "'UPDATED'",
+        },
+    )
+    _BUILT.add(key)
+    return root
+
+
+@register(
+    "tf_mor_update_read",
+    oracle="""
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                    + CASE WHEN c_mktsegment = 'MACHINERY' THEN 250
+                           ELSE 0 END AS DOUBLE) AS acctbal,
+               CASE WHEN c_mktsegment = 'MACHINERY' THEN 'UPDATED'
+                    ELSE c_mktsegment END AS segment,
+               TRUE AS originals_intact
+        FROM customer
+    """,
+    tags=("table_format", "merge_on_read", "update", "acid"),
+    doc="MERGE-ON-READ UPDATE (r9): `UPDATE SET acctbal += 250, segment "
+        "= 'UPDATED' WHERE segment = 'MACHINERY'` lands as ONE commit "
+        "that position-vector-deletes the matched rows' old positions "
+        "AND appends a small file of their updated images — no "
+        "pre-existing data file is rewritten (originals_intact pins v0's "
+        "adds all still active, read from the manifest fold; the oracle "
+        "side is the literal TRUE). At 100 TB an UPDATE touching 0.1% "
+        "of rows writes that 0.1% + KB of vectors, where copy-on-write "
+        "would rewrite every FILE containing a match — cost follows "
+        "matched rows, not matched files. The row-level oracle applies "
+        "the same SET arithmetic to raw customer, so one stale/dropped/"
+        "double-applied row breaks the hash; the CDF of the commit is "
+        "pinned as update_postimage-only by "
+        "tests/test_table_format.py.",
+)
+def tf_mor_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_upd_table(spark, sf_dir)
+    v0_files = set(tf.active_files(root, 0))
+    intact = v0_files <= set(tf.active_files(root))
+    return tf.read_version(spark, root).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(intact).alias("originals_intact"),
+    )
+
+
+_CHK = {
+    "acctbal_floor": "c_acctbal >= -1000.0",
+    "segment_not_null": "c_mktsegment IS NOT NULL",
+}
+
+
+def _chk_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v2",
+        os.path.basename(sf_dir.rstrip("/")), "dim_customer_chk",
+    )
+
+
+def ensure_chk_table(spark: SparkSession, sf_dir: str) -> str:
+    """A seventh demo table for CHECK constraints: created WITH two
+    constraints (validated at create), then one constrained append."""
+    root = _chk_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir + "#chk")
+    if key in _BUILT:
+        return root
+    if os.path.exists(tf._commit_path(root, 1)):
+        _BUILT.add(key)
+        return root
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    tf.create_table(
+        spark, root, cust.filter(F.col("c_custkey") % 2 == 1), files=2,
+        constraints=_CHK,
+    )
+    tf.append(spark, root, cust.filter(F.col("c_custkey") % 2 == 0), files=2)
+    _BUILT.add(key)
+    return root
+
+
+@register(
+    "tf_check_constraints",
+    oracle="""
+        SELECT 'acctbal_floor' AS constraint_name,
+               'c_acctbal >= -1000.0' AS expression,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+               CAST(0 AS BIGINT) AS n_violations, TRUE AS holds
+        UNION ALL
+        SELECT 'segment_not_null', 'c_mktsegment IS NOT NULL',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+               CAST(0 AS BIGINT), TRUE
+    """,
+    tags=("table_format", "constraints", "quality", "acid"),
+    doc="CHECK constraints in the table format (r9): two constraints "
+        "recorded at CREATE in the commit manifest, validated against "
+        "the create's rows and every later write with ONE conditional-"
+        "aggregate pass over only the written rows (SQL CHECK "
+        "semantics: NULL passes, FALSE aborts the commit atomically — "
+        "tests pin the reject path, snapshot-scan on add_constraint, "
+        "and drop_constraint). The entry reads the live constraint set "
+        "back from the manifest fold and RE-VALIDATES the full latest "
+        "snapshot (n_violations recount), matching a literal oracle "
+        "whose n_rows comes from raw customer — so the manifest round-"
+        "trip, the enforcement inductive invariant ('every active file "
+        "was validated by the write that introduced it'), and the "
+        "snapshot row count are all pinned in one hash. The quality "
+        "gate the reference runs as ad-hoc cleaning checks "
+        "(Iteration 2 cleaning scripts) becomes a declared, "
+        "write-time-enforced table property.",
+)
+def tf_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_chk_table(spark, sf_dir)
+    live = tf.active_constraints(root)
+    snap = tf.read_version(spark, root)
+    parts = []
+    for name in sorted(live):
+        expr = live[name]
+        parts.append(
+            snap.agg(
+                F.lit(name).alias("constraint_name"),
+                F.lit(expr).alias("expression"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
+                    .otherwise(0)
+                ).cast("long").alias("n_violations"),
+            ).select(
+                "constraint_name", "expression", "n_rows", "n_violations",
+                (F.col("n_violations") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -123,6 +123,13 @@ def commit_changes(
     _commit_version) tuples."""
     m = _manifest(root, version)
     cols = [key, *payload]
+    if m.get("op") == "update":
+        # MoR UPDATE: adds are exactly the matched rows' updated images
+        for _f, _p, vals in _read_rows(
+            root, [_norm(a)["path"] for a in m["adds"]], cols
+        ):
+            yield (*vals, "update_postimage", version)
+        return
     vecs_before = _live_vectors(root, version - 1)
     old_rows = [
         r for r in _read_rows(root, m["removes"], cols)

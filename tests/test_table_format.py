@@ -667,3 +667,144 @@ def test_zorder_rejects_partitioned_tables(spark, tmp_path):
     tf.create_table(spark, root, df, partition_by="b")
     with pytest.raises(ValueError, match="unpartitioned"):
         tf.compact(spark, root, files=4, zorder_by=("x", "y"))
+
+
+# ------------------------------------------------------------- MoR UPDATE
+
+
+def test_mor_update_vectors_plus_updated_images(spark, tmp_path):
+    """update_where = one commit: position-vectors for the matched old
+    rows + a small file of updated images. Unmatched rows untouched,
+    matched rows transformed, no pre-existing file rewritten."""
+    root = str(tmp_path / "upd")
+    df = _mor_base(spark)
+    tf.create_table(spark, root, df, files=4)
+    before_files = set(tf.active_files(root))
+    tf.update_where(
+        spark, root, "k % 10 = 3",
+        {"val": "val + 1000", "b": "CAST(99 AS INT)"},
+    )
+    m = tf.read_manifest(root, 1)
+    assert m["op"] == "update" and m["n_changes"] == 10
+    assert m["adds"] and m["delete_adds"] and m["removes"] == []
+    assert before_files <= set(tf.active_files(root))  # nothing rewritten
+    snap = tf.read_version(spark, root)
+    assert snap.count() == 100
+    hits = snap.filter(F.col("k") % 10 == 3)
+    assert hits.count() == 10
+    assert hits.filter(
+        (F.col("val") == F.col("k") * 2 + 1000) & (F.col("b") == 99)
+    ).count() == 10
+    rest = snap.filter(F.col("k") % 10 != 3)
+    assert rest.filter(
+        (F.col("val") == F.col("k") * 2) & (F.col("b") == F.col("k") % 10)
+    ).count() == 90
+
+
+def test_mor_update_change_feed_postimages_only(spark, tmp_path):
+    """An update commit's CDF rows are update_postimage of exactly the
+    matched rows — never delete+insert pairs — in both the batch feed
+    and the streaming source."""
+    root = str(tmp_path / "updcf")
+    tf.create_table(spark, root, _mor_base(spark), files=2)
+    tf.update_where(spark, root, "k < 5", {"val": "val * 3"})
+    ch = tf.change_feed(spark, root, "k", ["b", "val"], v_from=0).collect()
+    assert {r["_change_type"] for r in ch} == {"update_postimage"}
+    assert sorted(r["k"] for r in ch) == [0, 1, 2, 3, 4]
+    assert all(r["val"] == r["k"] * 6 for r in ch)
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.streaming.table_source import (
+        commit_changes,
+    )
+    got = sorted(commit_changes(root, 1, "k", ["b", "val"]))
+    want = sorted((r["k"], r["b"], r["val"], "update_postimage", 1) for r in ch)
+    assert got == want
+
+
+def test_mor_update_then_compact_then_update_roundtrip(spark, tmp_path):
+    """Vectors from an update retire at compact; a second update after
+    compact sees the post-update state (no double application)."""
+    root = str(tmp_path / "upd2")
+    tf.create_table(spark, root, _mor_base(spark), files=2)
+    tf.update_where(spark, root, "k = 7", {"val": "val + 1"})
+    tf.compact(spark, root, files=1)
+    assert tf.active_delete_adds(root) == []
+    tf.update_where(spark, root, "k = 7", {"val": "val + 1"})
+    got = tf.read_version(spark, root).filter(F.col("k") == 7).first()
+    assert got["val"] == 16
+    assert tf.read_version(spark, root).count() == 100
+
+
+def test_mor_update_rejects_unknown_assignment(spark, tmp_path):
+    root = str(tmp_path / "updbad")
+    tf.create_table(spark, root, _mor_base(spark), files=1)
+    with pytest.raises(ValueError, match="unknown columns"):
+        tf.update_where(spark, root, "k = 1", {"nope": "1"})
+
+
+# --------------------------------------------------------- CHECK constraints
+
+
+def test_constraint_rejects_violating_append_atomically(spark, tmp_path):
+    """A violating append raises ConstraintViolation and publishes
+    NOTHING — no new version, snapshot unchanged."""
+    root = str(tmp_path / "chk")
+    tf.create_table(
+        spark, root, _mor_base(spark), files=2,
+        constraints={"val_nonneg": "val >= 0", "b_domain": "b BETWEEN 0 AND 9"},
+    )
+    bad = spark.createDataFrame([(200, 3, -5)], "k long, b int, val long")
+    with pytest.raises(tf.ConstraintViolation, match="val_nonneg"):
+        tf.append(spark, root, bad)
+    assert tf.list_versions(root) == [0]
+    assert tf.read_version(spark, root).count() == 100
+    ok = spark.createDataFrame([(200, 3, 5)], "k long, b int, val long")
+    tf.append(spark, root, ok, files=1)
+    assert tf.read_version(spark, root).count() == 101
+
+
+def test_constraint_null_passes_sql_check_semantics(spark, tmp_path):
+    """SQL CHECK: a NULL predicate result PASSES (only FALSE violates)."""
+    root = str(tmp_path / "chknull")
+    base = spark.createDataFrame(
+        [(1, 10), (2, None)], "k long, val long"
+    )
+    tf.create_table(spark, root, base, files=1, constraints={"pos": "val > 0"})
+    assert tf.read_version(spark, root).count() == 2
+
+
+def test_add_constraint_validates_snapshot_then_guards_writes(spark, tmp_path):
+    """add_constraint scans the CURRENT snapshot once (rejecting if it
+    already violates) and guards later merges/updates."""
+    root = str(tmp_path / "chkadd")
+    tf.create_table(spark, root, _mor_base(spark), files=2)
+    with pytest.raises(tf.ConstraintViolation):
+        tf.add_constraint(spark, root, "impossible", "val > 100000")
+    v = tf.add_constraint(spark, root, "val_cap", "val < 1000")
+    assert tf.active_constraints(root) == {"val_cap": "val < 1000"}
+    with pytest.raises(tf.ConstraintViolation, match="val_cap"):
+        tf.update_where(spark, root, "k = 1", {"val": "val + 99999"})
+    feed = spark.createDataFrame(
+        [(1, "U", 1, 99999, 1, 0)],
+        "k long, op string, b int, val long, seq int, tb int",
+    )
+    with pytest.raises(tf.ConstraintViolation, match="val_cap"):
+        tf.merge(spark, root, feed, "k", ["b", "val"], "seq", "tb")
+    assert tf.list_versions(root) == [0, v]
+    tf.drop_constraint(spark, root, "val_cap")
+    assert tf.active_constraints(root) == {}
+    tf.update_where(spark, root, "k = 1", {"val": "val + 99999"})
+    assert tf.read_version(spark, root).filter(
+        F.col("k") == 1
+    ).first()["val"] == 100001
+
+
+def test_constraint_alter_commits_invisible_to_change_feed(spark, tmp_path):
+    root = str(tmp_path / "chkcf")
+    tf.create_table(spark, root, _mor_base(spark), files=1)
+    tf.add_constraint(spark, root, "nonneg", "val >= 0")
+    tf.drop_constraint(spark, root, "nonneg")
+    assert tf.change_feed(spark, root, "k", ["b", "val"], v_from=0).count() == 0
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.streaming.table_source import (
+        commit_changes,
+    )
+    assert list(commit_changes(root, 1, "k", ["b", "val"])) == []
