@@ -608,3 +608,80 @@ def connected_components(
         f"connected_components did not converge in {max_iters} iterations "
         "(graph diameter exceeds the bound — raise max_iters)"
     )
+
+
+def substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_words: int = 20,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT-SUBSTRING duplicate spans across documents — the ExactSubstr
+    method of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), which their suffix array serves on one
+    machine, re-expressed as a distributed shingle-diagonal plan:
+
+      1. word-tokenize; emit every positioned k-gram (pos, gram);
+      2. inverted-index prune: keep only grams appearing in >= 2
+         DISTINCT docs (duplicated mass, usually a tiny fraction);
+      3. self-join positioned grams on the gram text (d1 < d2);
+      4. consecutive shared grams lie on one DIAGONAL (p1 - p2 const):
+         a window per (d1, d2, diagonal) ordered by p1 turns runs into
+         groups (p1 - row_number is constant within a run);
+      5. each group is a maximal shared span of count + k - 1 words;
+         keep spans >= ``min_words``.
+
+    Returns (d1, d2, start1, start2, span_words) — word offsets, so a
+    curation pass can cut the span from one side (the paper's remedy)
+    rather than dropping whole near-identical documents.
+
+    Scale: all-pairs work is bounded by the inverted index — a gram
+    participates in the join only if duplicated, and fan-out per gram
+    is its doc-frequency. Hot boilerplate grams (df in the thousands)
+    are the skew risk at 100 TB: cap them with ``max_df`` (dropping a
+    gram can only SPLIT a reported span where that gram occurs, never
+    invent one — the documented recall trade, same shape as the
+    decontam entry's stop-gram cap). Shuffles are gram-keyed then
+    (d1, d2)-keyed; nothing is ever quadratic in corpus size."""
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("arr"),
+    ).filter(F.size("arr") >= k)
+    grams = toks.select(
+        "d",
+        F.expr(
+            f"explode(transform(sequence(0, size(arr) - {k}), i -> "
+            f"struct(i AS pos, array_join(slice(arr, i + 1, {k}), ' ') AS gram)))"
+        ).alias("g"),
+    ).select("d", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = grams.groupBy("gram").agg(
+        F.countDistinct("d").alias("df")
+    ).filter(F.col("df") >= 2)
+    if max_df is not None:
+        dup = dup.filter(F.col("df") <= max_df)
+    cand = grams.join(dup.select("gram"), "gram")
+    a = cand.select(
+        F.col("gram"), F.col("d").alias("d1"), F.col("pos").alias("p1")
+    )
+    b = cand.select(
+        F.col("gram"), F.col("d").alias("d2"), F.col("pos").alias("p2")
+    )
+    pairs = a.join(b, "gram").filter(F.col("d1") < F.col("d2")).select(
+        "d1", "d2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
+    )
+    w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    runs = pairs.withColumn(
+        "grp", F.col("p1") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("d1", "d2", "diag", "grp")
+        .agg(
+            F.min("p1").alias("start1"),
+            F.min("p2").alias("start2"),
+            (F.count("*") + F.lit(k - 1)).cast("long").alias("span_words"),
+        )
+        .filter(F.col("span_words") >= min_words)
+        .select("d1", "d2", "start1", "start2", "span_words")
+    )

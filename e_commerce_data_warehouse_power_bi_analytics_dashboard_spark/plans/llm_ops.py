@@ -2636,3 +2636,69 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_union",
         "pooled_jaccard",
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS arr
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i.i AS pos,
+                   array_to_string(list_slice(arr, i.i + 1, i.i + 5), ' ') AS gram
+            FROM d, range(0, 4000) i(i)
+            WHERE i.i <= len(arr) - 5
+        ),
+        dup AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        p AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+            FROM (SELECT * FROM g JOIN dup USING (gram)) a
+            JOIN (SELECT * FROM g JOIN dup USING (gram)) b USING (gram)
+            WHERE a.doc_id < b.doc_id
+        ),
+        runs AS (
+            SELECT d1, d2, p1 - p2 AS diag, p1, p2,
+                   p1 - ROW_NUMBER() OVER (
+                       PARTITION BY d1, d2, p1 - p2 ORDER BY p1
+                   ) AS grp
+            FROM p
+        )
+        SELECT d1, d2,
+               CAST(MIN(p1) AS INTEGER) AS start1,
+               CAST(MIN(p2) AS INTEGER) AS start2,
+               CAST(COUNT(*) + 4 AS BIGINT) AS span_words
+        FROM runs GROUP BY d1, d2, diag, grp
+        HAVING COUNT(*) + 4 >= 20
+    """,
+    tags=("llm", "dedup", "substring", "exact_substr"),
+    doc="EXACT-SUBSTRING duplicate spans (r9) — the ExactSubstr method "
+        "of Lee et al. 2022, whose published remedy is cutting the "
+        "duplicated SPAN, not dropping the document; their single-node "
+        "suffix array becomes a distributed shingle-diagonal plan "
+        "(operators/dedup.py::substring_spans): positioned 5-grams -> "
+        "inverted-index prune to grams in >=2 docs -> positioned "
+        "self-join -> per-(pair, diagonal) window turns consecutive "
+        "shared grams into maximal runs -> spans >= 20 words with both "
+        "docs' word offsets. Complements the existing near-dup family: "
+        "MinHash/SimHash judge whole documents; this finds the exact "
+        "copied passage inside otherwise-different ones. All-pairs "
+        "work is bounded by duplicated mass (the inverted index), "
+        "fan-out by per-gram doc frequency (max_df cap documented for "
+        "boilerplate skew at 100 TB). The DuckDB oracle replays the "
+        "identical definition from raw text — every span boundary and "
+        "length must match exactly.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.substring_spans(docs, k=5, min_words=20).select(
+        "d1", "d2",
+        F.col("start1").cast("int").alias("start1"),
+        F.col("start2").cast("int").alias("start2"),
+        "span_words",
+    )

@@ -146,3 +146,55 @@ def test_connected_components_raises_without_convergence(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["node"])
     with pytest.raises(RuntimeError, match="converge"):
         D.connected_components(edges, nodes, max_iters=1)
+
+
+def test_substring_spans_hand_computed(spark):
+    """Two docs sharing one 8-word passage at different offsets, a third
+    sharing nothing long enough: exactly one span, exact offsets, and
+    maximality (the span is reported once, not once per k-gram)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z " + shared + " tail1 tail2"),
+            (2, "p q " + shared + " other words here"),
+            (3, "alpha beta gamma completely different suffix now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = D.substring_spans(docs, k=3, min_words=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["d1"], r["d2"]) == (1, 2)
+    assert (r["start1"], r["start2"], r["span_words"]) == (3, 2, 8)
+
+
+def test_substring_spans_within_doc_repeats_stay_on_diagonals(spark):
+    """A phrase repeated twice in doc 2 against one occurrence in doc 1
+    yields two spans (two diagonals), never a merged/corrupted run."""
+    phrase = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, phrase + " filler"),
+            (2, phrase + " mid " + phrase),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["start1"], r["start2"], r["span_words"])
+        for r in D.substring_spans(docs, k=2, min_words=5).collect()
+    )
+    assert got == [(0, 0, 5), (0, 6, 5)]
+
+
+def test_substring_spans_max_df_drops_boilerplate(spark):
+    """A gram present in every doc (boilerplate) is dropped by max_df;
+    spans made ONLY of capped grams disappear, others survive."""
+    boiler = "copyright footer text here always"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique words " + boiler) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    uncapped = D.substring_spans(docs, k=2, min_words=5).count()
+    capped = D.substring_spans(docs, k=2, min_words=5, max_df=3).count()
+    assert uncapped == 10  # all C(5,2) pairs share the 5-word boilerplate
+    assert capped == 0
