@@ -176,6 +176,7 @@ def _publish(root: str, version: int, manifest: dict) -> None:
     N racing writers wins.
     """
     os.makedirs(_commit_dir(root), exist_ok=True)
+    manifest.setdefault("committed_at", time.time())
     final = _commit_path(root, version)
     # temp name must be unique per ATTEMPT, not per process — two
     # threads of one writer (or a retry) sharing a pid-only name would
@@ -1187,21 +1188,160 @@ def history(root: str) -> list[dict]:
     return [read_manifest(root, v) for v in list_versions(root)]
 
 
+def version_as_of_timestamp(root: str, ts: float) -> int:
+    """Latest version whose commit time is <= ``ts`` (epoch seconds) —
+    the TIMESTAMP AS OF resolution rule real formats use. Raises if the
+    table did not exist yet at ``ts``."""
+    best = None
+    for v in list_versions(root):
+        at = read_manifest(root, v).get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before timestamp {ts} at {root}"
+        )
+    return best
+
+
+def _parse_ts(raw: str) -> float:
+    """Epoch seconds from an epoch literal or ISO timestamp string."""
+    s = raw.strip().strip("'\"")
+    try:
+        return float(s)
+    except ValueError:
+        return datetime.datetime.fromisoformat(s).timestamp()
+
+
+def _meta_history_df(spark: SparkSession, root: str) -> DataFrame:
+    rows = []
+    for m in history(root):
+        rows.append((
+            int(m["version"]), m.get("op", ""),
+            float(m.get("committed_at") or 0.0),
+            int(m.get("n_changes") or 0),
+            len(m.get("adds", [])), len(m.get("removes", [])),
+            len(m.get("delete_adds", []) or []),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version INT, op STRING, committed_at DOUBLE, n_changes BIGINT, "
+        "files_added INT, files_removed INT, vector_files_added INT",
+    )
+
+
+def _meta_files_df(spark: SparkSession, root: str) -> DataFrame:
+    rows = [
+        (
+            a["path"], int(a.get("rows") or 0),
+            json.dumps(a.get("partition") or {}, sort_keys=True),
+            json.dumps(a.get("stats") or {}, sort_keys=True),
+        )
+        for a in active_adds(root)
+    ]
+    return spark.createDataFrame(
+        rows, "path STRING, rows BIGINT, partition STRING, stats STRING"
+    )
+
+
+def _meta_constraints_df(spark: SparkSession, root: str) -> DataFrame:
+    cons = active_constraints(root)
+    return spark.createDataFrame(
+        [(k, cons[k]) for k in sorted(cons)] or [],
+        "constraint_name STRING, expression STRING",
+    )
+
+
 #: ``<table> VERSION AS OF <n>`` — the SQL time-travel clause
 _TT_CLAUSE = re.compile(r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE)
+
+#: ``<table> TIMESTAMP AS OF '<iso-or-epoch>'``
+_TS_CLAUSE = re.compile(
+    r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\"[^\"]*\"|[\d.]+)",
+    re.IGNORECASE,
+)
+
+#: ``<table>$history`` / ``$files`` / ``$constraints`` metadata tables
+_META_CLAUSE = re.compile(r"\b(\w+)\$(history|files|constraints)\b")
+
+#: routed DML statements (single-table, single-statement)
+_DELETE_STMT = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_STMT = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_assignments(raw: str) -> dict[str, str]:
+    """``a = expr, b = expr`` -> {a: expr}; commas inside parentheses
+    or quotes do not split (a linear scan, not a SQL parser)."""
+    parts, depth, buf, in_q = [], 0, [], None
+    for ch in raw:
+        if in_q:
+            buf.append(ch)
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in "'\"":
+            in_q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    out: dict[str, str] = {}
+    for p in parts:
+        col, _, expr = p.partition("=")
+        col, expr = col.strip(), expr.strip()
+        if not col or not expr:
+            raise ValueError(f"malformed SET assignment: {p!r}")
+        out[col] = expr
+    return out
 
 
 def sql(
     spark: SparkSession, tables: Mapping[str, str], query: str
 ) -> DataFrame:
-    """Tiny SQL resolver over table-format tables: rewrites
-    ``<name> VERSION AS OF <n>`` to a temp view of ``read_version(root,
-    n)`` and binds bare ``<name>`` references to the latest snapshot —
-    so time travel is reachable from SQL, not just the Python API (the
-    Delta `VERSION AS OF` surface, resolved pre-parse). ``tables`` maps
-    SQL names to table roots. Versioned views are registered as
-    ``<name>__v<n>`` (stable names: re-running the same query reuses
-    them)."""
+    """Tiny SQL resolver over table-format tables — the Delta-style SQL
+    surface, resolved pre-parse. ``tables`` maps SQL names to roots.
+
+    Reads: ``<name> VERSION AS OF <n>`` and ``<name> TIMESTAMP AS OF
+    '<iso|epoch>'`` become snapshot temp views (``<name>__v<n>`` —
+    stable names, re-runs reuse them); ``<name>$history`` /
+    ``<name>$files`` / ``<name>$constraints`` become metadata views
+    built from the manifests (driver-side KB, no data scan); bare
+    ``<name>`` binds the latest snapshot.
+
+    DML: a single ``DELETE FROM <name> WHERE ...`` or ``UPDATE <name>
+    SET a = expr, ... WHERE ...`` statement routes to the merge-on-read
+    ``delete_where`` / ``update_where`` commits and returns a 1-row
+    (op, version, n_changes) receipt frame."""
+    m = _DELETE_STMT.match(query)
+    if m and m.group(1) in tables:
+        name, cond = m.group(1), m.group(2)
+        v = delete_where(spark, tables[name], cond)
+        n = int(read_manifest(tables[name], v)["n_changes"])
+        return spark.createDataFrame(
+            [("delete", v, n)], "op STRING, version INT, n_changes BIGINT"
+        )
+    m = _UPDATE_STMT.match(query)
+    if m and m.group(1) in tables:
+        name, sets, cond = m.group(1), m.group(2), m.group(3)
+        v = update_where(spark, tables[name], cond, _split_assignments(sets))
+        n = int(read_manifest(tables[name], v)["n_changes"])
+        return spark.createDataFrame(
+            [("update", v, n)], "op STRING, version INT, n_changes BIGINT"
+        )
+
     def _sub(m: re.Match) -> str:
         name, v = m.group(1), int(m.group(2))
         if name not in tables:
@@ -1210,7 +1350,31 @@ def sql(
         read_version(spark, tables[name], v).createOrReplaceTempView(view)
         return view
 
+    def _sub_ts(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in tables:
+            return m.group(0)
+        v = version_as_of_timestamp(tables[name], _parse_ts(m.group(2)))
+        view = f"{name}__v{v}"
+        read_version(spark, tables[name], v).createOrReplaceTempView(view)
+        return view
+
+    def _sub_meta(m: re.Match) -> str:
+        name, kind = m.group(1), m.group(2)
+        if name not in tables:
+            return m.group(0)
+        view = f"{name}__{kind}"
+        builder = {
+            "history": _meta_history_df,
+            "files": _meta_files_df,
+            "constraints": _meta_constraints_df,
+        }[kind]
+        builder(spark, tables[name]).createOrReplaceTempView(view)
+        return view
+
     rewritten = _TT_CLAUSE.sub(_sub, query)
+    rewritten = _TS_CLAUSE.sub(_sub_ts, rewritten)
+    rewritten = _META_CLAUSE.sub(_sub_meta, rewritten)
     for name, root in tables.items():
         # \b keeps <name>__v<n> views from re-binding (underscore is a
         # word char, so there is no boundary before "__v")

@@ -808,3 +808,92 @@ def test_constraint_alter_commits_invisible_to_change_feed(spark, tmp_path):
         commit_changes,
     )
     assert list(commit_changes(root, 1, "k", ["b", "val"])) == []
+
+
+# ------------------------------------------------- SQL surface: meta + DML
+
+
+def test_sql_timestamp_as_of_resolves_latest_at_or_before(spark, tmp_path):
+    import json as _json
+
+    root = str(tmp_path / "ts")
+    tf.create_table(spark, root, _mor_base(spark), files=1)
+    tf.append(
+        spark, root,
+        spark.createDataFrame([(500, 1, 9)], "k long, b int, val long"),
+        files=1,
+    )
+    # pin distinct commit times (hand-edit the manifests: committed_at
+    # is data the resolver reads, not behavior it computes)
+    for v, at in ((0, 1000.0), (1, 2000.0)):
+        p = tf._commit_path(root, v)
+        m = _json.load(open(p))
+        m["committed_at"] = at
+        _json.dump(m, open(p, "w"))
+    assert tf.version_as_of_timestamp(root, 1500.0) == 0
+    assert tf.version_as_of_timestamp(root, 2000.0) == 1
+    with pytest.raises(ValueError, match="no commit"):
+        tf.version_as_of_timestamp(root, 999.0)
+    got = tf.sql(
+        spark, {"t": root},
+        "SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF 1500.0",
+    ).first()["n"]
+    assert got == 100
+    got = tf.sql(
+        spark, {"t": root},
+        "SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF 2500.5",
+    ).first()["n"]
+    assert got == 101
+
+
+def test_sql_metadata_tables(spark, tmp_path):
+    root = str(tmp_path / "meta")
+    tf.create_table(
+        spark, root, _mor_base(spark), files=2,
+        constraints={"nonneg": "val >= 0"},
+    )
+    tf.delete_where(spark, root, "k < 10")
+    h = tf.sql(
+        spark, {"t": root},
+        "SELECT version, op, files_added, vector_files_added "
+        "FROM t$history ORDER BY version",
+    ).collect()
+    assert [(r[0], r[1]) for r in h] == [(0, "create"), (1, "delete")]
+    assert h[0]["files_added"] == 2 and h[1]["vector_files_added"] == 1
+    f = tf.sql(
+        spark, {"t": root},
+        "SELECT COUNT(*) AS n, SUM(rows) AS total FROM t$files",
+    ).first()
+    assert (f["n"], f["total"]) == (2, 100)
+    c = tf.sql(
+        spark, {"t": root},
+        "SELECT constraint_name, expression FROM t$constraints",
+    ).collect()
+    assert [(r[0], r[1]) for r in c] == [("nonneg", "val >= 0")]
+
+
+def test_sql_dml_routes_to_merge_on_read(spark, tmp_path):
+    root = str(tmp_path / "dml")
+    tf.create_table(spark, root, _mor_base(spark), files=2)
+    receipt = tf.sql(
+        spark, {"t": root}, "DELETE FROM t WHERE k % 10 = 0"
+    ).first()
+    assert (receipt["op"], receipt["version"], receipt["n_changes"]) == (
+        "delete", 1, 10,
+    )
+    receipt = tf.sql(
+        spark, {"t": root},
+        "UPDATE t SET val = val + least(5, 10), b = CAST(7 AS INT) "
+        "WHERE k = 11",
+    ).first()
+    assert (receipt["op"], receipt["version"], receipt["n_changes"]) == (
+        "update", 2, 1,
+    )
+    snap = tf.sql(spark, {"t": root}, "SELECT * FROM t")
+    assert snap.count() == 90
+    row = snap.filter(F.col("k") == 11).first()
+    assert (row["val"], row["b"]) == (27, 7)
+    # the comma inside least(...) must not split the assignment list
+    assert tf._split_assignments("a = f(x, y), b = 'p,q', c = 1") == {
+        "a": "f(x, y)", "b": "'p,q'", "c": "1",
+    }
