@@ -266,6 +266,19 @@ HEADLINE = [
     "mm_jpeg_restart_decode",
     "mm_wav_alaw_decode",
     "mm_wav_multichannel_decode",
+    # round-9b additions: merge-on-read DML serve paths (vectored
+    # snapshot read = broadcast anti-join on (file, pos); update read;
+    # CDF across MoR commits), 2-D Z-order file skipping, CHECK-
+    # constraint re-validation, IMA ADPCM decode (adaptive state
+    # machine in Arrow batches), and the ExactSubstr span extractor
+    # (inverted-index-bounded diagonal runs)
+    "tf_mor_delete_read",
+    "tf_mor_update_read",
+    "tf_mor_change_feed",
+    "tf_zorder_skip",
+    "tf_check_constraints",
+    "mm_wav_adpcm_decode",
+    "dedup_substring_spans",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
@@ -430,6 +443,14 @@ def main() -> None:
         # r9: the sorted-compaction demo table (create + OPTIMIZE
         # sort_by — the tf_sorted_range_skipping serve path's build)
         "table_format_sorted": lambda: _tf_q.ensure_sorted_table(spark, sf_dir),
+        # r9b: the merge-on-read demo tables (create + vector deletes +
+        # compact; create + MoR update), the z-ordered table (create +
+        # OPTIMIZE ZORDER), and the constrained table (validated create
+        # + constrained append)
+        "table_format_mor": lambda: _tf_q.ensure_mor_table(spark, sf_dir),
+        "table_format_upd": lambda: _tf_q.ensure_upd_table(spark, sf_dir),
+        "table_format_zorder": lambda: _tf_q.ensure_zorder_table(spark, sf_dir),
+        "table_format_chk": lambda: _tf_q.ensure_chk_table(spark, sf_dir),
         # the ANALYZEd catalog tables (saveAsTable + COMPUTE STATISTICS
         # — the reference's scheduled ANALYZE maintenance job)
         "cbo_stats": lambda: _cbo_q.ensure_stats_tables(spark, sf_dir),
