@@ -278,6 +278,8 @@ HEADLINE = [
     "tf_zorder_skip",
     "tf_check_constraints",
     "mm_wav_adpcm_decode",
+    "mm_wav_msadpcm_decode",
+    "mm_wav_float64_decode",
     "dedup_substring_spans",
 ]
 

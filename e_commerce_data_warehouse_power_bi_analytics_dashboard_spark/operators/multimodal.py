@@ -1265,6 +1265,164 @@ def _ima_adpcm_decode(
     return tuple(s for frame in out_frames for s in frame)
 
 
+def synthesize_wav_float64_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): RIFF/WAVE files in 64-bit
+    IEEE-float PCM (fmt code 3, bits 64 — the scientific/DSP
+    double-precision interchange). Same exact-multiples-of-2^-15 sample
+    family as the float32 twin, so min/max/sum are float64-exact on
+    both engines; the r8 'float64 needs ffmpeg' gate was dishonest
+    (it is one struct unpack) and is gone."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 30 + (d % 9) * 14
+                vals = [
+                    ((d * 131 + i * 37) % 20001 - 10000) / 32768.0
+                    for i in range(n)
+                ]
+                pcm = struct.pack(f"<{n}d", *vals)
+                fmt = struct.pack(
+                    "<HHIIHH", 3, 1, _WAV_RATE, _WAV_RATE * 8, 8, 64
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+#: MS ADPCM published constants (Microsoft WAVE format documentation):
+#: nibble-indexed delta adaptation + the 7 fixed predictor-coefficient
+#: pairs. Mirrored in the mm_wav_msadpcm_decode SQL oracle.
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_C1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_C2 = (0, -256, 0, 64, 0, -208, -232)
+
+
+def _ms_adpcm_decode(
+    pcm: bytes, channels: int, block_align: int
+) -> tuple[int, ...]:
+    """Decode an MS ADPCM (WAV fmt 2) payload to interleaved int16
+    samples. Each block: per-channel headers (predictor index byte,
+    int16 idelta, int16 sample1, int16 sample2 — sample2 is the OLDER
+    sample, so output order is sample2 then sample1), then 4-bit codes
+    HIGH nibble first, nibbles round-robin across channels. Per code:
+    predictor = ((s1*C1 + s2*C2) >> 8) + signed4(code) * delta, clamp
+    int16, shift history, delta = max(16, (ADAPT[code] * delta) >> 8)."""
+    import struct
+
+    out_frames: list[list[int]] = []
+    hdr = 7 * channels
+    for boff in range(0, len(pcm), block_align):
+        block = pcm[boff : boff + block_align]
+        if len(block) < hdr:
+            break
+        preds = list(block[:channels])
+        if any(p > 6 for p in preds):
+            raise ValueError(f"MS ADPCM predictor index {max(preds)} > 6")
+        off = channels
+        delta = list(
+            struct.unpack(f"<{channels}h", block[off : off + 2 * channels])
+        )
+        off += 2 * channels
+        s1 = list(
+            struct.unpack(f"<{channels}h", block[off : off + 2 * channels])
+        )
+        off += 2 * channels
+        s2 = list(
+            struct.unpack(f"<{channels}h", block[off : off + 2 * channels])
+        )
+        off += 2 * channels
+        chans: list[list[int]] = [[s2[c], s1[c]] for c in range(channels)]
+        t = 0
+        for byte in block[off:]:
+            for code in (byte >> 4, byte & 0xF):
+                c = t % channels
+                t += 1
+                signed = code - 16 if code >= 8 else code
+                base = (s1[c] * _MS_C1[preds[c]] + s2[c] * _MS_C2[preds[c]]) >> 8
+                pred = base + signed * delta[c]
+                pred = max(-32768, min(32767, pred))
+                s2[c], s1[c] = s1[c], pred
+                delta[c] = max(16, (_MS_ADAPT[code] * delta[c]) >> 8)
+                chans[c].append(pred)
+        n_frames = min(len(ch) for ch in chans)
+        for f in range(n_frames):
+            out_frames.append([chans[c][f] for c in range(channels)])
+    return tuple(s for frame in out_frames for s in frame)
+
+
+def synthesize_wav_msadpcm_payloads(docs: DataFrame) -> DataFrame:
+    """audio-docs → (doc_id, wav binary): real RIFF/WAVE files in MS
+    ADPCM (fmt code 2, 4 bits/sample, mono, single block). Header
+    fields (predictor index, idelta, sample1/sample2) and nibble codes
+    are closed-form in doc_id so the SQL oracle replays the predictor-
+    pair state machine as a recursive-CTE fold. Codes are drawn from a
+    shrink-biased alphabet ({0..4, 13..15}): the spec has no upper
+    delta clamp, so a uniformly random nibble stream (which no real
+    encoder emits — codes track the residual) would grow delta ~122x
+    per 16 nibbles and overflow the oracle's INT32 arithmetic; the
+    biased alphabet keeps delta floored-and-bounded while still
+    exercising both signs, the clamp, and the adaptation table."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 20 + (d % 6) * 10  # nibble count, even
+                p = d % 7
+                idelta = 16 + (d % 500) * 3
+                s1 = ((d * 131 + 37) % 20001) - 10000
+                s2 = ((d * 173 + 91) % 20001) - 10000
+                alpha = (0, 1, 2, 3, 4, 13, 14, 15)
+                codes = [alpha[(d * 11 + i * 7) % 8] for i in range(n)]
+                data = bytes(
+                    (codes[j] << 4) | codes[j + 1] for j in range(0, n, 2)
+                )
+                header = bytes([p]) + struct.pack("<hhh", idelta, s1, s2)
+                block_align = 7 + n // 2
+                fmt = struct.pack(
+                    "<HHIIHHHH", 2, 1, _WAV_RATE,
+                    _WAV_RATE * block_align // (n + 2), block_align, 4,
+                    2, n + 2,
+                )
+                pcm = header + data
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
 def synthesize_wav_adpcm_payloads(docs: DataFrame) -> DataFrame:
     """audio-docs → (doc_id, wav binary): real RIFF/WAVE files in IMA
     ADPCM (fmt code 0x11, 4 bits/sample, mono, single block) — the
@@ -1324,12 +1482,14 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
     interleaved channel count (r9 — mono, stereo, and N-channel
     surround all deinterleave at stride ``channels``), plus BOTH G.711
     companding laws (fmt 7 mu-law, fmt 6 A-law — canonical integer
-    expansions), IMA ADPCM (fmt 0x11, 4-bit adaptive — r9, block walk
-    + per-nibble state machine in _ima_adpcm_decode) and 32-bit
-    IEEE-float (fmt 3 — returned as Python floats; every other format
-    returns ints). Raises NotImplementedError for encodings that
-    genuinely need a codec library (MS ADPCM fmt 2, float64). Pure
-    function so the walker is property-testable without a session."""
+    expansions), BOTH classic ADPCMs (fmt 0x11 IMA and fmt 2 MS — r9,
+    block walks + per-nibble adaptive state machines in
+    _ima_adpcm_decode/_ms_adpcm_decode) and 32/64-bit IEEE-float
+    (fmt 3 — returned as Python floats; every other format returns
+    ints). Raises NotImplementedError only for encodings that
+    genuinely need a codec library (MP3/AAC-in-WAV and other
+    licensed codecs). Pure function so the walker is
+    property-testable without a session."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -1348,16 +1508,17 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
                 (audio_fmt == 1 and bits in (8, 16, 24))
                 or (audio_fmt == 6 and bits == 8)   # G.711 A-law
                 or (audio_fmt == 7 and bits == 8)   # G.711 mu-law
-                or (audio_fmt == 3 and bits == 32)  # IEEE float32
+                or (audio_fmt == 3 and bits in (32, 64))  # IEEE float
                 or (audio_fmt == 0x11 and bits == 4)  # IMA ADPCM
+                or (audio_fmt == 2 and bits == 4)   # MS ADPCM
             )
             if not ok or channels < 1:
                 raise NotImplementedError(
                     f"WAV fmt={audio_fmt} ch={channels} bits={bits}: "
                     "only 8/16/24-bit integer PCM, 8-bit G.711 A-law/"
-                    "mu-law, 4-bit IMA ADPCM and 32-bit IEEE-float "
-                    "(any interleaved channel count) decodable without "
-                    "a codec library"
+                    "mu-law, 4-bit IMA/MS ADPCM and 32/64-bit IEEE-"
+                    "float (any interleaved channel count) decodable "
+                    "without a codec library"
                 )
         elif cid == b"data":
             pcm = body
@@ -1370,6 +1531,13 @@ def parse_wav(b: bytes) -> tuple[int, int, tuple[int, ...]]:
         if not block_align or block_align < 4 * channels:
             raise ValueError("ADPCM requires a sane block_align")
         samples = _ima_adpcm_decode(pcm, channels, block_align)
+    elif audio_fmt == 2:  # MS ADPCM: predictor-pair state machine
+        if not block_align or block_align < 7 * channels:
+            raise ValueError("MS ADPCM requires a sane block_align")
+        samples = _ms_adpcm_decode(pcm, channels, block_align)
+    elif audio_fmt == 3 and bits == 64:  # float64 doubles
+        n = len(pcm) // 8
+        samples = _s.unpack(f"<{n}d", pcm[: n * 8])
     elif audio_fmt == 3:  # float32: samples are Python floats, not ints
         n = len(pcm) // 4
         samples = _s.unpack(f"<{n}f", pcm[: n * 4])

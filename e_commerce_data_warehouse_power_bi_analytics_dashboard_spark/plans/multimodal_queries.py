@@ -640,9 +640,9 @@ def mm_wav_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact multiples of 2^-15 (numerators < 2^14), so min/max/sum "
         "are float64-exact on BOTH engines — the oracle aggregates the "
         "integer numerators exactly and divides ONCE, sidestepping "
-        "float-accumulation order entirely. The remaining audio gates "
-        "are MS ADPCM (fmt 2) and float64 — A-law landed r9-early "
-        "(mm_wav_alaw_decode) and IMA ADPCM in r9 (mm_wav_adpcm_decode).",
+        "float-accumulation order entirely. As of r9b every WAV "
+        "encoding short of licensed codecs decodes natively (PCM "
+        "8/16/24, G.711 both, IMA+MS ADPCM, float32/64).",
 )
 def mm_wav_float32_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
@@ -1147,9 +1147,122 @@ _IMA_ST_SQL = "[" + ",".join(str(s) for s in MM._IMA_STEPS) + "]"
         "recursive-CTE fold in pure SQL — step table inlined once, "
         "per-nibble transition per iteration — so two independent "
         "implementations of the published IMA spec must agree on "
-        "every decoded sample (exact integer min/max/sum). MS ADPCM "
-        "(fmt 2) and float64 remain honestly gated.",
+        "every decoded sample (exact integer min/max/sum). The MS "
+        "ADPCM twin is mm_wav_msadpcm_decode; float64 decodes too — "
+        "the WAV gate list now holds only licensed codecs.",
 )
 def mm_wav_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 2)
     return MM.decode_wav_stats(MM.synthesize_wav_adpcm_payloads(docs))
+
+
+@register(
+    "mm_wav_float64_decode",
+    oracle="""
+        WITH aud AS (
+            SELECT doc_id, 30 + (doc_id % 9) * 14 AS n
+            FROM documents WHERE doc_id % 9 = 4
+        ),
+        s AS (
+            SELECT a.doc_id, a.n,
+                   ((a.doc_id * 131 + i.i * 37) % 20001) - 10000 AS numer
+            FROM aud a JOIN range(0, 142) i(i) ON i.i < a.n
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(MIN(numer) AS DOUBLE) / 32768.0 AS min_v,
+               CAST(MAX(numer) AS DOUBLE) / 32768.0 AS max_v,
+               CAST(SUM(numer) AS DOUBLE) / 32768.0 AS sum_v
+        FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "mapInPandas"),
+    doc="64-bit IEEE-float WAV decode (r9b — fmt 3 / bits 64, the "
+        "scientific double-precision interchange): the r8 gate text "
+        "listed float64 among 'genuinely-ffmpeg encodings', which was "
+        "dishonest — it is one struct unpack; the gate is gone and the "
+        "honest remainder is MS-proprietary-free. Samples are exact "
+        "multiples of 2^-15, so min/max/sum are bit-exact on both "
+        "engines (integer numerators aggregated, divided once).",
+)
+def mm_wav_float64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 4)
+    return MM.decode_wav_fstats(MM.synthesize_wav_float64_payloads(docs))
+
+
+#: MS ADPCM tables as DuckDB list literals (each inlined ONCE)
+_MSA_AT_SQL = "[" + ",".join(str(v) for v in MM._MS_ADAPT) + "]"
+_MSA_C1_SQL = "[" + ",".join(str(v) for v in MM._MS_C1) + "]"
+_MSA_C2_SQL = "[" + ",".join(str(v) for v in MM._MS_C2) + "]"
+
+
+@register(
+    "mm_wav_msadpcm_decode",
+    oracle=f"""
+        WITH RECURSIVE aud AS (
+            SELECT doc_id,
+                   ({_MSA_C1_SQL})[CAST(doc_id % 7 AS INTEGER) + 1] AS c1,
+                   ({_MSA_C2_SQL})[CAST(doc_id % 7 AS INTEGER) + 1] AS c2,
+                   CAST(16 + (doc_id % 500) * 3 AS INTEGER) AS d0,
+                   CAST(((doc_id * 131 + 37) % 20001) - 10000 AS INTEGER) AS s1_0,
+                   CAST(((doc_id * 173 + 91) % 20001) - 10000 AS INTEGER) AS s2_0,
+                   CAST(20 + (doc_id % 6) * 10 AS INTEGER) AS n
+            FROM documents WHERE doc_id % 9 = 7
+        ),
+        dec AS (
+            SELECT doc_id, c1, c2, n, 0 AS i,
+                   s1_0 AS s1, s2_0 AS s2, d0 AS delta,
+                   CAST(LEAST(s1_0, s2_0) AS BIGINT) AS mn,
+                   CAST(GREATEST(s1_0, s2_0) AS BIGINT) AS mx,
+                   CAST(s1_0 + s2_0 AS BIGINT) AS s
+            FROM aud
+            UNION ALL
+            SELECT doc_id, c1, c2, n, i, s1, s2, delta,
+                   LEAST(mn, s1), GREATEST(mx, s1), s + s1
+            FROM (
+                SELECT doc_id, c1, c2, n, i + 1 AS i,
+                       CAST(GREATEST(-32768, LEAST(32767,
+                           base + nsig * delta)) AS INTEGER) AS s1,
+                       s1 AS s2,
+                       CAST(GREATEST(16,
+                           CAST(floor(({_MSA_AT_SQL})[c + 1] * delta
+                                      / 256.0) AS INTEGER))
+                            AS INTEGER) AS delta,
+                       mn, mx, s
+                FROM (
+                    SELECT *,
+                           CAST(floor((s1 * c1 + s2 * c2) / 256.0)
+                                AS INTEGER) AS base,
+                           CASE WHEN c >= 8 THEN c - 16 ELSE c END AS nsig
+                    FROM (
+                        SELECT *,
+                               ([0,1,2,3,4,13,14,15])[
+                                   CAST((doc_id * 11 + i * 7) % 8
+                                        AS INTEGER) + 1] AS c
+                        FROM dec WHERE i < n
+                    )
+                )
+            )
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n + 2 AS BIGINT) AS n_samples,
+               mn AS min_s, mx AS max_s, s AS sum_s
+        FROM dec WHERE i = n
+    """,
+    tags=("multimodal", "binary", "decode", "audio", "adpcm", "mapInPandas"),
+    doc="REAL MS ADPCM WAV decode (r9b — fmt code 2, the other classic "
+        "4-bit speech codec; with IMA this completes the ADPCM pair "
+        "and empties the WAV gate list of everything but genuinely "
+        "proprietary encodings): per-block header carries a predictor-"
+        "PAIR index (7 published coefficient pairs), an initial delta "
+        "and the two seed samples (emitted oldest-first); each nibble "
+        "then computes ((s1*C1 + s2*C2) >> 8) + signed4 * delta with "
+        "int16 clamp and table-driven delta adaptation floored at 16 "
+        "(operators/multimodal.py::_ms_adpcm_decode). The oracle "
+        "replays the state machine as a recursive-CTE fold with all "
+        "three published tables inlined — arithmetic-shift semantics "
+        "on negative bases are pinned by floor(x/256.0), matching "
+        "Python's >> exactly. Exact integer min/max/sum per doc.",
+)
+def mm_wav_msadpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 7)
+    return MM.decode_wav_stats(MM.synthesize_wav_msadpcm_payloads(docs))

@@ -270,9 +270,10 @@ def test_wav_decode_spark(spark):
 def test_wav_non_pcm_is_codec_gated(spark):
     import struct
 
-    # fmt chunk declaring MS-ADPCM (code 2): needs ffmpeg, gate fires
-    # (IEEE float32 / G.711 mu-law decode natively as of r8)
-    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
+    # fmt chunk declaring MPEG Layer 3 (code 0x55): genuinely needs a
+    # codec library, gate fires (PCM 8/16/24, G.711 both, IMA+MS ADPCM
+    # and IEEE float32/64 all decode natively as of r9)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 4000, 256, 0)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, wav binary")
@@ -1206,3 +1207,107 @@ if _HAVE_HYPOTHESIS:
         )
         _, _, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
         assert list(got) == _ima_reference_decode(codes, p0, i0)
+
+
+# --------------------------------------------------------------- MS ADPCM
+
+
+def _ms_reference_decode(codes, pred_idx, idelta, s1, s2):
+    """Independent straight-line MS ADPCM reference (published tables,
+    no shared helpers with the production decoder)."""
+    AT = (230, 230, 230, 230, 307, 409, 512, 614,
+          768, 614, 512, 409, 307, 230, 230, 230)
+    C1 = (256, 512, 0, 192, 240, 460, 392)
+    C2 = (0, -256, 0, 64, 0, -208, -232)
+    out, delta = [s2, s1], idelta
+    for c in codes:
+        sgn = c - 16 if c >= 8 else c
+        pred = ((s1 * C1[pred_idx] + s2 * C2[pred_idx]) >> 8) + sgn * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        delta = max(16, (AT[c] * delta) >> 8)
+        out.append(pred)
+    return out
+
+
+def _ms_wav(codes, pred_idx, idelta, s1, s2, channels=1):
+    import struct
+
+    n = len(codes)
+    data = bytes((codes[j] << 4) | codes[j + 1] for j in range(0, n, 2))
+    header = bytes([pred_idx]) + struct.pack("<hhh", idelta, s1, s2)
+    block_align = 7 + n // 2
+    fmt = struct.pack(
+        "<HHIIHHHH", 2, channels, 8000, 8000, block_align, 4, 2, n + 2
+    )
+    pcm = header + data
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_msadpcm_matches_reference():
+    for d in (0, 5, 17, 230):
+        alpha = (0, 1, 2, 3, 4, 13, 14, 15)
+        codes = [alpha[(d * 11 + i * 7) % 8] for i in range(24)]
+        rate, ch, got = MM.parse_wav(
+            _ms_wav(codes, d % 7, 16 + d * 3, 1000 - d, -2000 + d)
+        )
+        assert (rate, ch) == (8000, 1)
+        assert list(got) == _ms_reference_decode(
+            codes, d % 7, 16 + d * 3, 1000 - d, -2000 + d
+        )
+
+
+def test_wav_msadpcm_bad_predictor_raises():
+    with pytest.raises(ValueError, match="predictor index"):
+        MM.parse_wav(_ms_wav([0, 0], 7, 16, 0, 0))
+
+
+def test_wav_msadpcm_delta_floor_and_clamp():
+    """All-max-negative codes drive the predictor into the -32768 clamp
+    and the delta through its floor of 16 — both spec edges."""
+    codes = [8] * 8 + [0] * 8  # 8 = strongest negative step (-8*delta)
+    got = MM.parse_wav(_ms_wav(codes, 0, 20000, -30000, -30000))[2]
+    assert min(got) == -32768
+    ref = _ms_reference_decode(codes, 0, 20000, -30000, -30000)
+    assert list(got) == ref
+
+
+def test_wav_float64_roundtrip():
+    import struct
+
+    vals = [i / 32768.0 for i in range(-5, 6)]
+    pcm = struct.pack(f"<{len(vals)}d", *vals)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 64000, 8, 64)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, ch, got = MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, ch) == (8000, 1)
+    assert list(got) == vals
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        d=st.integers(0, 2**31),
+        n_pairs=st.integers(1, 30),
+        pred_idx=st.integers(0, 6),
+        idelta=st.integers(16, 4000),
+        s1=st.integers(-32768, 32767),
+        s2=st.integers(-32768, 32767),
+    )
+    def test_wav_msadpcm_fuzz_matches_reference(
+        d, n_pairs, pred_idx, idelta, s1, s2
+    ):
+        alpha = (0, 1, 2, 3, 4, 13, 14, 15)
+        codes = [alpha[(d * 13 + i * 5) % 8] for i in range(2 * n_pairs)]
+        got = MM.parse_wav(_ms_wav(codes, pred_idx, idelta, s1, s2))[2]
+        assert list(got) == _ms_reference_decode(
+            codes, pred_idx, idelta, s1, s2
+        )
