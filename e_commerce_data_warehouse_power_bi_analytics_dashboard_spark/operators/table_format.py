@@ -515,21 +515,22 @@ def _write_data(
     partition's file (row-group locality only; the manifest tracks one
     stats interval per file).
 
-    ``zorder_by`` (two int-valued columns, unpartitioned writes only)
-    range-clusters on the MORTON interleave of both columns instead:
-    each file's footer min/max for BOTH dimensions becomes a bounded
-    rectangle, so a range ``where`` on EITHER column prunes — the 2-D
-    OPTIMIZE ZORDER of real formats (operators/zorder.py::zvalue)."""
+    ``zorder_by`` (two or more int-valued columns, unpartitioned writes
+    only) range-clusters on the MORTON interleave of the columns
+    instead: each file's footer min/max per dimension becomes a bounded
+    hyper-rectangle, so a range ``where`` on ANY of the columns prunes
+    — the OPTIMIZE ZORDER of real formats (operators/zorder.py)."""
     uid = uuid.uuid4().hex[:8]
     vdir = os.path.join(root, "data", f"v={version}-{uid}")
     if zorder_by:
         if partition_by:
             raise ValueError("zorder_by composes with unpartitioned writes only")
-        a, b = zorder_by
-        from .zorder import zvalue
+        from .zorder import zvalue, zvalue_n
 
+        zcols = list(zorder_by)
+        zexpr = zvalue(*zcols) if len(zcols) == 2 else zvalue_n(zcols)
         (
-            df.withColumn("_tf_z", zvalue(a, b))
+            df.withColumn("_tf_z", zexpr)
             .repartitionByRange(files, F.col("_tf_z"))
             .sortWithinPartitions("_tf_z")
             .drop("_tf_z")

@@ -39,3 +39,32 @@ def zvalue(a: str, b: str, bits: int = 16) -> F.Column:
         f"acc | shiftleft(shiftright(CAST({a} AS BIGINT), i) & 1, 2*i+1)"
         f"    | shiftleft(shiftright(CAST({b} AS BIGINT), i) & 1, 2*i))"
     )
+
+
+def zvalue_n(cols, bits: int | None = None) -> F.Column:
+    """N-dimensional Morton z-value: interleave the low ``bits`` bits of
+    each int expression in ``cols`` (earlier columns take the more
+    significant position within each bit group, matching zvalue's 2-D
+    layout). ``bits`` defaults to the largest fitting a signed int64
+    (63 // n). Same aliasing caveat as zvalue: size bits to the widest
+    key domain or locality silently degrades. Still a pure JVM
+    higher-order expression — no UDF at any dimensionality."""
+    cols = list(cols)
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zvalue_n needs at least 2 columns")
+    if bits is None:
+        bits = 63 // n
+    if not 1 <= bits * n <= 63:
+        raise ValueError(
+            f"{n} cols x {bits} bits = {n * bits} interleaved bits "
+            "must fit a signed int64"
+        )
+    terms = " | ".join(
+        f"shiftleft(shiftright(CAST({c} AS BIGINT), i) & 1, "
+        f"{n}*i+{n - 1 - j})"
+        for j, c in enumerate(cols)
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc | {terms})"
+    )

@@ -184,17 +184,44 @@ class TableChangesStreamReader(DataSourceStreamReader):
             c.strip() for c in options["payload"].split(",") if c.strip()
         ]
         self.start_version = int(options.get("startversion", "0"))
+        mct = options.get("maxcommitspertrigger")
+        self.max_commits = int(mct) if mct else None
+        #: last batch-end version this reader planned; the admission
+        #: floor for the rate limit. None until we learn it — from
+        #: initialOffset on a fresh start, or from the first
+        #: partitions() call after a checkpoint restart (whose start
+        #: offset comes from the checkpoint) — until then latestOffset
+        #: is unthrottled (the same restart burst Delta's
+        #: maxFilesPerTrigger shows). NOTE: pacing shapes
+        #: processingTime/continuous triggers, where latestOffset is
+        #: polled per tick; Trigger.AvailableNow in the Python Data
+        #: Source API captures ONE end offset up front and drains to it
+        #: in a single batch, so it cannot observe per-trigger limits.
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
         # versions <= start_version are history the consumer skips
         # (startVersion=0 streams everything after the create commit)
+        self._last_end = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.root)
-        return {"version": vs[-1] if vs else self.start_version}
+        latest = vs[-1] if vs else self.start_version
+        if self.max_commits is not None and self._last_end is not None:
+            # admit at most N committed versions past the last planned
+            # end — bounded micro-batches over a backlog
+            admitted = [
+                v for v in vs if self._last_end < v <= latest
+            ][: self.max_commits]
+            if admitted:
+                latest = admitted[-1]
+            else:
+                latest = self._last_end
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> list[CommitPartition]:
+        self._last_end = end["version"]
         return [
             CommitPartition(self.root, v, self.key, self.payload)
             for v in _versions(self.root)

@@ -255,3 +255,66 @@ def test_zorder_layout_clusters_both_dims(spark):
     # each z-run should cover well under the full span of each dimension
     assert avg_ck < 0.75 * glob.ck
     assert avg_dd < 0.75 * glob.dd
+
+
+def test_zvalue_n_matches_2d_zvalue(spark):
+    """zvalue_n with two columns must equal zvalue bit-for-bit (same
+    layout convention), and the 3-D interleave puts column j's bit i
+    at position 3*i + (2-j)."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.zorder import (
+        zvalue,
+        zvalue_n,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b, c) for a in (0, 1, 5, 100) for b in (0, 3, 77) for c in (0, 2)],
+        "a long, b long, c long",
+    )
+    mism = df.select(
+        (zvalue("a", "b", 16) != zvalue_n(["a", "b"], 16)).alias("x")
+    ).filter("x").count()
+    assert mism == 0
+    rows = df.select("a", "b", "c", zvalue_n(["a", "b", "c"], 8).alias("z")).collect()
+    for r in rows:
+        want = 0
+        for i in range(8):
+            want |= ((r["a"] >> i) & 1) << (3 * i + 2)
+            want |= ((r["b"] >> i) & 1) << (3 * i + 1)
+            want |= ((r["c"] >> i) & 1) << (3 * i)
+        assert r["z"] == want
+
+
+def test_zvalue_n_bit_budget_guard(spark):
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators.zorder import (
+        zvalue_n,
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="int64"):
+        zvalue_n(["a", "b", "c"], 22)  # 66 bits
+    with _pt.raises(ValueError, match="at least 2"):
+        zvalue_n(["a"])
+
+
+def test_table_format_zorder_three_dims_prune(spark, tmp_path):
+    """compact(zorder_by=3 cols): a range where on ANY of the three
+    dimensions prunes files, and pruned reads stay supersets."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
+        table_format as tf,
+    )
+
+    root = str(tmp_path / "z3")
+    cube = spark.range(0, 16 * 16 * 16).select(
+        (F.col("id") % 16).cast("long").alias("x"),
+        ((F.col("id") / 16).cast("long") % 16).alias("y"),
+        (F.col("id") / 256).cast("long").alias("z"),
+    )
+    tf.create_table(spark, root, cube, files=1)
+    tf.compact(spark, root, files=8, zorder_by=("x", "y", "z"))
+    for col in ("x", "y", "z"):
+        sel, total = tf.snapshot_files(root, None, {col: (0, 3)})
+        assert total == 8 and len(sel) < total, col
+        got = tf.read_version(spark, root, where={col: (0, 3)}).filter(
+            F.col(col) <= 3
+        ).count()
+        assert got == 4 * 16 * 16

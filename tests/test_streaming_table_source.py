@@ -150,3 +150,55 @@ def test_stream_start_version_skips_history(spark, tmp_path):
     got = _snap(spark.read.parquet(out))
     assert {r[4] for r in got} == {4}
     assert [r[0] for r in got] == [5]
+
+
+def test_max_commits_per_trigger_admission_contract(spark, tmp_path):
+    """Unit-level admission contract of maxCommitsPerTrigger (pacing
+    shapes processingTime triggers; availableNow in the Python Data
+    Source API captures one end offset and cannot observe per-trigger
+    limits — documented): each latestOffset() admits at most N
+    committed versions past the last planned end, and a checkpoint
+    restart (partitions() called before any initialOffset) re-seeds
+    the floor from the restart's start offset."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.streaming.table_source import (
+        TableChangesStreamReader,
+    )
+
+    root = str(tmp_path / "tbl")
+    tf.create_table(spark, root, _base(spark), files=1)
+    for k in (100, 101, 102, 103):
+        tf.append(
+            spark,
+            root,
+            spark.createDataFrame([(k, 0, k)], "k long, b int, val long"),
+            files=1,
+        )
+    opts = {"root": root, "key": "k", "payload": ",".join(_PAYLOAD),
+            "maxcommitspertrigger": "1"}
+    r = TableChangesStreamReader(opts)
+    assert r.initialOffset() == {"version": 0}
+    # trigger 1: admit exactly one commit past the floor
+    end1 = r.latestOffset()
+    assert end1 == {"version": 1}
+    parts = r.partitions({"version": 0}, end1)
+    assert [p.version for p in parts] == [1]
+    # trigger 2: floor advanced by partitions()
+    end2 = r.latestOffset()
+    assert end2 == {"version": 2}
+    r.partitions(end1, end2)
+    # no new commits beyond the backlog: drains one per trigger
+    assert r.latestOffset() == {"version": 3}
+    # checkpoint restart: fresh reader, no initialOffset — first
+    # latestOffset is unthrottled (documented restart burst), then the
+    # first partitions() call re-seeds the floor
+    r2 = TableChangesStreamReader(opts)
+    assert r2.latestOffset() == {"version": 4}
+    r2.partitions({"version": 2}, {"version": 3})
+    assert r2.latestOffset() == {"version": 4}
+    r2.partitions({"version": 3}, {"version": 4})
+    assert r2.latestOffset() == {"version": 4}  # caught up
+    # unthrottled reader admits everything at once
+    r3 = TableChangesStreamReader({k: v for k, v in opts.items()
+                                   if k != "maxcommitspertrigger"})
+    r3.initialOffset()
+    assert r3.latestOffset() == {"version": 4}

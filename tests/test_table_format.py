@@ -897,3 +897,92 @@ def test_sql_dml_routes_to_merge_on_read(spark, tmp_path):
     assert tf._split_assignments("a = f(x, y), b = 'p,q', c = 1") == {
         "a": "f(x, y)", "b": "'p,q'", "c": "1",
     }
+
+
+# --------------------------------------- MoR on partitioned tables
+
+
+def test_mor_partial_vectors_on_partitioned_table(spark, tmp_path):
+    """Position vectors are path-addressed, so they compose with a
+    partition spec: a partial delete inside one partition leaves every
+    data file intact, prunes still work, and the vectored rows are
+    subtracted from the right files."""
+    root = str(tmp_path / "morp")
+    df = spark.range(0, 80).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("b"),
+        (F.col("id") * 3).alias("val"),
+    )
+    tf.create_table(spark, root, df, partition_by="b")
+    tf.delete_where(spark, root, "b = 1 AND k < 20")  # partial in partition 1
+    m = tf.read_manifest(root, 1)
+    assert m["removes"] == [] and m["delete_adds"], m
+    snap = tf.read_version(spark, root)
+    assert snap.count() == 80 - 5  # k in {1,5,9,13,17}
+    assert snap.filter((F.col("b") == 1) & (F.col("k") < 20)).count() == 0
+    # partition pruning still applies on the vectored snapshot
+    sel, total = tf.snapshot_files(root, None, {"b": (1, 1)})
+    assert len(sel) < total
+    pruned = tf.read_version(spark, root, where={"b": (1, 1)}).filter(
+        F.col("b") == 1
+    )
+    assert pruned.count() == 20 - 5
+
+
+def test_mor_update_on_partitioned_table_respects_spec(spark, tmp_path):
+    """update_where on a partitioned table writes its updated images
+    under the spec (hive dirs), so later partition-pruned reads see
+    them; the partition column itself may be reassigned (rows MOVE
+    partitions — the vector+append design makes this free, where a
+    COW-in-place rewrite would strand them)."""
+    root = str(tmp_path / "updp")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("b"),
+        (F.col("id") * 3).alias("val"),
+    )
+    tf.create_table(spark, root, df, partition_by="b")
+    tf.update_where(
+        spark, root, "b = 2", {"b": "CAST(3 AS INT)", "val": "val + 1"}
+    )
+    m = tf.read_manifest(root, 1)
+    # updated images landed hive-partitioned under the NEW value
+    assert all(a.get("partition", {}).get("b") == "3" for a in m["adds"])
+    snap = tf.read_version(spark, root)
+    assert snap.filter(F.col("b") == 2).count() == 0
+    assert snap.filter(F.col("b") == 3).count() == 20
+    moved = snap.filter((F.col("b") == 3) & (F.col("val") % 3 == 1))
+    assert moved.count() == 10  # the movers carry val+1
+    # pruning to b=3 sees both natives and movers
+    pruned = tf.read_version(spark, root, where={"b": (3, 3)}).filter(
+        F.col("b") == 3
+    )
+    assert pruned.count() == 20
+
+
+def test_streaming_source_reads_partitioned_mor_commits(spark, tmp_path):
+    """The streaming CDF source's pyarrow diff handles hive-partitioned
+    files + vectors: stream rows == batch change_feed rows."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.streaming.table_source import (
+        commit_changes,
+    )
+
+    root = str(tmp_path / "srcp")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("b"),
+        (F.col("id") * 3).alias("val"),
+    )
+    tf.create_table(spark, root, df, partition_by="b")
+    tf.delete_where(spark, root, "b = 1 AND k < 10")
+    tf.update_where(spark, root, "k = 22", {"val": "val + 5"})
+    for v in (1, 2):
+        got = sorted(commit_changes(root, v, "k", ["b", "val"]))
+        want = sorted(
+            tuple(r) + (v,)
+            for r in tf.change_feed(
+                spark, root, "k", ["b", "val"], v_from=v - 1, v_to=v
+            ).drop("_commit_version").collect()
+        )
+        # batch rows are (k, b, val, type); stream rows append version
+        assert [g[:4] for g in got] == [w[:4] for w in want]
