@@ -986,3 +986,89 @@ def test_streaming_source_reads_partitioned_mor_commits(spark, tmp_path):
         )
         # batch rows are (k, b, val, type); stream rows append version
         assert [g[:4] for g in got] == [w[:4] for w in want]
+
+
+# ----------------------------------------- randomized MoR lifecycle model
+
+
+def test_mor_lifecycle_random_ops_match_model(spark, tmp_path):
+    """Model-based randomized check: a random interleaving of
+    append / MoR delete / MoR update / compact / vacuum must keep the
+    snapshot equal to a trivial driver-side model after EVERY op, and
+    keep retained time travel exact. Catches cross-op interactions no
+    single-op test covers (vectors over appended files, updates of
+    vector-deleted survivors, compaction mid-sequence, vacuum of
+    retired vectors)."""
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(4):
+        root = str(tmp_path / f"model{trial}")
+        rows = {k: (k % 7, k * 2) for k in range(60)}  # k -> (b, val)
+        df = spark.createDataFrame(
+            [(k, b, v) for k, (b, v) in rows.items()],
+            "k long, b int, val long",
+        )
+        tf.create_table(spark, root, df, files=3)
+        next_key = 1000
+        # model snapshots indexed by DATA-CHANGING commit count (compact
+        # and vacuum change layout, never rows)
+        change_states = [dict(rows)]
+        for _step in range(6):
+            op = rng.choice(["append", "delete", "update", "compact", "vacuum"])
+            if op == "append":
+                new = {next_key + i: ((next_key + i) % 7, rng.randrange(500))
+                       for i in range(rng.randrange(1, 6))}
+                next_key += 10
+                tf.append(spark, root, spark.createDataFrame(
+                    [(k, b, v) for k, (b, v) in new.items()],
+                    "k long, b int, val long"), files=1)
+                rows.update(new)
+            elif op == "delete":
+                m = rng.randrange(2, 9)
+                r = rng.randrange(m)
+                tf.delete_where(spark, root, f"k % {m} = {r}")
+                rows = {k: bv for k, bv in rows.items() if k % m != r}
+            elif op == "update":
+                m = rng.randrange(2, 9)
+                r = rng.randrange(m)
+                add = rng.randrange(1, 50)
+                tf.update_where(
+                    spark, root, f"k % {m} = {r}", {"val": f"val + {add}"}
+                )
+                rows = {
+                    k: (b, v + add if k % m == r else v)
+                    for k, (b, v) in rows.items()
+                }
+            elif op == "compact":
+                tf.compact(spark, root, files=2)
+            else:
+                tf.vacuum(root, keep_versions=2, orphan_grace_sec=3600)
+            if op in ("append", "delete", "update"):
+                change_states.append(dict(rows))
+            got = sorted(
+                (r["k"], r["b"], r["val"])
+                for r in tf.read_version(spark, root).collect()
+            )
+            want = sorted((k, b, v) for k, (b, v) in rows.items())
+            assert got == want, f"trial {trial} after {op}"
+        # retained time travel: the two latest versions replay exactly
+        versions = tf.list_versions(root)
+        floor = tf.earliest_readable(root)
+        for v in [x for x in versions if x >= floor][-2:]:
+            # compact/vacuum never change rows, so the model at a
+            # version is history[<number of data-changing commits <= v>]
+            changing = [
+                x for x in versions
+                if x <= v and tf.read_manifest(root, x)["op"]
+                in ("create", "append", "delete", "update")
+            ]
+            want = sorted(
+                (k, b, val)
+                for k, (b, val) in change_states[len(changing) - 1].items()
+            )
+            got = sorted(
+                (r["k"], r["b"], r["val"])
+                for r in tf.read_version(spark, root, v).collect()
+            )
+            assert got == want, f"trial {trial} time travel v{v}"
