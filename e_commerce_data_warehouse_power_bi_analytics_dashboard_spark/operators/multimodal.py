@@ -1242,11 +1242,15 @@ def _ima_adpcm_decode(
         data = block[4 * channels :]
         # 4-byte units round-robin per channel; each unit = 8 nibbles.
         # Mono tolerates a sub-4-byte tail (every byte is still two
-        # in-order nibbles); multichannel data MUST be unit-aligned —
-        # a partial unit is ambiguous about channel ownership.
-        if channels > 1 and len(data) % 4:
+        # in-order nibbles); multichannel data MUST be aligned to a
+        # FULL ROTATION of units (4 bytes x channels) — a partial unit
+        # is ambiguous about channel ownership, and a complete unit
+        # missing its siblings would silently truncate every channel
+        # to the shortest via the frame min() below.
+        if channels > 1 and len(data) % (4 * channels):
             raise ValueError(
-                "multichannel ADPCM data must be 4-byte-unit aligned"
+                "multichannel ADPCM data must be aligned to "
+                f"4-byte units x {channels} channels"
             )
         for u in range(len(data) // 4):
             c = u % channels

@@ -317,11 +317,12 @@ def _with_positions(df: DataFrame, root: str) -> DataFrame:
 
 
 def _anti_vectors(
-    spark: SparkSession, root: str, df: DataFrame, version: int | None
+    spark: SparkSession, root: str, df: DataFrame, dels: list[dict]
 ) -> DataFrame:
-    """Subtract the delete vectors live at ``version`` from a positioned
-    frame (broadcast anti-join — vectors are change-batch-sized)."""
-    dels = active_delete_adds(root, version)
+    """Subtract the delete-vector file records ``dels`` (an
+    active_delete_adds result the CALLER already folded — avoids
+    re-reading every manifest) from a positioned frame (broadcast
+    anti-join — vectors are change-batch-sized)."""
     if not dels:
         return df
     dv = spark.read.parquet(*[os.path.join(root, d["path"]) for d in dels])
@@ -525,10 +526,14 @@ def _write_data(
     if zorder_by:
         if partition_by:
             raise ValueError("zorder_by composes with unpartitioned writes only")
-        from .zorder import zvalue, zvalue_n
+        from .zorder import zvalue_n
 
+        # zvalue_n defaults bits to 63 // n (31 for two columns), so
+        # key domains up to 2^31 interleave without the aliasing that
+        # a fixed 16-bit budget hits at scale (custkey > 65535 would
+        # silently destroy the per-file rectangles)
         zcols = list(zorder_by)
-        zexpr = zvalue(*zcols) if len(zcols) == 2 else zvalue_n(zcols)
+        zexpr = zvalue_n(zcols)
         (
             df.withColumn("_tf_z", zexpr)
             .repartitionByRange(files, F.col("_tf_z"))
@@ -655,7 +660,7 @@ def read_version(
         return df
     df = _with_positions(df, root)
     if dels:
-        df = _anti_vectors(spark, root, df, version)
+        df = _anti_vectors(spark, root, df, dels)
     if not with_positions:
         df = df.drop("_tf_file", "_tf_pos")
     return df
@@ -696,9 +701,52 @@ def _current_with_file(spark: SparkSession, root: str) -> DataFrame:
     ).drop("_tf_pos")
 
 
-def delete_where(
-    spark: SparkSession, root: str, condition: str, files: int = 1
-) -> int:
+
+def _plan_vector_delete(
+    matched: DataFrame, root: str, new_v: int
+) -> tuple[list[str], int, list[dict]]:
+    """Shared MoR vector-write step for delete_where/update_where: from
+    a positioned ``matched`` frame, split fully-matched data files
+    (whole-file removes, no vector needed) from partially-matched ones
+    (a sorted position-delete parquet under deletes/v=<n>-<uid>), and
+    return (full_file_removes, n_matched_rows, delete_add_records)."""
+    import pyarrow.parquet as pq
+
+    per_file = {
+        r["_tf_file"]: r["n"]
+        for r in matched.groupBy("_tf_file").agg(F.count("*").alias("n")).collect()
+    }
+    rows_by_file = {a["path"]: a.get("rows") for a in active_adds(root)}
+    full = sorted(
+        f for f, n in per_file.items()
+        if rows_by_file.get(f) is not None and n == rows_by_file[f]
+    )
+    n_matched = sum(per_file.values())
+    delete_adds: list[dict] = []
+    if len(full) < len(per_file):  # some file matched only partially
+        uid = uuid.uuid4().hex[:8]
+        vdir = os.path.join(root, "deletes", f"v={new_v}-{uid}")
+        partial = (
+            matched.filter(~F.col("_tf_file").isin(full)) if full else matched
+        )
+        (
+            partial.select(
+                F.col("_tf_file").alias("_tf_dfile"),
+                F.col("_tf_pos").alias("_tf_dpos"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("_tf_dfile", "_tf_dpos")
+            .write.mode("error").parquet(vdir)
+        )
+        for p in sorted(glob.glob(os.path.join(vdir, "*.parquet"))):
+            delete_adds.append({
+                "path": os.path.relpath(p, root),
+                "rows": int(pq.ParquetFile(p).metadata.num_rows),
+            })
+    return full, int(n_matched), delete_adds
+
+
+def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     """MERGE-ON-READ DELETE: remove every current row satisfying the SQL
     boolean expression ``condition`` WITHOUT rewriting data files.
 
@@ -706,7 +754,8 @@ def delete_where(
     rows matched (no vector needed — the file just leaves the active
     set) and (b) a POSITION-DELETE parquet file of ``(_tf_dfile,
     _tf_dpos)`` pairs for partially-matched files, written sorted under
-    ``deletes/v=<n>-<uid>/``. Positions are ``_metadata.row_index`` —
+    ``deletes/v=<n>-<uid>/`` (one file — vectors are change-batch-
+    sized; see _plan_vector_delete, shared with update_where). Positions are ``_metadata.row_index`` —
     stable physical row numbers in immutable files. Matching is
     computed against the delete-applied current snapshot, so repeated
     deletes never record the same position twice. Cost at 100 TB: one
@@ -721,44 +770,11 @@ def delete_where(
         .filter(F.expr(condition))
         .select("_tf_file", "_tf_pos")
     )
-    # per-file matched counts: manifest-sized metadata (#touched files)
-    per_file = {
-        r["_tf_file"]: r["n"]
-        for r in matched.groupBy("_tf_file").agg(F.count("*").alias("n")).collect()
-    }
-    rows_by_file = {
-        a["path"]: a.get("rows") for a in active_adds(root)
-    }
-    full = sorted(
-        f for f, n in per_file.items()
-        if rows_by_file.get(f) is not None and n == rows_by_file[f]
-    )
-    partial = matched.filter(~F.col("_tf_file").isin(full)) if full else matched
-    n_deleted = sum(per_file.values())
-    delete_adds: list[dict] = []
-    if len(full) < len(per_file):  # some file matched only partially
-        uid = uuid.uuid4().hex[:8]
-        vdir = os.path.join(root, "deletes", f"v={new_v}-{uid}")
-        (
-            partial.select(
-                F.col("_tf_file").alias("_tf_dfile"),
-                F.col("_tf_pos").alias("_tf_dpos"),
-            )
-            .repartition(files)
-            .sortWithinPartitions("_tf_dfile", "_tf_dpos")
-            .write.mode("error").parquet(vdir)
-        )
-        for p in sorted(glob.glob(os.path.join(vdir, "*.parquet"))):
-            import pyarrow.parquet as pq
-
-            delete_adds.append({
-                "path": os.path.relpath(p, root),
-                "rows": int(pq.ParquetFile(p).metadata.num_rows),
-            })
+    full, n_deleted, delete_adds = _plan_vector_delete(matched, root, new_v)
     schema = _snapshot_schema(root, versions[-1])
     _publish(root, new_v, {
         "version": new_v, "op": "delete", "adds": [], "removes": full,
-        "delete_adds": delete_adds, "n_changes": int(n_deleted),
+        "delete_adds": delete_adds, "n_changes": n_deleted,
         "condition": condition,
         "schema": schema.json() if schema else None,
     })
@@ -926,45 +942,14 @@ def update_where(
     if unknown:
         raise ValueError(f"assignments reference unknown columns {sorted(unknown)}")
     _check_constraints(updated, active_constraints(root))
-    # the delete half: same vector machinery as delete_where, but the
-    # matched positions come with the rows we are rewriting
-    per_file = {
-        r["_tf_file"]: r["n"]
-        for r in matched.groupBy("_tf_file").agg(F.count("*").alias("n")).collect()
-    }
-    rows_by_file = {a["path"]: a.get("rows") for a in active_adds(root)}
-    full = sorted(
-        f for f, n in per_file.items()
-        if rows_by_file.get(f) is not None and n == rows_by_file[f]
+    # the delete half: the same vector machinery as delete_where
+    full, n_matched, delete_adds = _plan_vector_delete(
+        matched.select("_tf_file", "_tf_pos"), root, new_v
     )
-    n_matched = sum(per_file.values())
-    delete_adds: list[dict] = []
-    if len(full) < len(per_file):
-        uid = uuid.uuid4().hex[:8]
-        vdir = os.path.join(root, "deletes", f"v={new_v}-{uid}")
-        partial = (
-            matched.filter(~F.col("_tf_file").isin(full)) if full else matched
-        )
-        (
-            partial.select(
-                F.col("_tf_file").alias("_tf_dfile"),
-                F.col("_tf_pos").alias("_tf_dpos"),
-            )
-            .repartition(1)
-            .sortWithinPartitions("_tf_dfile", "_tf_dpos")
-            .write.mode("error").parquet(vdir)
-        )
-        import pyarrow.parquet as pq
-
-        for p in sorted(glob.glob(os.path.join(vdir, "*.parquet"))):
-            delete_adds.append({
-                "path": os.path.relpath(p, root),
-                "rows": int(pq.ParquetFile(p).metadata.num_rows),
-            })
     adds = _write_data(updated, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "update", "adds": adds, "removes": full,
-        "delete_adds": delete_adds, "n_changes": int(n_matched),
+        "delete_adds": delete_adds, "n_changes": n_matched,
         "condition": condition,
         "assignments": dict(assignments),
         "schema": updated.schema.json(),
@@ -1073,7 +1058,7 @@ def change_feed(
             old = _anti_vectors(
                 spark, root,
                 _with_positions(spark.read.parquet(*rems), root),
-                v - 1,
+                active_delete_adds(root, v - 1),
             ).select(key, *pay)
         dvec = [_norm_add(d) for d in m.get("delete_adds", [])]
         if dvec:
@@ -1206,12 +1191,19 @@ def version_as_of_timestamp(root: str, ts: float) -> int:
 
 
 def _parse_ts(raw: str) -> float:
-    """Epoch seconds from an epoch literal or ISO timestamp string."""
+    """Epoch seconds from an epoch literal or ISO timestamp string.
+    A timezone-NAIVE ISO string is interpreted as UTC — committed_at is
+    a UTC epoch and the engine pins spark.sql.session.timeZone=UTC, so
+    host-local interpretation would resolve a different snapshot on
+    every non-UTC machine."""
     s = raw.strip().strip("'\"")
     try:
         return float(s)
     except ValueError:
-        return datetime.datetime.fromisoformat(s).timestamp()
+        dt = datetime.datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return dt.timestamp()
 
 
 def _meta_history_df(spark: SparkSession, root: str) -> DataFrame:

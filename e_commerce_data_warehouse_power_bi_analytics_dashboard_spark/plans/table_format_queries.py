@@ -48,6 +48,23 @@ _PAYLOAD = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "c_bucket"]
 #: tables already built this session, keyed (application, sf_dir)
 _BUILT: set[tuple[str, str]] = set()
 
+def _complete_or_clear(root: str, final_version: int) -> bool:
+    """True if the demo table's build is COMPLETE (its final commit is
+    published). A root that exists without the final commit is a
+    crashed partial build: rebuilding over it would raise
+    CommitConflict at version 0 forever, so clear it and rebuild —
+    commits are atomic, so "final manifest present" is a sound
+    completeness marker and a cleared partial loses nothing."""
+    if os.path.exists(tf._commit_path(root, final_version)):
+        return True
+    if os.path.exists(root):
+        import shutil
+
+        shutil.rmtree(root)
+    return False
+
+
+
 
 def table_root(sf_dir: str) -> str:
     # v2: manifest format carries per-file footer stats + partition
@@ -119,7 +136,7 @@ def ensure_demo_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BUILT:
         return root
-    if os.path.exists(tf._commit_path(root, 2)):
+    if _complete_or_clear(root, 2):
         _BUILT.add(key)
         return root
     cust = _with_bucket(read_table(spark, sf_dir, "customer"))
@@ -253,7 +270,7 @@ def ensure_evo_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir + "#evo")
     if key in _BUILT:
         return root
-    if os.path.exists(tf._commit_path(root, 1)):
+    if _complete_or_clear(root, 1):
         _BUILT.add(key)
         return root
     cust = _with_bucket(read_table(spark, sf_dir, "customer"))
@@ -571,7 +588,7 @@ def ensure_sorted_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir + "#sorted")
     if key in _BUILT:
         return root
-    if os.path.exists(tf._commit_path(root, 1)):
+    if _complete_or_clear(root, 1):
         _BUILT.add(key)
         return root
     cust = read_table(spark, sf_dir, "customer").select(
@@ -657,7 +674,7 @@ def ensure_mor_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir + "#mor")
     if key in _BUILT:
         return root
-    if os.path.exists(tf._commit_path(root, 3)):
+    if _complete_or_clear(root, 3):
         _BUILT.add(key)
         return root
     cust = read_table(spark, sf_dir, "customer").select(
@@ -812,7 +829,7 @@ def ensure_zorder_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir + "#zorder")
     if key in _BUILT:
         return root
-    if os.path.exists(tf._commit_path(root, 1)):
+    if _complete_or_clear(root, 1):
         _BUILT.add(key)
         return root
     orders = read_table(spark, sf_dir, "orders").select(
@@ -907,7 +924,7 @@ def ensure_upd_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir + "#upd")
     if key in _BUILT:
         return root
-    if os.path.exists(tf._commit_path(root, 1)):
+    if _complete_or_clear(root, 1):
         _BUILT.add(key)
         return root
     cust = read_table(spark, sf_dir, "customer").select(
@@ -987,7 +1004,7 @@ def ensure_chk_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir + "#chk")
     if key in _BUILT:
         return root
-    if os.path.exists(tf._commit_path(root, 1)):
+    if _complete_or_clear(root, 1):
         _BUILT.add(key)
         return root
     cust = read_table(spark, sf_dir, "customer").select(

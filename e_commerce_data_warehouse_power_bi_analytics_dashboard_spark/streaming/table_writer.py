@@ -15,10 +15,12 @@ torn write is invisible by construction (files without a manifest are
 orphans for vacuum's grace window, the same guarantee concurrent
 writers already rely on).
 
-Exactly-once: the micro-batch ``batchId`` is recorded as the commit's
-``epoch``. On checkpoint-recovery replay the tasks re-stage fresh
-orphan files, but ``commit`` finds the epoch already published and
-no-ops — rows land exactly once, replay debris is reclaimed by vacuum.
+Exactly-once: the micro-batch ``batchId`` — namespaced by ``writerId``
+when several queries share one table, since batchIds restart from 0
+per query — is recorded as the commit's ``epoch``. On
+checkpoint-recovery replay the tasks re-stage fresh orphan files, but
+``commit`` finds the epoch already published and no-ops — rows land
+exactly once, replay debris is reclaimed by vacuum.
 A CommitConflict from a concurrent writer retries at the next version
 (bounded), since an append commutes with any interleaved commit.
 
@@ -54,7 +56,18 @@ class FileCommitMessage(WriterCommitMessage):
 class TableAppendStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict):
         self.root = options["root"]
+        # epoch idempotence must be scoped PER WRITER: batchIds restart
+        # from 0 for every distinct streaming query, so keying replay
+        # detection on batchId alone would silently drop a SECOND
+        # query's early batches (they'd look like replays of the
+        # first's). writerId names the logical writer — same value
+        # across restarts of one query (its checkpoint), distinct
+        # across queries. Single-writer tables may omit it.
+        self.writer_id = options.get("writerid", "")
         self.files_dir = os.path.join("data", f"stream-{uuid.uuid4().hex[:8]}")
+
+    def _epoch(self, batchId: int):
+        return f"{self.writer_id}/{batchId}" if self.writer_id else int(batchId)
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FileCommitMessage:
@@ -82,8 +95,9 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         from ..operators import table_format as tf
 
+        epoch = self._epoch(batchId)
         for v in tf.list_versions(self.root):
-            if tf.read_manifest(self.root, v).get("epoch") == batchId:
+            if tf.read_manifest(self.root, v).get("epoch") == epoch:
                 return  # replayed epoch: already committed, no-op
         adds = [
             {"path": m.path, "rows": m.rows, "stats": m.stats}
@@ -96,7 +110,7 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
             try:
                 tf._publish(self.root, new_v, {
                     "version": new_v, "op": "append", "adds": adds,
-                    "removes": [], "epoch": int(batchId),
+                    "removes": [], "epoch": epoch,
                     "n_changes": sum(a["rows"] for a in adds),
                 })
                 return
@@ -123,7 +137,11 @@ class TableAppendDataSource(DataSource):
     table must already exist (create_table pins schema + spec);
     streaming-appended files are unpartitioned (spec-partitioned
     streaming writes would need per-partition task routing — out of
-    scope, use the foreachBatch MERGE sink for that)."""
+    scope, use the foreachBatch MERGE sink for that). When MORE THAN
+    ONE streaming query appends to the same table, each must set a
+    distinct ``writerId`` (stable across its own restarts): epoch
+    replay detection is keyed on (writerId, batchId), and batchIds
+    restart from 0 per query."""
 
     @classmethod
     def name(cls) -> str:

@@ -1311,3 +1311,22 @@ if _HAVE_HYPOTHESIS:
         assert list(got) == _ms_reference_decode(
             codes, pred_idx, idelta, s1, s2
         )
+
+
+def test_wav_adpcm_multichannel_misaligned_data_raises():
+    """Stereo IMA data whose length is a multiple of 4 but NOT of
+    4*channels must raise (a lone unit would silently truncate the
+    other channel via the frame min) — the review-found edge."""
+    import struct
+
+    block = (
+        struct.pack("<hBB", 0, 0, 0) + struct.pack("<hBB", 0, 0, 0)
+        + b"\x00\x00\x00\x00"  # ONE 4-byte unit for 2 channels
+    )
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, len(block), 4, 2, 9)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    with pytest.raises(ValueError, match="aligned"):
+        MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)

@@ -130,3 +130,28 @@ def test_writer_commit_replay_and_conflict_retry(spark, tmp_path):
     )]))
     w.commit([msg2], batchId=8)
     assert tf.read_version(spark, root).filter(F.col("k") == 1000).count() == 1
+
+
+def test_two_writers_epoch_namespaced_by_writer_id(spark, tmp_path):
+    """batchIds restart from 0 per query: two writers with DISTINCT
+    writerIds must both land their batch 0 (the review-found silent
+    drop), and a same-writer replay still no-ops."""
+    import pyarrow as pa
+
+    root = str(tmp_path / "tbl")
+    tf.create_table(spark, root, _base(spark), files=1)
+    wa = TableAppendStreamWriter({"root": root, "writerid": "qA"})
+    wb = TableAppendStreamWriter({"root": root, "writerid": "qB"})
+    ma = wa.write(iter([pa.RecordBatch.from_pydict(
+        {"k": [900], "b": [1], "val": [1]})]))
+    mb = wb.write(iter([pa.RecordBatch.from_pydict(
+        {"k": [901], "b": [1], "val": [2]})]))
+    wa.commit([ma], batchId=0)
+    wb.commit([mb], batchId=0)  # same batchId, different writer: lands
+    snap = tf.read_version(spark, root)
+    assert snap.filter(F.col("k").isin(900, 901)).count() == 2
+    n = len(tf.list_versions(root))
+    wa.commit([ma], batchId=0)  # same-writer replay: no-op
+    assert len(tf.list_versions(root)) == n
+    epochs = [m.get("epoch") for m in tf.history(root)[1:]]
+    assert sorted(epochs) == ["qA/0", "qB/0"]

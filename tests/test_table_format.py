@@ -1072,3 +1072,25 @@ def test_mor_lifecycle_random_ops_match_model(spark, tmp_path):
                 for r in tf.read_version(spark, root, v).collect()
             )
             assert got == want, f"trial {trial} time travel v{v}"
+
+
+def test_parse_ts_naive_iso_is_utc():
+    """Naive ISO timestamps resolve as UTC regardless of host TZ (the
+    engine pins the Spark session to UTC and committed_at is a UTC
+    epoch) — tz-aware strings keep their own offset."""
+    assert tf._parse_ts("'1970-01-01T00:00:10'") == 10.0
+    assert tf._parse_ts("1970-01-01T01:00:00+01:00") == 0.0
+    assert tf._parse_ts("123.5") == 123.5
+
+
+def test_complete_or_clear_heals_partial_scratch_build(spark, tmp_path):
+    """A crashed partial demo-table build (root exists, final commit
+    missing) must be cleared and rebuilt, never wedge every later run
+    with CommitConflict at version 0."""
+    root = str(tmp_path / "partial")
+    tf.create_table(spark, root, _mor_base(spark), files=1)  # v0 only
+    assert not tfq._complete_or_clear(root, 3)  # partial: cleared
+    assert not os.path.exists(root)
+    tf.create_table(spark, root, _mor_base(spark), files=1)  # rebuild ok
+    assert tfq._complete_or_clear(root, 0)  # complete: kept
+    assert os.path.exists(root)
