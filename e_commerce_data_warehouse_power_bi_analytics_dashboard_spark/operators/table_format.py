@@ -94,6 +94,7 @@ require a rewrite and are out of scope.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import glob
 import itertools
@@ -305,10 +306,28 @@ def _with_positions(df: DataFrame, root: str) -> DataFrame:
     """Attach ``_tf_file`` (root-relative path) + ``_tf_pos`` (physical
     row index) provenance from ``_metadata``, resolved AT SCAN time so
     the columns stay correct under any later join (input_file_name is
-    not reliable there)."""
+    not reliable there). The scan's reported file_path may carry either
+    the literal root the caller passed or its symlink-resolved form
+    (e.g. /tmp vs /private/tmp), so both spellings are matched; a path
+    matching NEITHER fails loudly — a silently-empty ``_tf_file`` would
+    stop the (file, pos) anti-join from matching and RESURRECT
+    vector-deleted rows with no error."""
+    roots = sorted(
+        {os.path.abspath(root), os.path.realpath(root)},
+        key=len, reverse=True,
+    )
     rel = F.regexp_extract(
         F.col("_metadata.file_path"),
-        re.escape(os.path.abspath(root)) + "/(.*)$", 1,
+        "(?:" + "|".join(re.escape(r) for r in roots) + ")/(.*)$", 1,
+    )
+    rel = F.when(rel != "", rel).otherwise(
+        F.raise_error(F.concat(
+            F.lit(
+                f"table-format scan path does not contain root "
+                f"{roots} — position provenance would be wrong: "
+            ),
+            F.col("_metadata.file_path"),
+        ))
     )
     return df.select(
         "*", rel.alias("_tf_file"),
@@ -465,6 +484,26 @@ def _check_constraints(df: DataFrame, constraints: Mapping[str, str]) -> None:
         )
 
 
+@contextlib.contextmanager
+def _validated(df: DataFrame, constraints: Mapping[str, str]):
+    """Validate CHECK constraints against ``df`` and yield the frame
+    the caller should WRITE. When constraints are active the frame is
+    persisted across the validate+write pair — the validation is a full
+    extra computation of the written frame (an agg pass), so without
+    the cache every constrained append/merge/update computes its input
+    twice (worst for merge()'s join). Unpersisted on exit either way;
+    with no constraints this is a zero-cost pass-through."""
+    if not constraints:
+        yield df
+        return
+    df = df.persist()
+    try:
+        _check_constraints(df, constraints)
+        yield df
+    finally:
+        df.unpersist()
+
+
 def add_constraint(
     spark: SparkSession, root: str, name: str, expr: str
 ) -> int:
@@ -600,9 +639,8 @@ def create_table(
     recorded in the manifest, validated against this and every later
     write (ConstraintViolation aborts before anything publishes)."""
     spec = _normalize_spec(partition_by)
-    if constraints:
-        _check_constraints(df, constraints)
-    adds = _write_data(df, root, 0, files, spec, sort_by)
+    with _validated(df, constraints or {}) as vdf:
+        adds = _write_data(vdf, root, 0, files, spec, sort_by)
     _publish(root, 0, {
         "version": 0, "op": "create", "adds": adds, "removes": [],
         "n_changes": sum(a["rows"] for a in adds),
@@ -681,8 +719,8 @@ def append(
     spec = _table_spec(root)
     if spec and not all(c in df.columns for c in spec):
         spec = None
-    _check_constraints(df, active_constraints(root))
-    adds = _write_data(df, root, new_v, files, spec)
+    with _validated(df, active_constraints(root)) as vdf:
+        adds = _write_data(vdf, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "append", "adds": adds, "removes": [],
         "n_changes": sum(a["rows"] for a in adds),
@@ -826,8 +864,8 @@ def merge(
     merged = apply_change_feed(
         base_rows, feed, key, payload, order_col, tiebreak
     ).select(key, *payload)
-    _check_constraints(merged, active_constraints(root))
-    adds = _write_data(merged, root, new_v, files, spec)
+    with _validated(merged, active_constraints(root)) as vmerged:
+        adds = _write_data(vmerged, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "merge", "adds": adds,
         "removes": sorted(touched_set),
@@ -898,8 +936,8 @@ def merge_compacted(
     merged = latest_wins(
         base_rows.unionByName(batch.select(*cols)), key, order_col, tiebreak
     )
-    _check_constraints(merged, active_constraints(root))
-    adds = _write_data(merged, root, new_v, files, spec)
+    with _validated(merged, active_constraints(root)) as vmerged:
+        adds = _write_data(vmerged, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "merge_compacted", "adds": adds,
         "removes": sorted(touched), "n_changes": batch.count(),
@@ -941,12 +979,12 @@ def update_where(
     unknown = set(assignments) - set(data_cols)
     if unknown:
         raise ValueError(f"assignments reference unknown columns {sorted(unknown)}")
-    _check_constraints(updated, active_constraints(root))
-    # the delete half: the same vector machinery as delete_where
-    full, n_matched, delete_adds = _plan_vector_delete(
-        matched.select("_tf_file", "_tf_pos"), root, new_v
-    )
-    adds = _write_data(updated, root, new_v, files, spec)
+    with _validated(updated, active_constraints(root)) as vupd:
+        # the delete half: the same vector machinery as delete_where
+        full, n_matched, delete_adds = _plan_vector_delete(
+            matched.select("_tf_file", "_tf_pos"), root, new_v
+        )
+        adds = _write_data(vupd, root, new_v, files, spec)
     _publish(root, new_v, {
         "version": new_v, "op": "update", "adds": adds, "removes": full,
         "delete_adds": delete_adds, "n_changes": n_matched,
@@ -1181,7 +1219,14 @@ def version_as_of_timestamp(root: str, ts: float) -> int:
     best = None
     for v in list_versions(root):
         at = read_manifest(root, v).get("committed_at")
-        if at is not None and at <= ts:
+        if at is None:
+            # manifests published before committed_at existed: the
+            # commit file's mtime is the publish instant (os.link
+            # preserves the temp file's write time) — without this
+            # fallback TIMESTAMP AS OF on a pre-existing table could
+            # claim it "did not exist" at a time when it did
+            at = os.path.getmtime(_commit_path(root, v))
+        if at <= ts:
             best = v
     if best is None:
         raise ValueError(

@@ -2647,10 +2647,12 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ),
         g AS (
+            -- per-row lateral unnest: positions 0..len-5 derived from
+            -- EACH document's own length (a constant range() bound
+            -- would silently diverge for documents longer than it)
             SELECT doc_id, i.i AS pos,
                    array_to_string(list_slice(arr, i.i + 1, i.i + 5), ' ') AS gram
-            FROM d, range(0, 4000) i(i)
-            WHERE i.i <= len(arr) - 5
+            FROM d, unnest(range(0, greatest(len(arr) - 4, 0))) i(i)
         ),
         dup AS (
             SELECT gram FROM g GROUP BY gram

@@ -65,6 +65,26 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
         # across queries. Single-writer tables may omit it.
         self.writer_id = options.get("writerid", "")
         self.files_dir = os.path.join("data", f"stream-{uuid.uuid4().hex[:8]}")
+        # incremental epoch index: replay detection used to re-read
+        # EVERY manifest on every micro-batch (O(V^2) driver-side JSON
+        # reads over a long stream's lifetime); instead fold each
+        # manifest exactly once into an in-memory set. A fresh writer
+        # (first batch, or restart after recovery) scans the whole log
+        # once; every later batch only reads manifests committed since.
+        self._seen_epochs: set = set()
+        self._epochs_scanned_to = -1
+
+    def _epoch_seen(self, epoch) -> bool:
+        from ..operators import table_format as tf
+
+        for v in tf.list_versions(self.root):
+            if v <= self._epochs_scanned_to:
+                continue
+            e = tf.read_manifest(self.root, v).get("epoch")
+            if e is not None:
+                self._seen_epochs.add(e)
+            self._epochs_scanned_to = max(self._epochs_scanned_to, v)
+        return epoch in self._seen_epochs
 
     def _epoch(self, batchId: int):
         return f"{self.writer_id}/{batchId}" if self.writer_id else int(batchId)
@@ -96,9 +116,8 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
         from ..operators import table_format as tf
 
         epoch = self._epoch(batchId)
-        for v in tf.list_versions(self.root):
-            if tf.read_manifest(self.root, v).get("epoch") == epoch:
-                return  # replayed epoch: already committed, no-op
+        if self._epoch_seen(epoch):
+            return  # replayed epoch: already committed, no-op
         adds = [
             {"path": m.path, "rows": m.rows, "stats": m.stats}
             for m in messages

@@ -231,6 +231,30 @@ def test_read_version_empty_after_full_delete(spark, tmp_path):
     assert tf.read_version(spark, root).count() == 3
 
 
+def test_mor_read_through_symlinked_root(spark, tmp_path):
+    """Reading a MoR snapshot through a SYMLINKED root must still
+    subtract the delete vectors: _tf_file is derived by stripping the
+    root prefix from the scan's reported file_path, and a symlink makes
+    the literal prefix differ from the resolved one (the /tmp ->
+    /private/tmp class of bug, where rows silently RESURRECT). The
+    provenance extractor matches both spellings and fails loudly on
+    neither-matches instead of emitting ''."""
+    real = tmp_path / "real"
+    real.mkdir()
+    root = str(real / "t")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("long").alias("v")
+    )
+    tf.create_table(spark, root, base, files=2)
+    tf.delete_where(spark, root, "v = 1")  # MoR vectors, no rewrite
+    link = tmp_path / "link"
+    os.symlink(str(real), str(link))
+    via_link = str(link / "t")
+    got = tf.read_version(spark, via_link)
+    assert got.count() == 15
+    assert got.filter(F.col("v") == 1).count() == 0
+
+
 def test_merge_rejects_payload_missing_evolved_column(spark, tmp_path):
     """MERGE on a schema-evolved table whose payload omits the evolved
     column must fail loudly (a rewrite would silently drop its data —
