@@ -15,11 +15,17 @@ This module persists exactly those two artifacts for the catalog's
 batch/corpus split of the documents table (the same deterministic
 hash-coin the exact incremental entry uses):
 
-  bands.parquet  (doc, band_idx, bh)   — the LSH probe table; at scale
-                                         bucketed on (band_idx, bh) so
-                                         batch probes are exchange-free
-  sigs.parquet   (doc, sig long[])     — for the signature-agreement
-                                         prefilter before exact verify
+  bands/   (doc, band_idx, bh)  — the LSH probe table, persisted as a
+                                  BUCKETED parquet table (bucketBy +
+                                  sortBy on (band_idx, bh), one file
+                                  per bucket): a shuffle-join probe
+                                  reads the corpus side in place with
+                                  NO Exchange — only the arriving
+                                  batch shuffles, which is exactly the
+                                  cost split a 100 TB standing corpus
+                                  needs (tests pin the executed plan)
+  sigs/    (doc, sig long[])    — for the signature-agreement
+                                  prefilter before exact verify
 
 Same lifecycle discipline as operators/ann_index.py: versioned root
 under gitignored ``.scratch/``, completion marker written last, derived
@@ -42,10 +48,17 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-MINHASH_INDEX_VERSION = "v1"
+MINHASH_INDEX_VERSION = "v2"  # v2: bands persisted bucketed on (band_idx, bh)
 
 #: index hyper-parameters (match dedup_minhash_lsh's banding)
 N_HASHES, BANDS, SHINGLE_K = 32, 16, 2
+
+#: bucket count of the persisted band table. The bucket id is
+#: pmod(murmur3(band_idx, bh), N) — the SAME hash Spark's shuffle
+#: partitioning uses, so repartition(N_BUCKETS, keys) before the
+#: bucketed write lands each task on exactly one bucket (one file per
+#: bucket, which is also what lets the sorted-scan ordering survive).
+N_BUCKETS = 8
 
 #: the incremental-batch coin: stable per-doc hash in [0, 100); 9 hex
 #: chars so the stream is independent of both the 7-char dedup hashes
@@ -68,6 +81,37 @@ def index_root(sf_dir: str) -> str:
 
 def _marker(root: str) -> str:
     return os.path.join(root, "_INDEX_COMPLETE")
+
+
+def bands_table_name(sf_dir: str) -> str:
+    """Catalog name of the bucketed band table for ``sf_dir``. Bucketing
+    metadata lives in the session catalog (parquet files alone don't
+    carry it), so the table is (re)registered by name with an explicit
+    LOCATION — any session can attach to an index built by another."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    return f"minhash_bands_{MINHASH_INDEX_VERSION}_{tag}"
+
+
+def _bands_ddl_path(root: str) -> str:
+    return os.path.join(root, "_bands_columns.ddl")
+
+
+def _attach_bands_table(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    """Register (if this session hasn't yet) and return the bucketed
+    band table. CREATE TABLE ... CLUSTERED BY ... LOCATION re-attaches
+    the on-disk bucket files with their bucketing spec, so a fresh
+    session still gets the exchange-free scan."""
+    tbl = bands_table_name(sf_dir)
+    if not spark.catalog.tableExists(tbl):
+        with open(_bands_ddl_path(root)) as fh:
+            cols = fh.read().strip()
+        loc = os.path.join(root, "bands")
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING parquet "
+            f"CLUSTERED BY (band_idx, bh) SORTED BY (band_idx, bh) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
+        )
+    return spark.table(tbl)
 
 
 def corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,8 +151,24 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     stored = spark.read.parquet(sig_path).select(
         "doc", *[F.col("sig")[i].alias(f"m{i}") for i in range(N_HASHES)]
     )
-    band_rows(stored, BANDS).write.mode("overwrite").parquet(
-        os.path.join(root, "bands")
+    bands = band_rows(stored, BANDS)
+    with open(_bands_ddl_path(root), "w") as fh:
+        fh.write(", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in bands.schema.fields
+        ))
+    tbl = bands_table_name(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        # pre-shuffle on the bucket keys with the bucket count: Spark's
+        # bucket id and its shuffle hash are the same murmur3, so each
+        # write task holds exactly one bucket → one sorted file per
+        # bucket (the layout the sorted bucketed scan needs)
+        bands.repartition(N_BUCKETS, "band_idx", "bh")
+        .write.bucketBy(N_BUCKETS, "band_idx", "bh")
+        .sortBy("band_idx", "bh")
+        .option("path", os.path.join(root, "bands"))
+        .mode("overwrite")
+        .saveAsTable(tbl)
     )
     with open(_marker(root), "w") as fh:
         fh.write("ok\n")
@@ -120,4 +180,6 @@ def read_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in ARTIFACTS:
         raise ValueError(f"unknown MinHash index artifact {name!r}")
     root = build_minhash_index(spark, sf_dir)
+    if name == "bands":
+        return _attach_bands_table(spark, sf_dir, root)
     return spark.read.parquet(os.path.join(root, name))
