@@ -995,6 +995,74 @@ def update_where(
     return new_v
 
 
+def merge_mor(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    key: str,
+    payload: Sequence[str],
+    order_col: str,
+    tiebreak: str,
+    op_col: str = "op",
+    epoch: int | str | None = None,
+    files: int = 1,
+) -> int:
+    """MERGE-ON-READ apply of a CDC ``batch`` (op ∈ {'I','U','D'}
+    full-row images — the apply_change_feed contract): ONE commit that
+    position-DELETES the pre-images of every fed key (vectors, no data
+    rewrite) and APPENDS the batch's latest-wins I/U images — the
+    deletion-vector twin of :func:`merge`. Where COW ``merge`` rewrites
+    every FILE containing a fed key, this writes only the changed ROWS
+    plus KB of vectors, so commit cost follows the batch even when its
+    keys are scattered across many files — the right write shape for a
+    continuously-arriving CDC stream into a 100 TB table (reads pay the
+    vector anti-join until ``compact`` folds them down). Snapshot
+    semantics equal apply_change_feed over the same batch: an I/U image
+    replaces any existing row with its key (upsert), D tombstones it.
+    (order_col, tiebreak) resolve ordering WITHIN the batch only — the
+    table stores rows, not sequenced change state, so cross-batch
+    ordering is arrival order (state_n = apply(state_{n-1}, batch_n)).
+    Feed a sequence-ordered stream, or use :func:`merge_compacted` when
+    late cross-batch changes must lose to earlier higher-sequence ones.
+    ``epoch`` gives commit-level exactly-once for checkpoint-replayed
+    streaming batches (the merge_compacted contract). Returns the new
+    version."""
+    from .dedup import latest_wins
+
+    versions = list_versions(root)
+    if epoch is not None:
+        for v in versions:
+            if read_manifest(root, v).get("epoch") == epoch:
+                return v
+    new_v = versions[-1] + 1
+    spec = _table_spec(root)
+    latest = latest_wins(
+        batch.select(key, op_col, *payload, order_col, tiebreak),
+        key, order_col, tiebreak,
+    )
+    cur = read_version(spark, root, merge_schema=True, with_positions=True)
+    # pre-images of EVERY fed key leave the active set (I on an
+    # existing key is an upsert — without its delete the appended image
+    # would duplicate the row). No forced broadcast: a CDC batch can be
+    # large; AQE broadcasts the key set when it is small enough.
+    matched = cur.join(
+        latest.select(key), key, "left_semi"
+    ).select("_tf_file", "_tf_pos")
+    full, _n_pre, delete_adds = _plan_vector_delete(matched, root, new_v)
+    images = latest.filter(F.col(op_col) != "D").select(key, *payload)
+    if spec and not all(c in images.columns for c in spec):
+        spec = None
+    with _validated(images, active_constraints(root)) as vimg:
+        adds = _write_data(vimg, root, new_v, files, spec)
+    _publish(root, new_v, {
+        "version": new_v, "op": "merge_mor", "adds": adds,
+        "removes": full, "delete_adds": delete_adds,
+        "n_changes": batch.count(), "epoch": epoch,
+        "schema": images.schema.json(),
+    })
+    return new_v
+
+
 def compact(
     spark: SparkSession, root: str, files: int = 1,
     sort_by: str | None = None,
@@ -1100,7 +1168,7 @@ def change_feed(
             ).select(key, *pay)
         dvec = [_norm_add(d) for d in m.get("delete_adds", [])]
         if dvec:
-            # merge-on-read delete commit: pre-images of the vectored
+            # merge-on-read commit: pre-images of the vectored
             # positions, read from ONLY the referenced data files
             dv = spark.read.parquet(
                 *[os.path.join(root, d["path"]) for d in dvec]
@@ -1118,10 +1186,19 @@ def change_feed(
                 & (F.col("_tf_pos") == F.col("_tf_dpos")),
                 "left_semi",
             ).select(key, *pay)
-            parts.append(
-                pre.withColumn("_change_type", F.lit("delete"))
-                .withColumn("_commit_version", F.lit(v))
-            )
+            if m.get("op") == "merge_mor":
+                # a streaming MoR merge vectors the pre-images of EVERY
+                # fed key and appends the I/U post-images in the same
+                # commit: fold the vectored pre-images into the commit's
+                # pre-state so the generic key diff below classifies
+                # each key as insert / update_postimage / delete —
+                # instead of emitting delete+insert pairs for updates
+                old = pre if old is None else old.unionByName(pre)
+            else:
+                parts.append(
+                    pre.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v))
+                )
         if new is None and old is None:
             continue
         if old is None:
@@ -1311,6 +1388,21 @@ _UPDATE_STMT = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE_STMT = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+    r"\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
+    r"\s+ON\s+(.+?)"
+    r"\s+(WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_CLAUSE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s*THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*|"
+    r"INSERT\s*\([^)]*\)\s*VALUES\s*\(.+?\))"
+    r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_EQ = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 
 
 def _split_assignments(raw: str) -> dict[str, str]:
@@ -1346,6 +1438,188 @@ def _split_assignments(raw: str) -> dict[str, str]:
     return out
 
 
+def _strip_alias(name: str, alias: str) -> str:
+    """``t.col`` -> ``col`` when the qualifier is the target alias."""
+    qual, dot, bare = name.strip().partition(".")
+    if dot and qual == alias:
+        return bare.strip()
+    return name.strip()
+
+
+def _route_merge(
+    spark: SparkSession, tables: Mapping[str, str], query: str
+) -> DataFrame | None:
+    """Route a ``MERGE INTO`` statement to the copy-on-write
+    :func:`merge` commit — the reference's ``INSERT ... ON CONFLICT DO
+    UPDATE`` (Iteration 1/Group No.6_ETL.sql:304-315) reachable as ONE
+    SQL statement, the way a Delta-habituated user writes it.
+
+    Supported grammar (the Delta core shape)::
+
+        MERGE INTO <t> [[AS] a] USING <src> [[AS] b]
+        ON a.<key> = b.<key>                      -- single equality
+        WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...
+        WHEN MATCHED [AND <cond>] THEN DELETE
+        WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+        WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)
+
+    Clauses apply FIRST-MATCH-WINS per row (each clause's frame is
+    guarded by NOT(all prior same-category conditions), null-safe).
+    The clause frames compile to ONE change feed (op I/U/D full-row
+    images) applied by one :func:`merge` commit, so the statement
+    inherits COW's file-granular cost model: only files containing fed
+    keys rewrite. ``<src>`` resolves to another registered table-format
+    table or any name ``spark.table`` can see (temp views). At most one
+    source row should match each target key (the Delta contract;
+    violations resolve deterministically by the latest-wins tiebreak
+    instead of raising). Returns the routed-DML receipt frame or None
+    when the statement is not a MERGE on a registered table."""
+    m = _MERGE_STMT.match(query)
+    if not m or m.group(1) not in tables:
+        return None
+    tname, talias, sname, salias, on_raw, whens_raw = m.groups()
+    talias, salias = talias or tname, salias or sname
+    root = tables[tname]
+    eq = _ON_EQ.match(on_raw)
+    if not eq:
+        raise ValueError(
+            f"MERGE ON must be a single alias-qualified equality "
+            f"(got {on_raw!r})"
+        )
+    qa, ca, qb, cb = (g.strip() for g in eq.groups())
+    if qa == talias and qb == salias:
+        key = ca
+    elif qa == salias and qb == talias:
+        key = cb
+    else:
+        raise ValueError(
+            f"MERGE ON qualifiers {qa!r}/{qb!r} must be the target and "
+            f"source aliases ({talias!r}, {salias!r})"
+        )
+    clauses = _WHEN_CLAUSE.findall(whens_raw)
+    if not clauses or _WHEN_CLAUSE.sub("", whens_raw).strip():
+        raise ValueError(f"unparseable MERGE WHEN clauses: {whens_raw!r}")
+
+    cur = read_version(spark, root, merge_schema=True)
+    payload = [c for c in cur.columns if c != key]
+    types = {f.name: f.dataType for f in cur.schema.fields}
+    src = (
+        read_version(spark, tables[sname])
+        if sname in tables
+        else spark.table(sname)
+    )
+    joined = cur.alias(talias).join(src.alias(salias), F.expr(on_raw))
+    anti = src.alias(salias).join(cur.alias(talias), F.expr(on_raw), "left_anti")
+
+    def _img(col_exprs: Mapping[str, str], base_alias: str | None, frame):
+        out = []
+        for c in [key, *payload]:
+            if c in col_exprs:
+                e = F.expr(col_exprs[c])
+            elif base_alias is not None:
+                e = F.col(f"{base_alias}.{c}")
+            else:
+                e = F.lit(None)
+            out.append(e.cast(types[c]).alias(c))
+        return frame.select(*out)
+
+    feed_parts, guards = [], {"matched": [], "not_matched": []}
+    for not_kw, cond, action in clauses:
+        cat = "not_matched" if not_kw else "matched"
+        this = (
+            F.coalesce(F.expr(cond), F.lit(False)) if cond.strip()
+            else F.lit(True)
+        )
+        guard = this
+        for prev in guards[cat]:
+            guard = guard & ~prev
+        guards[cat].append(this)
+        act = action.strip()
+        up = re.match(r"UPDATE\s+SET\s+(.+)$", act, re.IGNORECASE | re.DOTALL)
+        ins = re.match(
+            r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$",
+            act, re.IGNORECASE | re.DOTALL,
+        )
+        if cat == "matched" and up:
+            sets = {
+                _strip_alias(c, talias): e
+                for c, e in _split_assignments(up.group(1)).items()
+            }
+            unknown = set(sets) - set(payload) - {key}
+            if unknown:
+                raise ValueError(f"SET references unknown columns {sorted(unknown)}")
+            img = _img(sets, talias, joined.filter(guard))
+            feed_parts.append(img.withColumn("op", F.lit("U")))
+        elif cat == "matched" and act.upper() == "DELETE":
+            img = _img({}, talias, joined.filter(guard))
+            feed_parts.append(img.withColumn("op", F.lit("D")))
+        elif cat == "not_matched" and act.upper().replace(" ", "") == "INSERT*":
+            img = _img(
+                {c: f"{salias}.{c}" for c in [key, *payload]},
+                None, anti.filter(guard),
+            )
+            feed_parts.append(img.withColumn("op", F.lit("I")))
+        elif cat == "not_matched" and ins:
+            cols = [
+                _strip_alias(c, talias)
+                for c in ins.group(1).split(",") if c.strip()
+            ]
+            vals = _split_values(ins.group(2))
+            if len(cols) != len(vals):
+                raise ValueError(
+                    f"INSERT has {len(cols)} columns but {len(vals)} values"
+                )
+            unknown = set(cols) - set(payload) - {key}
+            if unknown:
+                raise ValueError(f"INSERT references unknown columns {sorted(unknown)}")
+            img = _img(dict(zip(cols, vals)), None, anti.filter(guard))
+            feed_parts.append(img.withColumn("op", F.lit("I")))
+        else:
+            raise ValueError(
+                f"MERGE clause action {act!r} not valid for "
+                f"WHEN {'NOT ' if not_kw else ''}MATCHED"
+            )
+    feed = feed_parts[0]
+    for p in feed_parts[1:]:
+        feed = feed.unionByName(p)
+    feed = (
+        feed.select(key, "op", *payload)
+        .withColumn("seq", F.lit(1))
+        .withColumn("tb", F.col(key))
+    )
+    v = merge(spark, root, feed, key, payload, "seq", "tb")
+    n = int(read_manifest(root, v)["n_changes"])
+    return spark.createDataFrame(
+        [("merge", v, n)], "op STRING, version INT, n_changes BIGINT"
+    )
+
+
+def _split_values(raw: str) -> list[str]:
+    """Comma-split a VALUES list, respecting parens/quotes (the same
+    linear scan as _split_assignments, without the ``=``)."""
+    parts, depth, buf, in_q = [], 0, [], None
+    for ch in raw:
+        if in_q:
+            buf.append(ch)
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in "'\"":
+            in_q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
+
+
 def sql(
     spark: SparkSession, tables: Mapping[str, str], query: str
 ) -> DataFrame:
@@ -1361,8 +1635,14 @@ def sql(
 
     DML: a single ``DELETE FROM <name> WHERE ...`` or ``UPDATE <name>
     SET a = expr, ... WHERE ...`` statement routes to the merge-on-read
-    ``delete_where`` / ``update_where`` commits and returns a 1-row
-    (op, version, n_changes) receipt frame."""
+    ``delete_where`` / ``update_where`` commits; a ``MERGE INTO <name>
+    USING ... ON ... WHEN [NOT] MATCHED ...`` statement routes to the
+    copy-on-write ``merge`` commit (see :func:`_route_merge` for the
+    supported grammar). All three return a 1-row (op, version,
+    n_changes) receipt frame."""
+    routed = _route_merge(spark, tables, query)
+    if routed is not None:
+        return routed
     m = _DELETE_STMT.match(query)
     if m and m.group(1) in tables:
         name, cond = m.group(1), m.group(2)

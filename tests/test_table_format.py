@@ -1118,3 +1118,57 @@ def test_complete_or_clear_heals_partial_scratch_build(spark, tmp_path):
     tf.create_table(spark, root, _mor_base(spark), files=1)  # rebuild ok
     assert tfq._complete_or_clear(root, 0)  # complete: kept
     assert os.path.exists(root)
+
+
+def test_merge_into_sql_statement_routes_to_cow_merge(spark, tmp_path):
+    """MERGE INTO through the SQL resolver: first-match-wins clause
+    guards (the DELETE shadows the UPDATE for even matched keys), the
+    VALUES insert path, and the routed-DML receipt frame."""
+    root = str(tmp_path / "msql")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("long").alias("v")
+    )
+    tf.create_table(spark, root, base, files=1)
+    spark.range(5, 15).select(
+        F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
+    ).createOrReplaceTempView("msql_src")
+    rec = tf.sql(spark, {"t": root}, """
+        MERGE INTO t USING msql_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND t.k % 2 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+    """).collect()[0]
+    assert (rec.op, rec.version, rec.n_changes) == ("merge", 1, 10)
+    got = {r.k: r.v for r in tf.read_version(spark, root).collect()}
+    expect = {i: 2 * i for i in range(0, 5)}          # untouched
+    expect.update({i: 99 + 2 * i for i in (5, 7, 9)})  # updated
+    expect.update({i: 99 for i in range(10, 15)})      # inserted
+    assert got == expect  # 6, 8 deleted by the shadowing clause
+
+
+def test_merge_into_sql_rejects_malformed(spark, tmp_path):
+    root = str(tmp_path / "msqlbad")
+    tf.create_table(
+        spark, root,
+        spark.range(0, 3).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        files=1,
+    )
+    spark.range(0, 3).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).createOrReplaceTempView("msql_src2")
+    with pytest.raises(ValueError, match="single alias-qualified equality"):
+        tf.sql(spark, {"t": root}, """
+            MERGE INTO t USING msql_src2 AS s ON t.k = s.k AND t.v = s.v
+            WHEN MATCHED THEN DELETE
+        """)
+    with pytest.raises(ValueError, match="unknown columns"):
+        tf.sql(spark, {"t": root}, """
+            MERGE INTO t USING msql_src2 AS s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET nope = s.v
+        """)
+    with pytest.raises(ValueError, match="not valid for"):
+        tf.sql(spark, {"t": root}, """
+            MERGE INTO t USING msql_src2 AS s ON t.k = s.k
+            WHEN NOT MATCHED THEN DELETE
+        """)
