@@ -83,3 +83,42 @@ def read_table_snapshot(
         base, read_table_state(spark, root, version), key, payload,
         order_col, tiebreak, op_col,
     )
+
+
+def run_stream_mor_merge(
+    feed_stream: DataFrame,
+    root: str,
+    spark: SparkSession,
+    key: str,
+    payload: Sequence[str],
+    order_col: str,
+    tiebreak: str,
+    op_col: str = "op",
+) -> None:
+    """MERGE-ON-READ twin of :func:`run_stream_merge_into_table` (r10
+    — verdict #8): each micro-batch lands as ONE ``merge_mor`` commit —
+    position-delete vectors for the batch's pre-images plus an append
+    of its I/U images — instead of a copy-on-write rewrite of every
+    file a fed key touches. The write amplification per epoch is the
+    batch size + KB of vectors regardless of how the keys scatter
+    across the table's files, which is the sustainable write shape for
+    a CDC stream into a 100 TB table (compact folds the vectors down
+    off the hot path). Exactly-once by epoch-in-manifest: a checkpoint
+    replay finds its epoch committed and no-ops. Every epoch is a
+    time-travelable version, and the change-feed source reconstructs
+    its row-level changes (insert / update_postimage / delete) from
+    the vectors + appended images."""
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        tf.merge_mor(
+            spark, root, batch, key, payload, order_col, tiebreak,
+            op_col=op_col, epoch=int(epoch_id),
+        )
+
+    q = (
+        feed_stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "_morchk")
+        .start()
+    )
+    q.awaitTermination()
