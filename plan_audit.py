@@ -52,6 +52,49 @@ _PATTERNS = {
 }
 
 
+#: an ungrouped aggregate directly under the exchange: its exchange
+#: carries one partial row per upstream partition, not the data
+#: (same rule as tests/test_catalog_buildable.py, applied here to
+#: EXECUTED plan text so AQE demotions can't hide behind the
+#: analyzed-plan guard).
+_SCALAR_AGG = re.compile(r"(Hash|Sort|ObjectHash)?Aggregate\(keys?=\[\]")
+
+
+def _node_offset(line: str) -> int:
+    """Column where the node NAME starts, past the tree art."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _child_node(lines: list[str], i: int) -> str:
+    """The tree child of ``lines[i]`` by indentation depth (+3 cols),
+    never literal adjacency (AQE wrappers / multi-child siblings)."""
+    off = _node_offset(lines[i])
+    for nxt in lines[i + 1:]:
+        if not nxt.strip() or nxt.startswith("="):
+            break
+        noff = _node_offset(nxt)
+        if noff == off + 3:
+            return nxt
+        if noff <= off:
+            break
+    return ""
+
+
+def nonscalar_single_ex(plan: str) -> int:
+    """Count SinglePartition exchanges whose child is NOT a scalar
+    (ungrouped) aggregate — i.e. funnels that pull DATA through one
+    partition. ReusedExchange lines are skipped: they only NAME their
+    target, which is counted where it is defined."""
+    lines = plan.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln or "ReusedExchange" in ln:
+            continue
+        if not _SCALAR_AGG.search(_child_node(lines, i)):
+            n += 1
+    return n
+
+
 def main() -> None:
     spark = get_spark(app_name="ecdw-plan-audit", shuffle_partitions=8)
     catalog = get_catalog()

@@ -75,6 +75,54 @@ def test_exec_plan_audit_covers_full_catalog():
     )
 
 
+#: entries allowed NON-SCALAR SinglePartition exchanges in the EXECUTED
+#: plan, with the max count each may use: windows over tiny
+#: pre-aggregated grains (month / year / category / day — ≤ a few
+#: thousand rows at any corpus size; same proof as the analyzed-plan
+#: allowlist in tests/test_catalog_buildable.py, re-asserted here
+#: because AQE can DEMOTE a broadcast/partial plan into a funnel the
+#: analyzed guard never sees — r9 verdict #2).
+SINGLE_EX_ALLOWED = {
+    "measure_cumulative_revenue": 2,   # 80-row monthly grain
+    "measure_rolling_3m_revenue": 2,   # monthly grain
+    "measure_yoy_growth": 2,           # yearly grain
+    "revenue_share_by_category": 2,    # single-digit category grain
+    "ts_anomaly_zscore_daily": 2,      # daily grain
+    "ts_gapfill_daily_revenue": 2,     # daily grain
+    "stats_category_percentiles": 2,   # category grain
+}
+
+
+def test_exec_plan_audit_gates_single_partition_funnels():
+    """No entry's EXECUTED plan may funnel data through a non-scalar
+    SinglePartition exchange beyond its documented tiny-frame
+    allowance. The per-entry counts are recorded by bench.py
+    (plan_audit.nonscalar_single_ex over the final AQE plan text:
+    SinglePartition exchanges whose tree child is not an ungrouped
+    aggregate); a missing field means the artifact predates the gate —
+    regenerate with ``python bench.py`` (or the audit-only mode
+    ``SPARK_GRAFT_BENCH_AUDIT_ONLY=1 python bench.py``)."""
+    with open(os.path.join(REPO, "PLAN_AUDIT_EXEC.json")) as f:
+        entries = json.load(f)["entries"]
+    stale = sorted(
+        k for k, v in entries.items()
+        if "err" not in v and "single_ex_nonscalar" not in v
+    )
+    assert not stale, (
+        f"exec audit predates the single_ex gate for {len(stale)} "
+        f"entries, e.g. {stale[:6]} — rerun bench.py"
+    )
+    over = {
+        k: v["single_ex_nonscalar"]
+        for k, v in entries.items()
+        if v.get("single_ex_nonscalar", 0) > SINGLE_EX_ALLOWED.get(k, 0)
+    }
+    assert not over, (
+        f"non-scalar SinglePartition funnel(s) in executed plan(s) "
+        f"beyond allowance: {over}"
+    )
+
+
 def test_catalog_md_count_current():
     """CATALOG.md's headline entry count must match the live catalog
     (regen with ``python catalog_docs.py``)."""
