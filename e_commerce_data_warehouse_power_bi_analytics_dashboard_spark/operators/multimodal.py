@@ -2138,6 +2138,229 @@ def encode_jpeg(
     )
 
 
+#: progressive AC Huffman spec: the baseline table lacks the EOBn
+#: end-of-band run symbols ((n<<4)|0, n=1-14) progressive AC scans
+#: emit — one flat 8-bit canonical code over every symbol such a scan
+#: can use (162 baseline symbols + 14 EOBn; 176 < 255, no all-ones).
+_PROG_AC_VALUES = (
+    [n << 4 for n in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_COUNTS = [0] * 16
+_PROG_AC_COUNTS[7] = len(_PROG_AC_VALUES)
+
+
+def _quantized_blocks(planes, quant):
+    """Shared front half of both encoders: level shift, FDCT, quantize,
+    zigzag — per component, a (blocks_y, blocks_x, 64) int array of
+    zigzag-ordered quantized coefficients (1x1 sampling; edges padded
+    by replication to whole blocks). Returns (h, w, qzz, stores)."""
+    import numpy as np
+
+    h, w = len(planes[0]), len(planes[0][0])
+    qt = list(quant) if quant is not None else [16] * 64
+    qzz = [qt[r * 8 + c] for r, c in _ZIGZAG]
+    a = _dct_matrix()
+    zz_idx = np.array([r * 8 + c for r, c in _ZIGZAG])
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    qzz_arr = np.asarray(qzz, dtype=np.float64)
+    stores = []
+    for p in planes:
+        arr = np.asarray(p, dtype=np.float64)
+        arr = np.pad(
+            arr, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
+        ) - 128.0
+        zz = np.zeros((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                blk = arr[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8]
+                # the EXACT per-block expression _encode_block uses —
+                # a batched einsum can round np.rint the other way at
+                # exact-half boundaries, and the tests pin progressive
+                # and baseline streams decoding bit-identically
+                coef = a @ blk @ a.T
+                zz[yb, xb] = np.rint(
+                    coef.ravel()[zz_idx] / qzz_arr
+                ).astype(np.int64)
+        stores.append(zz)
+    return h, w, qzz, stores
+
+
+def _emit_eobrun(wtr, ac_codes, eobrun: int, bbuf: list[int]) -> int:
+    """Flush a pending end-of-band run (+ its buffered correction bits,
+    AC-refine scans only). Returns the reset run count (0)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        wtr.put(*ac_codes[nbits << 4])
+        if nbits:
+            wtr.put(eobrun & ((1 << nbits) - 1), nbits)
+        for bit in bbuf:
+            wtr.put(bit, 1)
+        bbuf.clear()
+    return 0
+
+
+def encode_jpeg_progressive(
+    planes: list[list[list[int]]],
+    quant: list[int] | None = None,
+) -> bytes:
+    """PROGRESSIVE JPEG encoder (SOF2) with a real multi-scan
+    entropy-coded stream — spectral selection AND successive
+    approximation, the jpegtran-style script:
+
+      DC first (all components interleaved, Al=1)
+      per component: AC first  Ss=1-5 / 6-63 at Al=1
+      per component: AC refine Ss=1-5 / 6-63, Ah=1 -> Al=0
+      DC refine (Ah=1 -> Al=0)
+
+    DC first codes (coef >> Al) diffs; DC refine appends the Al bit.
+    AC first codes (|coef| >> Al) magnitudes with end-of-band runs
+    (EOBn symbols + extra bits, accumulated ACROSS blocks); AC refine
+    emits one sign bit per newly-visible coefficient and one
+    correction bit per already-nonzero one, correction bits buffered
+    through EOB runs — the T.81 §G / libjpeg coding model. 1 or 3
+    components, 1x1 sampling (progressive subsampled scans are
+    non-interleaved per component, so 4:2:0 adds nothing the decoder's
+    per-component grids don't already cover). Same quant/DHT framing
+    conventions as encode_jpeg; the AC table adds the EOBn symbols
+    (``_PROG_AC_COUNTS``). Quantized coefficients are identical to
+    encode_jpeg's, so progressive and baseline streams of one image
+    decode to bit-identical pixels — the round-trip property the tests
+    pin."""
+    import struct
+
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg_progressive: 1 or 3 components")
+    h, w, qzz, stores = _quantized_blocks(planes, quant)
+    by, bx = stores[0].shape[0], stores[0].shape[1]
+    dc_codes = _canonical_codes(_DC_COUNTS, _DC_VALUES)
+    ac_codes = _canonical_codes(_PROG_AC_COUNTS, _PROG_AC_VALUES)
+    scans: list[tuple[list[int], int, int, int, int, bytes]] = []
+
+    def dc_first(al: int) -> bytes:
+        wtr = _BitWriter()
+        preds = [0] * ncomp
+        for yb in range(by):
+            for xb in range(bx):
+                for ci in range(ncomp):
+                    t = int(stores[ci][yb, xb, 0]) >> al
+                    size, bits = _magnitude(t - preds[ci])
+                    preds[ci] = t
+                    wtr.put(*dc_codes[size])
+                    if size:
+                        wtr.put(bits, size)
+        return wtr.flush()
+
+    def dc_refine(al: int) -> bytes:
+        wtr = _BitWriter()
+        for yb in range(by):
+            for xb in range(bx):
+                for ci in range(ncomp):
+                    wtr.put((int(stores[ci][yb, xb, 0]) >> al) & 1, 1)
+        return wtr.flush()
+
+    def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        eobrun = 0
+        for yb in range(by):
+            for xb in range(bx):
+                cz = stores[ci][yb, xb]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(cz[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    eobrun = _emit_eobrun(wtr, ac_codes, eobrun, [])
+                    while run > 15:
+                        wtr.put(*ac_codes[0xF0])
+                        run -= 16
+                    size, bits = _magnitude(t if v > 0 else -t)
+                    wtr.put(*ac_codes[(run << 4) | size])
+                    wtr.put(bits, size)
+                    run = 0
+                if run > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun = _emit_eobrun(wtr, ac_codes, eobrun, [])
+        _emit_eobrun(wtr, ac_codes, eobrun, [])
+        return wtr.flush()
+
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        eobrun, bbuf = 0, []  # EOB run + its buffered correction bits
+        for yb in range(by):
+            for xb in range(bx):
+                cz = stores[ci][yb, xb]
+                absv = [abs(int(cz[k])) >> al for k in range(ss, se + 1)]
+                eob = max(
+                    (i for i, t in enumerate(absv) if t == 1), default=-1
+                )
+                run, br = 0, []  # current zero run + its correction bits
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        eobrun = _emit_eobrun(wtr, ac_codes, eobrun, bbuf)
+                        wtr.put(*ac_codes[0xF0])
+                        run -= 16
+                        for bit in br:
+                            wtr.put(bit, 1)
+                        br = []
+                    if t > 1:  # already visible: one correction bit
+                        br.append(t & 1)
+                        continue
+                    eobrun = _emit_eobrun(wtr, ac_codes, eobrun, bbuf)
+                    wtr.put(*ac_codes[(run << 4) | 1])
+                    run = 0
+                    wtr.put(1 if int(cz[ss + i]) > 0 else 0, 1)
+                    for bit in br:
+                        wtr.put(bit, 1)
+                    br = []
+                if run > 0 or br:
+                    eobrun += 1
+                    bbuf.extend(br)
+                    if eobrun == 0x7FFF:
+                        eobrun = _emit_eobrun(wtr, ac_codes, eobrun, bbuf)
+        _emit_eobrun(wtr, ac_codes, eobrun, bbuf)
+        return wtr.flush()
+
+    scans.append((list(range(ncomp)), 0, 0, 0, 1, dc_first(1)))
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 5, 0, 1, ac_first(ci, 1, 5, 1)))
+        scans.append(([ci], 6, 63, 0, 1, ac_first(ci, 6, 63, 1)))
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 5, 1, 0, ac_refine(ci, 1, 5, 0)))
+        scans.append(([ci], 6, 63, 1, 0, ac_refine(ci, 6, 63, 0)))
+    scans.append((list(range(ncomp)), 0, 0, 1, 0, dc_refine(0)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(qzz))
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof_body += bytes([ci + 1, 0x11, 0x00])
+    sof = seg(0xC2, sof_body)
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_VALUES)
+    ) + seg(
+        0xC4,
+        bytes([0x10]) + bytes(_PROG_AC_COUNTS) + bytes(_PROG_AC_VALUES),
+    )
+    out = b"\xff\xd8" + seg(0xE0, _JFIF_APP0) + dqt + sof + dht
+    for comp_ids, ss, se, ah, al, data in scans:
+        sos_body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos_body += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos_body += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos_body) + data
+    return out + b"\xff\xd9"
+
+
 class _BitReader:
     """MSB-first reader over entropy-coded data with byte DE-stuffing;
     a non-stuffing marker inside the scan is an error (this decoder
@@ -2208,6 +2431,89 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _comp_block_grid(comp, hmax, vmax, fw, fh) -> tuple[int, int]:
+    """(rows, cols) of a component's OWN block grid for non-interleaved
+    scans (T.81 A.2.2: ceil over the component's sample dimensions,
+    NOT the MCU-padded extent)."""
+    _, hi, vi, _ = comp
+    cw = -(-fw * hi // hmax)
+    ch = -(-fh * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _prog_ac_first_block(rdr, act_tab, cz, ss, se, al, eobrun) -> int:
+    """One block of a progressive AC FIRST scan (Ah=0): run/size coding
+    with end-of-band runs; coefficients land shifted left by Al.
+    Returns the remaining EOB run (T.81 G.2 / libjpeg decode model)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(rdr, act_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # current block ends now
+            if r:
+                eobrun += rdr.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows spectral band")
+        cz[k] = _extend(rdr.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine_block(rdr, act_tab, cz, ss, se, al, eobrun) -> int:
+    """One block of a progressive AC REFINEMENT scan (Ah=Al+1): one
+    sign bit per newly-visible coefficient, one correction bit per
+    already-nonzero coefficient crossed — including through EOB runs.
+    Returns the remaining EOB run (the jdphuff decode model)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(rdr, act_tab)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                newval = p1 if rdr.bit() else m1
+            elif r != 15:
+                eobrun = 1 << r  # current block consumed in the tail
+                if r:
+                    eobrun += rdr.bits(r)
+                break
+            # advance over r zero-history coefficients, appending
+            # correction bits to nonzero-history ones along the way
+            while k <= se:
+                c = int(cz[k])
+                if c != 0:
+                    if rdr.bit() and (c & p1) == 0:
+                        cz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                cz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits continue through the EOB run
+            c = int(cz[k])
+            if c != 0:
+                if rdr.bit() and (c & p1) == 0:
+                    cz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def parse_jpeg_pixels(b: bytes) -> tuple[int, int, list[list[list[int]]]]:
     """Full baseline JPEG decode → (width, height, per-component pixel
     planes as Python lists, as coded — no color conversion). Thin
@@ -2251,6 +2557,9 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
     frame = None  # (h, w, [(comp_id, hi, vi, tq)])
     scan_info = None
     restart_ri = 0
+    prog = False
+    saw_eoi = False
+    stores: list | None = None  # progressive: per-comp (by,bx,64) coefs
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -2260,6 +2569,7 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
         pos += 2
         if marker in _JPEG_BARE:
             if marker == 0xD9:
+                saw_eoi = True
                 break
             continue
         (seg_len,) = struct.unpack(">H", b[pos:pos + 2])
@@ -2284,7 +2594,7 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
                     (ln, code): sym for sym, (code, ln) in codes.items()
                 }
                 o += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             precision, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -2299,9 +2609,10 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
                     )
                 comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            prog = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline frame (progressive/"
+            raise NotImplementedError("non-baseline frame (lossless/"
                                       "arithmetic/hierarchical)")
         elif marker == 0xDD:  # DRI: restart every Ri MCUs
             (restart_ri,) = struct.unpack(">H", body[:2])
@@ -2312,9 +2623,122 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
                  body[2 + 2 * i] & 0x0F)
                 for i in range(ns)
             ]
-            pos += seg_len
-            break
+            if not prog:
+                pos += seg_len
+                break
+            # PROGRESSIVE: decode this scan's entropy data into the
+            # coefficient stores, then continue the marker walk (the
+            # stream holds many scans; pixels materialize only at EOI)
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if restart_ri:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans"
+                )
+            fh_, fw_, comps_ = frame
+            hmax_ = max(c[1] for c in comps_)
+            vmax_ = max(c[2] for c in comps_)
+            mx_ = (fw_ + 8 * hmax_ - 1) // (8 * hmax_)
+            my_ = (fh_ + 8 * vmax_ - 1) // (8 * vmax_)
+            if stores is None:
+                stores = [
+                    np.zeros((my_ * vi, mx_ * hi, 64), dtype=np.int64)
+                    for _, hi, vi, _ in comps_
+                ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            idxs = []
+            for cs, td, ta in scan_info:
+                ci = next(
+                    i for i, c in enumerate(comps_) if c[0] == cs
+                )
+                idxs.append((ci, td, ta))
+            rdr = _BitReader(b, pos + seg_len)
+            if ss == 0:  # DC scan (interleaved when ns > 1)
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                preds = [0] * len(idxs)
+
+                def dc_block(si, cz):
+                    if ah == 0:
+                        size = _huff_decode(rdr, huffs[(0, idxs[si][1])])
+                        preds[si] += _extend(rdr.bits(size), size)
+                        cz[0] = preds[si] << al
+                    elif rdr.bit():
+                        cz[0] = int(cz[0]) | (1 << al)
+
+                if len(idxs) > 1:
+                    for by_ in range(my_):
+                        for bx_ in range(mx_):
+                            for si, (ci, _td, _ta) in enumerate(idxs):
+                                _, hi, vi, _ = comps_[ci]
+                                for v_ in range(vi):
+                                    for h_ in range(hi):
+                                        dc_block(si, stores[ci][
+                                            by_ * vi + v_, bx_ * hi + h_
+                                        ])
+                else:
+                    ci = idxs[0][0]
+                    cbh, cbw = _comp_block_grid(
+                        comps_[ci], hmax_, vmax_, fw_, fh_
+                    )
+                    for yb in range(cbh):
+                        for xb in range(cbw):
+                            dc_block(0, stores[ci][yb, xb])
+            else:  # AC scan: single component, non-interleaved
+                if len(idxs) != 1:
+                    raise ValueError("AC scans must be single-component")
+                ci, _td, ta = idxs[0]
+                act_tab = huffs[(1, ta)]
+                cbh, cbw = _comp_block_grid(
+                    comps_[ci], hmax_, vmax_, fw_, fh_
+                )
+                eobrun = 0
+                blk_fn = (
+                    _prog_ac_first_block if ah == 0
+                    else _prog_ac_refine_block
+                )
+                for yb in range(cbh):
+                    for xb in range(cbw):
+                        eobrun = blk_fn(
+                            rdr, act_tab, stores[ci][yb, xb],
+                            ss, se, al, eobrun,
+                        )
+            pos = rdr.pos  # scan consumed; next marker follows
+            continue
         pos += seg_len
+    if prog:
+        if stores is None:
+            raise ValueError("progressive frame with no scans")
+        if not saw_eoi:
+            # a progressive viewer happily renders partial scans — a
+            # STATS operator must not: a truncated stream would
+            # silently report coarse-approximation pixels as final
+            raise ValueError("truncated progressive stream (no EOI)")
+        fh, fw, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        a = _dct_matrix()
+        inv = a.T
+        zz_idx = np.array([r * 8 + c for r, c in _ZIGZAG])
+        out = []
+        for ci, (_cid, hi, vi, tq) in enumerate(comps):
+            dq = stores[ci].astype(np.float64) * np.asarray(
+                qts[tq], dtype=np.float64
+            )
+            nat = np.zeros_like(dq)
+            nat[:, :, zz_idx] = dq  # dezigzag
+            nby, nbx = nat.shape[0], nat.shape[1]
+            blocks = nat.reshape(nby, nbx, 8, 8)
+            px = np.einsum("ij,abjk,kl->abil", inv, blocks, a) + 128.0
+            px = np.clip(np.rint(px), 0, 255).astype(np.int64)
+            plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            fy, fx = vmax // vi, hmax // hi
+            if fy > 1 or fx > 1:
+                plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+            out.append(plane[:fh, :fw])
+        return fw, fh, out
     if frame is None or scan_info is None:
         raise ValueError("missing SOF or SOS")
     fh, fw, comps = frame
@@ -2419,6 +2843,37 @@ def synthesize_jpeg_pixel_payloads(docs: DataFrame) -> DataFrame:
                 vals = 2 * ((d * 7 + yy * 3 + xx) % 128)
                 grid = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
                 rows.append((d, encode_jpeg([grid])))
+            yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def synthesize_jpeg_progressive_payloads(docs: DataFrame) -> DataFrame:
+    """image-docs → (doc_id, jpeg binary): REAL progressive JPEGs
+    (encode_jpeg_progressive — SOF2, multi-scan spectral selection +
+    successive approximation), grayscale, sized in whole 8x8 blocks
+    (width 2-5, height 1-3). Same DC-exact constant-block family as
+    synthesize_jpeg_pixel_payloads (g = 2*((doc_id*11 + by*5 + bx) %
+    128), even) so the full scan script round-trips exactly and the
+    pixel stats keep a closed-form SQL oracle; the general lossy path
+    is pinned by the progressive==baseline property test."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw_, bh_ = 2 + d % 4, 1 + d % 3
+                yy, xx = np.mgrid[0:bh_, 0:bw_]
+                vals = 2 * ((d * 11 + yy * 5 + xx) % 128)
+                grid = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                rows.append((d, encode_jpeg_progressive([grid])))
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
     return docs.select("doc_id").mapInPandas(synth, schema)

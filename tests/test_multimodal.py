@@ -835,19 +835,27 @@ def test_jpeg_three_component_and_crop():
 
 
 def test_jpeg_unsupported_features_gated():
-    """Progressive frames, sampling factors beyond 2, and 16-bit quant
-    tables raise NotImplementedError — honest gates, never silent
-    misdecodes."""
+    """Lossless/arithmetic frames, sampling factors beyond 2, 16-bit
+    quant tables, and restart intervals inside progressive scans raise
+    NotImplementedError — honest gates, never silent misdecodes.
+    (Progressive SOF2 itself is now DECODED — see
+    test_jpeg_progressive_equals_baseline_pixels.)"""
     import struct
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
 
     soi = b"\xff\xd8"
-    # progressive SOF2
+    # lossless sequential SOF3
+    sof3 = seg(0xC3, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        MM.parse_jpeg_pixels(soi + sof3 + b"\xff\xd9")
+    # restart intervals inside a progressive scan
     sof2 = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
-    with pytest.raises(NotImplementedError, match="progressive"):
-        MM.parse_jpeg_pixels(soi + sof2 + b"\xff\xd9")
+    dri = seg(0xDD, struct.pack(">H", 2))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 1]))
+    with pytest.raises(NotImplementedError, match="restart"):
+        MM.parse_jpeg_pixels(soi + sof2 + dri + sos + b"\xff\xd9")
     # sampling factors beyond 2 (4x1 luma) stay gated; 2x2 (4:2:0)
     # itself is now SUPPORTED (test_jpeg_420_roundtrip below)
     sof41 = seg(
@@ -861,6 +869,64 @@ def test_jpeg_unsupported_features_gated():
     dqt16 = seg(0xDB, bytes([0x10]) + bytes(128))
     with pytest.raises(NotImplementedError, match="16-bit"):
         MM.parse_jpeg_pixels(soi + dqt16 + b"\xff\xd9")
+
+
+def test_jpeg_progressive_equals_baseline_pixels():
+    """Progressive and baseline streams of one image encode the SAME
+    quantized coefficients, so both must decode to bit-identical
+    pixels — which transitively pins every progressive layer (spectral
+    band splits, successive-approximation shifts, EOB runs, sign +
+    correction bits) against the independently-tested baseline path."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    for trial in range(8):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        ncomp = 1 if trial % 2 == 0 else 3
+        planes = [
+            rng.integers(0, 256, size=(h, w)).tolist() for _ in range(ncomp)
+        ]
+        fwb, fhb, pb = MM.parse_jpeg_pixels(MM.encode_jpeg(planes))
+        fwp, fhp, pp = MM.parse_jpeg_pixels(
+            MM.encode_jpeg_progressive(planes)
+        )
+        assert (fwb, fhb) == (fwp, fhp) == (w, h)
+        assert pb == pp, f"trial {trial}: progressive != baseline"
+
+
+def test_jpeg_progressive_constant_blocks_decode_exactly():
+    """The DC-exact fixture family survives the full progressive scan
+    script (DC first at Al=1 + refine, split AC bands at Al=1 +
+    refines): after all scans the coefficients are complete, so
+    encode->decode is the identity — the mm_jpeg_progressive_decode
+    oracle in closed form."""
+    for d in (2, 7, 12, 33):
+        bw_, bh_ = 2 + d % 4, 1 + d % 3
+        grid = [
+            [2 * ((d * 11 + (y // 8) * 5 + (x // 8)) % 128)
+             for x in range(bw_ * 8)]
+            for y in range(bh_ * 8)
+        ]
+        w, h, planes = MM.parse_jpeg_pixels(
+            MM.encode_jpeg_progressive([grid])
+        )
+        assert (w, h) == (bw_ * 8, bh_ * 8)
+        assert planes[0] == grid
+
+
+def test_jpeg_progressive_truncation_never_silent():
+    """A truncated progressive stream must RAISE, never return the
+    partial-scan approximation as final pixels (a viewer renders
+    partial scans by design; a stats operator must not): every
+    truncation point either breaks a segment/entropy read or trips the
+    no-EOI guard."""
+    grid = [[2 * ((7 + (y // 8) * 5 + (x // 8)) % 128) for x in range(24)]
+            for y in range(16)]
+    b = MM.encode_jpeg_progressive([grid])
+    for cut in range(2, len(b) - 1, 7):
+        with pytest.raises(Exception):  # noqa: B017 — any raise is fine;
+            MM.parse_jpeg_pixels(b[:cut])  # silent SUCCESS is the bug
 
 
 def test_jpeg_pixel_decode_spark(spark):
