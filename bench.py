@@ -283,6 +283,10 @@ HEADLINE = [
     "mm_wav_msadpcm_decode",
     "mm_wav_float64_decode",
     "dedup_substring_spans",
+    # round-10 additions: the SQL-routed MERGE INTO build+read and the
+    # progressive (SOF2 multi-scan) JPEG decode
+    "tf_merge_sql",
+    "mm_jpeg_progressive_decode",
 ]
 
 #: FROZEN trend-line set (the r2-era 28) — never append here (r5 verdict
@@ -302,6 +306,23 @@ CORE = (
     "scd2_asof_lineitem_price", "curation_decontam_overlap",
     "layout_zorder_skip", "dedup_incremental_new_batch",
     "dq_key_skew_profile",
+)
+
+#: SECOND frozen trend-line set (r10 — verdict #3: no table-format or
+#: r9b entry was wall-clock-tracked in the driver-archived compact
+#: line, so a regression in e.g. the MoR read's broadcast anti-join
+#: would be invisible round-over-round). Six representatives of the
+#: families that joined HEADLINE after the r2 core froze; their r10
+#: medians are the pinned baseline. Emitted as ``core_r10_total_wall``
+#: and included in the compact per-query map. Never append here —
+#: extend HEADLINE instead.
+CORE_R10 = (
+    "tf_merge_snapshot",      # COW MERGE build + snapshot read
+    "tf_mor_delete_read",     # vectored snapshot (broadcast anti-join)
+    "tf_stats_pruned_read",   # manifest data skipping
+    "tf_change_feed",         # touched-file CDF diff
+    "mm_jpeg_pixel_decode",   # baseline JPEG entropy decode path
+    "dedup_substring_spans",  # ExactSubstr diagonal-run extraction
 )
 
 
@@ -642,6 +663,9 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 3)
     core_total = round(sum(timings[n] for n in CORE if n in timings), 3)
+    core_r10_total = round(
+        sum(timings[n] for n in CORE_R10 if n in timings), 3
+    )
     worst = max((b["ratio"] for b in baseline.values()), default=None)
 
     # Full detail → file (r4 verdict #1/#7: the one-line stdout contract
@@ -657,6 +681,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "core_total_wall": core_total,
+                "core_r10_total_wall": core_r10_total,
+                "core_r10_set": list(CORE_R10),
                 "core_set": list(CORE),
                 "queries": timings,
                 "percentiles": percentiles,
@@ -690,7 +716,8 @@ def main() -> None:
     # subset ever outgrows the budget, it falls back to the detail file
     # rather than silently truncating the JSON.
     compact_queries = {
-        n: t for n, t in timings.items() if n in CORE or n in BASELINE_REF_SEC
+        n: t for n, t in timings.items()
+        if n in CORE or n in CORE_R10 or n in BASELINE_REF_SEC
     }
     load_at_end = machine_load()
     compact = {
@@ -698,6 +725,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "core_total_wall": core_total,
+        "core_r10_total_wall": core_r10_total,
         "queries": compact_queries,
         "load_sec": load_sec,
         "worst_baseline_ratio": worst,

@@ -120,13 +120,20 @@ def test_bench_headline_names_resolve():
     assert set(bench.BASELINE_REF_SEC) <= set(bench.HEADLINE), (
         "every baseline-ratio query must be benched"
     )
-    # the frozen trend-line core must stay frozen (28 names, all benched)
+    # the frozen trend-line sets must stay frozen (28 + 6, all benched)
     assert len(bench.CORE) == 28, "CORE is a frozen set — extend HEADLINE instead"
     assert set(bench.CORE) <= set(bench.HEADLINE)
-    # compact stdout contract: the emitted subset (CORE ∪ baseline rows)
-    # must leave margin inside the driver's ~2000-char tail capture —
-    # name lengths + ~10 chars of timing each (the full HEADLINE set is
-    # allowed to grow; it lives in BENCH_DETAIL.json)
-    emitted = set(bench.CORE) | set(bench.BASELINE_REF_SEC)
+    assert len(bench.CORE_R10) == 6, (
+        "CORE_R10 is a frozen set — extend HEADLINE instead"
+    )
+    assert set(bench.CORE_R10) <= set(bench.HEADLINE)
+    assert not set(bench.CORE_R10) & set(bench.CORE)
+    # compact stdout contract: the emitted subset (cores ∪ baseline
+    # rows) must leave margin inside the driver's ~2000-char tail
+    # capture — name lengths + ~10 chars of timing each (the full
+    # HEADLINE set is allowed to grow; it lives in BENCH_DETAIL.json)
+    emitted = (
+        set(bench.CORE) | set(bench.CORE_R10) | set(bench.BASELINE_REF_SEC)
+    )
     est = 160 + sum(len(n) + 10 for n in emitted)
     assert est < 1800, f"compact query subset too large for the one-line contract ({est} est. chars)"
