@@ -132,3 +132,28 @@ def test_catalog_md_count_current():
     assert f"{n} entries" in head, (
         f"CATALOG.md header does not say '{n} entries' — rerun catalog_docs.py"
     )
+
+
+def test_sf1_rehearsal_scaling_exponents():
+    """BENCH_SF1.json (python bench_sf1.py — the 10x scale rehearsal)
+    must show every rehearsal entry scaling sub-linearly in wall time
+    (t_sf1/t_sf0.1 <= 12 at 10x the data; measured r10 worst was 3.7,
+    the bound leaves contention margin), the dedup families producing
+    ~10x the rows (the LSH-linearity evidence: candidates per doc stay
+    flat when copies are shingle-disjoint), and zero cartesian products
+    in any executed sf1 plan."""
+    path = os.path.join(REPO, "BENCH_SF1.json")
+    assert os.path.exists(path), "BENCH_SF1.json missing — run bench_sf1.py"
+    with open(path) as f:
+        entries = json.load(f)["entries"]
+    assert len(entries) >= 10
+    over = {k: v["ratio"] for k, v in entries.items() if v["ratio"] > 12}
+    assert not over, f"super-linear 10x scaling: {over}"
+    carts = {k for k, v in entries.items() if v.get("cartesian_sf1", 0)}
+    assert not carts, f"cartesian product in sf1 executed plan(s): {carts}"
+    for k, v in entries.items():
+        if v["family"] == "dedup":
+            assert 7 <= v["rows_ratio"] <= 13, (
+                f"{k}: dedup output scaled {v['rows_ratio']}x at 10x "
+                f"input — candidate generation is not linear"
+            )
