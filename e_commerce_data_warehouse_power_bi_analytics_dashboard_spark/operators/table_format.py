@@ -1403,6 +1403,19 @@ _WHEN_CLAUSE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ON_EQ = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+_INSERT_STMT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\s*\(.+\)|SELECT\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_STMT = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_STMT = re.compile(
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_assignments(raw: str) -> dict[str, str]:
@@ -1633,16 +1646,72 @@ def sql(
     built from the manifests (driver-side KB, no data scan); bare
     ``<name>`` binds the latest snapshot.
 
-    DML: a single ``DELETE FROM <name> WHERE ...`` or ``UPDATE <name>
-    SET a = expr, ... WHERE ...`` statement routes to the merge-on-read
-    ``delete_where`` / ``update_where`` commits; a ``MERGE INTO <name>
-    USING ... ON ... WHEN [NOT] MATCHED ...`` statement routes to the
-    copy-on-write ``merge`` commit (see :func:`_route_merge` for the
-    supported grammar). All three return a 1-row (op, version,
-    n_changes) receipt frame."""
+    DML / maintenance statements route to the corresponding commit and
+    return a 1-row (op, version, n_changes) receipt frame:
+    ``DELETE FROM <name> WHERE ...`` / ``UPDATE <name> SET ... WHERE
+    ...`` -> the merge-on-read ``delete_where`` / ``update_where``;
+    ``MERGE INTO <name> USING ... ON ... WHEN [NOT] MATCHED ...`` ->
+    the copy-on-write ``merge`` (see :func:`_route_merge` for the
+    grammar); ``INSERT INTO <name> VALUES (...)|SELECT ...`` ->
+    ``append`` (source columns matched by POSITION and cast to the
+    table schema; a SELECT source resolves through this same function,
+    so it may read other registered tables, time-travel clauses, or
+    metadata views); ``OPTIMIZE <name> [ZORDER BY (a, b)]`` ->
+    ``compact``; ``VACUUM <name> [RETAIN <n> VERSIONS]`` ->
+    ``vacuum`` (n_changes = files reclaimed)."""
     routed = _route_merge(spark, tables, query)
     if routed is not None:
         return routed
+    m = _INSERT_STMT.match(query)
+    if m and m.group(1) in tables:
+        name, src_sql = m.group(1), m.group(2)
+        root = tables[name]
+        # evaluate the source through this same resolver, so a SELECT
+        # may read other registered tables, time-travel clauses, or
+        # metadata views; a bare VALUES list evaluates directly
+        src = (
+            spark.sql(src_sql)
+            if re.match(r"VALUES", src_sql, re.IGNORECASE)
+            else sql(spark, tables, src_sql)
+        )
+        target = read_version(spark, root, merge_schema=True)
+        if len(src.columns) != len(target.columns):
+            raise ValueError(
+                f"INSERT INTO {name}: {len(src.columns)} source columns "
+                f"for {len(target.columns)} table columns"
+            )
+        # positional match + cast to the table schema (the INSERT INTO
+        # contract real formats use)
+        aligned = src.select(*[
+            F.col(src.columns[i]).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(target.schema.fields)
+        ])
+        v = append(spark, root, aligned)
+        n = int(read_manifest(root, v)["n_changes"])
+        return spark.createDataFrame(
+            [("insert", v, n)], "op STRING, version INT, n_changes BIGINT"
+        )
+    m = _OPTIMIZE_STMT.match(query)
+    if m and m.group(1) in tables:
+        name, zcols = m.group(1), m.group(2)
+        zorder_by = (
+            [c.strip() for c in zcols.split(",") if c.strip()]
+            if zcols else None
+        )
+        v = compact(spark, tables[name], zorder_by=zorder_by)
+        n = int(read_manifest(tables[name], v)["n_changes"])
+        return spark.createDataFrame(
+            [("optimize", v, n)], "op STRING, version INT, n_changes BIGINT"
+        )
+    m = _VACUUM_STMT.match(query)
+    if m and m.group(1) in tables:
+        name, keep = m.group(1), m.group(2)
+        root = tables[name]
+        deleted = vacuum(root, keep_versions=int(keep) if keep else 1)
+        return spark.createDataFrame(
+            [("vacuum", list_versions(root)[-1], len(deleted))],
+            "op STRING, version INT, n_changes BIGINT",
+        )
     m = _DELETE_STMT.match(query)
     if m and m.group(1) in tables:
         name, cond = m.group(1), m.group(2)

@@ -1172,3 +1172,43 @@ def test_merge_into_sql_rejects_malformed(spark, tmp_path):
             MERGE INTO t USING msql_src2 AS s ON t.k = s.k
             WHEN NOT MATCHED THEN DELETE
         """)
+
+
+def test_insert_optimize_vacuum_sql_statements(spark, tmp_path):
+    """The maintenance half of the SQL surface: INSERT INTO (VALUES and
+    SELECT with positional schema alignment), OPTIMIZE [ZORDER BY], and
+    VACUUM [RETAIN n VERSIONS] route to append/compact/vacuum with the
+    routed-DML receipt contract."""
+    root = str(tmp_path / "tsql")
+    base = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 3).cast("long").alias("v")
+    )
+    tf.create_table(spark, root, base, files=2)
+    t = {"t": root}
+
+    rec = tf.sql(spark, t, "INSERT INTO t VALUES (100, 1), (101, 2)").first()
+    assert (rec.op, rec.version, rec.n_changes) == ("insert", 1, 2)
+    # SELECT source resolves through the same resolver (reads t itself)
+    rec = tf.sql(
+        spark, t, "INSERT INTO t SELECT k + 200, v FROM t WHERE k < 2"
+    ).first()
+    assert (rec.op, rec.version, rec.n_changes) == ("insert", 2, 2)
+    assert tf.read_version(spark, root).count() == 12
+    # positional cast: ints land as the table's long columns
+    kinds = dict(tf.read_version(spark, root).dtypes)
+    assert kinds == {"k": "bigint", "v": "bigint"}
+    with pytest.raises(ValueError, match="source columns"):
+        tf.sql(spark, t, "INSERT INTO t VALUES (1, 2, 3)")
+
+    rec = tf.sql(spark, t, "OPTIMIZE t").first()
+    assert rec.op == "optimize" and rec.version == 3
+    assert len(tf.active_files(root)) == 1  # bin-packed
+    assert tf.read_version(spark, root).count() == 12
+
+    rec = tf.sql(spark, t, "OPTIMIZE t ZORDER BY (k, v)").first()
+    assert rec.op == "optimize"
+    assert tf.read_manifest(root, rec.version)["zorder_by"] == ["k", "v"]
+
+    rec = tf.sql(spark, t, "VACUUM t RETAIN 1 VERSIONS").first()
+    assert rec.op == "vacuum" and rec.n_changes > 0  # history reclaimed
+    assert tf.read_version(spark, root).count() == 12
