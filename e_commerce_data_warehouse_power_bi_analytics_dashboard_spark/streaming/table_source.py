@@ -138,7 +138,7 @@ def commit_changes(
     new_rows = _read_rows(
         root, [_norm(a)["path"] for a in m["adds"]], cols
     )
-    # merge-on-read delete commit: pre-images of the vectored positions
+    # merge-on-read commit: pre-images of the vectored positions
     dvec = [_norm(d) for d in m.get("delete_adds", [])]
     if dvec:
         import pyarrow.parquet as pq
@@ -152,8 +152,20 @@ def commit_changes(
             ):
                 pairs.add((f, int(p)))
         ref_files = sorted({f for f, _ in pairs})
-        for relp, pos, vals in _read_rows(root, ref_files, cols):
-            if (relp, pos) in pairs:
+        vec_pre = [
+            (relp, pos, vals)
+            for relp, pos, vals in _read_rows(root, ref_files, cols)
+            if (relp, pos) in pairs
+        ]
+        if m.get("op") == "merge_mor":
+            # a streaming MoR merge vectors EVERY fed key's pre-image
+            # and appends the I/U post-images in the same commit: fold
+            # the pre-images into the key diff below so updates
+            # classify as update_postimage, not delete+insert pairs
+            # (same rule as the batch change_feed)
+            old_rows.extend(vec_pre)
+        else:
+            for _relp, _pos, vals in vec_pre:
                 yield (*vals, "delete", version)
     if not old_rows and not new_rows:
         return

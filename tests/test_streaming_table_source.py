@@ -202,3 +202,37 @@ def test_max_commits_per_trigger_admission_contract(spark, tmp_path):
                                    if k != "maxcommitspertrigger"})
     r3.initialOffset()
     assert r3.latestOffset() == {"version": 4}
+
+
+def test_stream_change_feed_classifies_merge_mor(spark, tmp_path):
+    """A streaming-MoR merge commit (vector pre-images + I/U image
+    append in ONE commit) must stream as insert / update_postimage /
+    delete — matching the batch change_feed, never delete+insert pairs
+    for an updated key."""
+    root = str(tmp_path / "tblmor")
+    tf.create_table(spark, root, _base(spark), files=2)
+    batch = spark.createDataFrame(
+        [
+            (200, "I", 1, 222, 1, 0),  # fresh key -> insert
+            (5, "U", 1, 555, 1, 1),    # existing  -> update_postimage
+            (6, "D", 2, 60, 1, 2),     # existing  -> delete
+        ],
+        "k long, op string, b int, val long, seq int, tb int",
+    )
+    v = tf.merge_mor(spark, root, batch, "k", _PAYLOAD, "seq", "tb")
+    _register(spark)
+    got = _snap(
+        _collect_stream(
+            spark, root, str(tmp_path / "outm"), str(tmp_path / "cpm")
+        )
+    )
+    want = _snap(
+        tf.change_feed(spark, root, "k", _PAYLOAD, v_from=0).withColumn(
+            "_commit_version", F.col("_commit_version").cast("int")
+        )
+    )
+    assert got == want
+    by_key = {r[0]: r[3] for r in got if r[4] == v}
+    assert by_key == {
+        200: "insert", 5: "update_postimage", 6: "delete",
+    }
