@@ -1067,6 +1067,7 @@ def compact(
     spark: SparkSession, root: str, files: int = 1,
     sort_by: str | None = None,
     zorder_by: Sequence[str] | None = None,
+    where: Mapping[str, object] | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot into ``files`` files per
     partition value (or ``files`` total, unpartitioned) as one commit
@@ -1083,12 +1084,94 @@ def compact(
     per-file stats intervals for the sort column). ``zorder_by``
     (two int columns) is the 2-D form — Morton-interleaved clustering
     so the manifest's per-file min/max rectangles prune range
-    predicates on EITHER dimension (OPTIMIZE ZORDER BY)."""
+    predicates on EITHER dimension (OPTIMIZE ZORDER BY).
+
+    ``where`` (partition column -> value) makes the pass SELECTIVE:
+    only active files of the matching partition value(s) rewrite;
+    every other file — and every delete vector that references only
+    unselected files — is carried untouched. Nobody OPTIMIZEs a whole
+    100 TB table: maintenance runs partition-by-partition behind the
+    ingest frontier, and its cost must follow the slice, not the
+    table. Delete vectors that reference a selected file are applied
+    by the rewrite and retired; a vector FILE that mixes selected and
+    unselected references is split — its unselected remainder is
+    rewritten as a new (smaller) vector file in the same commit, so
+    merge-on-read deletes on untouched partitions survive exactly.
+    Returns the current version unchanged when no active file
+    matches."""
+    import pyarrow.parquet as pq
+
     versions = list_versions(root)
     new_v = versions[-1] + 1
     spec = _table_spec(root)
+    all_adds = active_adds(root)
+    dels = active_delete_adds(root)
+    if where:
+        if not spec:
+            raise ValueError("selective OPTIMIZE needs a partition spec")
+        unknown = set(where) - set(spec)
+        if unknown:
+            raise ValueError(
+                f"WHERE references non-partition columns {sorted(unknown)}"
+            )
+        sel = [
+            a for a in all_adds
+            if all(
+                str(a.get("partition", {}).get(c)) == str(v)
+                for c, v in where.items()
+            )
+        ]
+        if not sel:
+            return versions[-1]  # nothing to do: no-op, no commit
+        current = sorted(a["path"] for a in sel)
+        sel_set = set(current)
+        # split delete vectors: retire every vector file touching a
+        # selected data file; rewrite its unselected remainder
+        cur_dels, delete_adds_new = [], []
+        for d in dels:
+            t = pq.read_table(os.path.join(root, d["path"]))
+            fcol = t.column("_tf_dfile").to_pylist()
+            hit = [f in sel_set for f in fcol]
+            if not any(hit):
+                continue  # untouched vector file stays live
+            cur_dels.append(d["path"])
+            if not all(hit):
+                import pyarrow as pa
+
+                keep = t.filter(pa.array([not h for h in hit]))
+                uid = uuid.uuid4().hex[:8]
+                vdir = os.path.join(root, "deletes", f"v={new_v}-{uid}")
+                os.makedirs(vdir, exist_ok=True)
+                vpath = os.path.join(vdir, "part-00000.parquet")
+                pq.write_table(
+                    keep.sort_by([("_tf_dfile", "ascending"),
+                                  ("_tf_dpos", "ascending")]),
+                    vpath,
+                )
+                delete_adds_new.append({
+                    "path": os.path.relpath(vpath, root),
+                    "rows": keep.num_rows,
+                })
+        reader = spark.read.option("mergeSchema", "true")
+        snap = _with_positions(
+            reader.parquet(*[os.path.join(root, p) for p in current]), root
+        )
+        snap = _anti_vectors(spark, root, snap, dels).drop(
+            "_tf_file", "_tf_pos"
+        )
+        adds = _write_data(snap, root, new_v, files, spec, sort_by, zorder_by)
+        _publish(root, new_v, {
+            "version": new_v, "op": "compact", "adds": adds,
+            "removes": current, "n_changes": 0, "sort_by": sort_by,
+            "zorder_by": list(zorder_by) if zorder_by else None,
+            "partition_where": {str(c): str(v) for c, v in where.items()},
+            "delete_removes": cur_dels,
+            "delete_adds": delete_adds_new,
+            "schema": snap.schema.json(),
+        })
+        return new_v
     current = sorted(active_files(root))
-    cur_dels = sorted(d["path"] for d in active_delete_adds(root))
+    cur_dels = sorted(d["path"] for d in dels)
     snap = read_version(spark, root, merge_schema=True)
     adds = _write_data(snap, root, new_v, files, spec, sort_by, zorder_by)
     _publish(root, new_v, {
@@ -1166,7 +1249,12 @@ def change_feed(
                 _with_positions(spark.read.parquet(*rems), root),
                 active_delete_adds(root, v - 1),
             ).select(key, *pay)
-        dvec = [_norm_add(d) for d in m.get("delete_adds", [])]
+        # a selective compact's delete_adds are REWRITTEN remainders of
+        # vectors it split (bookkeeping, not new deletes) — skip them
+        dvec = (
+            [] if m.get("op") == "compact"
+            else [_norm_add(d) for d in m.get("delete_adds", [])]
+        )
         if dvec:
             # merge-on-read commit: pre-images of the vectored
             # positions, read from ONLY the referenced data files
@@ -1409,9 +1497,11 @@ _INSERT_STMT = re.compile(
 )
 _OPTIMIZE_STMT = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_PART_EQ = re.compile(r"^\s*(\w+)\s*=\s*('[^']*'|\"[^\"]*\"|\S+)\s*$")
 _VACUUM_STMT = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$",
     re.IGNORECASE,
@@ -1693,12 +1783,25 @@ def sql(
         )
     m = _OPTIMIZE_STMT.match(query)
     if m and m.group(1) in tables:
-        name, zcols = m.group(1), m.group(2)
+        name, where_raw, zcols = m.group(1), m.group(2), m.group(3)
         zorder_by = (
             [c.strip() for c in zcols.split(",") if c.strip()]
             if zcols else None
         )
-        v = compact(spark, tables[name], zorder_by=zorder_by)
+        where = None
+        if where_raw:
+            # conjunctions of partition-column equalities only (the
+            # Delta OPTIMIZE ... WHERE contract)
+            where = {}
+            for clause in re.split(r"\s+AND\s+", where_raw, flags=re.IGNORECASE):
+                pe = _PART_EQ.match(clause)
+                if not pe:
+                    raise ValueError(
+                        f"OPTIMIZE WHERE must be partition equalities "
+                        f"(got {clause!r})"
+                    )
+                where[pe.group(1)] = pe.group(2).strip("'\"")
+        v = compact(spark, tables[name], zorder_by=zorder_by, where=where)
         n = int(read_manifest(tables[name], v)["n_changes"])
         return spark.createDataFrame(
             [("optimize", v, n)], "op STRING, version INT, n_changes BIGINT"

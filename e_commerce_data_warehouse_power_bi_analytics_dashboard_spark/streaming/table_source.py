@@ -138,8 +138,13 @@ def commit_changes(
     new_rows = _read_rows(
         root, [_norm(a)["path"] for a in m["adds"]], cols
     )
-    # merge-on-read commit: pre-images of the vectored positions
-    dvec = [_norm(d) for d in m.get("delete_adds", [])]
+    # merge-on-read commit: pre-images of the vectored positions (a
+    # selective compact's delete_adds are rewritten remainders of
+    # vectors it split — bookkeeping, not new deletes)
+    dvec = (
+        [] if m.get("op") == "compact"
+        else [_norm(d) for d in m.get("delete_adds", [])]
+    )
     if dvec:
         import pyarrow.parquet as pq
 

@@ -1212,3 +1212,74 @@ def test_insert_optimize_vacuum_sql_statements(spark, tmp_path):
     rec = tf.sql(spark, t, "VACUUM t RETAIN 1 VERSIONS").first()
     assert rec.op == "vacuum" and rec.n_changes > 0  # history reclaimed
     assert tf.read_version(spark, root).count() == 12
+
+
+def test_selective_compact_rewrites_one_partition(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only the selected partition's files rewrite;
+    other partitions — and the delete vectors referencing only them —
+    carry untouched; a vector file MIXING selected and unselected
+    references is split so MoR deletes on untouched partitions survive
+    exactly; the change feed reports nothing for the compact commit."""
+    root = str(tmp_path / "selopt")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("p"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    tf.create_table(spark, root, base, files=2, partition_by="p")
+    # small-file accumulation in BOTH partitions
+    tf.append(spark, root, spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    ))
+    # one MoR delete whose vector file references BOTH partitions
+    tf.delete_where(spark, root, "k IN (4, 5)")
+    before = sorted(tuple(r) for r in tf.read_version(spark, root).collect())
+    files_before = set(tf.active_files(root))
+    p0_before = {f for f in files_before if "_p_p=0" in f}
+
+    v = tf.compact(spark, root, files=1, where={"p": 1})
+    m = tf.read_manifest(root, v)
+    assert m["op"] == "compact" and m["partition_where"] == {"p": "1"}
+    # rows identical, deletes (k=4 in p0, k=5 in p1) still applied
+    after = sorted(tuple(r) for r in tf.read_version(spark, root).collect())
+    assert after == before
+    ks = {r[0] for r in after}
+    assert 4 not in ks and 5 not in ks
+    # partition-0 files carried by reference; every removed file was p1
+    assert p0_before <= set(tf.active_files(root))
+    assert all("_p_p=1" in f for f in m["removes"])
+    # the mixed vector file was split: remainder references only p0
+    assert m["delete_removes"], "the mixed vector must be retired"
+    rem = tf.active_delete_adds(root)
+    assert rem, "the unselected remainder vector must survive"
+    import pyarrow.parquet as pq
+    for d in rem:
+        refs = pq.read_table(
+            os.path.join(root, d["path"])
+        ).column("_tf_dfile").to_pylist()
+        assert all("_p_p=0" in f for f in refs)
+    # change feed: the selective compact is layout-only — no changes
+    feed = tf.change_feed(spark, root, "k", ["p", "v"], v_from=v - 1, v_to=v)
+    assert feed.count() == 0
+    # WHERE with no matching files: no-op, no commit
+    assert tf.compact(spark, root, where={"p": 7}) == v
+    with pytest.raises(ValueError, match="non-partition"):
+        tf.compact(spark, root, where={"v": 1})
+
+
+def test_optimize_where_sql_routing(spark, tmp_path):
+    root = str(tmp_path / "seloptsql")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("p"),
+        F.col("id").alias("v"),
+    )
+    tf.create_table(spark, root, base, files=2, partition_by="p")
+    rec = tf.sql(spark, {"t": root}, "OPTIMIZE t WHERE p = 0").first()
+    assert rec.op == "optimize"
+    m = tf.read_manifest(root, rec.version)
+    assert m["partition_where"] == {"p": "0"}
+    assert all("_p_p=0" in f for f in m["removes"])
+    with pytest.raises(ValueError, match="partition equalities"):
+        tf.sql(spark, {"t": root}, "OPTIMIZE t WHERE p > 0")
