@@ -48,9 +48,10 @@ if TYPE_CHECKING:  # pragma: no cover
 
 @dataclass
 class FileCommitMessage(WriterCommitMessage):
-    path: str | None  # root-relative; None = empty partition
-    rows: int
-    stats: dict
+    #: file records this task staged: {"path" (root-relative), "rows",
+    #: "stats", "partition"?} — one per partition value the task held
+    #: under a spec-partitioned table, one total otherwise; [] = empty
+    files: list
 
 
 class TableAppendStreamWriter(DataSourceStreamArrowWriter):
@@ -65,6 +66,13 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
         # across queries. Single-writer tables may omit it.
         self.writer_id = options.get("writerid", "")
         self.files_dir = os.path.join("data", f"stream-{uuid.uuid4().hex[:8]}")
+        # the table's partition spec, resolved DRIVER-side at writer
+        # construction and shipped to the tasks: streaming appends land
+        # hive-partitioned like every batch write, so stats-pruned
+        # reads skip streamed files by partition too
+        from ..operators import table_format as tf
+
+        self.spec = tf._table_spec(options["root"]) or []
         # incremental epoch index: replay detection used to re-read
         # EVERY manifest on every micro-batch (O(V^2) driver-side JSON
         # reads over a long stream's lifetime); instead fold each
@@ -94,22 +102,56 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return FileCommitMessage(path=None, rows=0, stats={})
-        table = pa.Table.from_batches(batches)
-        rel = os.path.join(
-            self.files_dir, f"part-{uuid.uuid4().hex}.parquet"
-        )
-        abs_path = os.path.join(self.root, rel)
-        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-        pq.write_table(table, abs_path)
-        # footer stats, task-side: the driver builds the manifest from
-        # these messages without ever touching the data again
         from ..operators.table_format import _file_stats
 
-        st = _file_stats(abs_path)
-        return FileCommitMessage(path=rel, rows=st["rows"], stats=st["stats"])
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return FileCommitMessage(files=[])
+        table = pa.Table.from_batches(batches)
+        spec = [c for c in self.spec if c in table.column_names]
+        if len(spec) != len(self.spec):
+            spec = []  # spec column absent from the stream: flat file
+
+        def _stage(tbl, subdir: str, partition: dict | None) -> dict:
+            rel = os.path.join(
+                self.files_dir, subdir, f"part-{uuid.uuid4().hex}.parquet"
+            ) if subdir else os.path.join(
+                self.files_dir, f"part-{uuid.uuid4().hex}.parquet"
+            )
+            abs_path = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+            pq.write_table(tbl, abs_path)
+            # footer stats, task-side: the driver builds the manifest
+            # from these messages without ever touching the data again
+            st = _file_stats(abs_path)
+            rec = {"path": rel, "rows": st["rows"], "stats": st["stats"]}
+            if partition:
+                rec["partition"] = partition
+            return rec
+
+        if not spec:
+            return FileCommitMessage(files=[_stage(table, "", None)])
+        # hive-partition THIS TASK's rows: one file per distinct
+        # partition value the task holds (arrow-side filter, no pandas)
+        import pyarrow.compute as pc
+
+        files = []
+        combos = table.group_by(spec).aggregate([]).to_pylist()
+        for combo in combos:
+            if any(combo[c] is None for c in spec):
+                raise ValueError(
+                    f"null partition value in streaming append: {combo}"
+                )
+            mask = None
+            for c in spec:
+                eq = pc.equal(table.column(c), pa.scalar(combo[c]))
+                mask = eq if mask is None else pc.and_(mask, eq)
+            part = {c: str(combo[c]) for c in spec}
+            subdir = os.path.join(
+                *[f"_p_{c}={part[c]}" for c in spec]
+            )
+            files.append(_stage(table.filter(mask), subdir, part))
+        return FileCommitMessage(files=files)
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:
@@ -119,9 +161,8 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
         if self._epoch_seen(epoch):
             return  # replayed epoch: already committed, no-op
         adds = [
-            {"path": m.path, "rows": m.rows, "stats": m.stats}
-            for m in messages
-            if m is not None and m.path is not None
+            rec for m in messages if m is not None
+            for rec in getattr(m, "files", [])
         ]
         for _attempt in range(16):  # appends commute; retry on conflict
             versions = tf.list_versions(self.root)
@@ -143,9 +184,9 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
         # best-effort: staged files are orphans either way (no manifest
         # references them), so vacuum reclaims whatever this misses
         for m in messages:
-            if m is not None and getattr(m, "path", None):
+            for rec in getattr(m, "files", None) or []:
                 try:
-                    os.unlink(os.path.join(self.root, m.path))
+                    os.unlink(os.path.join(self.root, rec["path"]))
                 except OSError:
                     pass
 
@@ -154,9 +195,10 @@ class TableAppendDataSource(DataSource):
     """``df.writeStream.format("table_append").option("root", ...)``
     after ``spark.dataSource.register(TableAppendDataSource)``. The
     table must already exist (create_table pins schema + spec);
-    streaming-appended files are unpartitioned (spec-partitioned
-    streaming writes would need per-partition task routing — out of
-    scope, use the foreachBatch MERGE sink for that). When MORE THAN
+    streaming appends follow the table's PARTITION SPEC — each task
+    splits its arrow rows by partition value and stages one
+    hive-pathed file per value it holds, so streamed files prune by
+    partition exactly like batch-written ones. When MORE THAN
     ONE streaming query appends to the same table, each must set a
     distinct ``writerId`` (stable across its own restarts): epoch
     replay detection is keyed on (writerId, batchId), and batchIds

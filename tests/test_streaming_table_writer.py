@@ -116,7 +116,9 @@ def test_writer_commit_replay_and_conflict_retry(spark, tmp_path):
 
     batch = pa.RecordBatch.from_pydict({"k": [999], "b": [1], "val": [5]})
     msg = w.write(iter([batch]))
-    assert msg.path and msg.rows == 1 and "k" in msg.stats
+    assert len(msg.files) == 1
+    rec = msg.files[0]
+    assert rec["path"] and rec["rows"] == 1 and "k" in rec["stats"]
     w.commit([msg], batchId=7)
     assert tf.read_version(spark, root).filter(F.col("k") == 999).count() == 1
     n = len(tf.list_versions(root))
@@ -155,3 +157,38 @@ def test_two_writers_epoch_namespaced_by_writer_id(spark, tmp_path):
     assert len(tf.list_versions(root)) == n
     epochs = [m.get("epoch") for m in tf.history(root)[1:]]
     assert sorted(epochs) == ["qA/0", "qB/0"]
+
+
+def test_stream_append_follows_partition_spec(spark, tmp_path):
+    """Streaming appends to a SPEC-PARTITIONED table land hive-pathed,
+    partition-stamped files — one per partition value per task — so
+    snapshot_files prunes streamed data by partition exactly like
+    batch-written data, and the partition-scoped selective OPTIMIZE
+    sees them."""
+    spark.dataSource.register(TableAppendDataSource)
+    root = str(tmp_path / "ptbl")
+    cp = str(tmp_path / "pcp")
+    src = tmp_path / "psrc"
+    src.mkdir()
+    tf.create_table(spark, root, _base(spark), files=1, partition_by="b")
+    rows = [(1000 + i, i % 4, i * 5) for i in range(40)]
+    _land(spark, tmp_path, src, rows, "a")
+    _run_stream(spark, src, root, cp)
+
+    m = tf.read_manifest(root, 1)
+    assert m["op"] == "append" and len(m["adds"]) >= 4
+    parts = {a["partition"]["b"] for a in m["adds"]}
+    assert parts == {"0", "1", "2", "3"}
+    assert all("_p_b=" in a["path"] for a in m["adds"])
+    assert sum(a["rows"] for a in m["adds"]) == 40
+    # partition pruning covers the streamed files
+    sel, total = tf.snapshot_files(root, where={"b": (2, 2)})
+    assert 0 < len(sel) < total
+    streamed_sel = [p for p in sel if "stream-" in p]
+    assert streamed_sel and all("_p_b=2" in p for p in streamed_sel)
+    got = tf.read_version(spark, root, where={"b": (2, 2)}).filter(
+        F.col("b") == 2
+    )
+    assert got.count() == 50 // 4 + 10  # base b=2 rows + streamed ones
+    # rows are intact end-to-end
+    assert tf.read_version(spark, root).count() == 90
