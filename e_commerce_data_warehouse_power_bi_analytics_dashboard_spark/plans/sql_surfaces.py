@@ -23,6 +23,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tpch import read_table
 from .catalog import register
@@ -241,3 +242,128 @@ def sql_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5
         FROM {_P}documents d, LATERAL chunk_doc(d.text) c
     """)
+
+
+@register(
+    "setop_intersect_repeat_buyers",
+    oracle="""
+        SELECT o_custkey AS custkey
+        FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tags=("sql", "setop", "U1"),
+    doc="INTERSECT (r10 — completes the relational set-operator family "
+        "beyond the reference's UNION pair, E:213-214): customers who "
+        "ordered in BOTH 1996 and 1997. Spark plans distinct + "
+        "left-semi join — two map-side-pruned scans of the same "
+        "parquet, one shuffle per side on the key, no data movement "
+        "beyond the distinct key sets; at 100 TB both sides partial-"
+        "aggregate before the exchange.",
+)
+def setop_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersect(y97)
+
+
+@register(
+    "setop_except_churned_buyers",
+    oracle="""
+        SELECT o_custkey AS custkey
+        FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tags=("sql", "setop", "J7"),
+    doc="EXCEPT (set difference): customers who ordered in 1996 but "
+        "not in 1997 — the churn cohort as one relational operator. "
+        "Spark plans distinct + left-anti join (the same reject-"
+        "detection shape as staging_rejects' anti-join, J7, stated "
+        "set-algebraically); cost is two distinct key sets, never a "
+        "row-level comparison.",
+)
+def setop_except_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.subtract(y97)
+
+
+@register(
+    "setop_except_all_excess_orders",
+    oracle="""
+        SELECT custkey, CAST(COUNT(*) AS BIGINT) AS excess_orders
+        FROM (
+            SELECT o_custkey AS custkey
+            FROM orders WHERE year(o_orderdate) = 1996
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        ) GROUP BY custkey
+    """,
+    tags=("sql", "setop", "U2"),
+    doc="EXCEPT ALL (multiset difference): per customer, how many MORE "
+        "orders they placed in 1996 than 1997 — bag semantics preserve "
+        "multiplicity where EXCEPT would collapse it (the ALL twin of "
+        "the reference's UNION ALL, U2). Spark implements it as "
+        "per-key count difference with row regeneration; the entry "
+        "aggregates the surviving multiset to (custkey, excess) so the "
+        "hash pins the multiplicities exactly.",
+)
+def setop_except_all_excess_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        y96.exceptAll(y97)
+        .groupBy("custkey")
+        .agg(F.count("*").cast("long").alias("excess_orders"))
+    )
+
+
+@register(
+    "setop_intersect_all_common_slots",
+    oracle="""
+        SELECT custkey, CAST(COUNT(*) AS BIGINT) AS common_orders
+        FROM (
+            SELECT o_custkey AS custkey
+            FROM orders WHERE year(o_orderdate) = 1996
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        ) GROUP BY custkey
+    """,
+    tags=("sql", "setop", "U2"),
+    doc="INTERSECT ALL (multiset intersection): per repeat customer, "
+        "MIN(orders in 1996, orders in 1997) — the per-key minimum "
+        "multiplicity bag semantics define. Aggregated to (custkey, "
+        "common_orders) for an exact multiplicity-pinning hash; with "
+        "setop_intersect/except[_all] this completes the six-operator "
+        "relational set algebra (UNION [ALL] live in the cleaning "
+        "pipeline's date-domain merge, U1/U2).",
+)
+def setop_intersect_all_common_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        y96.intersectAll(y97)
+        .groupBy("custkey")
+        .agg(F.count("*").cast("long").alias("common_orders"))
+    )
