@@ -29,7 +29,7 @@ from __future__ import annotations
 import hashlib
 import math
 from collections.abc import Iterator
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -2203,10 +2203,18 @@ def _emit_eobrun(wtr, ac_codes, eobrun: int, bbuf: list[int]) -> int:
 def encode_jpeg_progressive(
     planes: list[list[list[int]]],
     quant: list[int] | None = None,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    ac_bands: Sequence[tuple[int, int]] = ((1, 5), (6, 63)),
 ) -> bytes:
     """PROGRESSIVE JPEG encoder (SOF2) with a real multi-scan
     entropy-coded stream — spectral selection AND successive
-    approximation, the jpegtran-style script:
+    approximation. The scan SCRIPT is parameterized (``dc_al`` /
+    ``ac_al`` pick the DC/AC successive-approximation depth, 0 = no
+    approximation; ``ac_bands`` splits the 1..63 spectrum into
+    contiguous bands that must tile it exactly), so the property tests
+    can drive the decoder across arbitrary valid scripts. The default
+    is the jpegtran-style script:
 
       DC first (all components interleaved, Al=1)
       per component: AC first  Ss=1-5 / 6-63 at Al=1
@@ -2328,14 +2336,26 @@ def encode_jpeg_progressive(
         _emit_eobrun(wtr, ac_codes, eobrun, bbuf)
         return wtr.flush()
 
-    scans.append((list(range(ncomp)), 0, 0, 0, 1, dc_first(1)))
+    # script validity: the AC bands must tile 1..63 exactly (a missing
+    # coefficient would silently decode as zero; an overlap would be
+    # coded twice), approximation depths must be sane
+    covered = sorted(k for ss, se in ac_bands for k in range(ss, se + 1))
+    if covered != list(range(1, 64)):
+        raise ValueError(f"ac_bands {ac_bands!r} must tile 1..63 exactly")
+    if not (0 <= dc_al <= 3 and 0 <= ac_al <= 3):
+        raise ValueError("dc_al / ac_al must be in 0..3")
+    scans.append((list(range(ncomp)), 0, 0, 0, dc_al, dc_first(dc_al)))
     for ci in range(ncomp):
-        scans.append(([ci], 1, 5, 0, 1, ac_first(ci, 1, 5, 1)))
-        scans.append(([ci], 6, 63, 0, 1, ac_first(ci, 6, 63, 1)))
-    for ci in range(ncomp):
-        scans.append(([ci], 1, 5, 1, 0, ac_refine(ci, 1, 5, 0)))
-        scans.append(([ci], 6, 63, 1, 0, ac_refine(ci, 6, 63, 0)))
-    scans.append((list(range(ncomp)), 0, 0, 1, 0, dc_refine(0)))
+        for ss, se in ac_bands:
+            scans.append(([ci], ss, se, 0, ac_al, ac_first(ci, ss, se, ac_al)))
+    for a in range(ac_al - 1, -1, -1):  # successive approximation chain
+        for ci in range(ncomp):
+            for ss, se in ac_bands:
+                scans.append(
+                    ([ci], ss, se, a + 1, a, ac_refine(ci, ss, se, a))
+                )
+    for a in range(dc_al - 1, -1, -1):
+        scans.append((list(range(ncomp)), 0, 0, a + 1, a, dc_refine(a)))
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body

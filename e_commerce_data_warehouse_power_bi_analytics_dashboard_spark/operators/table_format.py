@@ -1030,6 +1030,12 @@ def merge_mor(
     from .dedup import latest_wins
 
     versions = list_versions(root)
+    if not versions:
+        raise FileNotFoundError(
+            f"merge_mor target {root} does not exist — create_table "
+            f"first (the sink appends vectors+images to a pinned "
+            f"schema; it never invents commit 0)"
+        )
     if epoch is not None:
         for v in versions:
             if read_manifest(root, v).get("epoch") == epoch:

@@ -1396,3 +1396,52 @@ def test_wav_adpcm_multichannel_misaligned_data_raises():
     )
     with pytest.raises(ValueError, match="aligned"):
         MM.parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31),
+        dc_al=st.integers(0, 3),
+        ac_al=st.integers(0, 3),
+        cuts=st.lists(st.integers(2, 63), max_size=3, unique=True),
+    )
+    def test_jpeg_progressive_any_scan_script(seed, dc_al, ac_al, cuts):
+        """ANY valid progressive scan script — arbitrary DC/AC
+        successive-approximation depth (0..3) and arbitrary contiguous
+        tiling of the 1..63 spectrum — must decode bit-identically to
+        the baseline stream of the same image: the script only changes
+        HOW the same quantized coefficients are serialized."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        h = int(rng.integers(8, 30))
+        w = int(rng.integers(8, 30))
+        planes = [rng.integers(0, 256, size=(h, w)).tolist()]
+        edges = [1] + sorted(cuts) + [64]
+        bands = tuple(
+            (edges[i], edges[i + 1] - 1) for i in range(len(edges) - 1)
+        )
+        pb = MM.parse_jpeg_pixels(MM.encode_jpeg(planes))
+        pp = MM.parse_jpeg_pixels(MM.encode_jpeg_progressive(
+            planes, dc_al=dc_al, ac_al=ac_al, ac_bands=bands
+        ))
+        assert pb == pp
+
+    @settings(max_examples=10, deadline=None)
+    @given(bad=st.lists(st.integers(1, 63), min_size=1, max_size=4))
+    def test_jpeg_progressive_rejects_non_tiling_bands(bad):
+        """A band list that does not tile 1..63 exactly is rejected at
+        ENCODE time — a missing coefficient would silently decode as
+        zero, so the script validity check is load-bearing."""
+        edges = sorted(set(bad))
+        bands = tuple((e, e) for e in edges)  # gaps unless bad == 1..63
+        if [k for ss, se in bands for k in range(ss, se + 1)] == list(
+            range(1, 64)
+        ):
+            return  # degenerate all-singleton tiling is actually valid
+        with pytest.raises(ValueError, match="tile 1..63"):
+            MM.encode_jpeg_progressive(
+                [[[0] * 8] * 8], ac_bands=bands
+            )
