@@ -1283,3 +1283,24 @@ def test_optimize_where_sql_routing(spark, tmp_path):
     assert all("_p_p=0" in f for f in m["removes"])
     with pytest.raises(ValueError, match="partition equalities"):
         tf.sql(spark, {"t": root}, "OPTIMIZE t WHERE p > 0")
+
+
+def test_insert_select_from_time_travel_clause(spark, tmp_path):
+    """INSERT INTO whose SELECT source uses a time-travel clause: the
+    source resolves through the same SQL resolver, so restoring a
+    historical slice into the current table is one statement."""
+    root = str(tmp_path / "ttins")
+    tf.create_table(
+        spark, root,
+        spark.range(0, 6).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        files=1,
+    )
+    tf.sql(spark, {"t": root}, "DELETE FROM t WHERE k >= 3")
+    assert tf.read_version(spark, root).count() == 3
+    rec = tf.sql(
+        spark, {"t": root},
+        "INSERT INTO t SELECT k, v FROM t VERSION AS OF 0 WHERE k >= 3",
+    ).first()
+    assert (rec.op, rec.n_changes) == ("insert", 3)
+    got = sorted(r.k for r in tf.read_version(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4, 5]  # the deleted slice restored
