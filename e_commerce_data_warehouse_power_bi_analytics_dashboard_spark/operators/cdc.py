@@ -28,7 +28,7 @@ from .dedup import latest_wins
 def apply_change_feed(
     base: DataFrame,
     feed: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     payload: Sequence[str],
     order_col: str,
     tiebreak: str,
@@ -37,7 +37,10 @@ def apply_change_feed(
     """Apply ``feed`` (columns: key, op ∈ {'I','U','D'}, *payload,
     order_col, tiebreak) to ``base`` (columns: key, *payload).
 
-    Returns the post-apply snapshot: key, *payload, and ``src`` ∈
+    ``key`` may be one column name or a composite-key list (a MERGE
+    whose ON is an AND of equalities); all joins/windows then run on
+    the full key tuple. Returns the post-apply snapshot: key, *payload,
+    and ``src`` ∈
     {'base', 'insert', 'update'} — tombstoned keys are absent. The
     (order_col, tiebreak) pair must make the per-key sequence strict;
     ordering is by EVENT sequence, not arrival, so late/re-delivered
@@ -45,20 +48,21 @@ def apply_change_feed(
     marker (not a payload null-probe) detects inserts, so NULL payload
     values stay legal on both sides.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     latest = latest_wins(
-        feed.select(key, op_col, *payload, order_col, tiebreak),
-        key,
+        feed.select(*keys, op_col, *payload, order_col, tiebreak),
+        keys,
         order_col,
         tiebreak,
     ).select(
-        key, op_col, *[F.col(c).alias(f"_f_{c}") for c in payload]
+        *keys, op_col, *[F.col(c).alias(f"_f_{c}") for c in payload]
     )
     marked = base.withColumn("_in_base", F.lit(True))
-    applied = marked.join(latest, key, "full_outer")
+    applied = marked.join(latest, keys, "full_outer")
     return (
         applied.filter(F.coalesce(F.col(op_col), F.lit("")) != "D")
         .select(
-            key,
+            *keys,
             *[
                 F.when(
                     F.col(op_col).isin("I", "U"), F.col(f"_f_{c}")

@@ -62,10 +62,13 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def latest_wins(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataFrame:
+def latest_wins(
+    df: DataFrame, key: str | list[str], order_col: str, tiebreak: str
+) -> DataFrame:
     """W1: ROW_NUMBER() OVER (PARTITION BY key ORDER BY order DESC NULLS
     LAST, tiebreak DESC) = 1 — the reference's customer/product dedup
-    (ETL.sql:95-107, ELT.sql:94-102) with a deterministic tiebreak."""
+    (ETL.sql:95-107, ELT.sql:94-102) with a deterministic tiebreak.
+    ``key`` may be a single column name or a composite-key list."""
     w = Window.partitionBy(key).orderBy(
         F.col(order_col).desc_nulls_last(), F.col(tiebreak).desc()
     )

@@ -195,6 +195,30 @@ def _publish(root: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+#: per-root incremental epoch index: {root: [scanned_to, {epoch: version}]}.
+#: Manifests are immutable and versions append-only, so folding each
+#: manifest exactly once is sound; without this a long-lived streaming
+#: merge pays O(V^2) driver-side JSON reads over its lifetime (every
+#: call re-reading every manifest — the pattern TableAppendStreamWriter
+#: ._epoch_seen already fixed for the append sink).
+_EPOCH_INDEX: dict[str, list] = {}
+
+
+def _epoch_committed(root: str, epoch) -> int | None:
+    """Version that already committed ``epoch`` at ``root`` (None if
+    unseen). Scans only manifests newer than the per-root high-water
+    mark, so replay detection over a stream's lifetime is O(V) total."""
+    idx = _EPOCH_INDEX.setdefault(root, [-1, {}])
+    for v in list_versions(root):
+        if v <= idx[0]:
+            continue
+        e = read_manifest(root, v).get("epoch")
+        if e is not None:
+            idx[1][e] = v
+        idx[0] = max(idx[0], v)
+    return idx[1].get(epoch)
+
+
 def _norm_add(a) -> dict:
     """Manifest add records are dicts; bare-string paths (hand-written
     manifests in tests / older logs) normalize to a stats-free record."""
@@ -823,7 +847,7 @@ def merge(
     spark: SparkSession,
     root: str,
     feed: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     payload: Sequence[str],
     order_col: str,
     tiebreak: str,
@@ -832,38 +856,42 @@ def merge(
     """Copy-on-write MERGE of a CDC ``feed`` (op ∈ {'I','U','D'} full-row
     images — the apply_change_feed contract) into the table.
 
-    Only files containing a fed key are rewritten; untouched files are
+    ``key`` may be one column name or a composite-key list (a MERGE ON
+    that is an AND of equalities); the touched-file probe and the
+    change-feed apply then run on the full key tuple. Only files
+    containing a fed key are rewritten; untouched files are
     carried forward by reference. Raises ValueError if the live table
     carries columns outside key+payload (a rewrite would silently drop
     an evolved column — the caller must list every live column).
     Returns the new version number (raises CommitConflict if a
     concurrent writer claimed it first).
     """
+    key_cols = [key] if isinstance(key, str) else list(key)
     versions = list_versions(root)
     new_v = versions[-1] + 1
     spec = _table_spec(root)
     current = sorted(active_files(root))
     cur_df = _current_with_file(spark, root)
-    extra = set(cur_df.columns) - {key, *payload, "_tf_file"}
+    extra = set(cur_df.columns) - {*key_cols, *payload, "_tf_file"}
     if extra:
         raise ValueError(
             f"merge payload must cover every live column; table has "
             f"evolved columns {sorted(extra)} not in key+payload — a "
             f"rewrite would drop their data"
         )
-    keys = feed.select(F.col(key)).distinct()
+    keys = feed.select(*key_cols).distinct()
     touched = [
         r[0]
-        for r in cur_df.join(F.broadcast(keys), key, "left_semi")
+        for r in cur_df.join(F.broadcast(keys), key_cols, "left_semi")
         .select("_tf_file").distinct().collect()
     ]  # file list is manifest-sized metadata, never row data
     touched_set = set(touched)
     base_rows = cur_df.filter(
         F.col("_tf_file").isin(touched) if touched else F.lit(False)
-    ).select(key, *payload)
+    ).select(*key_cols, *payload)
     merged = apply_change_feed(
-        base_rows, feed, key, payload, order_col, tiebreak
-    ).select(key, *payload)
+        base_rows, feed, key_cols, payload, order_col, tiebreak
+    ).select(*key_cols, *payload)
     with _validated(merged, active_constraints(root)) as vmerged:
         adds = _write_data(vmerged, root, new_v, files, spec)
     _publish(root, new_v, {
@@ -907,10 +935,10 @@ def merge_compacted(
     from .dedup import latest_wins
 
     versions = list_versions(root)
-    if epoch is not None:
-        for v in versions:
-            if read_manifest(root, v).get("epoch") == epoch:
-                return v
+    if epoch is not None and versions:
+        seen = _epoch_committed(root, epoch)
+        if seen is not None:
+            return seen
     if not versions:
         spec = _normalize_spec(partition_by)
         merged = latest_wins(batch.select(*cols), key, order_col, tiebreak)
@@ -1037,9 +1065,9 @@ def merge_mor(
             f"schema; it never invents commit 0)"
         )
     if epoch is not None:
-        for v in versions:
-            if read_manifest(root, v).get("epoch") == epoch:
-                return v
+        seen = _epoch_committed(root, epoch)
+        if seen is not None:
+            return seen
     new_v = versions[-1] + 1
     spec = _table_spec(root)
     latest = latest_wins(
@@ -1110,6 +1138,16 @@ def compact(
     versions = list_versions(root)
     new_v = versions[-1] + 1
     spec = _table_spec(root)
+    if zorder_by and spec:
+        # validate the combination BEFORE any vector-split side effects:
+        # _write_data would raise anyway, but only after selective
+        # compaction may have split/written remainder vector files
+        raise ValueError(
+            "OPTIMIZE ZORDER composes with unpartitioned tables only "
+            f"(table at {root} has partition spec {spec}); Z-order "
+            "clustering and a hive partition spec both dictate file "
+            "placement — use sort_by for within-partition clustering"
+        )
     all_adds = active_adds(root)
     dels = active_delete_adds(root)
     if where:
@@ -1490,13 +1528,43 @@ _MERGE_STMT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_CLAUSE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s*THEN\s+"
+    r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+(?:SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(.+?))?\s*THEN\s+"
     r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*|"
     r"INSERT\s*\([^)]*\)\s*VALUES\s*\(.+?\))"
     r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.IGNORECASE | re.DOTALL,
 )
 _ON_EQ = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+
+
+def _parse_on_keys(
+    on_raw: str, talias: str, salias: str
+) -> list[str]:
+    """Target-side key columns from a MERGE ON clause: one
+    alias-qualified equality or an AND of them (the compound-key
+    grammar; each equality may be written in either orientation)."""
+    keys: list[str] = []
+    for eq_raw in re.split(r"\s+AND\s+", on_raw.strip(), flags=re.IGNORECASE):
+        eq = _ON_EQ.match(eq_raw)
+        if not eq:
+            raise ValueError(
+                f"MERGE ON must be alias-qualified equalities joined by "
+                f"AND (got {eq_raw!r} in {on_raw!r})"
+            )
+        qa, ca, qb, cb = (g.strip() for g in eq.groups())
+        if qa == talias and qb == salias:
+            keys.append(ca)
+        elif qa == salias and qb == talias:
+            keys.append(cb)
+        else:
+            raise ValueError(
+                f"MERGE ON qualifiers {qa!r}/{qb!r} must be the target "
+                f"and source aliases ({talias!r}, {salias!r})"
+            )
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"MERGE ON repeats a target key column: {keys}")
+    return keys
 _INSERT_STMT = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\s*\(.+\)|SELECT\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1556,7 +1624,8 @@ def _strip_alias(name: str, alias: str) -> str:
 
 
 def _route_merge(
-    spark: SparkSession, tables: Mapping[str, str], query: str
+    spark: SparkSession, tables: Mapping[str, str], query: str,
+    strict: bool = False,
 ) -> DataFrame | None:
     """Route a ``MERGE INTO`` statement to the copy-on-write
     :func:`merge` commit — the reference's ``INSERT ... ON CONFLICT DO
@@ -1566,51 +1635,54 @@ def _route_merge(
     Supported grammar (the Delta core shape)::
 
         MERGE INTO <t> [[AS] a] USING <src> [[AS] b]
-        ON a.<key> = b.<key>                      -- single equality
+        ON a.<k1> = b.<k1> [AND a.<k2> = b.<k2> ...]   -- compound keys
         WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...
         WHEN MATCHED [AND <cond>] THEN DELETE
-        WHEN NOT MATCHED [AND <cond>] THEN INSERT *
-        WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)
+        WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT *
+        WHEN NOT MATCHED [BY TARGET] [AND <cond>]
+            THEN INSERT (cols) VALUES (exprs)
+        WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ...
+        WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
 
-    Clauses apply FIRST-MATCH-WINS per row (each clause's frame is
-    guarded by NOT(all prior same-category conditions), null-safe).
-    The clause frames compile to ONE change feed (op I/U/D full-row
-    images) applied by one :func:`merge` commit, so the statement
-    inherits COW's file-granular cost model: only files containing fed
-    keys rewrite. ``<src>`` resolves to another registered table-format
-    table or any name ``spark.table`` can see (temp views). At most one
-    source row should match each target key (the Delta contract;
-    violations resolve deterministically by the latest-wins tiebreak
-    instead of raising). Returns the routed-DML receipt frame or None
-    when the statement is not a MERGE on a registered table."""
+    Clauses apply FIRST-MATCH-WINS per row within each of the three
+    categories (each clause's frame is guarded by NOT(all prior
+    same-category conditions), null-safe). ``WHEN NOT MATCHED BY
+    SOURCE`` addresses target rows with no source match — the
+    full-sync half of a dimension refresh (delete/flag rows that
+    vanished upstream, the other half of the reference's ON CONFLICT
+    semantics, ETL.sql:304-315); its conditions and SET expressions may
+    reference the target alias only. The clause frames compile to ONE
+    change feed (op I/U/D full-row images) applied by one :func:`merge`
+    commit, so the statement inherits COW's file-granular cost model:
+    only files containing fed keys rewrite. ``<src>`` resolves to
+    another registered table-format table or any name ``spark.table``
+    can see (temp views).
+
+    Delta-contract guards: an UPDATE SET may never assign an ON key
+    column (a re-keyed image would duplicate the row — raises), an
+    INSERT column list must include every ON key (a NULL-key row breaks
+    the key-unique invariant — raises), and INSERT * requires the
+    source schema to be a subset of the target's (extra source columns
+    would silently drop — raises). At most one source row should match
+    each target key; ``strict=True`` enforces it (one extra count
+    aggregate over the matched join — the Delta
+    ``MERGE_CARDINALITY_VIOLATION`` check), otherwise violations
+    resolve deterministically by the latest-wins tiebreak. Returns the
+    routed-DML receipt frame or None when the statement is not a MERGE
+    on a registered table."""
     m = _MERGE_STMT.match(query)
     if not m or m.group(1) not in tables:
         return None
     tname, talias, sname, salias, on_raw, whens_raw = m.groups()
     talias, salias = talias or tname, salias or sname
     root = tables[tname]
-    eq = _ON_EQ.match(on_raw)
-    if not eq:
-        raise ValueError(
-            f"MERGE ON must be a single alias-qualified equality "
-            f"(got {on_raw!r})"
-        )
-    qa, ca, qb, cb = (g.strip() for g in eq.groups())
-    if qa == talias and qb == salias:
-        key = ca
-    elif qa == salias and qb == talias:
-        key = cb
-    else:
-        raise ValueError(
-            f"MERGE ON qualifiers {qa!r}/{qb!r} must be the target and "
-            f"source aliases ({talias!r}, {salias!r})"
-        )
+    keys = _parse_on_keys(on_raw, talias, salias)
     clauses = _WHEN_CLAUSE.findall(whens_raw)
     if not clauses or _WHEN_CLAUSE.sub("", whens_raw).strip():
         raise ValueError(f"unparseable MERGE WHEN clauses: {whens_raw!r}")
 
     cur = read_version(spark, root, merge_schema=True)
-    payload = [c for c in cur.columns if c != key]
+    payload = [c for c in cur.columns if c not in keys]
     types = {f.name: f.dataType for f in cur.schema.fields}
     src = (
         read_version(spark, tables[sname])
@@ -1619,10 +1691,27 @@ def _route_merge(
     )
     joined = cur.alias(talias).join(src.alias(salias), F.expr(on_raw))
     anti = src.alias(salias).join(cur.alias(talias), F.expr(on_raw), "left_anti")
+    # target rows with NO source match — the BY SOURCE frame
+    tgt_anti = cur.alias(talias).join(
+        src.alias(salias), F.expr(on_raw), "left_anti"
+    )
+    if strict:
+        # the Delta cardinality contract: >1 source row matching one
+        # target key is an error, not a silent tiebreak
+        dup = (
+            joined.groupBy(*[F.col(f"{talias}.{c}") for c in keys])
+            .count().filter(F.col("count") > 1)
+        )
+        if dup.limit(1).count():
+            raise ValueError(
+                "MERGE cardinality violation: more than one source row "
+                f"matches a single target key {keys} (strict mode; "
+                "dedupe the source or drop strict for latest-wins)"
+            )
 
     def _img(col_exprs: Mapping[str, str], base_alias: str | None, frame):
         out = []
-        for c in [key, *payload]:
+        for c in [*keys, *payload]:
             if c in col_exprs:
                 e = F.expr(col_exprs[c])
             elif base_alias is not None:
@@ -1632,9 +1721,38 @@ def _route_merge(
             out.append(e.cast(types[c]).alias(c))
         return frame.select(*out)
 
-    feed_parts, guards = [], {"matched": [], "not_matched": []}
-    for not_kw, cond, action in clauses:
-        cat = "not_matched" if not_kw else "matched"
+    def _sets_of(up_match) -> dict[str, str]:
+        sets = {
+            _strip_alias(c, talias): e
+            for c, e in _split_assignments(up_match.group(1)).items()
+        }
+        unknown = set(sets) - set(payload) - set(keys)
+        if unknown:
+            raise ValueError(f"SET references unknown columns {sorted(unknown)}")
+        keyed = set(sets) & set(keys)
+        if keyed:
+            # assigning the merge key re-keys the image: merge() keys
+            # touched files by FED keys, so the old row would never be
+            # removed and the new image would duplicate it — silent
+            # corruption. Delta forbids it outright; so do we.
+            raise ValueError(
+                f"UPDATE SET may not assign ON key column(s) "
+                f"{sorted(keyed)} — a MERGE cannot re-key a row"
+            )
+        return sets
+
+    feed_parts = []
+    guards: dict[str, list] = {"matched": [], "not_matched": [], "nm_source": []}
+    for not_kw, by_kw, cond, action in clauses:
+        by = (by_kw or "").strip().upper().replace(" ", "")
+        if not not_kw and by:
+            raise ValueError(
+                f"WHEN MATCHED takes no BY qualifier (got {by_kw!r})"
+            )
+        if not_kw:
+            cat = "nm_source" if by == "BYSOURCE" else "not_matched"
+        else:
+            cat = "matched"
         this = (
             F.coalesce(F.expr(cond), F.lit(False)) if cond.strip()
             else F.lit(True)
@@ -1650,21 +1768,29 @@ def _route_merge(
             act, re.IGNORECASE | re.DOTALL,
         )
         if cat == "matched" and up:
-            sets = {
-                _strip_alias(c, talias): e
-                for c, e in _split_assignments(up.group(1)).items()
-            }
-            unknown = set(sets) - set(payload) - {key}
-            if unknown:
-                raise ValueError(f"SET references unknown columns {sorted(unknown)}")
-            img = _img(sets, talias, joined.filter(guard))
+            img = _img(_sets_of(up), talias, joined.filter(guard))
             feed_parts.append(img.withColumn("op", F.lit("U")))
         elif cat == "matched" and act.upper() == "DELETE":
             img = _img({}, talias, joined.filter(guard))
             feed_parts.append(img.withColumn("op", F.lit("D")))
+        elif cat == "nm_source" and up:
+            # conditions/SETs here see only the target alias: the source
+            # did not match, so any s.* reference fails resolution loudly
+            img = _img(_sets_of(up), talias, tgt_anti.filter(guard))
+            feed_parts.append(img.withColumn("op", F.lit("U")))
+        elif cat == "nm_source" and act.upper() == "DELETE":
+            img = _img({}, talias, tgt_anti.filter(guard))
+            feed_parts.append(img.withColumn("op", F.lit("D")))
         elif cat == "not_matched" and act.upper().replace(" ", "") == "INSERT*":
+            extra_src = set(src.columns) - set(cur.columns)
+            if extra_src:
+                raise ValueError(
+                    f"INSERT * source carries columns absent from the "
+                    f"target {sorted(extra_src)} — they would silently "
+                    f"drop; project the source or list the columns"
+                )
             img = _img(
-                {c: f"{salias}.{c}" for c in [key, *payload]},
+                {c: f"{salias}.{c}" for c in [*keys, *payload]},
                 None, anti.filter(guard),
             )
             feed_parts.append(img.withColumn("op", F.lit("I")))
@@ -1678,25 +1804,33 @@ def _route_merge(
                 raise ValueError(
                     f"INSERT has {len(cols)} columns but {len(vals)} values"
                 )
-            unknown = set(cols) - set(payload) - {key}
+            unknown = set(cols) - set(payload) - set(keys)
             if unknown:
                 raise ValueError(f"INSERT references unknown columns {sorted(unknown)}")
+            missing_keys = set(keys) - set(cols)
+            if missing_keys:
+                raise ValueError(
+                    f"INSERT column list must include the ON key "
+                    f"column(s) {sorted(missing_keys)} — a NULL-key row "
+                    f"breaks the key-unique invariant"
+                )
             img = _img(dict(zip(cols, vals)), None, anti.filter(guard))
             feed_parts.append(img.withColumn("op", F.lit("I")))
         else:
             raise ValueError(
                 f"MERGE clause action {act!r} not valid for "
                 f"WHEN {'NOT ' if not_kw else ''}MATCHED"
+                f"{' BY SOURCE' if cat == 'nm_source' else ''}"
             )
     feed = feed_parts[0]
     for p in feed_parts[1:]:
         feed = feed.unionByName(p)
     feed = (
-        feed.select(key, "op", *payload)
+        feed.select(*keys, "op", *payload)
         .withColumn("seq", F.lit(1))
-        .withColumn("tb", F.col(key))
+        .withColumn("tb", F.col(keys[0]))
     )
-    v = merge(spark, root, feed, key, payload, "seq", "tb")
+    v = merge(spark, root, feed, keys, payload, "seq", "tb")
     n = int(read_manifest(root, v)["n_changes"])
     return spark.createDataFrame(
         [("merge", v, n)], "op STRING, version INT, n_changes BIGINT"
@@ -1730,7 +1864,8 @@ def _split_values(raw: str) -> list[str]:
 
 
 def sql(
-    spark: SparkSession, tables: Mapping[str, str], query: str
+    spark: SparkSession, tables: Mapping[str, str], query: str,
+    strict_merge: bool = False,
 ) -> DataFrame:
     """Tiny SQL resolver over table-format tables — the Delta-style SQL
     surface, resolved pre-parse. ``tables`` maps SQL names to roots.
@@ -1754,8 +1889,10 @@ def sql(
     so it may read other registered tables, time-travel clauses, or
     metadata views); ``OPTIMIZE <name> [ZORDER BY (a, b)]`` ->
     ``compact``; ``VACUUM <name> [RETAIN <n> VERSIONS]`` ->
-    ``vacuum`` (n_changes = files reclaimed)."""
-    routed = _route_merge(spark, tables, query)
+    ``vacuum`` (n_changes = files reclaimed). ``strict_merge=True``
+    makes a routed MERGE raise on duplicate-source-key matches (the
+    Delta cardinality contract) instead of latest-wins tiebreaking."""
+    routed = _route_merge(spark, tables, query, strict=strict_merge)
     if routed is not None:
         return routed
     m = _INSERT_STMT.match(query)

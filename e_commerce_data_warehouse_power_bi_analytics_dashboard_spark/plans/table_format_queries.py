@@ -298,6 +298,95 @@ def tf_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _full_sync_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v2",
+        os.path.basename(sf_dir.rstrip("/")), "dim_customer_fullsync",
+    )
+
+
+def ensure_full_sync_table(spark: SparkSession, sf_dir: str) -> str:
+    """A third demo table for the FULL-SYNC dimension refresh (r11 —
+    verdict #2): base = customers %4 != 0; one ``MERGE INTO`` statement
+    with a COMPOUND ON (c_custkey AND c_bucket), strict cardinality
+    mode, and all three clause categories — WHEN MATCHED UPDATE,
+    WHEN NOT MATCHED INSERT *, and WHEN NOT MATCHED BY SOURCE
+    DELETE/UPDATE (rows that vanished upstream are deleted when
+    overdrawn, else flagged 'STALE' — the other half of the
+    reference's ON CONFLICT dim-refresh semantics, ETL.sql:304-315).
+    Own scratch root so no other demo's commit log can half-match."""
+    root = _full_sync_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "fullsync")
+    if key in _BUILT:
+        return root
+    if _complete_or_clear(root, 1):
+        _BUILT.add(key)
+        return root
+    cust = _with_bucket(read_table(spark, sf_dir, "customer"))
+    base = cust.filter(F.col("c_custkey") % 4 != 0).select("c_custkey", *_PAYLOAD)
+    tf.create_table(spark, root, base, partition_by="c_bucket")
+    # the upstream's CURRENT dimension image: %3 != 0 (drops a third of
+    # the base keys, adds the %4==0 keys that also pass %3)
+    cust.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", *_PAYLOAD
+    ).createOrReplaceTempView("tf_fullsync_src")
+    tf.sql(spark, {"dimc": root}, """
+        MERGE INTO dimc AS t USING tf_fullsync_src AS s
+        ON t.c_custkey = s.c_custkey AND t.c_bucket = s.c_bucket
+        WHEN MATCHED THEN UPDATE SET
+            c_acctbal = CAST(s.c_acctbal + 100 AS DECIMAL(12,2)),
+            c_mktsegment = 'SYNC'
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'
+    """, strict_merge=True)
+    _BUILT.add(key)
+    return root
+
+
+@register(
+    "tf_merge_full_sync",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(c_nationkey AS INTEGER) AS nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                    + CASE WHEN c_custkey % 4 != 0 AND c_custkey % 3 != 0
+                           THEN 100 ELSE 0 END
+                    AS DOUBLE) AS acctbal,
+               CASE WHEN c_custkey % 3 != 0 AND c_custkey % 4 != 0
+                    THEN 'SYNC'
+                    WHEN c_custkey % 3 != 0 THEN c_mktsegment
+                    ELSE 'STALE' END AS segment
+        FROM customer
+        WHERE c_custkey % 3 != 0
+           OR (c_custkey % 4 != 0 AND c_acctbal >= 0)
+    """,
+    tags=("table_format", "merge", "sql", "S5", "acid"),
+    doc="FULL-SYNC dimension refresh as ONE MERGE statement (r11 — "
+        "verdict #2, completing the grammar): compound AND-of-"
+        "equalities ON (c_custkey, c_bucket), strict cardinality mode "
+        "(duplicate source keys raise — the Delta contract), WHEN "
+        "MATCHED UPDATE / WHEN NOT MATCHED INSERT * / WHEN NOT MATCHED "
+        "BY SOURCE DELETE-or-UPDATE with first-match-wins guards. BY "
+        "SOURCE addresses the target rows whose key VANISHED upstream "
+        "— the half of the reference's dim-refresh semantics "
+        "(ETL.sql:304-315) that ON CONFLICT alone cannot express: "
+        "overdrawn vanished rows are deleted, the rest flagged "
+        "'STALE'. All three categories compile to one change feed and "
+        "one copy-on-write commit, so cost stays file-granular. The "
+        "closed-form oracle reconstructs the end state from customer "
+        "with CASE arithmetic over the %3/%4 classes.",
+)
+def tf_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_full_sync_table(spark, sf_dir)
+    return tf.read_version(spark, root).select(
+        "c_custkey", "c_name",
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
 @register(
     "tf_time_travel_versions",
     oracle=f"""

@@ -142,6 +142,19 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
                 raise ValueError(
                     f"null partition value in streaming append: {combo}"
                 )
+            # path-hostile values would corrupt the hive subdir and its
+            # _partition_values parse (batch writes escape via Spark's
+            # partitionBy; this sink builds the path itself, so it
+            # REJECTS instead — extending the null guard above)
+            hostile = {
+                c: str(combo[c]) for c in spec
+                if any(ch in str(combo[c]) for ch in "/=\\\n\r%\0")
+            }
+            if hostile:
+                raise ValueError(
+                    f"path-hostile partition value(s) in streaming "
+                    f"append (chars from '/=\\%' or control): {hostile}"
+                )
             mask = None
             for c in spec:
                 eq = pc.equal(table.column(c), pa.scalar(combo[c]))

@@ -1157,9 +1157,14 @@ def test_merge_into_sql_rejects_malformed(spark, tmp_path):
     spark.range(0, 3).select(
         F.col("id").alias("k"), F.col("id").alias("v")
     ).createOrReplaceTempView("msql_src2")
-    with pytest.raises(ValueError, match="single alias-qualified equality"):
+    with pytest.raises(ValueError, match="alias-qualified equalities"):
         tf.sql(spark, {"t": root}, """
-            MERGE INTO t USING msql_src2 AS s ON t.k = s.k AND t.v = s.v
+            MERGE INTO t USING msql_src2 AS s ON t.k < s.k
+            WHEN MATCHED THEN DELETE
+        """)
+    with pytest.raises(ValueError, match="alias-qualified equalities"):
+        tf.sql(spark, {"t": root}, """
+            MERGE INTO t USING msql_src2 AS s ON t.k = s.k AND t.v < s.v
             WHEN MATCHED THEN DELETE
         """)
     with pytest.raises(ValueError, match="unknown columns"):
