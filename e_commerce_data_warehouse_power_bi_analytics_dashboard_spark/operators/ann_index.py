@@ -171,3 +171,182 @@ def read_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown ANN index artifact {name!r}")
     root = build_ann_index(spark, sf_dir)
     return spark.read.parquet(os.path.join(root, name))
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (r11 — verdict #1): fold arriving
+# batches INTO a persisted index instead of retraining.
+#
+# The build-once lifecycle above goes stale the day a real ingest
+# pipeline lands its first new batch. The operable shape every ANN
+# deployment runs (FAISS add() after train(); Milvus/Vespa segment
+# appends) is: quantizers FROZEN from the base build, each arriving
+# batch ASSIGNED to the existing coarse centroids and PQ-ENCODED with
+# the existing codebooks, and the resulting thin rows landed as NEW
+# FILES next to the base generation — base files are never rewritten,
+# so the fold's write cost follows the batch, never the corpus. Quality
+# drift vs a full retrain (centroids that never saw the new data
+# quantize it worse) is the number a real system publishes to decide
+# when to retrain — the ann_index_append_recall_audit entry measures
+# exactly that, against the full-corpus-trained v2 index as the
+# "retrained" arm.
+#
+# Layout: <incr_root>/<artifact>/ holds the BASE generation (trained on
+# the corpus split), <incr_root>/<artifact>_b/ the folded batch delta
+# (overwrite-idempotent, so a crashed fold reruns cleanly — the two
+# fixed generations stand in for the append manifests a table format
+# would track). Readers union both; the hive-partitioned codes_ivf list
+# files prune identically across generations.
+# ---------------------------------------------------------------------------
+
+ANN_INCR_VERSION = "v1"
+
+#: the arriving-batch coin over vec_id: 6 hex chars so the stream is
+#: independent of the 7/8/9-char coins used elsewhere. Spark + DuckDB.
+S_EMB_COIN = (
+    "(CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 6), 16, 10)"
+    " AS BIGINT)) % 100"
+)
+O_EMB_COIN = (
+    "(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))"
+    " AS BIGINT)) % 100"
+)
+EMB_BATCH_PCT = 10
+
+INCR_ARTIFACTS = ("coarse", "assign", "books_raw", "codes_raw", "codes_ivf")
+#: artifacts that grow on fold (base dir + _b delta dir); coarse and
+#: books_raw are the FROZEN quantizers — base generation only
+_INCR_FOLDED = ("assign", "codes_raw", "codes_ivf")
+
+_INCR_BUILT: set[tuple[str, str, str]] = set()
+
+
+def incr_index_root(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT, ".scratch", f"ann_index_incr_{ANN_INCR_VERSION}",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+
+
+def corpus_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing-corpus split of embeddings (coin >= 10%)."""
+    return read_table(spark, sf_dir, "embeddings").filter(
+        F.expr(S_EMB_COIN) >= EMB_BATCH_PCT
+    )
+
+
+def batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arriving-batch split (coin < 10%)."""
+    return read_table(spark, sf_dir, "embeddings").filter(
+        F.expr(S_EMB_COIN) < EMB_BATCH_PCT
+    )
+
+
+def build_incr_base(spark: SparkSession, sf_dir: str) -> str:
+    """TRAIN the base generation on the CORPUS split: coarse centroids
+    (corpus rows passing COARSE_RULE), corpus bucket assignment, raw PQ
+    codebooks, corpus codes, and the hive-partitioned list files. Same
+    deterministic machinery and marker discipline as build_ann_index;
+    codes are encoded from the STORED books so base and fold share one
+    encode path (parquet round-trips doubles exactly)."""
+    root = incr_index_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "base")
+    if key in _INCR_BUILT:
+        return root
+    if os.path.exists(os.path.join(root, "_BASE_COMPLETE")):
+        _INCR_BUILT.add(key)
+        return root
+
+    corpus = corpus_embeddings(spark, sf_dir)
+    coarse_src = corpus.filter(COARSE_RULE)
+
+    def _write(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(root, name))
+
+    _write(
+        coarse_src.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.expr(s_to_double("embedding")).alias("cv"),
+        ),
+        "coarse",
+    )
+    _write(
+        assign_centroids(corpus, coarse_src).select("vid", "centroid_id"),
+        "assign",
+    )
+    _write(
+        pq_fit_codebooks(corpus, m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=PQ_DIM),
+        "books_raw",
+    )
+    books = spark.read.parquet(os.path.join(root, "books_raw"))
+    _write(pq_encode(corpus, books, PQ_M, PQ_DIM), "codes_raw")
+    codes = spark.read.parquet(os.path.join(root, "codes_raw"))
+    assign = spark.read.parquet(os.path.join(root, "assign"))
+    (
+        codes.join(assign, "vid")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(root, "codes_ivf"))
+    )
+    with open(os.path.join(root, "_BASE_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    _INCR_BUILT.add(key)
+    return root
+
+
+def fold_incr_batch(spark: SparkSession, sf_dir: str) -> str:
+    """FOLD the arriving batch into the persisted index — NO RETRAIN:
+    assign batch vectors to the EXISTING coarse centroids, PQ-encode
+    them with the EXISTING codebooks, and land the thin rows as the
+    ``_b`` delta generation (new files only; every base file untouched
+    — pinned by tests/test_ann_index.py). The fold reads raw vectors
+    only for the batch rows; at 100 TB its cost is the batch, never
+    the corpus."""
+    root = build_incr_base(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "fold")
+    if key in _INCR_BUILT:
+        return root
+    if os.path.exists(os.path.join(root, "_FOLD_COMPLETE")):
+        _INCR_BUILT.add(key)
+        return root
+
+    batch = batch_embeddings(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(root, "coarse")).select(
+        F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    a_b = assign_centroids(batch, coarse).select("vid", "centroid_id")
+    a_b.write.mode("overwrite").parquet(os.path.join(root, "assign_b"))
+    books = spark.read.parquet(os.path.join(root, "books_raw"))
+    pq_encode(batch, books, PQ_M, PQ_DIM).write.mode("overwrite").parquet(
+        os.path.join(root, "codes_raw_b")
+    )
+    codes_b = spark.read.parquet(os.path.join(root, "codes_raw_b"))
+    assign_b = spark.read.parquet(os.path.join(root, "assign_b"))
+    (
+        codes_b.join(assign_b, "vid")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(root, "codes_ivf_b"))
+    )
+    with open(os.path.join(root, "_FOLD_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    _INCR_BUILT.add(key)
+    return root
+
+
+def read_incr_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One FOLDED artifact (base generation ∪ batch delta) as a
+    DataFrame; builds the base and folds the batch first if needed.
+    coarse/books_raw are the frozen quantizers (base only)."""
+    if name not in INCR_ARTIFACTS:
+        raise ValueError(f"unknown incremental ANN index artifact {name!r}")
+    root = fold_incr_batch(spark, sf_dir)
+    out = spark.read.parquet(os.path.join(root, name))
+    if name in _INCR_FOLDED:
+        # two hive roots can't share one scan (conflicting partition
+        # discovery); union the generations — each branch still prunes
+        # its own partition directories
+        out = out.unionByName(
+            spark.read.parquet(os.path.join(root, f"{name}_b"))
+        )
+    return out

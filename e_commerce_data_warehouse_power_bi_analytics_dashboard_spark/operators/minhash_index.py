@@ -183,3 +183,161 @@ def read_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "bands":
         return _attach_bands_table(spark, sf_dir, root)
     return spark.read.parquet(os.path.join(root, name))
+
+
+# ---------------------------------------------------------------------------
+# Incremental fold (r11 — verdict #1): append an ACCEPTED batch's band
+# rows into the standing index, bucket-aligned, instead of rebuilding.
+#
+# Band signatures are PER-DOCUMENT deterministic (shingle → md5 → 32
+# affine permutations → band hash — no corpus statistics anywhere), so
+# folding a batch into the index is pure encode + append: derive the
+# batch's rows, write them into the SAME bucketed table. Spark's bucket
+# id is pmod(murmur3(keys), N) — the identical function for every
+# writer — so appended files are bucket-ALIGNED with the base build:
+# the exchange-free corpus-side probe survives the fold (each bucket
+# now holds base + K delta files; the scan loses only the per-bucket
+# single-file SORT guarantee, which is the documented periodic
+# re-bucket compaction trade — probes re-sort in-bucket, they never
+# re-shuffle). folded == rebuilt-from-scratch on the union corpus holds
+# EXACTLY (the minhash_index_fold_manifest oracle re-derives the union
+# from raw documents), which is the property an exact-encode fold has
+# and a centroid-frozen ANN fold (quality drift, see
+# ann_index_append_recall_audit) does not.
+#
+# Own versioned root — never an extension of the v2 build sequence, so
+# a pre-fold v2 index from an older session can't half-match.
+# ---------------------------------------------------------------------------
+
+MINHASH_INCR_VERSION = "v1"
+
+
+def incr_index_root(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT, ".scratch", f"minhash_index_incr_{MINHASH_INCR_VERSION}",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+
+
+def incr_bands_table_name(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    return f"minhash_bands_incr_{MINHASH_INCR_VERSION}_{tag}"
+
+
+def _derive_bands_sigs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bands, sigs) frames for ``docs`` — the one deterministic encode
+    path shared by base build and fold."""
+    sh = shingle_set(docs, "doc_id", "text", SHINGLE_K)
+    sigs = minhash_signatures_from_shingles(sh, N_HASHES)
+    sig_arr = sigs.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+    bands = band_rows(sigs, BANDS)
+    return bands, sig_arr
+
+
+def _bucketed_band_write(bands: DataFrame, tbl: str, path: str, mode: str) -> None:
+    """Bucket-aligned write of band rows (pre-shuffled on the bucket
+    keys so each task holds exactly one bucket — one new file per
+    bucket per write)."""
+    (
+        bands.repartition(N_BUCKETS, "band_idx", "bh")
+        .write.bucketBy(N_BUCKETS, "band_idx", "bh")
+        .sortBy("band_idx", "bh")
+        .option("path", path)
+        .mode(mode)
+        .saveAsTable(tbl)
+    )
+
+
+def build_incr_base(spark: SparkSession, sf_dir: str) -> str:
+    """Base generation: the CORPUS split's bands (bucketed table) +
+    signatures, under the incremental root."""
+    root = incr_index_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir + "#incr_base")
+    if key in _BUILT:
+        return root
+    if os.path.exists(os.path.join(root, "_BASE_COMPLETE")):
+        _BUILT.add(key)
+        return root
+    bands, sigs = _derive_bands_sigs(corpus_docs(spark, sf_dir))
+    sigs.write.mode("overwrite").parquet(os.path.join(root, "sigs"))
+    with open(os.path.join(root, "_bands_columns.ddl"), "w") as fh:
+        fh.write(", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in bands.schema.fields
+        ))
+    tbl = incr_bands_table_name(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    _bucketed_band_write(
+        bands, tbl, os.path.join(root, "bands"), "overwrite"
+    )
+    with open(os.path.join(root, "_BASE_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    _BUILT.add(key)
+    return root
+
+
+def _attach_incr_bands(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    tbl = incr_bands_table_name(sf_dir)
+    if not spark.catalog.tableExists(tbl):
+        with open(os.path.join(root, "_bands_columns.ddl")) as fh:
+            cols = fh.read().strip()
+        loc = os.path.join(root, "bands")
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING parquet "
+            f"CLUSTERED BY (band_idx, bh) SORTED BY (band_idx, bh) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
+        )
+    return spark.table(tbl)
+
+
+def fold_incr_batch(spark: SparkSession, sf_dir: str) -> str:
+    """FOLD the arriving batch: derive ITS band rows + signatures and
+    append them bucket-aligned into the standing table (one new file
+    per bucket; base files untouched — pinned by
+    tests/test_minhash_index.py). Crash-safe via the marker: an
+    interrupted fold reruns from the base generation because the
+    completion marker is written last and the batch append is the only
+    non-idempotent step — a torn append without a marker triggers a
+    base rebuild (DROP + overwrite) on the next call."""
+    root = build_incr_base(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir + "#incr_fold")
+    if key in _BUILT:
+        return root
+    if os.path.exists(os.path.join(root, "_FOLD_COMPLETE")):
+        _BUILT.add(key)
+        return root
+    # torn-fold recovery: a previous fold started (no marker) in some
+    # crashed process — rebuild the base generation from scratch so the
+    # append below lands exactly once
+    if os.path.exists(os.path.join(root, "_FOLD_STARTED")):
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {incr_bands_table_name(sf_dir)}")
+        shutil.rmtree(root)
+        _BUILT.discard((spark.sparkContext.applicationId, sf_dir + "#incr_base"))
+        build_incr_base(spark, sf_dir)
+    with open(os.path.join(root, "_FOLD_STARTED"), "w") as fh:
+        fh.write("ok\n")
+    bands_b, sigs_b = _derive_bands_sigs(batch_docs(spark, sf_dir))
+    sigs_b.write.mode("append").parquet(os.path.join(root, "sigs"))
+    _attach_incr_bands(spark, sf_dir, root)
+    _bucketed_band_write(
+        bands_b, incr_bands_table_name(sf_dir),
+        os.path.join(root, "bands"), "append",
+    )
+    with open(os.path.join(root, "_FOLD_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    _BUILT.add(key)
+    return root
+
+
+def read_folded_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A FOLDED artifact (corpus base + appended batch) — folds first if
+    this (session, sf_dir) hasn't."""
+    if name not in ARTIFACTS:
+        raise ValueError(f"unknown MinHash index artifact {name!r}")
+    root = fold_incr_batch(spark, sf_dir)
+    if name == "bands":
+        return _attach_incr_bands(spark, sf_dir, root)
+    return spark.read.parquet(os.path.join(root, "sigs"))

@@ -369,15 +369,19 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_minhash_sig_ctes() -> str:
+def _o_minhash_sig_ctes(where_sql: str | None = None) -> str:
     """DuckDB twin of operators/dedup.py::minhash_signatures_from_shingles
-    + band_rows over the CORPUS split: the same md5-derived 28-bit
+    + band_rows over the CORPUS split (or any ``where_sql`` slice of
+    documents — the fold manifest passes TRUE for the union corpus):
+    the same md5-derived 28-bit
     shingle hash, the same 32 LCG-derived affine permutations (inlined
     as literals), min per permutation, and the same md5-of-'m0,m1' band
     hashes. Ends in CTEs ``msig`` (doc, m0..m31) and ``mbands``
     (doc, band_idx, bh)."""
     coeffs = D.minhash_coefficients(32)
     p = D.MINHASH_PRIME
+    if where_sql is None:
+        where_sql = f"({_O_BATCH_COIN}) >= {MI.BATCH_PCT}"
     mins = ",\n".join(
         f"MIN(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
     )
@@ -390,7 +394,7 @@ def _o_minhash_sig_ctes() -> str:
     return f"""
         WITH d AS (
             SELECT doc_id, text FROM documents
-            WHERE ({_O_BATCH_COIN}) >= {MI.BATCH_PCT}
+            WHERE {where_sql}
         ),
         msh AS (
             SELECT DISTINCT doc_id AS doc, unnest({T.o_shingles('text', 2)}) AS g
@@ -1437,21 +1441,29 @@ def _o_pq_ctes(
     m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS, dim: int = _PQ_DIM,
     src: str = "e", head: str | None = None,
     ofn: str = "list_cosine_similarity",
+    encode_src: str | None = None,
 ) -> str:
     """DuckDB twin of operators/similarity.py::pq_fit_codebooks /
     pq_encode / pq_adc_topk: per subspace, the same unrolled Lloyd's
     CTEs as _kmeans_oracle (min-id seeding, cosine argmax, 6-decimal
     mean re-sync, empty-cluster carry-forward) over the SUBvector slice,
     then code assignment, the query LUT, and the fixed-order ADC sum.
-    Ends in CTEs ``codes``, ``lut``, ``adc``."""
+    Ends in CTEs ``codes``, ``lut``, ``adc``. ``encode_src`` (r11)
+    splits train from encode: codebooks still train on ``src``, but the
+    ``codes`` CTE encodes THAT relation instead — the frozen-quantizer
+    fold shape of the incremental index."""
     sd = dim // m
     sql = head if head is not None else f"WITH e AS ({_O_EMB})"
     for s in range(m):
         a, b = s * sd + 1, (s + 1) * sd
+        enc_rel = f"x{s}" if encode_src else f"e{s}"
         sql += f""",
         e{s} AS (SELECT vec_id, v[{a}:{b}] AS v FROM {src}),
         m{s}_0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e{s}
                    ORDER BY vec_id LIMIT {k})"""
+        if encode_src:
+            sql += f""",
+        x{s} AS (SELECT vec_id, v[{a}:{b}] AS v FROM {encode_src})"""
         for i in range(1, iters + 1):
             sql += f""",
         a{s}_{i} AS (
@@ -1479,11 +1491,11 @@ def _o_pq_ctes(
         sql += f""",
         codes{s} AS (
             SELECT vid, {s} AS subspace, centroid_id AS code FROM (
-                SELECT e{s}.vec_id AS vid, c.centroid_id,
-                       ROW_NUMBER() OVER (PARTITION BY e{s}.vec_id
-                           ORDER BY {ofn}(e{s}.v, c.cv) DESC,
+                SELECT {enc_rel}.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY {enc_rel}.vec_id
+                           ORDER BY {ofn}({enc_rel}.v, c.cv) DESC,
                                     c.centroid_id) AS rn
-                FROM e{s}, m{s}_{iters} c
+                FROM {enc_rel}, m{s}_{iters} c
             ) WHERE rn = 1
         ),
         lut{s} AS (
@@ -1679,6 +1691,325 @@ def ann_index_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("artifact")
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (r11 — verdict #1)
+# ---------------------------------------------------------------------------
+
+#: oracle head for the incremental index: e = all embeddings,
+#: ec = the standing-corpus split the base generation trained on
+_O_INCR_HEAD = f"""WITH e AS ({_O_EMB}),
+        ec AS (SELECT * FROM e WHERE ({IX.O_EMB_COIN}) >= {IX.EMB_BATCH_PCT})"""
+
+_O_INCR_CQ = """,
+        cq AS (SELECT vec_id AS centroid_id, v AS cv FROM ec
+               WHERE vec_id % 50 = 0)"""
+
+_O_INCR_CAR = """,
+        car AS (
+            SELECT vid, centroid_id FROM (
+                SELECT e.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e, cq c
+            ) WHERE rn = 1
+        )"""
+
+
+@register(
+    "ann_index_fold_manifest",
+    oracle="SELECT * FROM (" + " UNION ALL ".join([
+        _o_manifest_row(
+            "coarse", _O_INCR_HEAD + _O_INCR_CQ, "cq",
+            "SUM(centroid_id)",
+            "cq, UNNEST(cq.cv) AS t(x)",
+            f"SUM(CAST(FLOOR(t.x * {_MAN_VAL_SCALE}) AS BIGINT))",
+        ),
+        _o_manifest_row(
+            "assign", _O_INCR_HEAD + _O_INCR_CQ + _O_INCR_CAR, "car",
+            "SUM(vid)",
+            "car",
+            f"SUM(vid * {_MAN_ASSIGN_MIX} + centroid_id)",
+        ),
+        _o_manifest_row(
+            "books_raw",
+            _o_pq_ctes(src="ec", head=_O_INCR_HEAD)
+            + f", b_ AS ({_o_books_union()})", "b_",
+            f"SUM(subspace * {_MAN_BOOK_MIX} + centroid_id)",
+            "b_, UNNEST(b_.cv) AS t(x)",
+            f"SUM(CAST(FLOOR(t.x * {_MAN_VAL_SCALE}) AS BIGINT))",
+        ),
+        _o_manifest_row(
+            "codes_raw",
+            _o_pq_ctes(src="ec", head=_O_INCR_HEAD, encode_src="e"),
+            "codes",
+            "SUM(vid)",
+            "codes",
+            f"SUM(vid * {_MAN_CODE_MIX[0]} + subspace * {_MAN_CODE_MIX[1]}"
+            " + code)",
+        ),
+    ]) + ") ORDER BY artifact",
+    tags=("llm", "similarity", "pq", "lifecycle", "incremental", "iterative"),
+    doc="Incremental ANN index FOLD + integrity manifest (r11 — verdict "
+        "#1, making the persisted index OPERABLE, not just buildable): "
+        "the base generation trains coarse centroids + PQ codebooks on "
+        "the standing-corpus split and encodes it; the arriving batch "
+        "is then FOLDED in with the quantizers FROZEN — assigned to the "
+        "existing centroids, encoded with the existing codebooks, "
+        "landed as new delta files next to the base generation (base "
+        "files byte-untouched, pinned in tests/test_ann_index.py) — "
+        "FAISS's add() after train(), the shape a real ingest pipeline "
+        "runs every batch. This entry checksums the FOLDED artifacts "
+        "(frozen coarse + books, union assign + codes) while the "
+        "oracle re-derives them from scratch: quantizers trained on "
+        "the corpus split, assignment/encode over the UNION corpus. A "
+        "hash match proves folded == rebuilt-with-frozen-quantizers "
+        "exactly — encode-only folds drift zero; the RESIDUAL quality "
+        "drift of frozen quantizers vs a full retrain is what "
+        "ann_index_append_recall_audit measures. "
+        "operators/ann_index.py::fold_incr_batch.",
+)
+def ann_index_fold_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scale = F.lit(1_000_000.0)
+
+    def _row(name: str, key_sum, pay_df: DataFrame | None, pay_sum) -> DataFrame:
+        df = IX.read_incr_artifact(spark, sf_dir, name)
+        base = df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            key_sum.cast("long").alias("key_sum"),
+        )
+        pay = pay_df if pay_df is not None else df
+        payload = pay.agg(pay_sum.cast("long").alias("payload_sum"))
+        return base.crossJoin(payload).select(
+            F.lit(name).alias("artifact"), "n_rows", "key_sum", "payload_sum"
+        )
+
+    vec_pay = F.sum(F.floor(F.col("x") * scale))
+    parts = [
+        _row(
+            "coarse", F.sum("centroid_id"),
+            IX.read_incr_artifact(spark, sf_dir, "coarse").select(
+                F.explode("cv").alias("x")
+            ),
+            vec_pay,
+        ),
+        _row("assign", F.sum("vid"), None,
+             F.sum(F.col("vid") * _MAN_ASSIGN_MIX + F.col("centroid_id"))),
+        _row(
+            "books_raw",
+            F.sum(F.col("subspace") * _MAN_BOOK_MIX + F.col("centroid_id")),
+            IX.read_incr_artifact(spark, sf_dir, "books_raw").select(
+                F.explode("cv").alias("x")
+            ),
+            vec_pay,
+        ),
+        _row(
+            "codes_raw", F.sum("vid"), None,
+            F.sum(
+                F.col("vid") * _MAN_CODE_MIX[0]
+                + F.col("subspace") * _MAN_CODE_MIX[1]
+                + F.col("code")
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("artifact")
+
+
+#: the recall audit's query set: batch members with small ids — 19
+#: queries at every shipped scale (id range fixed, coin deterministic)
+_INCR_QPRED = f"vec_id < 200 AND ({IX.S_EMB_COIN}) < {IX.EMB_BATCH_PCT}"
+_O_INCR_QPRED = f"vec_id < 200 AND ({IX.O_EMB_COIN}) < {IX.EMB_BATCH_PCT}"
+
+
+def _o_incr_ivf_arm(tag: str, cq_sql: str) -> str:
+    """One recall arm: coarse set ``cq_sql``, full-corpus assignment,
+    same-bucket IVF top-3 for the query set, hits vs exact."""
+    return f""",
+        cq_{tag} AS ({cq_sql}),
+        car_{tag} AS (
+            SELECT vid, centroid_id FROM (
+                SELECT e.vec_id AS vid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.centroid_id) AS rn
+                FROM e, cq_{tag} c
+            ) WHERE rn = 1
+        ),
+        ivf_{tag} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qa.vid AS query_id, a.vid AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qa.vid
+                           ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
+                                    a.vid) AS rn
+                FROM car_{tag} qa
+                JOIN q qe ON qe.vec_id = qa.vid
+                JOIN car_{tag} a ON a.centroid_id = qa.centroid_id
+                                AND a.vid <> qa.vid
+                JOIN e ne ON ne.vec_id = a.vid
+            ) WHERE rn <= 3
+        ),
+        hits_{tag} AS (
+            SELECT COUNT(*) AS hits
+            FROM exact JOIN ivf_{tag} USING (query_id, neighbor_id)
+        )"""
+
+
+@register(
+    "ann_index_append_recall_audit",
+    oracle=_O_INCR_HEAD + f""",
+        q AS (SELECT * FROM e WHERE {_O_INCR_QPRED}),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.v, e.v) DESC,
+                                    e.vec_id) AS rn
+                FROM q, e WHERE e.vec_id <> q.vec_id
+            ) WHERE rn <= 3
+        ),
+        nq AS (SELECT COUNT(*) AS n_queries FROM q)"""
+    + _o_incr_ivf_arm(
+        "a",
+        "SELECT vec_id AS centroid_id, v AS cv FROM ec WHERE vec_id % 50 = 0",
+    )
+    + _o_incr_ivf_arm(
+        "r",
+        "SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0",
+    )
+    + """
+        SELECT * FROM (
+            SELECT 'appended' AS path,
+                   CAST(n_queries AS BIGINT) AS n_queries,
+                   CAST(hits AS BIGINT) AS hits,
+                   CAST(hits AS DOUBLE) / (3 * n_queries) AS recall_at_3
+            FROM hits_a, nq
+            UNION ALL
+            SELECT 'retrained',
+                   CAST(n_queries AS BIGINT), CAST(hits AS BIGINT),
+                   CAST(hits AS DOUBLE) / (3 * n_queries)
+            FROM hits_r, nq
+        ) ORDER BY path
+    """,
+    tags=("llm", "similarity", "ivf", "lifecycle", "incremental", "serve"),
+    doc="Appended-vs-retrained RECALL drift (r11 — the retrain trigger "
+        "a real ANN deployment publishes): IVF recall@3 over the batch "
+        "query set through TWO indexes — 'appended' probes the "
+        "incremental index whose coarse centroids never saw the batch "
+        "(frozen at the base build, batch folded in by assignment "
+        "only), 'retrained' probes the v2 full index whose centroids "
+        "trained on the union corpus. Both arms are pure scans of "
+        "persisted assignments (the serve shape); exact brute-force "
+        "cosine is the shared ground truth. The gap between the two "
+        "recall rows IS the quality cost of appending instead of "
+        "retraining — when it exceeds the SLO, you schedule the "
+        "retrain. Oracle re-derives both arms from scratch.",
+)
+def ann_index_append_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(_INCR_QPRED)
+    exact = S.brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+
+    def _arm(path: str, assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+        approx = (
+            S.ivf_topk(emb, centroids, _INCR_QPRED, k=3, assigned=assigned)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        agg = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hits"),
+            )
+        )
+        return agg.select(
+            F.lit(path).alias("path"), "n_queries", "hits",
+            (F.col("hits").cast("double") / (3 * F.col("n_queries")))
+            .alias("recall_at_3"),
+        )
+
+    incr_coarse = IX.read_incr_artifact(spark, sf_dir, "coarse").select(
+        F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    appended = _arm(
+        "appended",
+        IX.read_incr_artifact(spark, sf_dir, "assign"),
+        incr_coarse,
+    )
+    retrained = _arm(
+        "retrained",
+        IX.read_artifact(spark, sf_dir, "assign"),
+        emb.filter(IX.COARSE_RULE),
+    )
+    return appended.unionAll(retrained).orderBy("path")
+
+
+@register(
+    "minhash_index_fold_manifest",
+    oracle=_o_minhash_sig_ctes(where_sql="TRUE") + f"""
+        SELECT * FROM (
+            SELECT 'bands' AS artifact,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc * 17 + band_idx) AS BIGINT) AS key_sum,
+                   CAST(SUM({T.o_md5_long('bh', 7)}) AS BIGINT) AS payload_sum
+            FROM mbands
+            UNION ALL
+            SELECT 'sigs' AS artifact,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc) AS BIGINT) AS key_sum,
+                   CAST(SUM({' + '.join(f'm{i}' for i in range(32))}) AS BIGINT)
+                       AS payload_sum
+            FROM msig
+        ) ORDER BY artifact
+    """,
+    tags=("llm", "dedup", "lsh", "lifecycle", "incremental"),
+    doc="MinHash band-index FOLD + integrity manifest (r11 — verdict "
+        "#1, the dedup twin of ann_index_fold_manifest): the arriving "
+        "batch's band rows are APPENDED bucket-aligned into the "
+        "standing bucketed band table (Spark's bucket id is the same "
+        "murmur3 for every writer, so delta files land in the right "
+        "buckets; base files byte-untouched — pinned in "
+        "tests/test_minhash_index.py) and its signatures appended to "
+        "the sig store — the ingest-time stamp a real pipeline runs "
+        "per accepted batch instead of re-shingling the corpus. "
+        "Because band signatures are per-document deterministic, "
+        "folded == rebuilt-from-scratch holds EXACTLY: the oracle "
+        "re-derives both artifacts from the UNION corpus (all "
+        "documents) and the checksums must hash-match. The documented "
+        "trade: each fold adds one file per bucket, so probes re-sort "
+        "in-bucket (never re-shuffle) until the periodic re-bucket "
+        "compaction rewrites one sorted file per bucket. "
+        "operators/minhash_index.py::fold_incr_batch.",
+)
+def minhash_index_fold_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = MI.read_folded_artifact(spark, sf_dir, "bands")
+    sigs = MI.read_folded_artifact(spark, sf_dir, "sigs")
+    b_row = (
+        bands.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("doc") * 17 + F.col("band_idx")).cast("long").alias("key_sum"),
+            F.sum(F.expr(T.s_md5_long("bh", 7))).cast("long").alias("payload_sum"),
+        )
+        .select(F.lit("bands").alias("artifact"), "n_rows", "key_sum", "payload_sum")
+    )
+    s_row = (
+        sigs.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc").cast("long").alias("key_sum"),
+            F.sum(F.expr("aggregate(sig, 0L, (a, x) -> a + x)"))
+            .cast("long")
+            .alias("payload_sum"),
+        )
+        .select(F.lit("sigs").alias("artifact"), "n_rows", "key_sum", "payload_sum")
+    )
+    return b_row.unionAll(s_row).orderBy("artifact")
 
 
 @register(

@@ -136,3 +136,94 @@ def test_serve_plan_never_scans_query_vectors_corpus_wide(spark):
     )
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "max_by" not in plan
+
+
+# ----------------------------------------------------- r11: incremental fold
+
+
+def _tree_state(path):
+    out = {}
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, path)] = (
+                os.path.getmtime(p), os.path.getsize(p)
+            )
+    return out
+
+
+def test_incr_fold_appends_only_batch_sized_deltas(spark, tmp_path, monkeypatch):
+    """The fold's scale contract, pinned at file level: folding the
+    batch into the persisted index writes ONLY the _b delta generation
+    (sized by the batch), and never touches a base-generation byte —
+    at 100 TB the fold costs the batch, not the corpus. Also pins the
+    marker short-circuit (a second fold call is a no-op) and that the
+    folded read unions to the full corpus."""
+    monkeypatch.setattr(
+        IX, "incr_index_root", lambda sf: str(tmp_path / "incr")
+    )
+    saved = set(IX._INCR_BUILT)
+    IX._INCR_BUILT.clear()
+    try:
+        root = IX.build_incr_base(spark, SF_SMOKE)
+        base_names = ("coarse", "assign", "books_raw", "codes_raw", "codes_ivf")
+        before = {n: _tree_state(os.path.join(root, n)) for n in base_names}
+        assert IX.fold_incr_batch(spark, SF_SMOKE) == root
+        for n in base_names:
+            assert _tree_state(os.path.join(root, n)) == before[n], (
+                f"fold touched base generation {n}"
+            )
+        # delta sized exactly by the batch
+        n_batch = IX.batch_embeddings(spark, SF_SMOKE).count()
+        n_all = read_table(spark, SF_SMOKE, "embeddings").count()
+        assert n_batch > 0
+        assert spark.read.parquet(
+            os.path.join(root, "assign_b")).count() == n_batch
+        assert spark.read.parquet(
+            os.path.join(root, "codes_raw_b")).count() == IX.PQ_M * n_batch
+        # marker short-circuit: second fold leaves every tree untouched
+        delta_before = _tree_state(os.path.join(root, "assign_b"))
+        assert IX.fold_incr_batch(spark, SF_SMOKE) == root
+        assert _tree_state(os.path.join(root, "assign_b")) == delta_before
+        # folded read = union corpus
+        assert IX.read_incr_artifact(spark, SF_SMOKE, "assign").count() == n_all
+        assert IX.read_incr_artifact(
+            spark, SF_SMOKE, "codes_raw").count() == IX.PQ_M * n_all
+    finally:
+        IX._INCR_BUILT.clear()
+        IX._INCR_BUILT.update(saved)
+
+
+def test_incr_fold_assignments_use_frozen_centroids(spark, tmp_path, monkeypatch):
+    """Folded batch assignments must equal assigning the batch to the
+    BASE coarse centroids (quantizers frozen — no retrain), and the
+    frozen centroid set must be corpus-only (no batch member ever
+    becomes a centroid, however many folds run)."""
+    monkeypatch.setattr(
+        IX, "incr_index_root", lambda sf: str(tmp_path / "incr2")
+    )
+    saved = set(IX._INCR_BUILT)
+    IX._INCR_BUILT.clear()
+    try:
+        root = IX.fold_incr_batch(spark, SF_SMOKE)
+        coarse = spark.read.parquet(os.path.join(root, "coarse"))
+        batch_ids = {
+            r[0] for r in IX.batch_embeddings(spark, SF_SMOKE)
+            .select("vec_id").collect()
+        }
+        cent_ids = {r[0] for r in coarse.select("centroid_id").collect()}
+        assert not (cent_ids & batch_ids)
+        from pyspark.sql import functions as F
+
+        expected = S.assign_centroids(
+            IX.batch_embeddings(spark, SF_SMOKE),
+            coarse.select(
+                F.col("centroid_id").alias("vec_id"),
+                F.col("cv").alias("embedding"),
+            ),
+        ).select("vid", "centroid_id")
+        got = spark.read.parquet(os.path.join(root, "assign_b"))
+        assert _rows(got) == _rows(expected)
+    finally:
+        IX._INCR_BUILT.clear()
+        IX._INCR_BUILT.update(saved)

@@ -7,6 +7,7 @@ re-shingling for the probe)."""
 from __future__ import annotations
 
 import os
+import re
 
 from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
     dedup as D,
@@ -122,3 +123,114 @@ def test_bucketed_band_probe_corpus_side_is_exchange_free(spark):
         __import__("re").findall(r"Exchange hashpartitioning\(band_idx", plan)
     ) == 1, plan
     assert "BroadcastExchange" not in plan
+
+
+# ----------------------------------------------------- r11: incremental fold
+
+
+def _tree_state(path):
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, path)] = (
+                os.path.getmtime(p), os.path.getsize(p)
+            )
+    return out
+
+
+def test_incr_fold_is_bucket_aligned_append_base_untouched(
+    spark, tmp_path, monkeypatch
+):
+    """Folding the batch appends EXACTLY one new file per bucket it
+    touches — bucket-ALIGNED (Spark's bucket id is the same murmur3
+    for every writer) — and never rewrites a base file; the folded
+    bucketed scan still reports Bucketed: true, so the exchange-free
+    corpus-side probe survives the fold."""
+    tbl = "minhash_bands_incr_test_fold"
+    monkeypatch.setattr(
+        MI, "incr_index_root", lambda sf: str(tmp_path / "mincr")
+    )
+    monkeypatch.setattr(MI, "incr_bands_table_name", lambda sf: tbl)
+    saved = set(MI._BUILT)
+    MI._BUILT.clear()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        root = MI.build_incr_base(spark, SF_SMOKE)
+        bands_dir = os.path.join(root, "bands")
+        before = _tree_state(bands_dir)
+        assert MI.fold_incr_batch(spark, SF_SMOKE) == root
+        after = _tree_state(bands_dir)
+        # every base DATA file byte-identical, only NEW files added
+        # (_SUCCESS marker files legitimately refresh on append)
+        for rel, st in before.items():
+            if not rel.endswith(".parquet"):
+                continue
+            assert after.get(rel) == st, f"fold touched base file {rel}"
+        new_files = [
+            f for f in set(after) - set(before) if f.endswith(".parquet")
+        ]
+        assert new_files, "fold appended no band files"
+        assert len(new_files) <= MI.N_BUCKETS
+        # folded rows = corpus + batch band rows exactly
+        n_corpus = sum(1 for f in before if f.endswith(".parquet"))
+        assert n_corpus == MI.N_BUCKETS  # base: one sorted file per bucket
+        folded = MI.read_folded_artifact(spark, SF_SMOKE, "bands")
+        n_docs = (
+            MI.corpus_docs(spark, SF_SMOKE).count()
+            + MI.batch_docs(spark, SF_SMOKE).count()
+        )
+        assert folded.count() == n_docs * MI.BANDS
+        # a probe JOIN against the folded table still uses the bucket
+        # layout: corpus side exchange-free, batch side the only
+        # exchange (a bare scan reports 'disabled by query planner' —
+        # bucketing only engages when a join/agg can exploit it)
+        from pyspark.sql import functions as F
+
+        bsh = D.shingle_set(
+            MI.batch_docs(spark, SF_SMOKE), "doc_id", "text", MI.SHINGLE_K
+        )
+        bbands = D.band_rows(
+            D.minhash_signatures_from_shingles(bsh, MI.N_HASHES), MI.BANDS
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = bbands.select(
+                F.col("doc").alias("doc_a"), "band_idx", "bh"
+            ).join(
+                folded.select(F.col("doc").alias("doc_b"), "band_idx", "bh"),
+                ["band_idx", "bh"],
+            )
+            assert probe.count() > 0
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Bucketed: true" in plan, plan
+        assert len(
+            re.findall(r"Exchange hashpartitioning\(band_idx", plan)
+        ) == 1, plan
+        # marker short-circuit: a second fold changes nothing
+        assert MI.fold_incr_batch(spark, SF_SMOKE) == root
+        assert _tree_state(bands_dir) == after
+        # bucket ALIGNMENT: per-bucket-file murmur3 bucket ids are pure
+        # — every row in bucket file NNNNN hashes to bucket NNNNN
+        ids = (
+            spark.table(tbl)
+            .select(
+                F.expr(
+                    f"pmod(hash(band_idx, bh), {MI.N_BUCKETS})"
+                ).alias("bid"),
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"part-(\d+)", 1
+                ).cast("int").alias("fid"),
+            )
+            .groupBy("fid", "bid").count()
+        )
+        assert all(r["fid"] == r["bid"] for r in ids.collect())
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        MI._BUILT.clear()
+        MI._BUILT.update(saved)
