@@ -451,6 +451,196 @@ def _partition_values(rel: str) -> dict[str, str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (r11 — verdict #5): NON-ADDITIVE schema evolution
+# without rewrites, the Delta name-mode idea. An opt-in mapped table
+# stores every column under an IMMUTABLE synthetic physical name
+# (``col-<field id>``); the manifest records the logical->physical
+# mapping, and each metadata commit may RENAME a logical name (same id,
+# same physical — zero data movement), DROP a field (physical bytes
+# stay in old files, unselected on read), ADD a field (fresh id, fresh
+# physical name — a re-added logical name can never resurrect dropped
+# data because the dead id's physical column is simply never selected
+# again), or WIDEN a type (int->bigint, float->double, decimal
+# precision growth: reads upcast old narrow files schema-on-read, new
+# files land wide — no rewrite either way). Reads resolve files with
+# the EXPLICIT physical schema (missing physical columns surface as
+# NULL), then project physical->logical for the mapping AT THE READ
+# VERSION — time travel sees each version's own names.
+# ---------------------------------------------------------------------------
+
+#: widenings that are value-preserving under parquet schema-on-read
+#: (verified: Spark's vectorized reader upcasts these in place)
+_WIDENINGS = {
+    ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+    ("float", "double"),
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _widening_ok(old: str, new: str) -> bool:
+    if (old, new) in _WIDENINGS:
+        return True
+    mo, mn = _DECIMAL_RE.match(old), _DECIMAL_RE.match(new)
+    if mo and mn:
+        po, so = int(mo.group(1)), int(mo.group(2))
+        pn, sn = int(mn.group(1)), int(mn.group(2))
+        return sn == so and pn >= po
+    return False
+
+
+def column_mapping(root: str, version: int | None = None) -> dict | None:
+    """The table's column mapping as of ``version`` (default latest):
+    the LAST ``column_mapping`` recorded at or before it (each mapping
+    commit stores the full updated mapping). None = unmapped table."""
+    versions = list_versions(root)
+    if not versions:
+        return None
+    v = versions[-1] if version is None else version
+    mp = None
+    for vv in versions:
+        if vv > v:
+            break
+        m = read_manifest(root, vv)
+        if "column_mapping" in m:
+            mp = m["column_mapping"]
+    return mp
+
+
+def _new_mapping(schema: StructType) -> dict:
+    return {
+        "fields": [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "physical": f"col-{i + 1}",
+                "type": f.dataType.simpleString(),
+            }
+            for i, f in enumerate(schema.fields)
+        ],
+        "max_id": len(schema.fields),
+    }
+
+
+def _phys_ddl(mapping: dict) -> str:
+    """Read-schema DDL over physical names with the CURRENT logical
+    types — old narrow/missing physical columns upcast/null-fill
+    schema-on-read."""
+    return ", ".join(
+        f"`{f['physical']}` {f['type']}" for f in mapping["fields"]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Logical frame -> physical column names (cast to the recorded
+    logical type so every file conforms to the mapping)."""
+    return df.select(*[
+        F.col(f["name"]).cast(f["type"]).alias(f["physical"])
+        for f in mapping["fields"]
+    ])
+
+
+def _to_logical(df: DataFrame, mapping: dict, extra: Sequence[str] = ()) -> DataFrame:
+    """Physical frame -> logical names (keeps ``extra`` columns, e.g.
+    the _tf_* provenance pair, unrenamed)."""
+    return df.select(
+        *[
+            F.col(f"`{f['physical']}`").cast(f["type"]).alias(f["name"])
+            for f in mapping["fields"]
+        ],
+        *[F.col(c) for c in extra],
+    )
+
+
+def _publish_mapping(root: str, mapping: dict, op: str, detail: dict) -> int:
+    versions = list_versions(root)
+    new_v = versions[-1] + 1
+    _publish(root, new_v, {
+        "version": new_v, "op": op, "adds": [], "removes": [],
+        "n_changes": 0, "column_mapping": mapping, **detail,
+    })
+    return new_v
+
+
+def _require_mapping(root: str) -> dict:
+    mp = column_mapping(root)
+    if mp is None:
+        raise ValueError(
+            f"table at {root} has no column mapping — create it with "
+            f"column_mapping=True (rename/drop/widen need the physical "
+            f"indirection; an unmapped table's names are its file names)"
+        )
+    return {"fields": [dict(f) for f in mp["fields"]], "max_id": mp["max_id"]}
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """Metadata-only RENAME: same field id, same physical column, zero
+    data movement — every existing file stays valid."""
+    mp = _require_mapping(root)
+    names = {f["name"] for f in mp["fields"]}
+    if old not in names:
+        raise ValueError(f"no column {old!r} to rename (have {sorted(names)})")
+    if new in names:
+        raise ValueError(f"rename target {new!r} already exists")
+    for f in mp["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    return _publish_mapping(
+        root, mp, "alter_mapping", {"rename": [old, new]}
+    )
+
+
+def drop_column(root: str, name: str) -> int:
+    """Metadata-only DROP: the field leaves the mapping; its physical
+    bytes stay in existing files, never selected again. Time travel to
+    pre-drop versions still reads them (mapping is per-version)."""
+    mp = _require_mapping(root)
+    if name not in {f["name"] for f in mp["fields"]}:
+        raise ValueError(f"no column {name!r} to drop")
+    if len(mp["fields"]) == 1:
+        raise ValueError("cannot drop the last column")
+    mp["fields"] = [f for f in mp["fields"] if f["name"] != name]
+    return _publish_mapping(root, mp, "alter_mapping", {"drop": name})
+
+
+def add_column(root: str, name: str, dtype: str) -> int:
+    """Metadata-only ADD: a FRESH field id and physical name. Existing
+    files lack the physical column and read NULL; re-adding a dropped
+    logical name can never resurrect old data (the dead id's physical
+    column is a different name)."""
+    mp = _require_mapping(root)
+    if name in {f["name"] for f in mp["fields"]}:
+        raise ValueError(f"column {name!r} already exists")
+    fid = mp["max_id"] + 1
+    mp["fields"].append(
+        {"id": fid, "name": name, "physical": f"col-{fid}", "type": dtype}
+    )
+    mp["max_id"] = fid
+    return _publish_mapping(root, mp, "alter_mapping", {"add": [name, dtype]})
+
+
+def widen_column(root: str, name: str, new_type: str) -> int:
+    """Metadata-only type WIDENING (int->bigint, float->double, decimal
+    precision growth at equal scale): reads upcast old narrow files
+    schema-on-read; subsequent writes land the wide type. Anything
+    outside the allowlist would be lossy or change semantics — raises."""
+    mp = _require_mapping(root)
+    for f in mp["fields"]:
+        if f["name"] == name:
+            if not _widening_ok(f["type"], new_type):
+                raise ValueError(
+                    f"cannot widen {name!r}: {f['type']} -> {new_type} is "
+                    f"not a value-preserving widening"
+                )
+            old = f["type"]
+            f["type"] = new_type
+            return _publish_mapping(
+                root, mp, "alter_mapping", {"widen": [name, old, new_type]}
+            )
+    raise ValueError(f"no column {name!r} to widen")
+
+
 def _normalize_spec(partition_by) -> list[str] | None:
     if partition_by is None:
         return None
@@ -563,6 +753,7 @@ def _write_data(
     partition_by: Sequence[str] | None,
     sort_by: str | None = None,
     zorder_by: Sequence[str] | None = None,
+    mapping: dict | None = None,
 ) -> list[dict]:
     """Write ``df`` under an ATTEMPT-UNIQUE directory and return the add
     records (path + partition values + footer stats). Uniqueness is the
@@ -584,6 +775,11 @@ def _write_data(
     instead: each file's footer min/max per dimension becomes a bounded
     hyper-rectangle, so a range ``where`` on ANY of the columns prunes
     — the OPTIMIZE ZORDER of real formats (operators/zorder.py)."""
+    if mapping is not None:
+        # column-mapped table: files store the IMMUTABLE physical
+        # names; the caller's frame is logical (mapping composes with
+        # unpartitioned writes only — create_table enforces it)
+        df = _to_physical(df, mapping)
     uid = uuid.uuid4().hex[:8]
     vdir = os.path.join(root, "data", f"v={version}-{uid}")
     if zorder_by:
@@ -651,6 +847,7 @@ def create_table(
     partition_by: str | Sequence[str] | None = None,
     sort_by: str | None = None,
     constraints: Mapping[str, str] | None = None,
+    column_mapping: bool = False,
 ) -> int:
     """Commit 0: materialize ``df`` as the table's initial snapshot.
     ``partition_by`` (optional, str or list) records the table's
@@ -661,17 +858,31 @@ def create_table(
     min/max intervals → range predicates prune; see _write_data).
     ``constraints`` (name -> SQL boolean expr) are CHECK constraints:
     recorded in the manifest, validated against this and every later
-    write (ConstraintViolation aborts before anything publishes)."""
+    write (ConstraintViolation aborts before anything publishes).
+    ``column_mapping=True`` stores columns under immutable synthetic
+    physical names so rename/drop/re-add/widen become METADATA commits
+    (see the column-mapping section above); composes with flat layout
+    only — a renamed partition column would orphan its hive paths."""
     spec = _normalize_spec(partition_by)
+    mp = None
+    if column_mapping:
+        if spec:
+            raise ValueError(
+                "column_mapping composes with unpartitioned tables only"
+            )
+        mp = _new_mapping(df.schema)
     with _validated(df, constraints or {}) as vdf:
-        adds = _write_data(vdf, root, 0, files, spec, sort_by)
-    _publish(root, 0, {
+        adds = _write_data(vdf, root, 0, files, spec, sort_by, mapping=mp)
+    manifest = {
         "version": 0, "op": "create", "adds": adds, "removes": [],
         "n_changes": sum(a["rows"] for a in adds),
         "partition_by": spec, "sort_by": sort_by,
         "constraints_add": dict(constraints) if constraints else {},
         "schema": df.schema.json(),
-    })
+    }
+    if mp is not None:
+        manifest["column_mapping"] = mp
+    _publish(root, 0, manifest)
     return 0
 
 
@@ -699,30 +910,48 @@ def read_version(
     and ``_tf_pos`` provenance columns, computed from ``_metadata`` AT
     SCAN time (stable under later joins, unlike input_file_name). A
     snapshot whose active set is empty (e.g. a merge deleted every row)
-    returns an empty frame with the recorded table schema."""
+    returns an empty frame with the recorded table schema. On a
+    column-mapped table the scan resolves files with the EXPLICIT
+    physical schema of the mapping AT THIS VERSION (missing physical
+    columns null-fill, narrow ones upcast) and projects to that
+    version's logical names — ``where`` keys stay logical."""
     versions = list_versions(root)
     v = versions[-1] if version is None else version
+    mapping = column_mapping(root, v)
+    if mapping and where:
+        phys = {f["name"]: f["physical"] for f in mapping["fields"]}
+        where = {phys.get(c, c): b for c, b in where.items()}
     files, _ = snapshot_files(root, version, where)
     dels = active_delete_adds(root, version)
     if not files:
-        schema = _snapshot_schema(root, v)
-        if schema is None:
-            raise FileNotFoundError(f"no schema recorded at {root} v{v}")
-        out = spark.createDataFrame([], schema)
+        if mapping:
+            out = spark.createDataFrame([], ", ".join(
+                f"`{f['name']}` {f['type']}" for f in mapping["fields"]
+            ))
+        else:
+            schema = _snapshot_schema(root, v)
+            if schema is None:
+                raise FileNotFoundError(f"no schema recorded at {root} v{v}")
+            out = spark.createDataFrame([], schema)
         if with_positions:
             out = out.withColumn(
                 "_tf_file", F.lit(None).cast("string")
             ).withColumn("_tf_pos", F.lit(None).cast("long"))
         return out
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
+    if mapping:
+        reader = spark.read.schema(_phys_ddl(mapping))
+    else:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*[os.path.join(root, f) for f in files])
     if not dels and not with_positions:
-        return df
+        return _to_logical(df, mapping) if mapping else df
     df = _with_positions(df, root)
     if dels:
         df = _anti_vectors(spark, root, df, dels)
+    if mapping:
+        df = _to_logical(df, mapping, extra=("_tf_file", "_tf_pos"))
     if not with_positions:
         df = df.drop("_tf_file", "_tf_pos")
     return df
@@ -737,14 +966,26 @@ def append(
     evolution by addition): old files simply lack the column and a
     ``merge_schema`` snapshot reads them as NULL — the additive half of
     evolution, without the rewrite a type change would force. Follows
-    the table's partition spec when the columns are present."""
+    the table's partition spec when the columns are present. On a
+    column-mapped table the frame must match the CURRENT logical
+    schema exactly (evolve with add_column/widen_column first — the
+    mapping, not the writer, owns the schema)."""
     versions = list_versions(root)
     new_v = versions[-1] + 1
     spec = _table_spec(root)
     if spec and not all(c in df.columns for c in spec):
         spec = None
+    mapping = column_mapping(root)
+    if mapping:
+        logical = {f["name"] for f in mapping["fields"]}
+        if set(df.columns) != logical:
+            raise ValueError(
+                f"append to a column-mapped table must match its "
+                f"current logical schema {sorted(logical)} exactly "
+                f"(got {sorted(df.columns)}); evolve the mapping first"
+            )
     with _validated(df, active_constraints(root)) as vdf:
-        adds = _write_data(vdf, root, new_v, files, spec)
+        adds = _write_data(vdf, root, new_v, files, spec, mapping=mapping)
     _publish(root, new_v, {
         "version": new_v, "op": "append", "adds": adds, "removes": [],
         "n_changes": sum(a["rows"] for a in adds),
@@ -879,6 +1120,7 @@ def merge(
             f"evolved columns {sorted(extra)} not in key+payload — a "
             f"rewrite would drop their data"
         )
+    mapping = column_mapping(root)
     keys = feed.select(*key_cols).distinct()
     touched = [
         r[0]
@@ -893,7 +1135,7 @@ def merge(
         base_rows, feed, key_cols, payload, order_col, tiebreak
     ).select(*key_cols, *payload)
     with _validated(merged, active_constraints(root)) as vmerged:
-        adds = _write_data(vmerged, root, new_v, files, spec)
+        adds = _write_data(vmerged, root, new_v, files, spec, mapping=mapping)
     _publish(root, new_v, {
         "version": new_v, "op": "merge", "adds": adds,
         "removes": sorted(touched_set),
@@ -965,7 +1207,8 @@ def merge_compacted(
         base_rows.unionByName(batch.select(*cols)), key, order_col, tiebreak
     )
     with _validated(merged, active_constraints(root)) as vmerged:
-        adds = _write_data(vmerged, root, new_v, files, spec)
+        adds = _write_data(vmerged, root, new_v, files, spec,
+                           mapping=column_mapping(root))
     _publish(root, new_v, {
         "version": new_v, "op": "merge_compacted", "adds": adds,
         "removes": sorted(touched), "n_changes": batch.count(),
@@ -1012,7 +1255,8 @@ def update_where(
         full, n_matched, delete_adds = _plan_vector_delete(
             matched.select("_tf_file", "_tf_pos"), root, new_v
         )
-        adds = _write_data(vupd, root, new_v, files, spec)
+        adds = _write_data(vupd, root, new_v, files, spec,
+                           mapping=column_mapping(root))
     _publish(root, new_v, {
         "version": new_v, "op": "update", "adds": adds, "removes": full,
         "delete_adds": delete_adds, "n_changes": n_matched,
@@ -1087,7 +1331,8 @@ def merge_mor(
     if spec and not all(c in images.columns for c in spec):
         spec = None
     with _validated(images, active_constraints(root)) as vimg:
-        adds = _write_data(vimg, root, new_v, files, spec)
+        adds = _write_data(vimg, root, new_v, files, spec,
+                           mapping=column_mapping(root))
     _publish(root, new_v, {
         "version": new_v, "op": "merge_mor", "adds": adds,
         "removes": full, "delete_adds": delete_adds,
@@ -1217,7 +1462,8 @@ def compact(
     current = sorted(active_files(root))
     cur_dels = sorted(d["path"] for d in dels)
     snap = read_version(spark, root, merge_schema=True)
-    adds = _write_data(snap, root, new_v, files, spec, sort_by, zorder_by)
+    adds = _write_data(snap, root, new_v, files, spec, sort_by, zorder_by,
+                       mapping=column_mapping(root))
     _publish(root, new_v, {
         "version": new_v, "op": "compact", "adds": adds,
         "removes": current, "n_changes": 0, "sort_by": sort_by,
@@ -1260,6 +1506,20 @@ def change_feed(
     if v_to is None:
         v_to = versions[-1]
     pay = list(payload)
+    # column-mapped tables: physical names are immutable, so EVERY
+    # version's files resolve under the v_to mapping's physical schema;
+    # output uses the v_to logical names (a renamed column keeps its
+    # field id and therefore its history; a re-added name is a new id
+    # whose physical column simply doesn't exist in old files)
+    mapping = column_mapping(root, v_to)
+
+    def _rd(paths: list[str]) -> DataFrame:
+        r = spark.read.schema(_phys_ddl(mapping)) if mapping else spark.read
+        return r.parquet(*paths)
+
+    def _logical(d: DataFrame) -> DataFrame:
+        return _to_logical(d, mapping) if mapping else d
+
     parts: list[DataFrame] = []
     for v in versions:
         if v <= v_from or v > v_to:
@@ -1274,13 +1534,13 @@ def change_feed(
             # update_postimage, never delete+insert pairs
             if adds:
                 parts.append(
-                    spark.read.parquet(*adds).select(key, *pay)
+                    _logical(_rd(adds)).select(key, *pay)
                     .withColumn("_change_type", F.lit("update_postimage"))
                     .withColumn("_commit_version", F.lit(v))
                 )
             continue
         new = (
-            spark.read.parquet(*adds).select(key, *pay) if adds else None
+            _logical(_rd(adds)).select(key, *pay) if adds else None
         )
         old = None
         if rems:
@@ -1288,11 +1548,11 @@ def change_feed(
             # v-1: physical rows minus the delete vectors live then —
             # otherwise a compact (or merge) that retires vectors would
             # re-report rows an earlier delete commit already emitted
-            old = _anti_vectors(
+            old = _logical(_anti_vectors(
                 spark, root,
-                _with_positions(spark.read.parquet(*rems), root),
+                _with_positions(_rd(rems), root),
                 active_delete_adds(root, v - 1),
-            ).select(key, *pay)
+            )).select(key, *pay)
         # a selective compact's delete_adds are REWRITTEN remainders of
         # vectors it split (bookkeeping, not new deletes) — skip them
         dvec = (
@@ -1309,15 +1569,15 @@ def change_feed(
                 r[0] for r in dv.select("_tf_dfile").distinct().collect()
             ]  # vector-file metadata, change-batch-sized
             data = _with_positions(
-                spark.read.parquet(*[os.path.join(root, f) for f in ref]),
+                _rd([os.path.join(root, f) for f in ref]),
                 root,
             )
-            pre = data.join(
+            pre = _logical(data.join(
                 F.broadcast(dv),
                 (F.col("_tf_file") == F.col("_tf_dfile"))
                 & (F.col("_tf_pos") == F.col("_tf_dpos")),
                 "left_semi",
-            ).select(key, *pay)
+            )).select(key, *pay)
             if m.get("op") == "merge_mor":
                 # a streaming MoR merge vectors the pre-images of EVERY
                 # fed key and appends the I/U post-images in the same

@@ -1309,3 +1309,109 @@ def test_insert_select_from_time_travel_clause(spark, tmp_path):
     assert (rec.op, rec.n_changes) == ("insert", 3)
     got = sorted(r.k for r in tf.read_version(spark, root).collect())
     assert got == [0, 1, 2, 3, 4, 5]  # the deleted slice restored
+
+
+# ------------------------------------------------- r11: column mapping
+
+
+def test_column_mapping_lifecycle_and_no_resurrection(spark, tmp_path):
+    """rename/drop/re-add/widen as metadata commits: per-version names
+    and types are the mapping's, a re-added name can never resurrect
+    dropped data (new field id), widening upcasts old narrow files
+    schema-on-read, and time travel sees each version's own names even
+    after a compaction rewrote the current snapshot."""
+    root = str(tmp_path / "cm")
+    tf.create_table(
+        spark, root,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k long, name string, v int",
+        ),
+        files=1, column_mapping=True,
+    )
+    assert tf.rename_column(root, "v", "value") == 1
+    tf.append(spark, root, spark.createDataFrame(
+        [(4, "d", 40)], "k long, name string, value int"))
+    assert tf.widen_column(root, "value", "bigint") == 3
+    assert tf.drop_column(root, "name") == 4
+    assert tf.add_column(root, "name", "string") == 5
+    tf.append(spark, root, spark.createDataFrame(
+        [(5, 50, "E")], "k long, value bigint, name string"))
+
+    cur = tf.read_version(spark, root)
+    assert dict(cur.dtypes)["value"] == "bigint"  # old int files upcast
+    rows = {r.k: (r.value, r.name) for r in cur.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, None),
+                    4: (40, None), 5: (50, "E")}  # no resurrection
+    # per-version names + types
+    v0 = tf.read_version(spark, root, 0)
+    assert sorted(v0.columns) == ["k", "name", "v"]
+    assert dict(v0.dtypes)["v"] == "int"
+    assert {r.name for r in v0.collect()} == {"a", "b", "c"}  # pre-drop id
+    v4 = tf.read_version(spark, root, 4)
+    assert sorted(v4.columns) == ["k", "value"]
+    # physical file columns are synthetic
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f = glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                  recursive=True)[0]
+    phys = set(pq.ParquetFile(f).schema_arrow.names)
+    assert all(c.startswith("col-") for c in phys), phys
+    # compaction rewrites the CURRENT mapping; history stays readable
+    tf.compact(spark, root, files=1)
+    assert sorted(tf.read_version(spark, root, 0).columns) == ["k", "name", "v"]
+    assert tf.read_version(spark, root).count() == 5
+    # stats-pruned read on a mapped table translates logical -> physical
+    pruned = tf.read_version(spark, root, where={"k": (5, 5)})
+    assert pruned.filter("k = 5").count() == 1
+
+
+def test_column_mapping_guards(spark, tmp_path):
+    root = str(tmp_path / "cmg")
+    df = spark.createDataFrame([(1, "a", 10)], "k long, name string, v int")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tf.create_table(spark, str(tmp_path / "cmp"), df,
+                        partition_by="k", column_mapping=True)
+    tf.create_table(spark, root, df, files=1, column_mapping=True)
+    with pytest.raises(ValueError, match="no column"):
+        tf.rename_column(root, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        tf.rename_column(root, "v", "name")
+    with pytest.raises(ValueError, match="already exists"):
+        tf.add_column(root, "name", "string")
+    with pytest.raises(ValueError, match="not a value-preserving"):
+        tf.widen_column(root, "v", "string")
+    with pytest.raises(ValueError, match="not a value-preserving"):
+        tf.widen_column(root, "v", "smallint")
+    with pytest.raises(ValueError, match="match its\n"
+                                         ".*current logical schema|logical schema"):
+        tf.append(spark, root, spark.createDataFrame(
+            [(2, "b")], "k long, name string"))
+    # unmapped tables reject mapping ops with a pointer to the opt-in
+    plain = str(tmp_path / "plain")
+    tf.create_table(spark, plain, df, files=1)
+    with pytest.raises(ValueError, match="no column mapping"):
+        tf.rename_column(plain, "v", "value")
+    # nothing above published a commit on the mapped table
+    assert tf.list_versions(root) == [0]
+
+
+def test_column_mapping_change_feed_uses_vto_names(spark, tmp_path):
+    """CDF across a rename reports history under the v_to logical name
+    (same field id); a MoR delete's pre-images read back through the
+    mapping."""
+    root = str(tmp_path / "cmc")
+    tf.create_table(
+        spark, root,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v int"),
+        files=1, column_mapping=True,
+    )
+    tf.rename_column(root, "v", "value")
+    tf.append(spark, root, spark.createDataFrame([(3, 30)], "k long, value int"))
+    tf.delete_where(spark, root, "k = 1")
+    cf = tf.change_feed(spark, root, "k", ["value"], v_from=0, v_to=3)
+    got = sorted((r.k, r.value, r._change_type, r._commit_version)
+                 for r in cf.collect())
+    assert got == [(1, 10, "delete", 3), (3, 30, "insert", 2)]
