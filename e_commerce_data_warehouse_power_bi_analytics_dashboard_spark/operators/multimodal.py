@@ -1889,8 +1889,9 @@ def decode_jpeg_header(with_jpeg: DataFrame) -> DataFrame:
 # dequantizes FROM the DQT segments, so it decodes any conforming
 # baseline stream within those factors, not just this encoder's
 # output, including DRI restart intervals (byte-aligned RST0-7 markers
-# with modulo-8 sequence verification and DC-predictor resets).
-# Progressive (SOF2) and sampling factors >2 raise
+# with modulo-8 sequence verification and DC-predictor resets) — in
+# baseline AND progressive (SOF2) scans (r11). Sampling factors >2,
+# lossless/arithmetic frames, and 16-bit quant tables raise
 # NotImplementedError — honestly gated, fuzz-tested to raise.
 # ---------------------------------------------------------------------------
 
@@ -2206,6 +2207,7 @@ def encode_jpeg_progressive(
     dc_al: int = 1,
     ac_al: int = 1,
     ac_bands: Sequence[tuple[int, int]] = ((1, 5), (6, 63)),
+    restart_interval: int = 0,
 ) -> bytes:
     """PROGRESSIVE JPEG encoder (SOF2) with a real multi-scan
     entropy-coded stream — spectral selection AND successive
@@ -2234,7 +2236,12 @@ def encode_jpeg_progressive(
     (``_PROG_AC_COUNTS``). Quantized coefficients are identical to
     encode_jpeg's, so progressive and baseline streams of one image
     decode to bit-identical pixels — the round-trip property the tests
-    pin."""
+    pin. ``restart_interval`` > 0 emits a DRI segment and RST0-7
+    markers every Ri units in EVERY scan (unit = MCU for the
+    interleaved DC scans, block for the per-component AC scans — T.81
+    §G keeps restart semantics per scan): DC predictors reset, EOB
+    runs (and their buffered refinement correction bits) never span a
+    boundary."""
     import struct
 
     ncomp = len(planes)
@@ -2244,13 +2251,26 @@ def encode_jpeg_progressive(
     by, bx = stores[0].shape[0], stores[0].shape[1]
     dc_codes = _canonical_codes(_DC_COUNTS, _DC_VALUES)
     ac_codes = _canonical_codes(_PROG_AC_COUNTS, _PROG_AC_VALUES)
+    ri = int(restart_interval)
     scans: list[tuple[list[int], int, int, int, int, bytes]] = []
+
+    def _boundary(wtr: _BitWriter, k: int) -> bool:
+        """At unit ``k``: emit the modulo-8 RSTn when a restart interval
+        is active and a boundary lands here. True = state resets."""
+        if ri and k and k % ri == 0:
+            wtr.marker(0xD0 + ((k // ri - 1) % 8))
+            return True
+        return False
 
     def dc_first(al: int) -> bytes:
         wtr = _BitWriter()
         preds = [0] * ncomp
+        ku = 0
         for yb in range(by):
             for xb in range(bx):
+                if _boundary(wtr, ku):
+                    preds = [0] * ncomp
+                ku += 1
                 for ci in range(ncomp):
                     t = int(stores[ci][yb, xb, 0]) >> al
                     size, bits = _magnitude(t - preds[ci])
@@ -2262,8 +2282,11 @@ def encode_jpeg_progressive(
 
     def dc_refine(al: int) -> bytes:
         wtr = _BitWriter()
+        ku = 0
         for yb in range(by):
             for xb in range(bx):
+                _boundary(wtr, ku)  # no cross-MCU state to reset
+                ku += 1
                 for ci in range(ncomp):
                     wtr.put((int(stores[ci][yb, xb, 0]) >> al) & 1, 1)
         return wtr.flush()
@@ -2271,8 +2294,14 @@ def encode_jpeg_progressive(
     def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
         wtr = _BitWriter()
         eobrun = 0
+        ku = 0  # unit counter — the spectral loop below owns ``k``
         for yb in range(by):
             for xb in range(bx):
+                if ri and ku and ku % ri == 0:
+                    # an EOB run may never span a restart boundary
+                    eobrun = _emit_eobrun(wtr, ac_codes, eobrun, [])
+                    _boundary(wtr, ku)
+                ku += 1
                 cz = stores[ci][yb, xb]
                 run = 0
                 for k in range(ss, se + 1):
@@ -2299,8 +2328,16 @@ def encode_jpeg_progressive(
     def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
         wtr = _BitWriter()
         eobrun, bbuf = 0, []  # EOB run + its buffered correction bits
+        ku = 0
         for yb in range(by):
             for xb in range(bx):
+                if ri and ku and ku % ri == 0:
+                    # flush the pending EOB run + its correction bits
+                    # (_emit_eobrun clears bbuf; bbuf non-empty implies
+                    # eobrun > 0 — bits only buffer alongside a run)
+                    eobrun = _emit_eobrun(wtr, ac_codes, eobrun, bbuf)
+                    _boundary(wtr, ku)
+                ku += 1
                 cz = stores[ci][yb, xb]
                 absv = [abs(int(cz[k])) >> al for k in range(ss, se + 1)]
                 eob = max(
@@ -2371,7 +2408,8 @@ def encode_jpeg_progressive(
         0xC4,
         bytes([0x10]) + bytes(_PROG_AC_COUNTS) + bytes(_PROG_AC_VALUES),
     )
-    out = b"\xff\xd8" + seg(0xE0, _JFIF_APP0) + dqt + sof + dht
+    dri = seg(0xDD, struct.pack(">H", ri)) if ri else b""
+    out = b"\xff\xd8" + seg(0xE0, _JFIF_APP0) + dqt + sof + dht + dri
     for comp_ids, ss, se, ah, al, data in scans:
         sos_body = bytes([len(comp_ids)])
         for ci in comp_ids:
@@ -2560,8 +2598,10 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
     photo layout 4:2:0 (interleaved Hi*Vi blocks per MCU, subsampled
     planes replication-upsampled to full resolution) — as are DRI
     restart intervals (RSTn consumed byte-aligned at each boundary,
-    modulo-8 sequence verified, DC predictors reset); factors >2,
-    progressive/arithmetic frames, and 16-bit quant tables raise
+    modulo-8 sequence verified, DC predictors reset), in baseline and
+    progressive scans alike (r11: per-scan restart numbering, DC
+    predictor + EOB-run resets at each boundary); factors >2,
+    lossless/arithmetic frames, and 16-bit quant tables raise
     NotImplementedError. Cites the same
     marker-walk contract as parse_jpeg_header above; pure function +
     numpy, so the codec is property-testable without a session."""
@@ -2651,10 +2691,6 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
             # stream holds many scans; pixels materialize only at EOI)
             if frame is None:
                 raise ValueError("SOS before SOF")
-            if restart_ri:
-                raise NotImplementedError(
-                    "restart intervals in progressive scans"
-                )
             fh_, fw_, comps_ = frame
             hmax_ = max(c[1] for c in comps_)
             vmax_ = max(c[2] for c in comps_)
@@ -2688,9 +2724,29 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
                     elif rdr.bit():
                         cz[0] = int(cz[0]) | (1 << al)
 
+                def _restart(k_u: int) -> bool:
+                    # RSTn every Ri units in THIS scan (T.81 §G keeps
+                    # restart semantics per scan; unit = MCU for the
+                    # interleaved DC scan, block otherwise): verify the
+                    # modulo-8 sequence, byte-align past the marker
+                    if restart_ri and k_u and k_u % restart_ri == 0:
+                        got = rdr.restart()
+                        want = (k_u // restart_ri - 1) % 8
+                        if got != want:
+                            raise ValueError(
+                                f"restart sequence broken: RST{got}, "
+                                f"expected RST{want}"
+                            )
+                        return True
+                    return False
+
+                k_u = 0
                 if len(idxs) > 1:
                     for by_ in range(my_):
                         for bx_ in range(mx_):
+                            if _restart(k_u):
+                                preds[:] = [0] * len(idxs)
+                            k_u += 1
                             for si, (ci, _td, _ta) in enumerate(idxs):
                                 _, hi, vi, _ = comps_[ci]
                                 for v_ in range(vi):
@@ -2705,6 +2761,9 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
                     )
                     for yb in range(cbh):
                         for xb in range(cbw):
+                            if _restart(k_u):
+                                preds[:] = [0]
+                            k_u += 1
                             dc_block(0, stores[ci][yb, xb])
             else:  # AC scan: single component, non-interleaved
                 if len(idxs) != 1:
@@ -2719,8 +2778,21 @@ def _parse_jpeg_planes(b: bytes) -> tuple[int, int, list]:
                     _prog_ac_first_block if ah == 0
                     else _prog_ac_refine_block
                 )
+                k_u = 0
                 for yb in range(cbh):
                     for xb in range(cbw):
+                        if restart_ri and k_u and k_u % restart_ri == 0:
+                            got = rdr.restart()
+                            want = (k_u // restart_ri - 1) % 8
+                            if got != want:
+                                raise ValueError(
+                                    f"restart sequence broken: RST{got},"
+                                    f" expected RST{want}"
+                                )
+                            # a conforming encoder never lets an EOB run
+                            # span a boundary; reset defensively
+                            eobrun = 0
+                        k_u += 1
                         eobrun = blk_fn(
                             rdr, act_tab, stores[ci][yb, xb],
                             ss, se, al, eobrun,
@@ -2893,7 +2965,14 @@ def synthesize_jpeg_progressive_payloads(docs: DataFrame) -> DataFrame:
                 yy, xx = np.mgrid[0:bh_, 0:bw_]
                 vals = 2 * ((d * 11 + yy * 5 + xx) % 128)
                 grid = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                rows.append((d, encode_jpeg_progressive([grid])))
+                # alternate docs add a DRI scan script (restart markers
+                # in every progressive scan, r11) — same pixels, so the
+                # entry's closed-form oracle is unchanged while the
+                # decoder's restart path is exercised by the gate
+                ri = 2 if d % 2 == 0 else 0
+                rows.append(
+                    (d, encode_jpeg_progressive([grid], restart_interval=ri))
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
     return docs.select("doc_id").mapInPandas(synth, schema)
