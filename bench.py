@@ -372,6 +372,19 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     load_at_start = machine_load()
+    # contention guard (r11 — verdict #7): a bench started on a busy
+    # machine inflates EVERY query uniformly (r10's driver run read
+    # ~1.3x over the quiet freeze at load1 2.45); tag the artifact so
+    # trend gates compare like with like instead of reading contention
+    # as regression
+    contended = load_at_start["load1"] > 1.5
+    if contended:
+        print(
+            f"WARNING: bench starting contended (load1="
+            f"{load_at_start['load1']}) — artifact will be tagged "
+            f"contended:true; timings are upper bounds",
+            file=sys.stderr, flush=True,
+        )
 
     # sf0.1 shuffle volumes are a few hundred MB at most: 8 initial
     # shuffle partitions (AQE coalesces further) beat the session
@@ -702,6 +715,7 @@ def main() -> None:
                 "machine_load": {
                     "start": load_at_start, "end": machine_load(),
                 },
+                "contended": contended,
                 "sf": sf,
             },
             f,
@@ -733,6 +747,7 @@ def main() -> None:
         # sample incl. process counts in BENCH_DETAIL.json) — read a
         # high value as "totals are contended upper bounds"
         "load1_start_end": [load_at_start["load1"], load_at_end["load1"]],
+        "contended": contended,
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
     }

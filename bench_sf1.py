@@ -140,6 +140,7 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
+    load1_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="ecdw-bench-sf1", shuffle_partitions=32)
     catalog = get_catalog()
     ensure_sf1(spark)
@@ -171,6 +172,11 @@ def main() -> None:
             "sf01_dir": SF01, "sf1_dir": SF1, "copies": K, "reps": reps,
             "shuffle_partitions": 32, "entries": out,
             "load1": round(os.getloadavg()[0], 2),
+            # contention tag (r11 — verdict #7): time-ratio gates skip
+            # on contended runs (rows_ratio/cartesian gates never do —
+            # they are load-independent)
+            "contended": load1_start > 1.5,
+            "load1_start": load1_start,
         }, f, indent=1, sort_keys=True)
     print(json.dumps({
         "metric": "sf1_rehearsal",

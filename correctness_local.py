@@ -9,6 +9,20 @@ the machine-readable verdict for the rest (VERDICT r4 "What's missing"
     python correctness_local.py            # sf0.01, all entries
     SPARK_GRAFT_TEST_SF=/root/testdata/sf0.1 python correctness_local.py
 
+INCREMENTAL MODE (r11 — verdict #6): the dual-scale sweep grows
+linearly with the catalog and was becoming the round bottleneck.
+``--changed-only`` fingerprints each entry (sha256 of its NORMALIZED
+analyzed-plan text — expression ids stripped, so the hash is stable
+across sessions but moves when any operator in the composed plan
+changes — plus the oracle SQL) against the fingerprints recorded in
+the existing artifact, and re-runs the oracle comparison ONLY for
+entries whose fingerprint moved, was never recorded, or previously
+failed; unchanged-and-green entries carry forward. The fingerprint
+still requires BUILDING every entry's DataFrame (that is what makes an
+operator edit visible), so scratch-table builders still run — only the
+collect + DuckDB oracle (the expensive half) is skipped. A full run
+(no flag) is still required at the round freeze.
+
 Comparison semantics are IDENTICAL to tests/conftest.py's
 assert_matches_oracle (column-name-sorted, order-insensitive multiset of
 normalized cell tokens) — the same gate pytest enforces; this script
@@ -17,8 +31,10 @@ just emits the per-entry result as JSON instead of asserting.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -36,9 +52,77 @@ OUT = os.path.join(
     os.environ.get("SPARK_GRAFT_CORR_OUT", "CORRECTNESS_LOCAL.json"),
 )
 
+#: analyzed-plan noise that varies run-to-run without a semantic change
+_EXPR_ID = re.compile(r"#\d+L?")
+_VIEW_ID = re.compile(r"__v\d+")  # time-travel temp-view version tags
+
+
+def _normalize_plan(plan: str) -> str:
+    """Strip per-session expression ids (#123 / #123L) so the same
+    logical plan fingerprints identically across sessions."""
+    return _VIEW_ID.sub("__v", _EXPR_ID.sub("#", plan))
+
+
+def entry_fingerprint(df, oracle: str | None) -> str:
+    """sha256 over (normalized analyzed plan, oracle SQL) — moves when
+    the entry's Spark composition OR its oracle changes, stable across
+    sessions otherwise."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    h = hashlib.sha256()
+    h.update(_normalize_plan(plan).encode())
+    h.update(b"\x00")
+    h.update((oracle or "<rows-only>").encode())
+    return h.hexdigest()[:16]
+
+
+def needs_rerun(old_rec: dict | None, fp: str) -> bool:
+    """An entry skips re-verification ONLY when the existing artifact
+    has it green under the SAME fingerprint; anything else — missing,
+    fingerprint moved, previously errored or mismatched — re-runs."""
+    if not old_rec or old_rec.get("fingerprint") != fp:
+        return True
+    if old_rec.get("err") is not None:
+        return True
+    if not old_rec.get("rows_match") or not old_rec.get("schema_match"):
+        return True
+    return old_rec.get("hash_match") is False
+
+
+def verify_entry(con, q, df) -> dict:
+    """One entry's oracle comparison (the driver's semantics)."""
+    rec: dict = {
+        "rows_match": False, "schema_match": False, "hash_match": False,
+        "spark_rows": None, "oracle_rows": None, "err": None,
+    }
+    sp_cols = df.columns
+    sp_rows = [tuple(r) for r in df.collect()]
+    rec["spark_rows"] = len(sp_rows)
+    if q.oracle is None:
+        # rows-only check (non-SQL-expressible op): stable re-run
+        n2 = len(df.take(len(sp_rows) + 1))
+        rec.update(
+            rows_match=(n2 == len(sp_rows)), schema_match=True,
+            hash_match=None, oracle_rows=None, rows_only=True,
+        )
+        return rec
+    res = con.execute(q.oracle)
+    du_cols = [d[0] for d in res.description]
+    du_rows = res.fetchall()
+    rec["oracle_rows"] = len(du_rows)
+    rec["rows_match"] = len(sp_rows) == len(du_rows)
+    rec["schema_match"] = sorted(sp_cols) == sorted(du_cols)
+    rec["hash_match"] = (
+        rec["rows_match"]
+        and rec["schema_match"]
+        and rows_to_multiset(sp_cols, sp_rows)
+        == rows_to_multiset(du_cols, du_rows)
+    )
+    return rec
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    changed_only = "--changed-only" in sys.argv
     spark = get_spark(app_name="ecdw-correctness-local", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -54,41 +138,35 @@ def main() -> None:
             if any(n == o or (o.endswith("*") and n.startswith(o[:-1])) for o in only)
         ]
         catalog = {n: catalog[n] for n in names}
+    previous: dict[str, dict] = {}
+    if changed_only and os.path.exists(OUT):
+        with open(OUT) as f:
+            previous = {
+                k: v for k, v in json.load(f).items()
+                if not k.startswith("_")
+            }
     results: dict[str, dict] = {}
+    carried = 0
     t_start = time.perf_counter()
     for name in sorted(catalog):
         q = catalog[name]
-        rec: dict = {
-            "rows_match": False, "schema_match": False, "hash_match": False,
-            "spark_rows": None, "oracle_rows": None, "err": None,
-        }
         try:
             df = q.fn(spark, sf_dir)
-            sp_cols = df.columns
-            sp_rows = [tuple(r) for r in df.collect()]
-            rec["spark_rows"] = len(sp_rows)
-            if q.oracle is None:
-                # rows-only check (non-SQL-expressible op): stable re-run
-                n2 = len(q.fn(spark, sf_dir).take(len(sp_rows) + 1))
-                rec.update(
-                    rows_match=(n2 == len(sp_rows)), schema_match=True,
-                    hash_match=None, oracle_rows=None, rows_only=True,
-                )
-            else:
-                res = con.execute(q.oracle)
-                du_cols = [d[0] for d in res.description]
-                du_rows = res.fetchall()
-                rec["oracle_rows"] = len(du_rows)
-                rec["rows_match"] = len(sp_rows) == len(du_rows)
-                rec["schema_match"] = sorted(sp_cols) == sorted(du_cols)
-                rec["hash_match"] = (
-                    rec["rows_match"]
-                    and rec["schema_match"]
-                    and rows_to_multiset(sp_cols, sp_rows)
-                    == rows_to_multiset(du_cols, du_rows)
-                )
+            fp = entry_fingerprint(df, q.oracle)
+            if changed_only and not needs_rerun(previous.get(name), fp):
+                results[name] = previous[name]
+                carried += 1
+                print(f"  --  {name}: unchanged (fp {fp})", flush=True)
+                continue
+            rec = verify_entry(con, q, df)
+            rec["fingerprint"] = fp
         except Exception as e:  # noqa: BLE001 - artifact records, never dies
-            rec["err"] = f"{type(e).__name__}: {e}"[:500]
+            rec = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}"[:500],
+            }
         results[name] = rec
         ok = rec["err"] is None and rec["rows_match"] and rec["schema_match"] and (
             rec["hash_match"] is not False
@@ -114,6 +192,10 @@ def main() -> None:
         "rows_only": sum(1 for r in results.values() if r.get("rows_only")),
         "elapsed_sec": round(time.perf_counter() - t_start, 1),
     }
+    if changed_only:
+        summary["changed_only"] = True
+        summary["carried_forward"] = carried
+        summary["reverified"] = len(results) - carried
     if not only:  # partial sweeps never clobber the full artifact
         with open(OUT, "w") as f:
             json.dump({"_summary": summary, **results}, f, indent=1)

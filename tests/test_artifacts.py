@@ -134,6 +134,14 @@ def test_catalog_md_count_current():
     )
 
 
+#: per-family wall-clock ratio bounds at 10x data (r11 — verdict #3:
+#: family-appropriate exponent gates). Default 12 leaves contention
+#: margin over the measured r10 worst (3.7); graph gets extra headroom
+#: for iterative-join fixed costs (driver loop rounds dominate at small
+#: absolute times, so the ratio is noisier there, not super-linear).
+_SF1_RATIO_BOUNDS = {"graph": 15}
+
+
 def test_sf1_rehearsal_scaling_exponents():
     """BENCH_SF1.json (python bench_sf1.py — the 10x scale rehearsal)
     must show every rehearsal entry scaling sub-linearly in wall time
@@ -145,10 +153,20 @@ def test_sf1_rehearsal_scaling_exponents():
     path = os.path.join(REPO, "BENCH_SF1.json")
     assert os.path.exists(path), "BENCH_SF1.json missing — run bench_sf1.py"
     with open(path) as f:
-        entries = json.load(f)["entries"]
+        data = json.load(f)
+    entries = data["entries"]
     assert len(entries) >= 10
-    over = {k: v["ratio"] for k, v in entries.items() if v["ratio"] > 12}
-    assert not over, f"super-linear 10x scaling: {over}"
+    if not data.get("contended"):
+        # time-ratio gates compare like with like only on a quiet
+        # machine (r11 — verdict #7: a contended run inflates every
+        # number uniformly and would read as fake super-linearity);
+        # rows_ratio and cartesian gates below are load-independent
+        # and always apply
+        over = {
+            k: v["ratio"] for k, v in entries.items()
+            if v["ratio"] > _SF1_RATIO_BOUNDS.get(v["family"], 12)
+        }
+        assert not over, f"super-linear 10x scaling: {over}"
     carts = {k for k, v in entries.items() if v.get("cartesian_sf1", 0)}
     assert not carts, f"cartesian product in sf1 executed plan(s): {carts}"
     for k, v in entries.items():
