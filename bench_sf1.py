@@ -64,6 +64,15 @@ ENTRIES = [
     ("tf_merge_snapshot", "table_format"),
     ("tf_mor_delete_read", "table_format"),
     ("tf_change_feed", "table_format"),
+    # r11 (verdict #3): the highest quadratic/fan-out-risk families —
+    # blocking fan-out, iterative joins with hub skew, segment-hash
+    # groups, postings skew, connected-components convergence
+    ("er_customer_linkage", "er"),
+    ("pagerank_copurchase", "graph"),
+    ("graph_triangle_count", "graph"),
+    ("curation_line_dedup", "curation"),
+    ("bm25_index_serve_topk", "bm25"),
+    ("dedup_cluster_components", "dedup"),
 ]
 
 

@@ -2088,7 +2088,10 @@ def _route_merge(
     feed = (
         feed.select(*keys, "op", *payload)
         .withColumn("seq", F.lit(1))
-        .withColumn("tb", F.col(keys[0]))
+        # the non-strict duplicate-source-key tiebreak must not depend
+        # on partition order: xxhash64 over the full image makes the
+        # latest-wins pick a pure function of row CONTENT
+        .withColumn("tb", F.xxhash64("op", *keys, *payload))
     )
     v = merge(spark, root, feed, keys, payload, "seq", "tb")
     n = int(read_manifest(root, v)["n_changes"])
