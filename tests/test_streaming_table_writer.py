@@ -8,6 +8,8 @@ from __future__ import annotations
 import glob
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.operators import (
@@ -192,3 +194,32 @@ def test_stream_append_follows_partition_spec(spark, tmp_path):
     assert got.count() == 50 // 4 + 10  # base b=2 rows + streamed ones
     # rows are intact end-to-end
     assert tf.read_version(spark, root).count() == 90
+
+
+def test_stream_append_rejects_path_hostile_partition_values(spark, tmp_path):
+    """r11 (advisory): the sink builds hive subdirs itself, so a
+    partition value containing '/', '=', '%', '\\' or a control char
+    would corrupt the path and its _partition_values parse — the task
+    REJECTS it before staging anything (extending the null-value
+    guard). Exercised executor-side: write() is a pure method over an
+    arrow batch."""
+    import pyarrow as pa
+
+    root = str(tmp_path / "htbl")
+    tf.create_table(
+        spark, root,
+        spark.createDataFrame([("ok", 1)], "b string, v long"),
+        files=1, partition_by="b",
+    )
+    writer = TableAppendDataSource(options={"root": root}).streamWriter(
+        None, overwrite=False
+    )
+    good = pa.RecordBatch.from_pydict({"b": ["fine"], "v": [7]})
+    msg = writer.write(iter([good]))
+    assert len(msg.files) == 1 and "_p_b=fine" in msg.files[0]["path"]
+    for bad_val in ("a/b", "x=y", "p%2F", "nl\nv"):
+        bad = pa.RecordBatch.from_pydict({"b": [bad_val], "v": [1]})
+        with pytest.raises(ValueError, match="path-hostile"):
+            writer.write(iter([bad]))
+    with pytest.raises(ValueError, match="null partition"):
+        writer.write(iter([pa.RecordBatch.from_pydict({"b": [None], "v": [1]})]))
