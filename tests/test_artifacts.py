@@ -138,8 +138,13 @@ def test_catalog_md_count_current():
 #: family-appropriate exponent gates). Default 12 leaves contention
 #: margin over the measured r10 worst (3.7); graph gets extra headroom
 #: for iterative-join fixed costs (driver loop rounds dominate at small
-#: absolute times, so the ratio is noisier there, not super-linear).
-_SF1_RATIO_BOUNDS = {"graph": 15}
+#: absolute times, so the ratio is noisier there, not super-linear);
+#: er's ratio measured 8.8-12.5 across back-to-back r11 runs — the sf1
+#: numerator is stable (~150 s) while the 12 s sf0.1 denominator
+#: wobbles ±35%, and its OUTPUT rows scale exactly 10.0x (the
+#:  blocking-fan-out linearity evidence the gate actually cares about,
+#: asserted below for every 10x-output family via rows_ratio).
+_SF1_RATIO_BOUNDS = {"graph": 15, "er": 16}
 
 
 def test_sf1_rehearsal_scaling_exponents():
@@ -170,8 +175,8 @@ def test_sf1_rehearsal_scaling_exponents():
     carts = {k for k, v in entries.items() if v.get("cartesian_sf1", 0)}
     assert not carts, f"cartesian product in sf1 executed plan(s): {carts}"
     for k, v in entries.items():
-        if v["family"] == "dedup":
+        if v["family"] in ("dedup", "er", "curation"):
             assert 7 <= v["rows_ratio"] <= 13, (
-                f"{k}: dedup output scaled {v['rows_ratio']}x at 10x "
-                f"input — candidate generation is not linear"
+                f"{k}: {v['family']} output scaled {v['rows_ratio']}x "
+                f"at 10x input — candidate/row generation is not linear"
             )
