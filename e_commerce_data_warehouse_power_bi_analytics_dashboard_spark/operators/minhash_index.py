@@ -332,6 +332,47 @@ def fold_incr_batch(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def compact_incr_index(spark: SparkSession, sf_dir: str) -> int:
+    """RE-BUCKET COMPACTION — the periodic maintenance pass the fold's
+    documented trade calls for: after K folds each bucket holds K+1
+    files (probe joins re-sort in-bucket), so compaction rewrites the
+    folded band table back to ONE sorted file per bucket — same rows,
+    same bucket function, restored sorted-scan property. The rewrite
+    stages into a fresh directory and swaps via the DDL re-attachment
+    (never an in-place overwrite of the table being read), mirroring
+    how OPTIMIZE rewrites land in the table format. Returns the number
+    of band files retired."""
+    import glob
+    import shutil
+
+    root = fold_incr_batch(spark, sf_dir)
+    bands_dir = os.path.join(root, "bands")
+    before = glob.glob(os.path.join(bands_dir, "*.parquet"))
+    if len(before) <= N_BUCKETS:
+        return 0  # already one file per bucket: nothing to compact
+    tbl = incr_bands_table_name(sf_dir)
+    # read as PLAIN parquet, not the bucketed table: a bucketed scan
+    # already satisfies the hash requirement, so the planner elides the
+    # repartition and each input SPLIT writes its own file — 2 files
+    # per bucket again instead of the one-per-bucket this pass exists
+    # to restore
+    rows = spark.read.parquet(bands_dir)
+    staged = bands_dir + ".compact"
+    tmp_tbl = tbl + "_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    _bucketed_band_write(rows, tmp_tbl, staged, "overwrite")
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    old = bands_dir + ".old"
+    os.rename(bands_dir, old)
+    os.rename(staged, bands_dir)
+    shutil.rmtree(old)
+    _attach_incr_bands(spark, sf_dir, root)
+    return len(before) - N_BUCKETS
+
+
 def read_folded_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A FOLDED artifact (corpus base + appended batch) — folds first if
     this (session, sf_dir) hasn't."""

@@ -1840,6 +1840,25 @@ _VACUUM_STMT = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$",
     re.IGNORECASE,
 )
+#: column-mapping DDL (r11): metadata-only evolution as statements
+_ALTER_RENAME_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_ADD_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w(),. ]+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TYPE_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
+    r"([\w(),. ]+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_assignments(raw: str) -> dict[str, str]:
@@ -2152,7 +2171,10 @@ def sql(
     so it may read other registered tables, time-travel clauses, or
     metadata views); ``OPTIMIZE <name> [ZORDER BY (a, b)]`` ->
     ``compact``; ``VACUUM <name> [RETAIN <n> VERSIONS]`` ->
-    ``vacuum`` (n_changes = files reclaimed). ``strict_merge=True``
+    ``vacuum`` (n_changes = files reclaimed); on a column-mapped table,
+    ``ALTER TABLE <name> RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
+    ``ADD COLUMN a <type>`` / ``ALTER COLUMN a TYPE <wider>`` -> the
+    corresponding metadata-only mapping commit. ``strict_merge=True``
     makes a routed MERGE raise on duplicate-source-key matches (the
     Delta cardinality contract) instead of latest-wins tiebreaking."""
     routed = _route_merge(spark, tables, query, strict=strict_merge)
@@ -2221,6 +2243,20 @@ def sql(
             [("vacuum", list_versions(root)[-1], len(deleted))],
             "op STRING, version INT, n_changes BIGINT",
         )
+    # column-mapping DDL -> metadata commits (rename/drop/add/widen as
+    # ALTER TABLE statements, the way a lake user types them)
+    for stmt, route in (
+        (_ALTER_RENAME_STMT, lambda r, g: rename_column(r, g[1], g[2])),
+        (_ALTER_DROP_STMT, lambda r, g: drop_column(r, g[1])),
+        (_ALTER_ADD_STMT, lambda r, g: add_column(r, g[1], g[2].strip().lower())),
+        (_ALTER_TYPE_STMT, lambda r, g: widen_column(r, g[1], g[2].strip().lower())),
+    ):
+        m = stmt.match(query)
+        if m and m.group(1) in tables:
+            v = route(tables[m.group(1)], m.groups())
+            return spark.createDataFrame(
+                [("alter", v, 0)], "op STRING, version INT, n_changes BIGINT"
+            )
     m = _DELETE_STMT.match(query)
     if m and m.group(1) in tables:
         name, cond = m.group(1), m.group(2)

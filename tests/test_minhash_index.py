@@ -234,3 +234,68 @@ def test_incr_fold_is_bucket_aligned_append_base_untouched(
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         MI._BUILT.clear()
         MI._BUILT.update(saved)
+
+
+def test_incr_index_rebucket_compaction(spark, tmp_path, monkeypatch):
+    """The fold's documented maintenance pass: after a fold each bucket
+    holds 2 files; compact_incr_index rewrites back to ONE sorted file
+    per bucket with identical rows, and the probe join still reads the
+    corpus side exchange-free."""
+    from pyspark.sql import functions as F
+
+    tbl = "minhash_bands_incr_test_compact"
+    monkeypatch.setattr(
+        MI, "incr_index_root", lambda sf: str(tmp_path / "mcomp")
+    )
+    monkeypatch.setattr(MI, "incr_bands_table_name", lambda sf: tbl)
+    saved = set(MI._BUILT)
+    MI._BUILT.clear()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_compact")
+    try:
+        root = MI.fold_incr_batch(spark, SF_SMOKE)
+        bands_dir = os.path.join(root, "bands")
+        n_files = lambda: sum(  # noqa: E731
+            1 for f in os.listdir(bands_dir) if f.endswith(".parquet")
+        )
+        assert n_files() > MI.N_BUCKETS  # folded: >1 file in some bucket
+        before_rows = sorted(
+            tuple(r)
+            for r in MI.read_folded_artifact(spark, SF_SMOKE, "bands").collect()
+        )
+        retired = MI.compact_incr_index(spark, SF_SMOKE)
+        assert retired > 0
+        assert n_files() == MI.N_BUCKETS  # one sorted file per bucket
+        after = MI.read_folded_artifact(spark, SF_SMOKE, "bands")
+        assert sorted(tuple(r) for r in after.collect()) == before_rows
+        # second compaction is a no-op
+        assert MI.compact_incr_index(spark, SF_SMOKE) == 0
+        # probe join still exchange-free on the corpus side
+        bsh = D.shingle_set(
+            MI.batch_docs(spark, SF_SMOKE), "doc_id", "text", MI.SHINGLE_K
+        )
+        bbands = D.band_rows(
+            D.minhash_signatures_from_shingles(bsh, MI.N_HASHES), MI.BANDS
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = bbands.select(
+                F.col("doc").alias("doc_a"), "band_idx", "bh"
+            ).join(
+                after.select(F.col("doc").alias("doc_b"), "band_idx", "bh"),
+                ["band_idx", "bh"],
+            )
+            assert probe.count() > 0
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Bucketed: true" in plan, plan
+        assert len(
+            re.findall(r"Exchange hashpartitioning\(band_idx", plan)
+        ) == 1, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_compact")
+        MI._BUILT.clear()
+        MI._BUILT.update(saved)

@@ -1415,3 +1415,35 @@ def test_column_mapping_change_feed_uses_vto_names(spark, tmp_path):
     got = sorted((r.k, r.value, r._change_type, r._commit_version)
                  for r in cf.collect())
     assert got == [(1, 10, "delete", 3), (3, 30, "insert", 2)]
+
+
+def test_column_mapping_alter_table_sql_routing(spark, tmp_path):
+    """The column-mapping DDL as statements: ALTER TABLE RENAME/DROP/
+    ADD COLUMN and ALTER COLUMN TYPE route to the metadata-only mapping
+    commits and return the routed-DDL receipt frame."""
+    root = str(tmp_path / "cmsql")
+    tf.create_table(
+        spark, root,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "k long, name string, v int"),
+        files=1, column_mapping=True,
+    )
+    t = {"demo": root}
+    rec = tf.sql(spark, t, "ALTER TABLE demo RENAME COLUMN v TO value").first()
+    assert (rec.op, rec.version) == ("alter", 1)
+    rec = tf.sql(spark, t, "ALTER TABLE demo ALTER COLUMN value TYPE bigint").first()
+    assert (rec.op, rec.version) == ("alter", 2)
+    rec = tf.sql(spark, t, "ALTER TABLE demo DROP COLUMN name").first()
+    assert (rec.op, rec.version) == ("alter", 3)
+    rec = tf.sql(spark, t, "ALTER TABLE demo ADD COLUMN name string").first()
+    assert (rec.op, rec.version) == ("alter", 4)
+    cur = tf.read_version(spark, root)
+    assert sorted(cur.columns) == ["k", "name", "value"]
+    assert dict(cur.dtypes)["value"] == "bigint"
+    assert cur.filter("name IS NOT NULL").count() == 0  # no resurrection
+    # SELECT through the resolver sees the evolved logical schema
+    got = tf.sql(spark, t, "SELECT k, value FROM demo ORDER BY k").collect()
+    assert [(r.k, r.value) for r in got] == [(1, 10), (2, 20)]
+    # non-widening ALTER COLUMN TYPE raises through the route
+    with pytest.raises(ValueError, match="not a value-preserving"):
+        tf.sql(spark, t, "ALTER TABLE demo ALTER COLUMN value TYPE int")
