@@ -612,6 +612,11 @@ def add_column(root: str, name: str, dtype: str) -> int:
     mp = _require_mapping(root)
     if name in {f["name"] for f in mp["fields"]}:
         raise ValueError(f"column {name!r} already exists")
+    try:  # eager type validation: a typo here would otherwise surface
+        # as a confusing DDL parse error on the NEXT read
+        StructType.fromDDL(f"x {dtype}")
+    except Exception as e:
+        raise ValueError(f"invalid column type {dtype!r}: {e}") from e
     fid = mp["max_id"] + 1
     mp["fields"].append(
         {"id": fid, "name": name, "physical": f"col-{fid}", "type": dtype}

@@ -1447,3 +1447,58 @@ def test_column_mapping_alter_table_sql_routing(spark, tmp_path):
     # non-widening ALTER COLUMN TYPE raises through the route
     with pytest.raises(ValueError, match="not a value-preserving"):
         tf.sql(spark, t, "ALTER TABLE demo ALTER COLUMN value TYPE int")
+
+
+def test_column_mapping_merge_and_mor_compose(spark, tmp_path):
+    """COW merge, MoR update and CDF all compose with a mapped table:
+    writers route through the mapping (files stay physical-named),
+    readers come back logical — including after a rename between the
+    commits."""
+    root = str(tmp_path / "cmm")
+    tf.create_table(
+        spark, root,
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k long, v long, w string",
+        ),
+        files=2, column_mapping=True,
+    )
+    tf.rename_column(root, "v", "value")
+    feed = spark.createDataFrame(
+        [(1, "U", 111, "zz", 1, 1), (9, "I", 99, "nn", 1, 9),
+         (2, "D", 0, "", 1, 2)],
+        "k long, op string, value long, w string, seq int, tb long",
+    )
+    tf.merge(spark, root, feed, "k", ["value", "w"], "seq", "tb")
+    got = {r.k: (r.value, r.w) for r in tf.read_version(spark, root).collect()}
+    assert got == {1: (111, "zz"), 3: (30, "c"), 9: (99, "nn")}
+    tf.update_where(spark, root, "k = 3", {"value": "value + 5"})
+    assert tf.read_version(spark, root).filter("k = 3").first().value == 35
+    # files under the mapping stay physical-named after every writer
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                       recursive=True):
+        assert all(
+            c.startswith("col-")
+            for c in pq.ParquetFile(f).schema_arrow.names
+        ), f
+    cf = tf.change_feed(spark, root, "k", ["value", "w"], v_from=1)
+    kinds = {(r.k, r._change_type) for r in cf.collect()}
+    assert (9, "insert") in kinds and (2, "delete") in kinds
+    assert (1, "update_postimage") in kinds
+    assert (3, "update_postimage") in kinds
+
+
+def test_column_mapping_add_column_validates_type(spark, tmp_path):
+    root = str(tmp_path / "cmt")
+    tf.create_table(
+        spark, root,
+        spark.createDataFrame([(1,)], "k long"), files=1,
+        column_mapping=True,
+    )
+    with pytest.raises(ValueError, match="invalid column type"):
+        tf.add_column(root, "x", "not_a_type(")
+    assert tf.list_versions(root) == [0]
