@@ -783,8 +783,14 @@ def _write_data(
     if mapping is not None:
         # column-mapped table: files store the IMMUTABLE physical
         # names; the caller's frame is logical (mapping composes with
-        # unpartitioned writes only — create_table enforces it)
+        # unpartitioned writes only — create_table enforces it). The
+        # clustering knobs are logical names too — translate them.
         df = _to_physical(df, mapping)
+        phys = {f["name"]: f["physical"] for f in mapping["fields"]}
+        if sort_by:
+            sort_by = f"`{phys.get(sort_by, sort_by)}`"
+        if zorder_by:
+            zorder_by = [f"`{phys.get(c, c)}`" for c in zorder_by]
     uid = uuid.uuid4().hex[:8]
     vdir = os.path.join(root, "data", f"v={version}-{uid}")
     if zorder_by:

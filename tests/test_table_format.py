@@ -1502,3 +1502,29 @@ def test_column_mapping_add_column_validates_type(spark, tmp_path):
     with pytest.raises(ValueError, match="invalid column type"):
         tf.add_column(root, "x", "not_a_type(")
     assert tf.list_versions(root) == [0]
+
+
+def test_column_mapping_composes_with_clustered_writes(spark, tmp_path):
+    """sort_by / zorder_by are LOGICAL names on a mapped table; the
+    writer translates them to the physical columns (they would
+    otherwise fail resolution after the physical rename), and the
+    stats-pruned read still works through the logical 'where'."""
+    root = str(tmp_path / "cms")
+    df = spark.range(0, 400).selectExpr(
+        "id AS k", "CAST(id % 7 AS INT) AS x", "id * 2 AS y"
+    )
+    tf.create_table(spark, root, df, files=4, sort_by="k",
+                    column_mapping=True)
+    sel, total = tf.snapshot_files(root, where={"col-1": (5, 5)})
+    assert 0 < len(sel) < total  # physical stats landed per sorted file
+    pruned = tf.read_version(spark, root, where={"k": (5, 5)})
+    assert pruned.filter("k = 5").count() == 1
+    tf.rename_column(root, "k", "key")
+    v = tf.compact(spark, root, files=4, sort_by="key")
+    assert v == 2
+    assert tf.read_version(spark, root).count() == 400
+    pruned2 = tf.read_version(spark, root, where={"key": (7, 7)})
+    assert pruned2.filter("key = 7").count() == 1
+    # 2-D z-order on mapped logical names
+    v = tf.compact(spark, root, files=4, zorder_by=("x", "y"))
+    assert v == 3 and tf.read_version(spark, root).count() == 400
