@@ -377,6 +377,11 @@ def main() -> None:
     # ~1.3x over the quiet freeze at load1 2.45); tag the artifact so
     # trend gates compare like with like instead of reading contention
     # as regression
+    # threshold is deliberately ABSOLUTE, not CPU-scaled: the r10
+    # evidence was load1 2.45 on this 32-thread box inflating every
+    # query ~1.3x uniformly — the contention that poisons these numbers
+    # is JVM/memory-bandwidth interference from a handful of busy
+    # processes, which core count does not absorb
     contended = load_at_start["load1"] > 1.5
     if contended:
         print(

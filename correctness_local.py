@@ -13,15 +13,17 @@ INCREMENTAL MODE (r11 — verdict #6): the dual-scale sweep grows
 linearly with the catalog and was becoming the round bottleneck.
 ``--changed-only`` fingerprints each entry (sha256 of its NORMALIZED
 analyzed-plan text — expression ids stripped, so the hash is stable
-across sessions but moves when any operator in the composed plan
-changes — plus the oracle SQL) against the fingerprints recorded in
+across sessions — plus the oracle SQL plus a digest of ALL package
+source: the plan alone cannot see inside Arrow-UDF bodies or
+scratch-table builders, so any engine code change conservatively
+re-verifies everything) against the fingerprints recorded in
 the existing artifact, and re-runs the oracle comparison ONLY for
 entries whose fingerprint moved, was never recorded, or previously
-failed; unchanged-and-green entries carry forward. The fingerprint
-still requires BUILDING every entry's DataFrame (that is what makes an
-operator edit visible), so scratch-table builders still run — only the
-collect + DuckDB oracle (the expensive half) is skipped. A full run
-(no flag) is still required at the round freeze.
+failed; unchanged-and-green entries carry forward — the accelerator
+for entry additions and oracle edits, never for code edits. Building
+every entry's DataFrame is still required (the fingerprint needs the
+plan), so only the collect + DuckDB oracle (the expensive half) is
+skipped. A full run (no flag) is still required at the round freeze.
 
 Comparison semantics are IDENTICAL to tests/conftest.py's
 assert_matches_oracle (column-name-sorted, order-insensitive multiset of
@@ -63,15 +65,39 @@ def _normalize_plan(plan: str) -> str:
     return _VIEW_ID.sub("__v", _EXPR_ID.sub("#", plan))
 
 
-def entry_fingerprint(df, oracle: str | None) -> str:
-    """sha256 over (normalized analyzed plan, oracle SQL) — moves when
-    the entry's Spark composition OR its oracle changes, stable across
-    sessions otherwise."""
+def package_source_digest() -> str:
+    """sha256 over every .py file in the engine package. Mixed into
+    each fingerprint because the analyzed plan alone cannot see inside
+    Arrow-batched Python bodies (mapInPandas prints only a function
+    reference) or scratch-table BUILDER logic (a built demo table
+    short-circuits to a plain parquet scan) — so ANY package source
+    change re-verifies the whole catalog; --changed-only accelerates
+    entry additions and oracle edits, never code edits."""
+    import glob as _g
+
+    h = hashlib.sha256()
+    pkg = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "e_commerce_data_warehouse_power_bi_analytics_dashboard_spark",
+    )
+    for f in sorted(_g.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def entry_fingerprint(df, oracle: str | None, code_digest: str = "") -> str:
+    """sha256 over (normalized analyzed plan, oracle SQL, package code
+    digest) — moves when the entry's Spark composition, its oracle, or
+    ANY engine source changes; stable across sessions otherwise."""
     plan = df._jdf.queryExecution().analyzed().toString()
     h = hashlib.sha256()
     h.update(_normalize_plan(plan).encode())
     h.update(b"\x00")
     h.update((oracle or "<rows-only>").encode())
+    h.update(b"\x00")
+    h.update(code_digest.encode())
     return h.hexdigest()[:16]
 
 
@@ -88,8 +114,11 @@ def needs_rerun(old_rec: dict | None, fp: str) -> bool:
     return old_rec.get("hash_match") is False
 
 
-def verify_entry(con, q, df) -> dict:
-    """One entry's oracle comparison (the driver's semantics)."""
+def verify_entry(con, q, df, rebuild=None) -> dict:
+    """One entry's oracle comparison (the driver's semantics).
+    ``rebuild`` (rows-only entries) must RECONSTRUCT the DataFrame so
+    the stability re-run exercises builder-level determinism, not just
+    a re-execution of the same plan."""
     rec: dict = {
         "rows_match": False, "schema_match": False, "hash_match": False,
         "spark_rows": None, "oracle_rows": None, "err": None,
@@ -98,8 +127,9 @@ def verify_entry(con, q, df) -> dict:
     sp_rows = [tuple(r) for r in df.collect()]
     rec["spark_rows"] = len(sp_rows)
     if q.oracle is None:
-        # rows-only check (non-SQL-expressible op): stable re-run
-        n2 = len(df.take(len(sp_rows) + 1))
+        # rows-only check (non-SQL-expressible op): stable re-BUILD
+        df2 = rebuild() if rebuild is not None else df
+        n2 = len(df2.take(len(sp_rows) + 1))
         rec.update(
             rows_match=(n2 == len(sp_rows)), schema_match=True,
             hash_match=None, oracle_rows=None, rows_only=True,
@@ -147,18 +177,19 @@ def main() -> None:
             }
     results: dict[str, dict] = {}
     carried = 0
+    code_digest = package_source_digest()
     t_start = time.perf_counter()
     for name in sorted(catalog):
         q = catalog[name]
         try:
             df = q.fn(spark, sf_dir)
-            fp = entry_fingerprint(df, q.oracle)
+            fp = entry_fingerprint(df, q.oracle, code_digest)
             if changed_only and not needs_rerun(previous.get(name), fp):
                 results[name] = previous[name]
                 carried += 1
                 print(f"  --  {name}: unchanged (fp {fp})", flush=True)
                 continue
-            rec = verify_entry(con, q, df)
+            rec = verify_entry(con, q, df, rebuild=lambda: q.fn(spark, sf_dir))
             rec["fingerprint"] = fp
         except Exception as e:  # noqa: BLE001 - artifact records, never dies
             rec = {

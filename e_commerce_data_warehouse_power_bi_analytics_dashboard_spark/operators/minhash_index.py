@@ -96,12 +96,13 @@ def _bands_ddl_path(root: str) -> str:
     return os.path.join(root, "_bands_columns.ddl")
 
 
-def _attach_bands_table(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
-    """Register (if this session hasn't yet) and return the bucketed
+def _attach(spark: SparkSession, tbl: str, root: str) -> DataFrame:
+    """Register (if this session hasn't yet) and return a bucketed
     band table. CREATE TABLE ... CLUSTERED BY ... LOCATION re-attaches
     the on-disk bucket files with their bucketing spec, so a fresh
-    session still gets the exchange-free scan."""
-    tbl = bands_table_name(sf_dir)
+    session still gets the exchange-free scan. ONE definition serves
+    the v2 corpus index and the incremental index — the DDL and bucket
+    spec can never drift apart."""
     if not spark.catalog.tableExists(tbl):
         with open(_bands_ddl_path(root)) as fh:
             cols = fh.read().strip()
@@ -112,6 +113,10 @@ def _attach_bands_table(spark: SparkSession, sf_dir: str, root: str) -> DataFram
             f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
         )
     return spark.table(tbl)
+
+
+def _attach_bands_table(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    return _attach(spark, bands_table_name(sf_dir), root)
 
 
 def corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,16 +229,29 @@ def incr_bands_table_name(sf_dir: str) -> str:
     return f"minhash_bands_incr_{MINHASH_INCR_VERSION}_{tag}"
 
 
-def _derive_bands_sigs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(bands, sigs) frames for ``docs`` — the one deterministic encode
+def _sig_array_frame(docs: DataFrame) -> DataFrame:
+    """(doc, sig long[32]) for ``docs`` — the one deterministic encode
     path shared by base build and fold."""
     sh = shingle_set(docs, "doc_id", "text", SHINGLE_K)
     sigs = minhash_signatures_from_shingles(sh, N_HASHES)
-    sig_arr = sigs.select(
+    return sigs.select(
         "doc", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig")
     )
-    bands = band_rows(sigs, BANDS)
-    return bands, sig_arr
+
+
+def _bands_from_stored(spark: SparkSession, sig_path: str,
+                       where: str | None = None) -> DataFrame:
+    """Band rows derived from the PERSISTED signature store (optionally
+    a coin-filtered slice) — the 32-permutation aggregation runs once
+    per document at sig-write time, never again for the band table
+    (the same read-back pattern build_minhash_index uses)."""
+    stored = spark.read.parquet(sig_path)
+    if where:
+        stored = stored.filter(where)
+    wide = stored.select(
+        "doc", *[F.col("sig")[i].alias(f"m{i}") for i in range(N_HASHES)]
+    )
+    return band_rows(wide, BANDS)
 
 
 def _bucketed_band_write(bands: DataFrame, tbl: str, path: str, mode: str) -> None:
@@ -260,8 +278,11 @@ def build_incr_base(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(os.path.join(root, "_BASE_COMPLETE")):
         _BUILT.add(key)
         return root
-    bands, sigs = _derive_bands_sigs(corpus_docs(spark, sf_dir))
-    sigs.write.mode("overwrite").parquet(os.path.join(root, "sigs"))
+    sig_path = os.path.join(root, "sigs")
+    _sig_array_frame(corpus_docs(spark, sf_dir)).write.mode(
+        "overwrite"
+    ).parquet(sig_path)
+    bands = _bands_from_stored(spark, sig_path)
     with open(os.path.join(root, "_bands_columns.ddl"), "w") as fh:
         fh.write(", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in bands.schema.fields
@@ -278,17 +299,7 @@ def build_incr_base(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _attach_incr_bands(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
-    tbl = incr_bands_table_name(sf_dir)
-    if not spark.catalog.tableExists(tbl):
-        with open(os.path.join(root, "_bands_columns.ddl")) as fh:
-            cols = fh.read().strip()
-        loc = os.path.join(root, "bands")
-        spark.sql(
-            f"CREATE TABLE {tbl} ({cols}) USING parquet "
-            f"CLUSTERED BY (band_idx, bh) SORTED BY (band_idx, bh) "
-            f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
-        )
-    return spark.table(tbl)
+    return _attach(spark, incr_bands_table_name(sf_dir), root)
 
 
 def fold_incr_batch(spark: SparkSession, sf_dir: str) -> str:
@@ -319,8 +330,16 @@ def fold_incr_batch(spark: SparkSession, sf_dir: str) -> str:
         build_incr_base(spark, sf_dir)
     with open(os.path.join(root, "_FOLD_STARTED"), "w") as fh:
         fh.write("ok\n")
-    bands_b, sigs_b = _derive_bands_sigs(batch_docs(spark, sf_dir))
-    sigs_b.write.mode("append").parquet(os.path.join(root, "sigs"))
+    sig_path = os.path.join(root, "sigs")
+    _sig_array_frame(batch_docs(spark, sf_dir)).write.mode(
+        "append"
+    ).parquet(sig_path)
+    # band the BATCH slice of the stored sigs (coin-filtered — the sig
+    # store now holds corpus + batch); the derivation never re-runs
+    bands_b = _bands_from_stored(
+        spark, sig_path,
+        where=S_BATCH_COIN.replace("doc_id", "doc") + f" < {BATCH_PCT}",
+    )
     _attach_incr_bands(spark, sf_dir, root)
     _bucketed_band_write(
         bands_b, incr_bands_table_name(sf_dir),
@@ -345,11 +364,21 @@ def compact_incr_index(spark: SparkSession, sf_dir: str) -> int:
     import glob
     import shutil
 
+    import re as _re
+
     root = fold_incr_batch(spark, sf_dir)
     bands_dir = os.path.join(root, "bands")
     before = glob.glob(os.path.join(bands_dir, "*.parquet"))
-    if len(before) <= N_BUCKETS:
-        return 0  # already one file per bucket: nothing to compact
+    # compact when any BUCKET holds >1 file (the bucket id is the
+    # _NNNNN filename suffix; a total-count heuristic would miss
+    # multi-file buckets whenever other buckets are empty)
+    per_bucket: dict[str, int] = {}
+    for f in before:
+        m = _re.search(r"_(\d{5})\.", os.path.basename(f))
+        b = m.group(1) if m else os.path.basename(f)
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    if not per_bucket or max(per_bucket.values()) <= 1:
+        return 0  # one file per non-empty bucket: nothing to compact
     tbl = incr_bands_table_name(sf_dir)
     # read as PLAIN parquet, not the bucketed table: a bucketed scan
     # already satisfies the hash requirement, so the planner elides the
@@ -370,7 +399,8 @@ def compact_incr_index(spark: SparkSession, sf_dir: str) -> int:
     os.rename(staged, bands_dir)
     shutil.rmtree(old)
     _attach_incr_bands(spark, sf_dir, root)
-    return len(before) - N_BUCKETS
+    after = glob.glob(os.path.join(bands_dir, "*.parquet"))
+    return len(before) - len(after)
 
 
 def read_folded_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

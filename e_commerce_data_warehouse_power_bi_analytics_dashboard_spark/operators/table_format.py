@@ -207,14 +207,26 @@ _EPOCH_INDEX: dict[str, list] = {}
 def _epoch_committed(root: str, epoch) -> int | None:
     """Version that already committed ``epoch`` at ``root`` (None if
     unseen). Scans only manifests newer than the per-root high-water
-    mark, so replay detection over a stream's lifetime is O(V) total."""
-    idx = _EPOCH_INDEX.setdefault(root, [-1, {}])
-    for v in list_versions(root):
+    mark, so replay detection over a stream's lifetime is O(V) total.
+    A commit log SHORTER than the high-water mark — or whose first
+    manifest's mtime changed — means the table was deleted and
+    recreated at the same root (the clear-and-rebuild recovery
+    pattern): the stale index would silently skip commits, so it
+    resets and rescans. Duplicate epochs across manifests keep
+    FIRST-match resolution (the pre-index loop's semantics)."""
+    versions = list_versions(root)
+    stamp = (
+        os.path.getmtime(_commit_path(root, versions[0])) if versions else None
+    )
+    idx = _EPOCH_INDEX.setdefault(root, [-1, {}, stamp])
+    if idx[0] > (versions[-1] if versions else -1) or idx[2] != stamp:
+        idx[0], idx[1], idx[2] = -1, {}, stamp
+    for v in versions:
         if v <= idx[0]:
             continue
         e = read_manifest(root, v).get("epoch")
         if e is not None:
-            idx[1][e] = v
+            idx[1].setdefault(e, v)
         idx[0] = max(idx[0], v)
     return idx[1].get(epoch)
 
@@ -480,6 +492,8 @@ _DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
 
 
 def _widening_ok(old: str, new: str) -> bool:
+    old = old.strip().lower().replace(" ", "")
+    new = new.strip().lower().replace(" ", "")
     if (old, new) in _WIDENINGS:
         return True
     mo, mn = _DECIMAL_RE.match(old), _DECIMAL_RE.match(new)
@@ -490,6 +504,15 @@ def _widening_ok(old: str, new: str) -> bool:
     return False
 
 
+#: per-root incremental mapping index: {root: [scanned_to,
+#: [(version, mapping), ...] ascending]} — manifests are immutable and
+#: append-only, so each folds exactly once; without this every
+#: read/write on EVERY table (mapped or not) would re-read the whole
+#: commit log just to discover there is no mapping. Same
+#: shrunk-log reset as _EPOCH_INDEX (table recreated at the root).
+_MAPPING_INDEX: dict[str, list] = {}
+
+
 def column_mapping(root: str, version: int | None = None) -> dict | None:
     """The table's column mapping as of ``version`` (default latest):
     the LAST ``column_mapping`` recorded at or before it (each mapping
@@ -497,14 +520,23 @@ def column_mapping(root: str, version: int | None = None) -> dict | None:
     versions = list_versions(root)
     if not versions:
         return None
-    v = versions[-1] if version is None else version
-    mp = None
+    stamp = os.path.getmtime(_commit_path(root, versions[0]))
+    idx = _MAPPING_INDEX.setdefault(root, [-1, [], stamp])
+    if idx[0] > versions[-1] or idx[2] != stamp:
+        idx[0], idx[1], idx[2] = -1, [], stamp
     for vv in versions:
-        if vv > v:
-            break
+        if vv <= idx[0]:
+            continue
         m = read_manifest(root, vv)
         if "column_mapping" in m:
-            mp = m["column_mapping"]
+            idx[1].append((vv, m["column_mapping"]))
+        idx[0] = max(idx[0], vv)
+    v = versions[-1] if version is None else version
+    mp = None
+    for vv, m in idx[1]:
+        if vv > v:
+            break
+        mp = m
     return mp
 
 
@@ -612,6 +644,7 @@ def add_column(root: str, name: str, dtype: str) -> int:
     mp = _require_mapping(root)
     if name in {f["name"] for f in mp["fields"]}:
         raise ValueError(f"column {name!r} already exists")
+    dtype = dtype.strip().lower().replace(" ", "")
     try:  # eager type validation: a typo here would otherwise surface
         # as a confusing DDL parse error on the NEXT read
         StructType.fromDDL(f"x {dtype}")
@@ -631,6 +664,7 @@ def widen_column(root: str, name: str, new_type: str) -> int:
     schema-on-read; subsequent writes land the wide type. Anything
     outside the allowlist would be lossy or change semantics — raises."""
     mp = _require_mapping(root)
+    new_type = new_type.strip().lower().replace(" ", "")
     for f in mp["fields"]:
         if f["name"] == name:
             if not _widening_ok(f["type"], new_type):

@@ -1528,3 +1528,35 @@ def test_column_mapping_composes_with_clustered_writes(spark, tmp_path):
     # 2-D z-order on mapped logical names
     v = tf.compact(spark, root, files=4, zorder_by=("x", "y"))
     assert v == 3 and tf.read_version(spark, root).count() == 400
+
+
+def test_epoch_index_survives_table_recreation(spark, tmp_path):
+    """The per-root epoch replay index must RESET when a table is
+    deleted and recreated at the same root (the clear-and-rebuild
+    recovery pattern) — a stale high-water mark would silently skip
+    the new table's commits and return versions of the dead table."""
+    import shutil
+
+    root = str(tmp_path / "er")
+    df = spark.createDataFrame(
+        [(1, "I", 10, 1, 1)], "k long, op string, v long, seq int, tb long"
+    )
+    tf.merge_compacted(spark, root, df, "k", ["v"], "seq", "tb", epoch=0)
+    tf.merge_compacted(spark, root, df, "k", ["v"], "seq", "tb", epoch=5)
+    assert tf.merge_compacted(
+        spark, root, df, "k", ["v"], "seq", "tb", epoch=5
+    ) == 1  # replay short-circuits to the recorded version
+    shutil.rmtree(root)
+    # fresh table at the same root: epoch 5 must COMMIT, not be
+    # swallowed by the dead table's cached index
+    tf.merge_compacted(spark, root, df, "k", ["v"], "seq", "tb", epoch=7)
+    v = tf.merge_compacted(spark, root, df, "k", ["v"], "seq", "tb", epoch=5)
+    assert v == 1 and tf.read_manifest(root, 1)["epoch"] == 5
+    # and the mapping cache resets the same way
+    tf2 = spark.createDataFrame([(1, 2)], "a long, b long")
+    root2 = str(tmp_path / "mr")
+    tf.create_table(spark, root2, tf2, files=1, column_mapping=True)
+    assert tf.column_mapping(root2) is not None
+    shutil.rmtree(root2)
+    tf.create_table(spark, root2, tf2, files=1)  # UNMAPPED this time
+    assert tf.column_mapping(root2) is None
