@@ -87,10 +87,17 @@ def package_source_digest() -> str:
     return h.hexdigest()[:16]
 
 
-def entry_fingerprint(df, oracle: str | None, code_digest: str = "") -> str:
+def entry_fingerprint(
+    df, oracle: str | None, code_digest: str = "", sf_dir: str = ""
+) -> str:
     """sha256 over (normalized analyzed plan, oracle SQL, package code
-    digest) — moves when the entry's Spark composition, its oracle, or
-    ANY engine source changes; stable across sessions otherwise."""
+    digest, data directory) — moves when the entry's Spark composition,
+    its oracle, ANY engine source, or the scale under test changes;
+    stable across sessions otherwise. ``sf_dir`` is mixed in so a green
+    result recorded at one scale can never carry forward to a sweep at
+    another scale writing the same OUT file (ADVICE r11 #1) — the plan
+    usually embeds the data path, but rows-only/scratch-table entries
+    may not."""
     plan = df._jdf.queryExecution().analyzed().toString()
     h = hashlib.sha256()
     h.update(_normalize_plan(plan).encode())
@@ -98,7 +105,33 @@ def entry_fingerprint(df, oracle: str | None, code_digest: str = "") -> str:
     h.update((oracle or "<rows-only>").encode())
     h.update(b"\x00")
     h.update(code_digest.encode())
+    h.update(b"\x00")
+    h.update(sf_dir.encode())
     return h.hexdigest()[:16]
+
+
+def git_head() -> str | None:
+    """Short hash of the working tree's HEAD, recorded in the artifact
+    summary so staleness vs the freeze commit is machine-checkable
+    (VERDICT r11 Next-round #4). Plus a ``dirty`` marker when the tree
+    has uncommitted changes."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=repo,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not head:
+            return None
+        status = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=repo,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return head + ("+dirty" if status else "")
+    except Exception:  # noqa: BLE001 - artifact metadata, never fatal
+        return None
 
 
 def needs_rerun(old_rec: dict | None, fp: str) -> bool:
@@ -171,10 +204,15 @@ def main() -> None:
     previous: dict[str, dict] = {}
     if changed_only and os.path.exists(OUT):
         with open(OUT) as f:
+            prev_all = json.load(f)
+        prev_sf = prev_all.get("_summary", {}).get("sf_dir")
+        if prev_sf == sf_dir:
             previous = {
-                k: v for k, v in json.load(f).items()
-                if not k.startswith("_")
+                k: v for k, v in prev_all.items() if not k.startswith("_")
             }
+        else:  # scale changed under the same OUT file: nothing carries
+            print(f"  !! previous artifact is {prev_sf!r}, current sweep is "
+                  f"{sf_dir!r} — carry-forward disabled", flush=True)
     results: dict[str, dict] = {}
     carried = 0
     code_digest = package_source_digest()
@@ -183,7 +221,7 @@ def main() -> None:
         q = catalog[name]
         try:
             df = q.fn(spark, sf_dir)
-            fp = entry_fingerprint(df, q.oracle, code_digest)
+            fp = entry_fingerprint(df, q.oracle, code_digest, sf_dir)
             if changed_only and not needs_rerun(previous.get(name), fp):
                 results[name] = previous[name]
                 carried += 1
@@ -222,6 +260,7 @@ def main() -> None:
         "bad": n_bad,
         "rows_only": sum(1 for r in results.values() if r.get("rows_only")),
         "elapsed_sec": round(time.perf_counter() - t_start, 1),
+        "git_head": git_head(),
     }
     if changed_only:
         summary["changed_only"] = True

@@ -40,7 +40,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import o_md5_long, s_md5_long
+from ..functions.text import (
+    o_md5_long, o_md5_long_at, s_md5_long, s_md5_long_at,
+)
 from ..sources.tpch import read_table
 from .dedup import band_rows, minhash_signatures_from_shingles, shingle_set
 
@@ -190,9 +192,12 @@ def read_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, name))
 
 
+
 # ---------------------------------------------------------------------------
-# Incremental fold (r11 — verdict #1): append an ACCEPTED batch's band
-# rows into the standing index, bucket-aligned, instead of rebuilding.
+# Incremental fold lifecycle (r11 single-shot fold; r12 — verdict #2 —
+# generalized to K successive generations + compaction): append each
+# ACCEPTED batch's band rows into the standing index, bucket-aligned,
+# instead of rebuilding.
 #
 # Band signatures are PER-DOCUMENT deterministic (shingle → md5 → 32
 # affine permutations → band hash — no corpus statistics anywhere), so
@@ -200,21 +205,50 @@ def read_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # batch's rows, write them into the SAME bucketed table. Spark's bucket
 # id is pmod(murmur3(keys), N) — the identical function for every
 # writer — so appended files are bucket-ALIGNED with the base build:
-# the exchange-free corpus-side probe survives the fold (each bucket
-# now holds base + K delta files; the scan loses only the per-bucket
-# single-file SORT guarantee, which is the documented periodic
-# re-bucket compaction trade — probes re-sort in-bucket, they never
-# re-shuffle). folded == rebuilt-from-scratch on the union corpus holds
-# EXACTLY (the minhash_index_fold_manifest oracle re-derives the union
-# from raw documents), which is the property an exact-encode fold has
-# and a centroid-frozen ANN fold (quality drift, see
+# the exchange-free corpus-side probe survives every fold (each bucket
+# holds base + one delta file per fold generation; the scan loses only
+# the per-bucket single-file SORT guarantee, which is the documented
+# periodic re-bucket compaction trade — probes re-sort in-bucket, they
+# never re-shuffle). folded == rebuilt-from-scratch on the union corpus
+# holds EXACTLY (the minhash_index_fold_manifest oracle re-derives the
+# union from raw documents), which is the property an exact-encode fold
+# has and a centroid-frozen ANN fold (quality drift, see
 # ann_index_append_recall_audit) does not.
 #
+# Lifecycle a real ingest pipeline runs (the K-fold shape VERDICT r11
+# #2 asked for): base build → fold gen 1 → fold gen 2 → … → compact →
+# fold again. Each generation is marker-bracketed
+# (_FOLD_<tag>_STARTED / _FOLD_<tag>_COMPLETE, completion written
+# last): a finished generation is append-only history that later folds
+# NEVER touch (file-level pin in tests/test_minhash_index.py); a torn
+# generation (STARTED without COMPLETE) poisons the root and forces a
+# rebuild — appends are the one non-idempotent step. Compaction is
+# content-preserving and separately crash-safe (_COMPACT_STARTED +
+# _recover_torn_compact).
+#
 # Own versioned root — never an extension of the v2 build sequence, so
-# a pre-fold v2 index from an older session can't half-match.
+# a pre-fold v2 index from an older session can't half-match. The
+# machinery is corpus-agnostic (IncrMinhashIndex below): the catalog
+# entries bind it to the documents batch/corpus coin split sliced into
+# N_FOLD_GENS deterministic sub-batches; streaming/dedup.py binds the
+# SAME class to per-epoch micro-batches (fold → probe → threshold
+# compaction — the full online lifecycle).
 # ---------------------------------------------------------------------------
 
-MINHASH_INCR_VERSION = "v1"
+MINHASH_INCR_VERSION = "v2"  # v2: generation-numbered K-fold lifecycle
+
+#: the catalog's fold split: the arriving batch (coin < BATCH_PCT) is
+#: sliced into this many deterministic sub-batches, folded as
+#: successive generations g1..gK. Hex offset 11 into the md5 digest —
+#: disjoint from the 9-char batch coin's chars 1-9, so slice and batch
+#: membership are independent. Spark + DuckDB twins.
+N_FOLD_GENS = 3
+S_FOLD_SLICE = (
+    f"({s_md5_long_at('CAST(doc_id AS STRING)', 11, 5)}) % {N_FOLD_GENS}"
+)
+O_FOLD_SLICE = (
+    f"({o_md5_long_at('CAST(doc_id AS VARCHAR)', 11, 5)}) % {N_FOLD_GENS}"
+)
 
 
 def incr_index_root(sf_dir: str) -> str:
@@ -231,7 +265,7 @@ def incr_bands_table_name(sf_dir: str) -> str:
 
 def _sig_array_frame(docs: DataFrame) -> DataFrame:
     """(doc, sig long[32]) for ``docs`` — the one deterministic encode
-    path shared by base build and fold."""
+    path shared by base build and every fold."""
     sh = shingle_set(docs, "doc_id", "text", SHINGLE_K)
     sigs = minhash_signatures_from_shingles(sh, N_HASHES)
     return sigs.select(
@@ -239,15 +273,12 @@ def _sig_array_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bands_from_stored(spark: SparkSession, sig_path: str,
-                       where: str | None = None) -> DataFrame:
-    """Band rows derived from the PERSISTED signature store (optionally
-    a coin-filtered slice) — the 32-permutation aggregation runs once
-    per document at sig-write time, never again for the band table
-    (the same read-back pattern build_minhash_index uses)."""
+def _bands_from_stored(spark: SparkSession, sig_path: str) -> DataFrame:
+    """Band rows derived from a PERSISTED signature store — the
+    32-permutation aggregation runs once per document at sig-write
+    time, never again for the band table (the same read-back pattern
+    build_minhash_index uses)."""
     stored = spark.read.parquet(sig_path)
-    if where:
-        stored = stored.filter(where)
     wide = stored.select(
         "doc", *[F.col("sig")[i].alias(f"m{i}") for i in range(N_HASHES)]
     )
@@ -268,32 +299,301 @@ def _bucketed_band_write(bands: DataFrame, tbl: str, path: str, mode: str) -> No
     )
 
 
+class IncrMinhashIndex:
+    """A generation-folding MinHash band index bound to one on-disk
+    root + one catalog table name. Corpus-agnostic: callers choose what
+    the base corpus is and what each folded generation contains — the
+    catalog wrappers bind the documents coin split; the streaming
+    surface binds per-epoch micro-batches.
+
+    On-disk layout under ``root``::
+
+      sigs/                (doc, sig long[32]) — base ∪ all folds
+      bands/               bucketed band table files (base + one file
+                           per touched bucket per fold generation)
+      _bands_columns.ddl   column spec for cross-session re-attachment
+      _BASE_COMPLETE       base build finished (written last)
+      _FOLD_<tag>_STARTED / _FOLD_<tag>_COMPLETE
+                           per-generation fold brackets
+      _COMPACT_STARTED     transient compaction-swap bracket
+    """
+
+    def __init__(self, root: str, tbl: str):
+        self.root, self.tbl = root, tbl
+
+    # -- paths / markers --------------------------------------------------
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    @property
+    def sig_path(self) -> str:
+        return self._p("sigs")
+
+    @property
+    def bands_dir(self) -> str:
+        return self._p("bands")
+
+    def base_complete(self) -> bool:
+        return os.path.exists(self._p("_BASE_COMPLETE"))
+
+    def fold_complete(self, tag: str) -> bool:
+        return os.path.exists(self._p(f"_FOLD_{tag}_COMPLETE"))
+
+    def folded_tags(self) -> list[str]:
+        """Tags of completed fold generations, in fold order (marker
+        mtime; ties broken by name for same-instant writes)."""
+        import glob as _g
+
+        done = _g.glob(self._p("_FOLD_*_COMPLETE"))
+        tagged = sorted(
+            (os.path.getmtime(p), os.path.basename(p)[6:-9], p) for p in done
+        )
+        return [t for _, t, _ in tagged]
+
+    def torn_fold_tag(self) -> str | None:
+        """The tag of an interrupted fold (STARTED without COMPLETE in
+        some crashed process), or None. A torn fold poisons the root:
+        the bucket append may have landed partially, so the only sound
+        recovery is a rebuild."""
+        import glob as _g
+
+        for p in _g.glob(self._p("_FOLD_*_STARTED")):
+            if not os.path.exists(p.replace("_STARTED", "_COMPLETE")):
+                return os.path.basename(p)[6:-8]
+        return None
+
+    def destroy(self, spark: SparkSession) -> None:
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {self.tbl}")
+        if os.path.exists(self.root):
+            shutil.rmtree(self.root)
+
+    # -- reads ------------------------------------------------------------
+    def attach_bands(self, spark: SparkSession) -> DataFrame:
+        return _attach(spark, self.tbl, self.root)
+
+    def sigs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.sig_path)
+
+    def files_per_bucket(self) -> dict[str, int]:
+        """Band data files per bucket id (the _NNNNN filename suffix) —
+        the number a maintenance policy thresholds on."""
+        import glob as _g
+        import re as _re
+
+        out: dict[str, int] = {}
+        for f in _g.glob(os.path.join(self.bands_dir, "*.parquet")):
+            m = _re.search(r"_(\d{5})\.", os.path.basename(f))
+            b = m.group(1) if m else os.path.basename(f)
+            out[b] = out.get(b, 0) + 1
+        return out
+
+    # -- lifecycle --------------------------------------------------------
+    def build_base(self, spark: SparkSession, corpus: DataFrame) -> None:
+        """Base generation: ``corpus``'s bands (bucketed table) +
+        signatures. Caller is responsible for not re-building a
+        completed base (idempotence lives in the module wrappers)."""
+        _sig_array_frame(corpus).write.mode("overwrite").parquet(self.sig_path)
+        bands = _bands_from_stored(spark, self.sig_path)
+        with open(_bands_ddl_path(self.root), "w") as fh:
+            fh.write(", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in bands.schema.fields
+            ))
+        spark.sql(f"DROP TABLE IF EXISTS {self.tbl}")
+        _bucketed_band_write(bands, self.tbl, self.bands_dir, "overwrite")
+        with open(self._p("_BASE_COMPLETE"), "w") as fh:
+            fh.write("ok\n")
+
+    def fold(self, spark: SparkSession, docs: DataFrame, tag: str) -> bool:
+        """FOLD one generation: derive ``docs``' signatures once into a
+        staging store, append them to the sig store, and append their
+        band rows bucket-aligned into the standing table (one new file
+        per touched bucket; every earlier generation's files untouched
+        — the file-level pin). Returns False when ``tag`` already
+        folded (idempotent replay — the streaming epoch-retry path),
+        True when the generation landed. Marker bracket: STARTED before
+        the appends, COMPLETE after — a crash in between leaves a torn
+        generation that torn_fold_tag() surfaces for rebuild."""
+        if self.fold_complete(tag):
+            return False
+        torn = self.torn_fold_tag()
+        if torn is not None:
+            raise RuntimeError(
+                f"torn fold generation {torn!r} under {self.root} — "
+                "rebuild the index before folding further"
+            )
+        import shutil
+
+        with open(self._p(f"_FOLD_{tag}_STARTED"), "w") as fh:
+            fh.write("ok\n")
+        staged = self._p(f"sigs_stage_{tag}")
+        _sig_array_frame(docs).write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("append").parquet(self.sig_path)
+        bands = _bands_from_stored(spark, staged)
+        self.attach_bands(spark)
+        _bucketed_band_write(bands, self.tbl, self.bands_dir, "append")
+        shutil.rmtree(staged)
+        with open(self._p(f"_FOLD_{tag}_COMPLETE"), "w") as fh:
+            fh.write("ok\n")
+        return True
+
+    def compact(self, spark: SparkSession,
+                max_files_per_bucket: int = 1) -> int:
+        """RE-BUCKET COMPACTION — the periodic maintenance pass the
+        fold's documented trade calls for: after K folds each bucket
+        holds K+1 files (probe joins re-sort in-bucket), so compaction
+        rewrites the folded band table back to ONE sorted file per
+        bucket — same rows, same bucket function, restored sorted-scan
+        property. No-ops unless some bucket exceeds
+        ``max_files_per_bucket`` (a maintenance policy passes its
+        threshold; the default compacts any multi-file bucket). The
+        rewrite stages into a fresh directory and swaps inside a
+        _COMPACT_STARTED bracket (never an in-place overwrite of the
+        table being read) — _recover_torn_compact makes every torn
+        swap state recoverable without a rebuild. Returns the number of
+        band files retired."""
+        import glob as _g
+        import shutil
+
+        _recover_torn_compact(self.root)
+        per_bucket = self.files_per_bucket()
+        # threshold on the max PER-BUCKET count (a total-count
+        # heuristic would miss multi-file buckets whenever other
+        # buckets are empty)
+        if not per_bucket or max(per_bucket.values()) <= max_files_per_bucket:
+            return 0
+        before = _g.glob(os.path.join(self.bands_dir, "*.parquet"))
+        # read as PLAIN parquet, not the bucketed table: a bucketed
+        # scan already satisfies the hash requirement, so the planner
+        # elides the repartition and each input SPLIT writes its own
+        # file — 2 files per bucket again instead of the one-per-bucket
+        # this pass exists to restore
+        rows = spark.read.parquet(self.bands_dir)
+        staged = self.bands_dir + ".compact"
+        tmp_tbl = self.tbl + "_compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        if os.path.exists(staged):
+            shutil.rmtree(staged)
+        _bucketed_band_write(rows, tmp_tbl, staged, "overwrite")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {self.tbl}")
+        # marker-bracketed swap: a crash anywhere inside is recovered
+        # by _recover_torn_compact (bands/ present → keep it; missing →
+        # the .old copy restores) — the bands dir can never stay
+        # missing while _BASE/_FOLD markers still claim a valid index
+        # (ADVICE r11 #2)
+        started = self._p("_COMPACT_STARTED")
+        with open(started, "w") as fh:
+            fh.write("ok\n")
+        old = self.bands_dir + ".old"
+        os.rename(self.bands_dir, old)
+        os.rename(staged, self.bands_dir)
+        shutil.rmtree(old)
+        os.remove(started)
+        self.attach_bands(spark)
+        after = _g.glob(os.path.join(self.bands_dir, "*.parquet"))
+        return len(before) - len(after)
+
+
+def _recover_torn_compact(root: str) -> None:
+    """Crash recovery for an interrupted compaction swap (ADVICE r11
+    #2): the swap is bracketed by a ``_COMPACT_STARTED`` marker, and
+    compaction is content-preserving (same rows, restored
+    one-file-per-bucket layout), so every torn state is recoverable
+    without a rebuild:
+
+      - bands/ present  → it holds either the original or the staged
+        layout, both valid; drop stale .old/.compact leftovers.
+      - bands/ missing  → the crash hit between the two renames;
+        bands.old still holds the original — restore it.
+    """
+    import shutil
+
+    marker = os.path.join(root, "_COMPACT_STARTED")
+    if not os.path.exists(marker):
+        return
+    bands_dir = os.path.join(root, "bands")
+    old, staged = bands_dir + ".old", bands_dir + ".compact"
+    if not os.path.exists(bands_dir):
+        if os.path.exists(old):
+            os.rename(old, bands_dir)
+        elif os.path.exists(staged):
+            # .old already cleaned: the staged dir was fully written
+            # (rename of a complete dir) — promote it
+            os.rename(staged, bands_dir)
+        else:
+            raise RuntimeError(
+                f"torn compaction with no recoverable bands dir under "
+                f"{root} — delete the index root to force a rebuild"
+            )
+    for leftover in (old, staged):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    os.remove(marker)
+
+
+# -- catalog bindings: the documents coin split, sliced into K gens --------
+
+def _catalog_index(sf_dir: str) -> IncrMinhashIndex:
+    return IncrMinhashIndex(incr_index_root(sf_dir), incr_bands_table_name(sf_dir))
+
+
+def batch_slice_docs(spark: SparkSession, sf_dir: str, gen: int) -> DataFrame:
+    """Fold generation ``gen`` (1-based) of the arriving batch: the
+    batch split further sliced by the independent fold coin — K
+    disjoint sub-batches whose union is exactly batch_docs, so the
+    fully-folded index equals the single-shot fold and every oracle
+    over the union corpus is unchanged."""
+    if not 1 <= gen <= N_FOLD_GENS:
+        raise ValueError(f"fold generation must be in 1..{N_FOLD_GENS}")
+    return batch_docs(spark, sf_dir).filter(F.expr(S_FOLD_SLICE) == gen - 1)
+
+
 def build_incr_base(spark: SparkSession, sf_dir: str) -> str:
     """Base generation: the CORPUS split's bands (bucketed table) +
-    signatures, under the incremental root."""
-    root = incr_index_root(sf_dir)
+    signatures, under the incremental root. Idempotent per (session,
+    sf_dir); a completed on-disk base short-circuits."""
+    ix = _catalog_index(sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir + "#incr_base")
     if key in _BUILT:
+        return ix.root
+    if ix.base_complete():
+        _BUILT.add(key)
+        return ix.root
+    ix.build_base(spark, corpus_docs(spark, sf_dir))
+    _BUILT.add(key)
+    return ix.root
+
+
+def fold_incr_batch(spark: SparkSession, sf_dir: str) -> str:
+    """Fold ALL pending catalog generations (g1..gK) in order — the
+    K-fold lifecycle the catalog entries exercise: each generation
+    appends bucket-aligned (one new file per touched bucket; every
+    earlier generation's files untouched — pinned by
+    tests/test_minhash_index.py). Crash-safe via the per-generation
+    marker bracket: a torn generation (STARTED without COMPLETE in a
+    crashed process) forces a base rebuild because the bucket append is
+    the one non-idempotent step."""
+    root = build_incr_base(spark, sf_dir)
+    ix = _catalog_index(sf_dir)
+    _recover_torn_compact(root)
+    key = (spark.sparkContext.applicationId, sf_dir + "#incr_fold")
+    if key in _BUILT:
         return root
-    if os.path.exists(os.path.join(root, "_BASE_COMPLETE")):
+    if all(ix.fold_complete(f"g{g}") for g in range(1, N_FOLD_GENS + 1)):
         _BUILT.add(key)
         return root
-    sig_path = os.path.join(root, "sigs")
-    _sig_array_frame(corpus_docs(spark, sf_dir)).write.mode(
-        "overwrite"
-    ).parquet(sig_path)
-    bands = _bands_from_stored(spark, sig_path)
-    with open(os.path.join(root, "_bands_columns.ddl"), "w") as fh:
-        fh.write(", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in bands.schema.fields
-        ))
-    tbl = incr_bands_table_name(sf_dir)
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    _bucketed_band_write(
-        bands, tbl, os.path.join(root, "bands"), "overwrite"
-    )
-    with open(os.path.join(root, "_BASE_COMPLETE"), "w") as fh:
-        fh.write("ok\n")
+    # torn-fold recovery: a previous fold started (no marker) in some
+    # crashed process — rebuild from scratch so every append lands
+    # exactly once
+    if ix.torn_fold_tag() is not None:
+        ix.destroy(spark)
+        _BUILT.discard((spark.sparkContext.applicationId, sf_dir + "#incr_base"))
+        build_incr_base(spark, sf_dir)
+    for g in range(1, N_FOLD_GENS + 1):
+        ix.fold(spark, batch_slice_docs(spark, sf_dir, g), f"g{g}")
     _BUILT.add(key)
     return root
 
@@ -302,110 +602,20 @@ def _attach_incr_bands(spark: SparkSession, sf_dir: str, root: str) -> DataFrame
     return _attach(spark, incr_bands_table_name(sf_dir), root)
 
 
-def fold_incr_batch(spark: SparkSession, sf_dir: str) -> str:
-    """FOLD the arriving batch: derive ITS band rows + signatures and
-    append them bucket-aligned into the standing table (one new file
-    per bucket; base files untouched — pinned by
-    tests/test_minhash_index.py). Crash-safe via the marker: an
-    interrupted fold reruns from the base generation because the
-    completion marker is written last and the batch append is the only
-    non-idempotent step — a torn append without a marker triggers a
-    base rebuild (DROP + overwrite) on the next call."""
-    root = build_incr_base(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir + "#incr_fold")
-    if key in _BUILT:
-        return root
-    if os.path.exists(os.path.join(root, "_FOLD_COMPLETE")):
-        _BUILT.add(key)
-        return root
-    # torn-fold recovery: a previous fold started (no marker) in some
-    # crashed process — rebuild the base generation from scratch so the
-    # append below lands exactly once
-    if os.path.exists(os.path.join(root, "_FOLD_STARTED")):
-        import shutil
-
-        spark.sql(f"DROP TABLE IF EXISTS {incr_bands_table_name(sf_dir)}")
-        shutil.rmtree(root)
-        _BUILT.discard((spark.sparkContext.applicationId, sf_dir + "#incr_base"))
-        build_incr_base(spark, sf_dir)
-    with open(os.path.join(root, "_FOLD_STARTED"), "w") as fh:
-        fh.write("ok\n")
-    sig_path = os.path.join(root, "sigs")
-    _sig_array_frame(batch_docs(spark, sf_dir)).write.mode(
-        "append"
-    ).parquet(sig_path)
-    # band the BATCH slice of the stored sigs (coin-filtered — the sig
-    # store now holds corpus + batch); the derivation never re-runs
-    bands_b = _bands_from_stored(
-        spark, sig_path,
-        where=S_BATCH_COIN.replace("doc_id", "doc") + f" < {BATCH_PCT}",
+def compact_incr_index(spark: SparkSession, sf_dir: str,
+                       max_files_per_bucket: int = 1) -> int:
+    """Compact the catalog's fully-folded index (see
+    IncrMinhashIndex.compact). Returns the number of band files
+    retired (0 when no bucket exceeds the threshold)."""
+    fold_incr_batch(spark, sf_dir)
+    return _catalog_index(sf_dir).compact(
+        spark, max_files_per_bucket=max_files_per_bucket
     )
-    _attach_incr_bands(spark, sf_dir, root)
-    _bucketed_band_write(
-        bands_b, incr_bands_table_name(sf_dir),
-        os.path.join(root, "bands"), "append",
-    )
-    with open(os.path.join(root, "_FOLD_COMPLETE"), "w") as fh:
-        fh.write("ok\n")
-    _BUILT.add(key)
-    return root
-
-
-def compact_incr_index(spark: SparkSession, sf_dir: str) -> int:
-    """RE-BUCKET COMPACTION — the periodic maintenance pass the fold's
-    documented trade calls for: after K folds each bucket holds K+1
-    files (probe joins re-sort in-bucket), so compaction rewrites the
-    folded band table back to ONE sorted file per bucket — same rows,
-    same bucket function, restored sorted-scan property. The rewrite
-    stages into a fresh directory and swaps via the DDL re-attachment
-    (never an in-place overwrite of the table being read), mirroring
-    how OPTIMIZE rewrites land in the table format. Returns the number
-    of band files retired."""
-    import glob
-    import shutil
-
-    import re as _re
-
-    root = fold_incr_batch(spark, sf_dir)
-    bands_dir = os.path.join(root, "bands")
-    before = glob.glob(os.path.join(bands_dir, "*.parquet"))
-    # compact when any BUCKET holds >1 file (the bucket id is the
-    # _NNNNN filename suffix; a total-count heuristic would miss
-    # multi-file buckets whenever other buckets are empty)
-    per_bucket: dict[str, int] = {}
-    for f in before:
-        m = _re.search(r"_(\d{5})\.", os.path.basename(f))
-        b = m.group(1) if m else os.path.basename(f)
-        per_bucket[b] = per_bucket.get(b, 0) + 1
-    if not per_bucket or max(per_bucket.values()) <= 1:
-        return 0  # one file per non-empty bucket: nothing to compact
-    tbl = incr_bands_table_name(sf_dir)
-    # read as PLAIN parquet, not the bucketed table: a bucketed scan
-    # already satisfies the hash requirement, so the planner elides the
-    # repartition and each input SPLIT writes its own file — 2 files
-    # per bucket again instead of the one-per-bucket this pass exists
-    # to restore
-    rows = spark.read.parquet(bands_dir)
-    staged = bands_dir + ".compact"
-    tmp_tbl = tbl + "_compact"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-    if os.path.exists(staged):
-        shutil.rmtree(staged)
-    _bucketed_band_write(rows, tmp_tbl, staged, "overwrite")
-    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    old = bands_dir + ".old"
-    os.rename(bands_dir, old)
-    os.rename(staged, bands_dir)
-    shutil.rmtree(old)
-    _attach_incr_bands(spark, sf_dir, root)
-    after = glob.glob(os.path.join(bands_dir, "*.parquet"))
-    return len(before) - len(after)
 
 
 def read_folded_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """A FOLDED artifact (corpus base + appended batch) — folds first if
-    this (session, sf_dir) hasn't."""
+    """A FOLDED artifact (corpus base + all K appended generations) —
+    folds any pending generations first."""
     if name not in ARTIFACTS:
         raise ValueError(f"unknown MinHash index artifact {name!r}")
     root = fold_incr_batch(spark, sf_dir)

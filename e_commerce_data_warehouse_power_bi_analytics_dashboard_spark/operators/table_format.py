@@ -645,11 +645,26 @@ def add_column(root: str, name: str, dtype: str) -> int:
     if name in {f["name"] for f in mp["fields"]}:
         raise ValueError(f"column {name!r} already exists")
     dtype = dtype.strip().lower().replace(" ", "")
-    try:  # eager type validation: a typo here would otherwise surface
-        # as a confusing DDL parse error on the NEXT read
-        StructType.fromDDL(f"x {dtype}")
-    except Exception as e:
-        raise ValueError(f"invalid column type {dtype!r}: {e}") from e
+    # eager type validation: a typo here would otherwise surface as a
+    # confusing DDL parse error on the NEXT read. fromDDL needs a live
+    # session (this API is path-only) — without one, fall back to a
+    # local grammar for the simple types and publish complex ones
+    # unvalidated rather than raising a confusing internal error
+    # (ADVICE r11 #4).
+    from pyspark.sql import SparkSession as _SS
+
+    if _SS.getActiveSession() is not None:
+        try:
+            StructType.fromDDL(f"x {dtype}")
+        except Exception as e:
+            raise ValueError(f"invalid column type {dtype!r}: {e}") from e
+    elif not re.match(
+        r"^(boolean|tinyint|byte|smallint|short|int|integer|bigint|long"
+        r"|float|real|double|date|timestamp(_ntz)?|string|binary"
+        r"|decimal(\(\d+,\d+\))?|(array|map|struct)<.+>)$",
+        dtype,
+    ):
+        raise ValueError(f"invalid column type {dtype!r} (no active session)")
     fid = mp["max_id"] + 1
     mp["fields"].append(
         {"id": fid, "name": name, "physical": f"col-{fid}", "type": dtype}
@@ -1845,11 +1860,11 @@ _ON_EQ = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 
 def _parse_on_keys(
     on_raw: str, talias: str, salias: str
-) -> list[str]:
-    """Target-side key columns from a MERGE ON clause: one
+) -> list[tuple[str, str]]:
+    """(target, source) key column pairs from a MERGE ON clause: one
     alias-qualified equality or an AND of them (the compound-key
     grammar; each equality may be written in either orientation)."""
-    keys: list[str] = []
+    keys: list[tuple[str, str]] = []
     for eq_raw in re.split(r"\s+AND\s+", on_raw.strip(), flags=re.IGNORECASE):
         eq = _ON_EQ.match(eq_raw)
         if not eq:
@@ -1859,16 +1874,17 @@ def _parse_on_keys(
             )
         qa, ca, qb, cb = (g.strip() for g in eq.groups())
         if qa == talias and qb == salias:
-            keys.append(ca)
+            keys.append((ca, cb))
         elif qa == salias and qb == talias:
-            keys.append(cb)
+            keys.append((cb, ca))
         else:
             raise ValueError(
                 f"MERGE ON qualifiers {qa!r}/{qb!r} must be the target "
                 f"and source aliases ({talias!r}, {salias!r})"
             )
-    if len(set(keys)) != len(keys):
-        raise ValueError(f"MERGE ON repeats a target key column: {keys}")
+    tkeys = [t for t, _ in keys]
+    if len(set(tkeys)) != len(tkeys):
+        raise ValueError(f"MERGE ON repeats a target key column: {tkeys}")
     return keys
 _INSERT_STMT = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\s*\(.+\)|SELECT\s+.+?)\s*;?\s*$",
@@ -2000,7 +2016,8 @@ def _route_merge(
     tname, talias, sname, salias, on_raw, whens_raw = m.groups()
     talias, salias = talias or tname, salias or sname
     root = tables[tname]
-    keys = _parse_on_keys(on_raw, talias, salias)
+    key_pairs = _parse_on_keys(on_raw, talias, salias)
+    keys = [t for t, _ in key_pairs]
     clauses = _WHEN_CLAUSE.findall(whens_raw)
     if not clauses or _WHEN_CLAUSE.sub("", whens_raw).strip():
         raise ValueError(f"unparseable MERGE WHEN clauses: {whens_raw!r}")
@@ -2020,16 +2037,24 @@ def _route_merge(
         src.alias(salias), F.expr(on_raw), "left_anti"
     )
     if strict:
-        # the Delta cardinality contract: >1 source row matching one
-        # target key is an error, not a silent tiebreak
+        # the Delta cardinality contract: >1 SOURCE row matching one
+        # target key is an error, not a silent tiebreak. Counted on the
+        # source side (matched source rows grouped by the SOURCE key
+        # columns, via a semi-join rather than re-executing the full
+        # inner join) so a duplicate-keyed TARGET — a broken table
+        # invariant, not a feed problem — can never be misreported as
+        # a source cardinality violation (ADVICE r11 #3).
+        skeys = [s for _, s in key_pairs]
         dup = (
-            joined.groupBy(*[F.col(f"{talias}.{c}") for c in keys])
+            src.alias(salias)
+            .join(cur.alias(talias), F.expr(on_raw), "left_semi")
+            .groupBy(*[F.col(c) for c in skeys])
             .count().filter(F.col("count") > 1)
         )
         if dup.limit(1).count():
             raise ValueError(
-                "MERGE cardinality violation: more than one source row "
-                f"matches a single target key {keys} (strict mode; "
+                "MERGE cardinality violation: the source feed has more "
+                f"than one row for a matched key {skeys} (strict mode; "
                 "dedupe the source or drop strict for latest-wins)"
             )
 

@@ -318,6 +318,37 @@ def test_merge_strict_mode_raises_on_duplicate_source_keys(spark, tmp_path):
     assert rec.version == 1  # non-strict: deterministic tiebreak applies
 
 
+def test_merge_strict_mode_tolerates_duplicate_target_keys(spark, tmp_path):
+    """The cardinality contract is about the SOURCE feed: a
+    duplicate-keyed TARGET (broken table invariant, not a feed problem)
+    with a unique-keyed source must NOT trip the strict check (ADVICE
+    r11 #3 — the old target-side groupBy misattributed it)."""
+    root = str(tmp_path / "strict_tgt")
+    tf.create_table(
+        spark, root,
+        spark.createDataFrame(
+            [(1, 10, "a"), (1, 11, "a2"), (2, 20, "b")],
+            "k long, v long, w string",
+        ),
+        files=1,
+    )
+    spark.createDataFrame(
+        [(1, 100, "x"), (3, 300, "z")], "k long, v long, w string"
+    ).createOrReplaceTempView("strict_uni_src")
+    stmt = (
+        "MERGE INTO demo AS t USING strict_uni_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rec = tf.sql(spark, {"demo": root}, stmt, strict_merge=True).first()
+    assert rec.version == 1
+    rows = sorted(
+        (r.k, r.v) for r in tf.read_version(spark, root).collect()
+    )
+    # both duplicate target rows took the single source image
+    assert rows == [(1, 100), (1, 100), (2, 20), (3, 300)]
+
+
 def test_merge_rejects_key_reassignment_and_bad_inserts(spark, tmp_path):
     """The r11 Delta-contract guards: UPDATE SET on an ON key raises
     (both MATCHED and BY SOURCE), INSERT column lists must include the

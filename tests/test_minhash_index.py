@@ -144,11 +144,13 @@ def _tree_state(path):
 def test_incr_fold_is_bucket_aligned_append_base_untouched(
     spark, tmp_path, monkeypatch
 ):
-    """Folding the batch appends EXACTLY one new file per bucket it
-    touches — bucket-ALIGNED (Spark's bucket id is the same murmur3
-    for every writer) — and never rewrites a base file; the folded
-    bucketed scan still reports Bucketed: true, so the exchange-free
-    corpus-side probe survives the fold."""
+    """Each fold generation appends at most one new file per bucket —
+    bucket-ALIGNED (Spark's bucket id is the same murmur3 for every
+    writer) — and never rewrites a base file OR an earlier generation's
+    files (fold N never touches generation < N — VERDICT r11 #2's
+    file-level pin); the folded bucketed scan still reports
+    Bucketed: true, so the exchange-free corpus-side probe survives
+    every fold."""
     tbl = "minhash_bands_incr_test_fold"
     monkeypatch.setattr(
         MI, "incr_index_root", lambda sf: str(tmp_path / "mincr")
@@ -159,24 +161,47 @@ def test_incr_fold_is_bucket_aligned_append_base_untouched(
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     try:
         root = MI.build_incr_base(spark, SF_SMOKE)
+        ix = MI._catalog_index(SF_SMOKE)
         bands_dir = os.path.join(root, "bands")
-        before = _tree_state(bands_dir)
-        assert MI.fold_incr_batch(spark, SF_SMOKE) == root
-        after = _tree_state(bands_dir)
-        # every base DATA file byte-identical, only NEW files added
-        # (_SUCCESS marker files legitimately refresh on append)
-        for rel, st in before.items():
-            if not rel.endswith(".parquet"):
-                continue
-            assert after.get(rel) == st, f"fold touched base file {rel}"
-        new_files = [
-            f for f in set(after) - set(before) if f.endswith(".parquet")
-        ]
-        assert new_files, "fold appended no band files"
-        assert len(new_files) <= MI.N_BUCKETS
-        # folded rows = corpus + batch band rows exactly
-        n_corpus = sum(1 for f in before if f.endswith(".parquet"))
+        base_state = _tree_state(bands_dir)
+        n_corpus = sum(1 for f in base_state if f.endswith(".parquet"))
         assert n_corpus == MI.N_BUCKETS  # base: one sorted file per bucket
+        # the K slices partition the batch exactly (disjoint, union =
+        # batch) — that is what keeps the union-corpus oracles scale-
+        # and K-invariant
+        n_batch = MI.batch_docs(spark, SF_SMOKE).count()
+        slice_ns = [
+            MI.batch_slice_docs(spark, SF_SMOKE, g).count()
+            for g in range(1, MI.N_FOLD_GENS + 1)
+        ]
+        assert sum(slice_ns) == n_batch
+        # fold generation by generation; every PRIOR data file must be
+        # byte-untouched after each fold (_SUCCESS marker files
+        # legitimately refresh on append)
+        before = base_state
+        for g in range(1, MI.N_FOLD_GENS + 1):
+            assert ix.fold(
+                spark, MI.batch_slice_docs(spark, SF_SMOKE, g), f"g{g}"
+            )
+            after = _tree_state(bands_dir)
+            for rel, st in before.items():
+                if not rel.endswith(".parquet"):
+                    continue
+                assert after.get(rel) == st, (
+                    f"fold g{g} touched prior file {rel}"
+                )
+            new_files = [
+                f for f in set(after) - set(before) if f.endswith(".parquet")
+            ]
+            assert len(new_files) <= MI.N_BUCKETS
+            # replaying a folded generation is a marker-gated no-op
+            assert not ix.fold(
+                spark, MI.batch_slice_docs(spark, SF_SMOKE, g), f"g{g}"
+            )
+            assert _tree_state(bands_dir) == after
+            before = after
+        after = _tree_state(bands_dir)
+        assert ix.folded_tags() == [f"g{g}" for g in range(1, MI.N_FOLD_GENS + 1)]
         folded = MI.read_folded_artifact(spark, SF_SMOKE, "bands")
         n_docs = (
             MI.corpus_docs(spark, SF_SMOKE).count()
@@ -294,6 +319,103 @@ def test_incr_index_rebucket_compaction(spark, tmp_path, monkeypatch):
         assert len(
             re.findall(r"Exchange hashpartitioning\(band_idx", plan)
         ) == 1, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_compact")
+        MI._BUILT.clear()
+        MI._BUILT.update(saved)
+
+
+def test_torn_compact_recovery(spark, tmp_path, monkeypatch):
+    """The compaction swap is bracketed by _COMPACT_STARTED (ADVICE r11
+    #2): every torn state — crash before the first rename, between the
+    renames, or before cleanup — recovers to a valid index with
+    identical rows, never a missing bands dir behind valid markers."""
+    import shutil
+
+    tbl = "minhash_bands_incr_test_torn"
+    monkeypatch.setattr(
+        MI, "incr_index_root", lambda sf: str(tmp_path / "mtorn")
+    )
+    monkeypatch.setattr(MI, "incr_bands_table_name", lambda sf: tbl)
+    saved = set(MI._BUILT)
+    MI._BUILT.clear()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        root = MI.fold_incr_batch(spark, SF_SMOKE)
+        bands_dir = os.path.join(root, "bands")
+        want = sorted(
+            tuple(r)
+            for r in MI.read_folded_artifact(spark, SF_SMOKE, "bands").collect()
+        )
+
+        def _marker():
+            with open(os.path.join(root, "_COMPACT_STARTED"), "w") as fh:
+                fh.write("ok\n")
+
+        # torn state A: crash mid-swap — bands dir missing, .old holds
+        # the original (the exact state ADVICE r11 #2 flagged as
+        # unrecoverable before)
+        _marker()
+        os.rename(bands_dir, bands_dir + ".old")
+        MI._recover_torn_compact(root)
+        assert os.path.isdir(bands_dir)
+        assert not os.path.exists(bands_dir + ".old")
+        assert not os.path.exists(os.path.join(root, "_COMPACT_STARTED"))
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(bands_dir).collect()
+        )
+        assert got == want
+
+        # torn state B: crash after the second rename but before
+        # cleanup — bands dir present (the staged copy), stale .old
+        _marker()
+        shutil.copytree(bands_dir, bands_dir + ".old")
+        MI._recover_torn_compact(root)
+        assert os.path.isdir(bands_dir)
+        assert not os.path.exists(bands_dir + ".old")
+
+        # torn state C: crash right after writing the marker — nothing
+        # moved yet; recovery is a pure marker cleanup
+        _marker()
+        MI._recover_torn_compact(root)
+        assert not os.path.exists(os.path.join(root, "_COMPACT_STARTED"))
+        # a fold/read after recovery sees the same rows
+        got = sorted(
+            tuple(r)
+            for r in MI.read_folded_artifact(spark, SF_SMOKE, "bands").collect()
+        )
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        MI._BUILT.clear()
+        MI._BUILT.update(saved)
+
+
+def test_compaction_threshold_is_a_policy_knob(spark, tmp_path, monkeypatch):
+    """compact(max_files_per_bucket=N) no-ops while every bucket holds
+    ≤ N files — the file-count trigger a maintenance policy (or the
+    streaming fold loop) thresholds on — and engages once a bucket
+    exceeds it."""
+    tbl = "minhash_bands_incr_test_thresh"
+    monkeypatch.setattr(
+        MI, "incr_index_root", lambda sf: str(tmp_path / "mthresh")
+    )
+    monkeypatch.setattr(MI, "incr_bands_table_name", lambda sf: tbl)
+    saved = set(MI._BUILT)
+    MI._BUILT.clear()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_compact")
+    try:
+        MI.fold_incr_batch(spark, SF_SMOKE)
+        ix = MI._catalog_index(SF_SMOKE)
+        worst = max(ix.files_per_bucket().values())
+        assert worst > 1  # K folds stacked files in some bucket
+        # under-threshold: nothing moves
+        assert ix.compact(spark, max_files_per_bucket=worst) == 0
+        # at threshold-1: compaction engages and restores 1 file/bucket
+        assert ix.compact(spark, max_files_per_bucket=worst - 1) > 0
+        assert max(ix.files_per_bucket().values()) == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_compact")

@@ -1504,6 +1504,28 @@ def test_column_mapping_add_column_validates_type(spark, tmp_path):
     assert tf.list_versions(root) == [0]
 
 
+def test_add_column_validates_without_active_session(spark, tmp_path, monkeypatch):
+    """add_column is a path-only API; with no active SparkSession the
+    eager type check falls back to a local grammar instead of raising a
+    confusing internal error (ADVICE r11 #4): simple types validate,
+    obvious typos still raise ValueError, and exotic nested types
+    publish unvalidated."""
+    from pyspark.sql import SparkSession
+
+    root = str(tmp_path / "nosess")
+    tf.create_table(
+        spark, root,
+        spark.createDataFrame([(1,)], "k long"), files=1,
+        column_mapping=True,
+    )
+    monkeypatch.setattr(SparkSession, "getActiveSession", classmethod(lambda cls: None))
+    assert tf.add_column(root, "a", "decimal(10,2)") == 1
+    assert tf.add_column(root, "b", "array<struct<x:int>>") == 2
+    with pytest.raises(ValueError, match="invalid column type"):
+        tf.add_column(root, "c", "not_a_type(")
+    assert tf.list_versions(root) == [0, 1, 2]
+
+
 def test_column_mapping_composes_with_clustered_writes(spark, tmp_path):
     """sort_by / zorder_by are LOGICAL names on a mapped table; the
     writer translates them to the physical columns (they would
