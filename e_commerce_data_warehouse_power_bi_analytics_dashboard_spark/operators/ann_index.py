@@ -174,8 +174,10 @@ def read_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Incremental index maintenance (r11 — verdict #1): fold arriving
-# batches INTO a persisted index instead of retraining.
+# Incremental index maintenance (r11 — verdict #1; r12 — verdict #2 —
+# generalized from one fold to K successive generations + a manifest-
+# committed compaction): fold arriving batches INTO a persisted index
+# instead of retraining.
 #
 # The build-once lifecycle above goes stale the day a real ingest
 # pipeline lands its first new batch. The operable shape every ANN
@@ -183,23 +185,44 @@ def read_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # appends) is: quantizers FROZEN from the base build, each arriving
 # batch ASSIGNED to the existing coarse centroids and PQ-ENCODED with
 # the existing codebooks, and the resulting thin rows landed as NEW
-# FILES next to the base generation — base files are never rewritten,
-# so the fold's write cost follows the batch, never the corpus. Quality
-# drift vs a full retrain (centroids that never saw the new data
-# quantize it worse) is the number a real system publishes to decide
-# when to retrain — the ann_index_append_recall_audit entry measures
-# exactly that, against the full-corpus-trained v2 index as the
-# "retrained" arm.
+# FILES next to the base generation — earlier generations are never
+# rewritten, so every fold's write cost follows its batch, never the
+# corpus. Quality drift vs a full retrain (centroids that never saw
+# the new data quantize it worse) is the number a real system
+# publishes to decide when to retrain — the
+# ann_index_append_recall_audit entry measures exactly that, against
+# the full-corpus-trained v2 index as the "retrained" arm.
 #
-# Layout: <incr_root>/<artifact>/ holds the BASE generation (trained on
-# the corpus split), <incr_root>/<artifact>_b/ the folded batch delta
-# (overwrite-idempotent, so a crashed fold reruns cleanly — the two
-# fixed generations stand in for the append manifests a table format
-# would track). Readers union both; the hive-partitioned codes_ivf list
-# files prune identically across generations.
+# Layout (v2): which directories constitute each growable artifact is
+# recorded in a tiny JSON manifest (_LAYOUT.json) committed atomically
+# by os.replace — the same manifest-pointer commit a table format
+# uses, and the single commit point that makes COMPACTION crash-safe
+# without multi-directory rename ambiguity:
+#
+#   <root>/assign/, codes_raw/, codes_ivf/     base generation
+#   <root>/<artifact>_b1 .. _bK                fold generations (one
+#                                              delta dir per fold;
+#                                              overwrite-idempotent,
+#                                              _FOLD_g<k>_COMPLETE
+#                                              marker written last)
+#   <root>/<artifact>_c<epoch>                 compacted merges
+#   <root>/_LAYOUT.json                        {artifact: [dirs...]}
+#
+# Readers union exactly the manifest's dirs (each dir is its own scan
+# — two hive roots can't share one partition discovery); the
+# hive-partitioned codes_ivf list files prune identically across
+# generations. COMPACTION (merge all delta generations into one set of
+# files, NO retraining) writes the merged dirs, flips the manifest,
+# then garbage-collects the replaced dirs — a crash leaves either the
+# old manifest (orphan _c dirs, GC'd on the next compaction) or the
+# new one (orphan _b dirs, ditto); never a half-merged read. Fold
+# markers survive compaction: they record WHICH batches are in the
+# index (idempotence), the manifest records WHERE the rows live.
+# coarse/books_raw are the frozen quantizers — base generation only,
+# untouched by fold and compaction alike.
 # ---------------------------------------------------------------------------
 
-ANN_INCR_VERSION = "v1"
+ANN_INCR_VERSION = "v2"
 
 #: the arriving-batch coin over vec_id: 6 hex chars so the stream is
 #: independent of the 7/8/9-char coins used elsewhere. Spark + DuckDB.
@@ -213,8 +236,20 @@ O_EMB_COIN = (
 )
 EMB_BATCH_PCT = 10
 
+#: the fold-generation slice coin: hex offset 11 into the md5 digest —
+#: disjoint from the batch coin's chars 1-6, so slice and batch
+#: membership are independent. The arriving batch is sliced into
+#: N_FOLD_GENS disjoint sub-batches folded as successive generations;
+#: their union is exactly the batch, so the fully-folded index equals
+#: the single-shot fold and the union-corpus oracles are K-invariant.
+N_FOLD_GENS = 3
+S_EMB_SLICE = (
+    "(CAST(conv(substring(md5(CAST(vec_id AS STRING)), 11, 5), 16, 10)"
+    f" AS BIGINT)) % {N_FOLD_GENS}"
+)
+
 INCR_ARTIFACTS = ("coarse", "assign", "books_raw", "codes_raw", "codes_ivf")
-#: artifacts that grow on fold (base dir + _b delta dir); coarse and
+#: artifacts that grow on fold (manifest-listed dirs); coarse and
 #: books_raw are the FROZEN quantizers — base generation only
 _INCR_FOLDED = ("assign", "codes_raw", "codes_ivf")
 
@@ -240,6 +275,61 @@ def batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "embeddings").filter(
         F.expr(S_EMB_COIN) < EMB_BATCH_PCT
     )
+
+
+def batch_slice_embeddings(
+    spark: SparkSession, sf_dir: str, gen: int
+) -> DataFrame:
+    """Fold generation ``gen`` (1-based) of the arriving batch."""
+    if not 1 <= gen <= N_FOLD_GENS:
+        raise ValueError(f"fold generation must be in 1..{N_FOLD_GENS}")
+    return batch_embeddings(spark, sf_dir).filter(
+        F.expr(S_EMB_SLICE) == gen - 1
+    )
+
+
+# -- the layout manifest ----------------------------------------------------
+
+def _layout_path(root: str) -> str:
+    return os.path.join(root, "_LAYOUT.json")
+
+
+def read_layout(root: str) -> dict[str, list[str]]:
+    """The committed {artifact: [dir, ...]} manifest."""
+    import json
+
+    with open(_layout_path(root)) as fh:
+        return json.load(fh)
+
+
+def _commit_layout(root: str, layout: dict[str, list[str]]) -> None:
+    """Atomic manifest flip (write-temp + os.replace) — the ONE commit
+    point for fold visibility and compaction alike."""
+    import json
+
+    tmp = _layout_path(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(layout, fh, indent=1)
+    os.replace(tmp, _layout_path(root))
+
+
+def _gc_unreferenced(root: str) -> None:
+    """Remove generation/compaction dirs no manifest references —
+    leftovers of a crash between a manifest flip and its cleanup.
+    Single-writer discipline (same as every marker in this module)."""
+    import re as _re
+    import shutil
+
+    live = {d for dirs in read_layout(root).values() for d in dirs}
+    # any dir of a manifest-managed artifact — base name or a _b/_c
+    # generation — that the manifest no longer references (coarse and
+    # books_raw are not manifest-managed and never match)
+    pat = _re.compile(
+        r"^(" + "|".join(_INCR_FOLDED) + r")(_(b|c)\d+)?$"
+    )
+    for name in os.listdir(root):
+        if pat.match(name) and name not in live:
+            shutil.rmtree(os.path.join(root, name))
 
 
 def build_incr_base(spark: SparkSession, sf_dir: str) -> str:
@@ -288,65 +378,126 @@ def build_incr_base(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("centroid_id")
         .parquet(os.path.join(root, "codes_ivf"))
     )
+    _commit_layout(root, {a: [a] for a in _INCR_FOLDED})
     with open(os.path.join(root, "_BASE_COMPLETE"), "w") as fh:
         fh.write("ok\n")
     _INCR_BUILT.add(key)
     return root
 
 
-def fold_incr_batch(spark: SparkSession, sf_dir: str) -> str:
-    """FOLD the arriving batch into the persisted index — NO RETRAIN:
-    assign batch vectors to the EXISTING coarse centroids, PQ-encode
-    them with the EXISTING codebooks, and land the thin rows as the
-    ``_b`` delta generation (new files only; every base file untouched
-    — pinned by tests/test_ann_index.py). The fold reads raw vectors
-    only for the batch rows; at 100 TB its cost is the batch, never
-    the corpus."""
-    root = build_incr_base(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir, "fold")
-    if key in _INCR_BUILT:
-        return root
-    if os.path.exists(os.path.join(root, "_FOLD_COMPLETE")):
-        _INCR_BUILT.add(key)
-        return root
-
-    batch = batch_embeddings(spark, sf_dir)
+def _fold_one_gen(spark: SparkSession, sf_dir: str, root: str, gen: int) -> None:
+    """Fold generation ``gen``: assign its slice to the FROZEN coarse
+    centroids, PQ-encode with the FROZEN codebooks, land the thin rows
+    as the ``_b<gen>`` delta dirs, then flip the manifest. The delta
+    writes are overwrite-idempotent and the completion marker is
+    written last, so a torn fold reruns cleanly; earlier generations
+    are never touched (file-level pin in tests/test_ann_index.py)."""
+    marker = os.path.join(root, f"_FOLD_g{gen}_COMPLETE")
+    if os.path.exists(marker):
+        return
+    batch = batch_slice_embeddings(spark, sf_dir, gen)
     coarse = spark.read.parquet(os.path.join(root, "coarse")).select(
         F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")
     )
     a_b = assign_centroids(batch, coarse).select("vid", "centroid_id")
-    a_b.write.mode("overwrite").parquet(os.path.join(root, "assign_b"))
+    a_b.write.mode("overwrite").parquet(os.path.join(root, f"assign_b{gen}"))
     books = spark.read.parquet(os.path.join(root, "books_raw"))
     pq_encode(batch, books, PQ_M, PQ_DIM).write.mode("overwrite").parquet(
-        os.path.join(root, "codes_raw_b")
+        os.path.join(root, f"codes_raw_b{gen}")
     )
-    codes_b = spark.read.parquet(os.path.join(root, "codes_raw_b"))
-    assign_b = spark.read.parquet(os.path.join(root, "assign_b"))
+    codes_b = spark.read.parquet(os.path.join(root, f"codes_raw_b{gen}"))
+    assign_b = spark.read.parquet(os.path.join(root, f"assign_b{gen}"))
     (
         codes_b.join(assign_b, "vid")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
-        .parquet(os.path.join(root, "codes_ivf_b"))
+        .parquet(os.path.join(root, f"codes_ivf_b{gen}"))
     )
-    with open(os.path.join(root, "_FOLD_COMPLETE"), "w") as fh:
+    layout = read_layout(root)
+    for a in _INCR_FOLDED:
+        d = f"{a}_b{gen}"
+        if d not in layout[a]:
+            layout[a] = layout[a] + [d]
+    _commit_layout(root, layout)
+    with open(marker, "w") as fh:
         fh.write("ok\n")
+
+
+def fold_incr_batch(spark: SparkSession, sf_dir: str) -> str:
+    """FOLD all pending generations of the arriving batch — NO RETRAIN
+    anywhere: the K-fold lifecycle (VERDICT r11 #2). Each generation
+    reads raw vectors only for ITS slice; at 100 TB every fold's cost
+    is its batch, never the corpus."""
+    root = build_incr_base(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "fold")
+    if key in _INCR_BUILT:
+        return root
+    for gen in range(1, N_FOLD_GENS + 1):
+        _fold_one_gen(spark, sf_dir, root, gen)
     _INCR_BUILT.add(key)
     return root
 
 
+def compact_incr_ann(spark: SparkSession, sf_dir: str,
+                     max_dirs_per_artifact: int = 1) -> int:
+    """COMPACTION — merge every delta generation into one set of files
+    per artifact WITHOUT retraining (the ANN twin of the MinHash
+    re-bucket pass; the quantizers are frozen, so a compacted index is
+    row-identical to the folded one — the fold-manifest oracle pins
+    it). No-ops while each artifact's manifest lists ≤
+    ``max_dirs_per_artifact`` dirs. The merged rows land in fresh
+    ``_c<epoch>`` dirs; ONE atomic manifest flip makes all three
+    artifacts switch together (a reader never sees a half-merged
+    union), then the replaced dirs are garbage-collected — a crash
+    before the flip leaves orphan _c dirs, after it orphan _b dirs;
+    both are GC'd on the next call. Returns the number of directories
+    retired."""
+    import re as _re
+
+    root = fold_incr_batch(spark, sf_dir)
+    _gc_unreferenced(root)
+    layout = read_layout(root)
+    if max(len(dirs) for dirs in layout.values()) <= max_dirs_per_artifact:
+        return 0
+    epoch = 1 + max(
+        (int(m.group(1))
+         for dirs in layout.values() for d in dirs
+         if (m := _re.search(r"_c(\d+)$", d))),
+        default=0,
+    )
+    new_layout = dict(layout)
+    for a in _INCR_FOLDED:
+        merged = None
+        for d in layout[a]:
+            part = spark.read.parquet(os.path.join(root, d))
+            merged = part if merged is None else merged.unionByName(part)
+        out = f"{a}_c{epoch}"
+        w = merged.write.mode("overwrite")
+        if a == "codes_ivf":
+            w = w.partitionBy("centroid_id")
+        w.parquet(os.path.join(root, out))
+        new_layout[a] = [out]
+    retired = sum(len(dirs) for dirs in layout.values())
+    _commit_layout(root, new_layout)  # the one commit point
+    _gc_unreferenced(root)
+    return retired
+
+
 def read_incr_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One FOLDED artifact (base generation ∪ batch delta) as a
-    DataFrame; builds the base and folds the batch first if needed.
+    """One FOLDED artifact (base generation ∪ all fold deltas, or the
+    compacted merge — whatever the manifest committed last) as a
+    DataFrame; builds the base and folds pending generations first.
     coarse/books_raw are the frozen quantizers (base only)."""
     if name not in INCR_ARTIFACTS:
         raise ValueError(f"unknown incremental ANN index artifact {name!r}")
     root = fold_incr_batch(spark, sf_dir)
-    out = spark.read.parquet(os.path.join(root, name))
-    if name in _INCR_FOLDED:
-        # two hive roots can't share one scan (conflicting partition
-        # discovery); union the generations — each branch still prunes
-        # its own partition directories
-        out = out.unionByName(
-            spark.read.parquet(os.path.join(root, f"{name}_b"))
-        )
+    if name not in _INCR_FOLDED:
+        return spark.read.parquet(os.path.join(root, name))
+    # union the manifest's dirs — each branch is its own scan (two
+    # hive roots can't share one partition discovery) and still prunes
+    # its own partition directories
+    out = None
+    for d in read_layout(root)[name]:
+        part = spark.read.parquet(os.path.join(root, d))
+        out = part if out is None else out.unionByName(part)
     return out

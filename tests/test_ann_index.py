@@ -137,8 +137,7 @@ def test_serve_plan_never_scans_query_vectors_corpus_wide(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "max_by" not in plan
 
-
-# ----------------------------------------------------- r11: incremental fold
+# ------------------------------------------- r11/r12: incremental K-fold
 
 
 def _tree_state(path):
@@ -152,13 +151,15 @@ def _tree_state(path):
     return out
 
 
-def test_incr_fold_appends_only_batch_sized_deltas(spark, tmp_path, monkeypatch):
-    """The fold's scale contract, pinned at file level: folding the
-    batch into the persisted index writes ONLY the _b delta generation
-    (sized by the batch), and never touches a base-generation byte —
-    at 100 TB the fold costs the batch, not the corpus. Also pins the
-    marker short-circuit (a second fold call is a no-op) and that the
-    folded read unions to the full corpus."""
+def test_incr_kfold_appends_only_slice_sized_deltas(
+    spark, tmp_path, monkeypatch
+):
+    """The K-fold scale contract, pinned at file level (VERDICT r11
+    #2): each fold generation writes ONLY its own _b<gen> delta dirs
+    (sized by its slice), and never touches a base byte OR an earlier
+    generation's files — at 100 TB every fold costs its batch, not the
+    corpus. Also pins the marker short-circuit, manifest growth, and
+    that the fully-folded read unions to the full corpus."""
     monkeypatch.setattr(
         IX, "incr_index_root", lambda sf: str(tmp_path / "incr")
     )
@@ -166,25 +167,38 @@ def test_incr_fold_appends_only_batch_sized_deltas(spark, tmp_path, monkeypatch)
     IX._INCR_BUILT.clear()
     try:
         root = IX.build_incr_base(spark, SF_SMOKE)
-        base_names = ("coarse", "assign", "books_raw", "codes_raw", "codes_ivf")
-        before = {n: _tree_state(os.path.join(root, n)) for n in base_names}
-        assert IX.fold_incr_batch(spark, SF_SMOKE) == root
-        for n in base_names:
-            assert _tree_state(os.path.join(root, n)) == before[n], (
-                f"fold touched base generation {n}"
-            )
-        # delta sized exactly by the batch
+        frozen = ("coarse", "books_raw")
+        watched = list(IX._INCR_FOLDED) + list(frozen)
         n_batch = IX.batch_embeddings(spark, SF_SMOKE).count()
         n_all = read_table(spark, SF_SMOKE, "embeddings").count()
         assert n_batch > 0
-        assert spark.read.parquet(
-            os.path.join(root, "assign_b")).count() == n_batch
-        assert spark.read.parquet(
-            os.path.join(root, "codes_raw_b")).count() == IX.PQ_M * n_batch
-        # marker short-circuit: second fold leaves every tree untouched
-        delta_before = _tree_state(os.path.join(root, "assign_b"))
+        slice_ns = [
+            IX.batch_slice_embeddings(spark, SF_SMOKE, g).count()
+            for g in range(1, IX.N_FOLD_GENS + 1)
+        ]
+        assert sum(slice_ns) == n_batch  # slices partition the batch
+        state = {
+            n: _tree_state(os.path.join(root, n)) for n in watched
+        }
+        for g in range(1, IX.N_FOLD_GENS + 1):
+            IX._fold_one_gen(spark, SF_SMOKE, root, g)
+            # nothing previously written moved
+            for n, st in state.items():
+                assert _tree_state(os.path.join(root, n)) == st, (
+                    f"fold g{g} touched {n}"
+                )
+            # this generation's delta is sized by its slice
+            assert spark.read.parquet(
+                os.path.join(root, f"assign_b{g}")
+            ).count() == slice_ns[g - 1]
+            for a in IX._INCR_FOLDED:
+                d = f"{a}_b{g}"
+                assert d in IX.read_layout(root)[a]
+                state[d] = _tree_state(os.path.join(root, d))
+        # marker short-circuit: a full fold call is now a no-op
         assert IX.fold_incr_batch(spark, SF_SMOKE) == root
-        assert _tree_state(os.path.join(root, "assign_b")) == delta_before
+        for n, st in state.items():
+            assert _tree_state(os.path.join(root, n)) == st
         # folded read = union corpus
         assert IX.read_incr_artifact(spark, SF_SMOKE, "assign").count() == n_all
         assert IX.read_incr_artifact(
@@ -195,10 +209,11 @@ def test_incr_fold_appends_only_batch_sized_deltas(spark, tmp_path, monkeypatch)
 
 
 def test_incr_fold_assignments_use_frozen_centroids(spark, tmp_path, monkeypatch):
-    """Folded batch assignments must equal assigning the batch to the
-    BASE coarse centroids (quantizers frozen — no retrain), and the
-    frozen centroid set must be corpus-only (no batch member ever
-    becomes a centroid, however many folds run)."""
+    """Folded batch assignments (union over ALL K generations) must
+    equal assigning the whole batch to the BASE coarse centroids
+    (quantizers frozen — no retrain), and the frozen centroid set must
+    be corpus-only (no batch member ever becomes a centroid, however
+    many folds run)."""
     monkeypatch.setattr(
         IX, "incr_index_root", lambda sf: str(tmp_path / "incr2")
     )
@@ -222,8 +237,69 @@ def test_incr_fold_assignments_use_frozen_centroids(spark, tmp_path, monkeypatch
                 F.col("cv").alias("embedding"),
             ),
         ).select("vid", "centroid_id")
-        got = spark.read.parquet(os.path.join(root, "assign_b"))
+        got = None
+        for g in range(1, IX.N_FOLD_GENS + 1):
+            part = spark.read.parquet(os.path.join(root, f"assign_b{g}"))
+            got = part if got is None else got.unionByName(part)
         assert _rows(got) == _rows(expected)
+    finally:
+        IX._INCR_BUILT.clear()
+        IX._INCR_BUILT.update(saved)
+
+
+def test_incr_compaction_merges_generations_without_retraining(
+    spark, tmp_path, monkeypatch
+):
+    """The full K-fold lifecycle: fold K=3 → compact → fold state
+    preserved. Compaction merges every generation into fresh _c dirs
+    behind ONE atomic manifest flip — row-identical artifacts (the
+    quantizers are frozen, nothing is recomputed), replaced dirs
+    garbage-collected, second call a no-op, and orphan dirs from a
+    simulated crash are GC'd on the next pass."""
+    monkeypatch.setattr(
+        IX, "incr_index_root", lambda sf: str(tmp_path / "incr3")
+    )
+    saved = set(IX._INCR_BUILT)
+    IX._INCR_BUILT.clear()
+    try:
+        root = IX.fold_incr_batch(spark, SF_SMOKE)
+        before = {
+            a: _rows(IX.read_incr_artifact(spark, SF_SMOKE, a))
+            for a in IX.INCR_ARTIFACTS
+        }
+        layout0 = IX.read_layout(root)
+        assert all(
+            len(layout0[a]) == 1 + IX.N_FOLD_GENS for a in IX._INCR_FOLDED
+        )
+        # under-threshold: policy knob says don't compact yet
+        assert IX.compact_incr_ann(
+            spark, SF_SMOKE, max_dirs_per_artifact=IX.N_FOLD_GENS + 1
+        ) == 0
+        retired = IX.compact_incr_ann(spark, SF_SMOKE)
+        assert retired == len(IX._INCR_FOLDED) * (1 + IX.N_FOLD_GENS)
+        layout1 = IX.read_layout(root)
+        for a in IX._INCR_FOLDED:
+            assert layout1[a] == [f"{a}_c1"]
+            # replaced dirs are gone from disk
+            for d in layout0[a]:
+                assert not os.path.exists(os.path.join(root, d)), d
+        # row-identical across the flip — frozen quantizers, no retrain
+        for a in IX.INCR_ARTIFACTS:
+            assert _rows(
+                IX.read_incr_artifact(spark, SF_SMOKE, a)
+            ) == before[a], a
+        # fold markers survive: a fold call after compaction re-folds
+        # nothing (the batches are IN the index, just relocated)
+        assert IX.fold_incr_batch(spark, SF_SMOKE) == root
+        assert IX.read_layout(root) == layout1
+        # second compaction: nothing above threshold
+        assert IX.compact_incr_ann(spark, SF_SMOKE) == 0
+        # crash-sim: an orphan delta dir (written, never committed to
+        # the manifest) is swept by the next maintenance pass
+        orphan = os.path.join(root, "assign_b9")
+        os.makedirs(orphan)
+        IX._gc_unreferenced(root)
+        assert not os.path.exists(orphan)
     finally:
         IX._INCR_BUILT.clear()
         IX._INCR_BUILT.update(saved)
