@@ -1537,6 +1537,97 @@ def compact(
     return new_v
 
 
+def purge(spark: SparkSession, root: str, files: int = 4) -> int:
+    """REORG TABLE ... PURGE (r12 — verdict #3): physically shed DEAD
+    physical columns from a column-mapped table's active files.
+
+    drop_column is metadata-only — the dropped column's bytes stay in
+    every existing file forever, which breaks the right-to-erasure
+    composition ("drop" is not "erase"). This pass completes it:
+    rewrite ONLY the active files still carrying a physical column the
+    current mapping no longer references (found by a KB-scale footer
+    schema probe per active file — metadata, never a data scan), as ONE
+    commit whose row content is bit-identical (n_changes = 0, invisible
+    to the change feed — the carried-row filter cancels it, like a
+    compact). Files already free of dead columns are not touched, so
+    the pass costs the stale file set, not the table — at 100 TB you
+    purge behind the retention frontier, not wholesale. Live
+    merge-on-read delete vectors referencing a rewritten file are
+    applied by the rewrite and retired; a vector file that mixes stale
+    and clean references is split, its clean remainder rewritten in the
+    same commit (the selective-OPTIMIZE discipline). Time travel to
+    pre-purge versions still reads the dead column's bytes until
+    ``vacuum`` expires those files — after retention + vacuum the bytes
+    are provably gone (the catalog entry asserts it on the parquet
+    footers). Returns the new version, or the current one unchanged
+    when no active file carries dead bytes (no-op, no commit).
+
+    Parity: Delta's ``REORG TABLE ... APPLY (PURGE)``; the reference
+    has no mapped tables — beyond-reference surface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mapping = column_mapping(root)
+    if mapping is None:
+        raise ValueError(
+            f"PURGE needs a column-mapped table (table at {root} stores "
+            f"logical names physically — there are no dead physical "
+            f"columns to shed; use OPTIMIZE for layout maintenance)"
+        )
+    versions = list_versions(root)
+    new_v = versions[-1] + 1
+    live_phys = {f["physical"] for f in mapping["fields"]}
+    stale = sorted(
+        a["path"] for a in active_adds(root)
+        if set(pq.read_schema(os.path.join(root, a["path"])).names)
+        - live_phys
+    )
+    if not stale:
+        return versions[-1]
+    stale_set = set(stale)
+    dels = active_delete_adds(root)
+    cur_dels, delete_adds_new = [], []
+    for d in dels:
+        t = pq.read_table(os.path.join(root, d["path"]))
+        fcol = t.column("_tf_dfile").to_pylist()
+        hit = [f in stale_set for f in fcol]
+        if not any(hit):
+            continue  # vector only references clean files: stays live
+        cur_dels.append(d["path"])
+        if not all(hit):
+            keep = t.filter(pa.array([not h for h in hit]))
+            uid = uuid.uuid4().hex[:8]
+            vdir = os.path.join(root, "deletes", f"v={new_v}-{uid}")
+            os.makedirs(vdir, exist_ok=True)
+            vpath = os.path.join(vdir, "part-00000.parquet")
+            pq.write_table(
+                keep.sort_by([("_tf_dfile", "ascending"),
+                              ("_tf_dpos", "ascending")]),
+                vpath,
+            )
+            delete_adds_new.append({
+                "path": os.path.relpath(vpath, root),
+                "rows": keep.num_rows,
+            })
+    # the CURRENT physical schema IS the purge projection: reading the
+    # stale files under it simply never selects the dead columns
+    df = spark.read.schema(_phys_ddl(mapping)).parquet(
+        *[os.path.join(root, p) for p in stale]
+    )
+    df = _with_positions(df, root)
+    df = _anti_vectors(spark, root, df, dels)
+    logical = _to_logical(df, mapping)
+    adds = _write_data(logical, root, new_v, files, None, mapping=mapping)
+    _publish(root, new_v, {
+        "version": new_v, "op": "purge", "adds": adds, "removes": stale,
+        "n_changes": 0,
+        "delete_removes": cur_dels,
+        "delete_adds": delete_adds_new,
+        "schema": logical.schema.json(),
+    })
+    return new_v
+
+
 def change_feed(
     spark: SparkSession,
     root: str,
@@ -1613,10 +1704,11 @@ def change_feed(
                 _with_positions(_rd(rems), root),
                 active_delete_adds(root, v - 1),
             )).select(key, *pay)
-        # a selective compact's delete_adds are REWRITTEN remainders of
-        # vectors it split (bookkeeping, not new deletes) — skip them
+        # a selective compact's / purge's delete_adds are REWRITTEN
+        # remainders of vectors it split (bookkeeping, not new deletes)
+        # — skip them
         dvec = (
-            [] if m.get("op") == "compact"
+            [] if m.get("op") in ("compact", "purge")
             else [_norm_add(d) for d in m.get("delete_adds", [])]
         )
         if dvec:
@@ -1899,6 +1991,12 @@ _OPTIMIZE_STMT = re.compile(
 _PART_EQ = re.compile(r"^\s*(\w+)\s*=\s*('[^']*'|\"[^\"]*\"|\S+)\s*$")
 _VACUUM_STMT = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+#: REORG ... PURGE (r12): Delta's grammar, with APPLY optional
+_REORG_PURGE_STMT = re.compile(
+    r"^\s*REORG\s+TABLE\s+(\w+)\s+(?:APPLY\s*\(\s*PURGE\s*\)|PURGE)"
+    r"\s*;?\s*$",
     re.IGNORECASE,
 )
 #: column-mapping DDL (r11): metadata-only evolution as statements
@@ -2312,6 +2410,13 @@ def sql(
         return spark.createDataFrame(
             [("vacuum", list_versions(root)[-1], len(deleted))],
             "op STRING, version INT, n_changes BIGINT",
+        )
+    m = _REORG_PURGE_STMT.match(query)
+    if m and m.group(1) in tables:
+        root = tables[m.group(1)]
+        v = purge(spark, root)
+        return spark.createDataFrame(
+            [("purge", v, 0)], "op STRING, version INT, n_changes BIGINT"
         )
     # column-mapping DDL -> metadata commits (rename/drop/add/widen as
     # ALTER TABLE statements, the way a lake user types them)

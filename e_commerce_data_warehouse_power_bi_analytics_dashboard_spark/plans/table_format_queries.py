@@ -1432,3 +1432,276 @@ def tf_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ----------------------------------------------- r12: REORG PURGE demo
+
+def _purge_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v2",
+        os.path.basename(sf_dir.rstrip("/")), "dim_customer_purge",
+    )
+
+
+def _purge_vac_root(sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH_ROOT, "table_format_v2",
+        os.path.basename(sf_dir.rstrip("/")), "dim_customer_purge_vac",
+    )
+
+
+def _build_purge_history(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """The erasure composition VERDICT r11 #3 asked for, as commits:
+
+      v0  CREATE  column-mapped, customers %4 != 0, 2 files
+          (c_custkey, c_name, c_acctbal DECIMAL(12,2), c_mktsegment)
+      v1  DROP    c_name — metadata-only; col-2's bytes stay in both
+                  v0 files ("drop" is not "erase")
+      v2  APPEND  the %4 == 0 customers, 2 files — born WITHOUT col-2
+      v3  DELETE  c_custkey % 10 = 7 — MoR vectors spanning stale v0
+                  AND clean v2 files (purge must split them)
+      v4  PURGE   rewrites ONLY the two v0 files; clean files untouched
+    """
+    cust = read_table(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", F.col("c_acctbal").cast("decimal(12,2)")
+    )
+    tf.create_table(
+        spark, root,
+        cust.filter(F.col("c_custkey") % 4 != 0).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ),
+        files=2, column_mapping=True,
+    )
+    tf.drop_column(root, "c_name")
+    tf.append(
+        spark, root,
+        cust.filter(F.col("c_custkey") % 4 == 0).select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ),
+        files=2,
+    )
+    tf.delete_where(spark, root, "c_custkey % 10 = 7")
+    tf.purge(spark, root)
+
+
+def ensure_purge_table(spark: SparkSession, sf_dir: str) -> str:
+    root = _purge_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "purge")
+    if key in _BUILT:
+        return root
+    if _complete_or_clear(root, 4):
+        _BUILT.add(key)
+        return root
+    _build_purge_history(spark, sf_dir, root)
+    _BUILT.add(key)
+    return root
+
+
+def ensure_purge_vacuumed_table(spark: SparkSession, sf_dir: str) -> str:
+    """The same history, then ``VACUUM RETAIN 1`` — the end state of
+    the erasure story, where the dead bytes are physically gone.
+    Vacuum publishes no commit, so completeness is the final commit
+    PLUS the retention floor it records; a crash between them re-runs
+    only the (idempotent) vacuum."""
+    root = _purge_vac_root(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "purge_vac")
+    if key in _BUILT:
+        return root
+    if not _complete_or_clear(root, 4):
+        _build_purge_history(spark, sf_dir, root)
+    if tf.earliest_readable(root) < 4:
+        tf.vacuum(root, keep_versions=1, orphan_grace_sec=0.0)
+    _BUILT.add(key)
+    return root
+
+
+def _purge_fact_columns(spark: SparkSession, root: str) -> tuple[list, list]:
+    """Driver-side footer audit (KB-scale metadata reads): the physical
+    columns the v0 mapping had but the current one dropped, probed
+    against (a) the ACTIVE file set and (b) everything on disk."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    cur = tf.column_mapping(root)
+    v0m = tf.column_mapping(root, 0)
+    dead = {f["physical"] for f in v0m["fields"]} - {
+        f["physical"] for f in cur["fields"]
+    }
+
+    def carries_dead(abs_path: str) -> bool:
+        return bool(set(pq.read_schema(abs_path).names) & dead)
+
+    active = {
+        os.path.join(root, a["path"]) for a in tf.active_adds(root)
+    }
+    on_disk = set(g.glob(
+        os.path.join(root, "data", "**", "*.parquet"), recursive=True
+    ))
+    active_clean = int(not any(carries_dead(p) for p in active))
+    stale_on_disk = int(any(carries_dead(p) for p in on_disk - active))
+    return active_clean, stale_on_disk
+
+
+_PURGE_FACT_DDL = "fact string, n bigint, k bigint"
+
+
+@register(
+    "tf_column_purge",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'snap_v0' AS fact, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c_custkey) AS BIGINT) AS k
+            FROM customer WHERE c_custkey % 4 != 0
+            UNION ALL
+            SELECT 'snap_v2', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(c_custkey) AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT 'snap_v3', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(c_custkey) AS BIGINT)
+            FROM customer WHERE c_custkey % 10 != 7
+            UNION ALL
+            SELECT 'snap_v4', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(c_custkey) AS BIGINT)
+            FROM customer WHERE c_custkey % 10 != 7
+            UNION ALL
+            SELECT 'active_dead_clean', 1, 0
+            UNION ALL
+            SELECT 'stale_bytes_prevacuum', 1, 0
+            UNION ALL
+            SELECT 'cdf_insert_v2', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(c_custkey) AS BIGINT)
+            FROM customer WHERE c_custkey % 4 = 0
+            UNION ALL
+            SELECT 'cdf_delete_v3', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(c_custkey) AS BIGINT)
+            FROM customer WHERE c_custkey % 10 = 7
+            UNION ALL
+            SELECT 'cdf_purge_rows', 0, 0
+        ) ORDER BY fact
+    """,
+    tags=("table_format", "column_mapping", "purge", "gdpr", "acid",
+          "lifecycle"),
+    doc="REORG TABLE ... PURGE (r12 — verdict #3): drop_column is "
+        "metadata-only, so the dropped column's bytes stay in every "
+        "pre-drop file — this entry pins the pass that completes the "
+        "right-to-erasure story. Demo: create mapped (2 files) → DROP "
+        "c_name → append 2 born-clean files → MoR DELETE spanning "
+        "stale and clean files → PURGE. Facts pinned against the "
+        "closed-form customer oracle: every version's snapshot "
+        "(time travel to pre-purge versions still correct — the purge "
+        "rewrote the active set, not history), rows bit-identical "
+        "across the purge, a driver-side FOOTER audit that no active "
+        "file still carries the dead physical column while the stale "
+        "bytes remain on disk for time travel until vacuum, and the "
+        "change feed across the whole history: the purge commit "
+        "contributes ZERO change rows (carried rows cancel — "
+        "CDF-invisible like a compact), with the split delete-vector "
+        "remainder still masking the clean-file deletes. "
+        "operators/table_format.py::purge. Parity: Delta REORG TABLE "
+        "... APPLY (PURGE); beyond the reference (no mapped tables "
+        "there).",
+)
+def tf_column_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_purge_table(spark, sf_dir)
+    parts = []
+    for v, name in ((0, "snap_v0"), (2, "snap_v2"), (3, "snap_v3"),
+                    (4, "snap_v4")):
+        d = tf.read_version(spark, root, v)
+        parts.append(d.agg(
+            F.lit(name).alias("fact"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("k"),
+        ).select("fact", "n", "k"))
+    active_clean, stale_on_disk = _purge_fact_columns(spark, root)
+    parts.append(spark.createDataFrame(
+        [("active_dead_clean", active_clean, 0),
+         ("stale_bytes_prevacuum", stale_on_disk, 0)],
+        _PURGE_FACT_DDL,
+    ))
+    cf = tf.change_feed(
+        spark, root, "c_custkey", ["c_acctbal", "c_mktsegment"],
+        v_from=0, v_to=4,
+    )
+    parts.append(
+        cf.filter(
+            (F.col("_commit_version") == 2)
+            & (F.col("_change_type") == "insert")
+        ).agg(
+            F.lit("cdf_insert_v2").alias("fact"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("k"),
+        ).select("fact", "n", "k")
+    )
+    parts.append(
+        cf.filter(
+            (F.col("_commit_version") == 3)
+            & (F.col("_change_type") == "delete")
+        ).agg(
+            F.lit("cdf_delete_v3").alias("fact"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("k"),
+        ).select("fact", "n", "k")
+    )
+    parts.append(
+        cf.filter(F.col("_commit_version") == 4).agg(
+            F.lit("cdf_purge_rows").alias("fact"),
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("long").alias("k"),
+        ).select("fact", "n", "k")
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fact")
+
+
+@register(
+    "tf_purge_erasure_vacuum",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'snap_current' AS fact, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c_custkey) AS BIGINT) AS k
+            FROM customer WHERE c_custkey % 10 != 7
+            UNION ALL
+            SELECT 'bytes_gone', 1, 0
+            UNION ALL
+            SELECT 'stale_on_disk', 0, 0
+            UNION ALL
+            SELECT 'tt_prepurge_expired', 1, 0
+        ) ORDER BY fact
+    """,
+    tags=("table_format", "column_mapping", "purge", "gdpr", "vacuum",
+          "lifecycle"),
+    doc="The END of the erasure story (r12 — verdict #3): the same "
+        "drop → purge history followed by VACUUM RETAIN 1. Facts: the "
+        "current snapshot still exact (closed-form customer oracle), a "
+        "FOOTER walk over every parquet file remaining under the table "
+        "root proving NO file — active or not — carries the dead "
+        "physical column (the bytes are provably gone, which 'DROP "
+        "COLUMN' alone never achieves), and time travel to the "
+        "pre-purge version now fails fast with VersionExpired (the "
+        "retention trade every real format documents). "
+        "operators/table_format.py::purge + vacuum.",
+)
+def tf_purge_erasure_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_purge_vacuumed_table(spark, sf_dir)
+    snap = tf.read_version(spark, root).agg(
+        F.lit("snap_current").alias("fact"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("c_custkey").cast("long").alias("k"),
+    ).select("fact", "n", "k")
+    active_clean, stale_on_disk = _purge_fact_columns(spark, root)
+    try:
+        tf.read_version(spark, root, 3)
+        expired = 0
+    except tf.VersionExpired:
+        expired = 1
+    facts = spark.createDataFrame(
+        [("bytes_gone", active_clean, 0),
+         ("stale_on_disk", stale_on_disk, 0),
+         ("tt_prepurge_expired", expired, 0)],
+        _PURGE_FACT_DDL,
+    )
+    return snap.unionByName(facts).orderBy("fact")

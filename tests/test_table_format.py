@@ -1582,3 +1582,104 @@ def test_epoch_index_survives_table_recreation(spark, tmp_path):
     shutil.rmtree(root2)
     tf.create_table(spark, root2, tf2, files=1)  # UNMAPPED this time
     assert tf.column_mapping(root2) is None
+
+
+def test_purge_sheds_dead_physical_columns(spark, tmp_path):
+    """REORG PURGE (r12 — verdict #3): after a metadata-only DROP, the
+    dead column's bytes sit in every pre-drop file; purge rewrites ONLY
+    those files (clean files byte-untouched), keeps rows identical, is
+    invisible to the change feed, splits MoR vectors that span stale
+    and clean files, leaves time travel intact until vacuum — and after
+    vacuum the bytes are provably gone from every remaining footer."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "purge")
+    tf.create_table(
+        spark, root,
+        spark.createDataFrame(
+            [(i, i * 10, f"w{i}") for i in range(1, 9)],
+            "k long, v long, w string",
+        ),
+        files=2, column_mapping=True,
+    )
+    assert tf.drop_column(root, "w") == 1  # col-3 dead in the v0 files
+    tf.append(
+        spark, root,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(9, 17)], "k long, v long"
+        ),
+        files=2,
+    )  # v2: born without col-3
+    assert tf.delete_where(spark, root, "k % 5 = 0") == 3  # MoR vectors
+    want = sorted(
+        (r.k, r.v) for r in tf.read_version(spark, root).collect()
+    )
+    assert want == [(i, i * 10) for i in range(1, 17) if i % 5 != 0]
+
+    def tree(sub):
+        return {
+            p: (os.path.getmtime(p), os.path.getsize(p))
+            for p in g.glob(os.path.join(root, sub, "**", "*.parquet"),
+                            recursive=True)
+        }
+
+    def dead_files(paths):
+        return [p for p in paths if "col-3" in pq.read_schema(p).names]
+
+    data_before = tree("data")
+    stale = dead_files(data_before)
+    assert len(stale) == 2  # exactly the v0 files carry the dead bytes
+    assert tf.purge(spark, root) == 4
+    data_after = tree("data")
+    # clean files byte-untouched; stale files removed from the active
+    # set but still on disk (time travel)
+    for p, st in data_before.items():
+        assert data_after.get(p) == st, f"purge touched {p}"
+    active = [os.path.join(root, a["path"]) for a in tf.active_adds(root)]
+    assert not dead_files(active)  # no active footer carries col-3
+    got = sorted((r.k, r.v) for r in tf.read_version(spark, root).collect())
+    assert got == want  # bit-identical rows across the purge
+    # pre-purge versions still read the dead column until expiry
+    v0 = tf.read_version(spark, root, 0)
+    assert sorted(r.w for r in v0.select("w").collect()) == [
+        f"w{i}" for i in range(1, 9)
+    ]
+    # CDF-invisible: the purge commit contributes no change rows
+    cf = tf.change_feed(spark, root, "k", ["v"], v_from=0, v_to=4)
+    assert cf.filter(F.col("_commit_version") == 4).count() == 0
+    # idempotent: nothing stale left -> no-op, no commit
+    assert tf.purge(spark, root) == 4
+    # the split vector remainder still masks the clean-file delete
+    assert 10 not in {k for k, _ in got} and 15 not in {k for k, _ in got}
+    # REORG SQL routing (drop another column first so there is work)
+    tf.drop_column(root, "v")
+    rec = tf.sql(spark, {"demo": root}, "REORG TABLE demo APPLY (PURGE)").first()
+    assert (rec.op, rec.version) == ("purge", 6)
+    active = [os.path.join(root, a["path"]) for a in tf.active_adds(root)]
+    assert not [
+        p for p in active if "col-2" in pq.read_schema(p).names
+    ]
+    # after retention + vacuum the dead bytes are PROVABLY gone
+    tf.vacuum(root, keep_versions=1, orphan_grace_sec=0.0)
+    remaining = tree("data")
+    assert not dead_files(remaining)
+    assert not [
+        p for p in remaining if "col-2" in pq.read_schema(p).names
+    ]
+    with pytest.raises(tf.VersionExpired):
+        tf.read_version(spark, root, 3)
+    assert sorted(r.k for r in tf.read_version(spark, root).collect()) == [
+        k for k, _ in want
+    ]
+
+
+def test_purge_requires_column_mapping(spark, tmp_path):
+    root = str(tmp_path / "nomap")
+    tf.create_table(
+        spark, root, spark.createDataFrame([(1, 2)], "k long, v long"),
+        files=1,
+    )
+    with pytest.raises(ValueError, match="column-mapped"):
+        tf.purge(spark, root)
