@@ -303,3 +303,160 @@ def tpcds_q89_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("category", "brand", "yr", "mon", "month_rev", "ratio_to_avg")
         .orderBy("category", "brand", "yr", "mon")
     )
+
+
+# -------------------------------------------- r12: q47/q57 (lag family)
+
+#: q47's store analog: the customer's nation (25 values). Joined
+#: broadcast — dims only, the fact pass stays the one data-sized op.
+_O_FACT_NATION = f"""
+    SELECT p_type AS category, p_brand AS brand, n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           {_PRICE} * (1 - {_DISC}) AS rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def _fact_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        _fact(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+
+
+def _lag_deviation(
+    cells: DataFrame, series_keys: list[str], pick_year: int
+) -> DataFrame:
+    """The q47/q57 core: per-series lag/lead neighbours + deviation
+    from the year's monthly average, over PRE-AGGREGATED month cells.
+    Window order matters for the exchange count: the series window
+    (fewer keys) runs first — its hash partitioning already CLUSTERS
+    the refined (series, yr) grouping, so the year window needs only a
+    sort, never a second exchange."""
+    w_series = Window.partitionBy(*series_keys).orderBy("yr", "mon")
+    w_year = Window.partitionBy(*series_keys, "yr")
+    stepped = (
+        cells.withColumn("psum", F.lag("rev").over(w_series))
+        .withColumn("nsum", F.lead("rev").over(w_series))
+        .withColumn(
+            "avg_monthly",
+            F.sum("rev").over(w_year).cast("double")
+            / F.count("*").over(w_year),
+        )
+    )
+    dev = (
+        F.col("rev").cast("double") - F.col("avg_monthly")
+    ) / F.col("avg_monthly")
+    return (
+        stepped.filter(
+            (F.col("yr") == pick_year)
+            & F.col("psum").isNotNull() & F.col("nsum").isNotNull()
+        )
+        .withColumn("deviation", dev)
+        .filter(F.abs(F.col("deviation")) > 0.1)
+        .select(
+            *series_keys, "yr", "mon",
+            F.round("rev", 2).cast("double").alias("month_rev"),
+            "avg_monthly",
+            F.round("psum", 2).cast("double").alias("prev_rev"),
+            F.round("nsum", 2).cast("double").alias("next_rev"),
+            "deviation",
+        )
+        .orderBy(*series_keys, "mon")
+    )
+
+
+def _o_lag_deviation(fact_sql: str, series_cols: str, pick_year: int) -> str:
+    return f"""
+        WITH f AS ({fact_sql}),
+        cells AS (
+            SELECT {series_cols}, yr, mon, SUM(rev) AS rev
+            FROM f GROUP BY ALL
+        ),
+        stepped AS (
+            SELECT {series_cols}, yr, mon, rev,
+                   LAG(rev) OVER ws AS psum,
+                   LEAD(rev) OVER ws AS nsum,
+                   CAST(SUM(rev) OVER wy AS DOUBLE) / COUNT(*) OVER wy
+                       AS avg_monthly
+            FROM cells
+            WINDOW ws AS (PARTITION BY {series_cols} ORDER BY yr, mon),
+                   wy AS (PARTITION BY {series_cols}, yr)
+        )
+        SELECT {series_cols}, yr, mon,
+               CAST(ROUND(rev, 2) AS DOUBLE) AS month_rev,
+               avg_monthly,
+               CAST(ROUND(psum, 2) AS DOUBLE) AS prev_rev,
+               CAST(ROUND(nsum, 2) AS DOUBLE) AS next_rev,
+               (CAST(rev AS DOUBLE) - avg_monthly) / avg_monthly AS deviation
+        FROM stepped
+        WHERE yr = {pick_year} AND psum IS NOT NULL AND nsum IS NOT NULL
+          AND ABS((CAST(rev AS DOUBLE) - avg_monthly) / avg_monthly) > 0.1
+        ORDER BY {series_cols}, mon
+    """
+
+
+@register(
+    "tpcds_q47_store_lag_deviation",
+    oracle=_o_lag_deviation(_O_FACT_NATION, "category, brand, nation", 1995),
+    tags=("olap", "tpcds", "W5", "A10", "deviation", "lag"),
+    doc="TPC-DS q47 shape (deviation-with-neighbours, adapted: store = "
+        "customer nation, category = p_type, brand = p_brand): monthly "
+        "revenue per (category, brand, nation) series with its LAG and "
+        "LEAD months and the deviation from that year's monthly "
+        "average, surfacing interior months of the pick year that sit "
+        ">10% off their average — the canonical window-over-"
+        "preaggregate pattern the q67/q51/q89 trio lacked (VERDICT r11 "
+        "#6). Both windows run over month-grain cells partitioned by "
+        "the series keys (thousands of rows, never fact grain, never "
+        "SinglePartition); the series window's exchange already "
+        "clusters the refined year partition, so the year window adds "
+        "only a sort (pinned in tests/test_plans.py). Money stays "
+        "DECIMAL through every frame; the average and deviation are "
+        "single IEEE expressions surfaced unrounded (the avg2 rule).",
+)
+def tpcds_q47_store_lag_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _fact_nation(spark, sf_dir)
+        .groupBy("category", "brand", "nation", "yr", "mon")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return _lag_deviation(cells, ["category", "brand", "nation"], 1995)
+
+
+@register(
+    "tpcds_q57_channel_lag_deviation",
+    oracle=_o_lag_deviation(_O_FACT_SEG, "category, segment", 1996),
+    tags=("olap", "tpcds", "W5", "A10", "deviation", "lag"),
+    doc="TPC-DS q57 shape (q47's call-center twin, adapted: channel = "
+        "customer market segment): the same lag/lead + deviation-from-"
+        "year-average core over (category, segment) month series, pick "
+        "year 1996 — pinning the pattern at a second, coarser grain "
+        "(6×5 series vs q47's 6×25×25) where every series is dense and "
+        "the neighbour filter bites differently. Same window economics: "
+        "pre-aggregated cells, series-key partitioning, one exchange "
+        "for both windows.",
+)
+def tpcds_q57_channel_lag_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    cells = (
+        _fact(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("category", "segment", "yr", "mon")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return _lag_deviation(cells, ["category", "segment"], 1996)

@@ -399,3 +399,44 @@ def test_tpch_q19_disjunction_stays_equi_join(spark):
     assert "BroadcastHashJoin" in p, f"q19 lost its equi-join:\n{p}"
     assert "BroadcastNestedLoopJoin" not in p, f"q19 degraded to BNLJ:\n{p}"
     assert "CartesianProduct" not in p, f"q19 went cartesian:\n{p}"
+
+
+def test_tpcds_q47_q57_one_window_exchange_no_single_partition(spark):
+    """r12 pin (verdict #6): the lag-deviation pair runs BOTH windows
+    (series lag/lead and per-year average) off ONE series-key exchange
+    — the series hash partitioning already clusters the refined
+    (series, yr) grouping, so the year window adds only a sort — and
+    no window ever demotes to SinglePartition."""
+    import re
+
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.tpcds_queries import (
+        tpcds_q47_store_lag_deviation,
+        tpcds_q57_channel_lag_deviation,
+    )
+
+    for fn, series in (
+        (tpcds_q47_store_lag_deviation, ["category", "brand", "nation"]),
+        (tpcds_q57_channel_lag_deviation, ["category", "segment"]),
+    ):
+        df = fn(spark, SF_SMOKE)
+        df.collect()  # final AQE plan
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition, Window" not in p, p
+        assert "CartesianProduct" not in p, p
+        # exactly one bare series-key hash exchange feeds the windows;
+        # the (series..., yr, mon) exchange is the pre-agg's, and the
+        # year window has NO exchange of its own (series + yr only)
+        hashes = [
+            args for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+            if "BroadcastMode" not in args
+        ]
+        bare = [
+            h for h in hashes
+            if all(k in h for k in series)
+            and "yr" not in h and "mon" not in h
+        ]
+        year_only = [
+            h for h in hashes if "yr" in h and "mon" not in h
+        ]
+        assert len(set(bare)) == 1, hashes
+        assert not year_only, hashes
