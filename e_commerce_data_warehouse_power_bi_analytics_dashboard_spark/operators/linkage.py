@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 #: accept a candidate iff 100*distance <= SIM_PCT * max(len) — i.e.
 #: normalized similarity >= 0.85, tested in exact integers
@@ -58,6 +57,43 @@ def suffix_id(col: str) -> Column:
     return F.expr(f"CAST(regexp_replace({col}, '[^0-9]', '') AS BIGINT) % 1000000")
 
 
+#: the cheap prune's alphabet: digit characters. Any subset of the
+#: alphabet yields a SOUND levenshtein lower bound (see _CHEAP_LB),
+#: and digits are where blocked near-misses actually differ.
+_LB_CHARS = "0123456789"
+
+
+def _char_counts(col: str, prefix: str) -> dict[str, Column]:
+    """Per-character occurrence counts for the prune alphabet — ten
+    integer columns computed ONCE per row per side (linear work),
+    consulted per candidate pair (a 10-term integer sum)."""
+    return {
+        f"{prefix}{ch}": (
+            F.length(col) - F.length(F.regexp_replace(col, ch, ""))
+        ).cast("int")
+        for ch in _LB_CHARS
+    }
+
+
+def _cheap_lb_keep(a_prefix: str, b_prefix: str, maxlen: Column) -> Column:
+    """SOUND pre-levenshtein prune (r12 — verdict #1): every edit
+    operation changes a string's character multiset by at most 2
+    (substitution swaps one char for another; insert/delete moves one),
+    so levenshtein(a, b) ≥ Δ/2 where Δ = Σ_c |count_a(c) − count_b(c)|
+    — and restricting the sum to ANY alphabet subset only shrinks Δ,
+    keeping the bound valid. A pair can pass the accept test
+    100·dist ≤ SIM_PCT·maxlen only if Δ ≤ 2·(SIM_PCT·maxlen DIV 100);
+    anything beyond is rejected BEFORE the O(len²) levenshtein runs.
+    On the banded fixture this eliminates most of the ±1-fan candidates
+    (they differ in ≥3 digit positions) at the cost of integer
+    arithmetic — semantics-identical, whole-stage codegen."""
+    delta = sum(
+        F.abs(F.col(f"{a_prefix}{ch}") - F.col(f"{b_prefix}{ch}"))
+        for ch in _LB_CHARS
+    )
+    return delta * F.lit(100) <= F.lit(2 * SIM_PCT) * maxlen
+
+
 def link_crm_records(crm: DataFrame, customer: DataFrame) -> DataFrame:
     """Left-link each CRM record (``crm_id``, ``name_dirty``,
     ``crm_nationkey``, ``crm_acctbal``, any passthrough columns) to its
@@ -76,7 +112,7 @@ def link_crm_records(crm: DataFrame, customer: DataFrame) -> DataFrame:
             "bid": band_id("name_dirty"),
             "sid": suffix_id("name_dirty"),
         }
-    )
+    ).withColumns(_char_counts("name_norm", "_ca"))
     dw = customer.select(
         F.col("c_custkey").alias("customer_key"),
         F.col("c_nationkey").alias("dw_nationkey"),
@@ -84,12 +120,20 @@ def link_crm_records(crm: DataFrame, customer: DataFrame) -> DataFrame:
         norm_name("c_name").alias("dw_norm"),
         band_id("c_name").alias("bid"),
         suffix_id("c_name").alias("sid"),
-    )
+    ).withColumns(_char_counts("dw_norm", "_cb"))
     dist = F.levenshtein("name_norm", "dw_norm")
     maxlen = F.greatest(F.length("name_norm"), F.length("dw_norm"))
+    _probe_cols = [
+        "crm_id", "name_norm", "crm_nationkey", "crm_acctbal",
+        *[f"_ca{ch}" for ch in _LB_CHARS],
+    ]
 
     def _score(joined: DataFrame) -> DataFrame:
-        return joined.select(
+        # cheap multiset bound FIRST (integer-only), levenshtein and
+        # the exact accept test only on survivors
+        return joined.filter(
+            _cheap_lb_keep("_ca", "_cb", maxlen)
+        ).select(
             "crm_id", "customer_key",
             dist.alias("dist"), maxlen.alias("maxlen"),
             (F.col("crm_nationkey") != F.col("dw_nationkey"))
@@ -101,18 +145,16 @@ def link_crm_records(crm: DataFrame, customer: DataFrame) -> DataFrame:
     # pass 1 — numeric-band blocking: the probe side fans out to the 3
     # adjacent blocks, the dimension stays put — one equi-join on bid
     probes = keyed.select(
-        "crm_id", "name_norm", "crm_nationkey", "crm_acctbal",
+        *_probe_cols,
         F.explode(F.array(F.col("bid") - 1, F.col("bid"), F.col("bid") + 1)).alias("bid"),
     )
     band_cand = _score(probes.join(dw.drop("sid"), "bid"))
     # pass 2 — low-6-digit suffix blocking: plain equi-join on sid,
     # reaching the high-digit-corruption class the band cannot. A pair
     # found by both passes appears twice with IDENTICAL payload, which
-    # the best-match window absorbs without a dedup shuffle.
+    # the best-match aggregate absorbs without a dedup shuffle.
     suffix_cand = _score(
-        keyed.select(
-            "crm_id", "name_norm", "crm_nationkey", "crm_acctbal", "sid"
-        ).join(dw.drop("bid"), "sid")
+        keyed.select(*_probe_cols, "sid").join(dw.drop("bid"), "sid")
     )
     cand = band_cand.unionByName(suffix_cand)
     # Fellegi-Sunter-style composite rank: name distance primary, nation
@@ -120,17 +162,28 @@ def link_crm_records(crm: DataFrame, customer: DataFrame) -> DataFrame:
     # wrong-nation exact name loses), balance a weak one (3 < 4 —
     # balances legitimately drift between systems, so an exact-name
     # same-nation collision still out-ranks a 2-edit truth: the audit's
-    # deliberate residual wrong-match class). All-integer, deterministic
-    w = Window.partitionBy("crm_id").orderBy(
-        2 * F.col("dist") + 5 * F.col("nation_miss") + 3 * F.col("bal_miss"),
-        "customer_key",
-    )
+    # deliberate residual wrong-match class). All-integer, deterministic.
+    # Implemented as min(struct) — lexicographic struct ordering IS the
+    # (composite, customer_key) rank — instead of a row_number window:
+    # the hash aggregate partial-combines MAP-SIDE, so the shuffle
+    # carries one row per CRM record, not every accepted candidate
+    # (~100× less at the fixture's block density; the window had to
+    # shuffle-sort them all). r12 — verdict #1.
     best = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        cand.groupBy("crm_id")
+        .agg(F.min(F.struct(
+            (2 * F.col("dist") + 5 * F.col("nation_miss")
+             + 3 * F.col("bal_miss")).alias("score"),
+            F.col("customer_key"),
+            F.col("dist"),
+            F.col("maxlen"),
+        )).alias("b"))
+        .select(
+            "crm_id", F.col("b.customer_key").alias("customer_key"),
+            F.col("b.dist").alias("dist"), F.col("b.maxlen").alias("maxlen"),
+        )
     )
-    return keyed.drop("name_norm", "bid", "sid").join(best, "crm_id", "left").select(
+    return keyed.select(*crm.columns).join(best, "crm_id", "left").select(
         *crm.columns,
         F.col("customer_key").alias("matched_customer_key"),
         F.col("dist").cast("int").alias("match_distance"),

@@ -144,7 +144,10 @@ def test_catalog_md_count_current():
 #: wobbles ±35%, and its OUTPUT rows scale exactly 10.0x (the
 #:  blocking-fan-out linearity evidence the gate actually cares about,
 #: asserted below for every 10x-output family via rows_ratio).
-_SF1_RATIO_BOUNDS = {"graph": 15, "er": 16}
+#: er restored to the default 12 in r12 (verdict #1): the multiset
+#: prune + min(struct) best-match flattened the decade to ~1 on a
+#: quiet run (155 s -> ~1 s at sf1)
+_SF1_RATIO_BOUNDS = {"graph": 15}
 
 
 def test_sf1_rehearsal_scaling_exponents():
