@@ -371,6 +371,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # wait-for-quiet (r12 — verdict #4): two rounds of driver benches
+    # started contended; spend a bounded budget waiting for the load to
+    # settle before sampling (the contended tag below remains the
+    # guarantee if the budget expires busy)
+    from harness_util import git_head, wait_for_quiet
+
+    waited_quiet = wait_for_quiet()
     load_at_start = machine_load()
     # contention guard (r11 — verdict #7): a bench started on a busy
     # machine inflates EVERY query uniformly (r10's driver run read
@@ -659,7 +666,10 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "PLAN_AUDIT_EXEC.json"), "w"
         ) as f:
+            from harness_util import git_head as _gh
+
             json.dump({"sf_dir": sf_dir, "mode": "executed(final AQE)",
+                       "git_head": _gh(),
                        "entries": exec_audit}, f, indent=1, sort_keys=True)
     if audit_only:
         print(json.dumps({
@@ -698,6 +708,8 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "git_head": git_head(),
+                "waited_for_quiet_sec": waited_quiet,
                 "core_total_wall": core_total,
                 "core_r10_total_wall": core_r10_total,
                 "core_r10_set": list(CORE_R10),

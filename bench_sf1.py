@@ -149,6 +149,9 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
+    from harness_util import git_head, wait_for_quiet
+
+    waited_quiet = wait_for_quiet()  # r12 — verdict #4
     load1_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="ecdw-bench-sf1", shuffle_partitions=32)
     catalog = get_catalog()
@@ -186,6 +189,8 @@ def main() -> None:
             # they are load-independent)
             "contended": load1_start > 1.5,
             "load1_start": load1_start,
+            "waited_for_quiet_sec": waited_quiet,
+            "git_head": git_head(),
         }, f, indent=1, sort_keys=True)
     print(json.dumps({
         "metric": "sf1_rehearsal",

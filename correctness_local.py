@@ -110,28 +110,9 @@ def entry_fingerprint(
     return h.hexdigest()[:16]
 
 
-def git_head() -> str | None:
-    """Short hash of the working tree's HEAD, recorded in the artifact
-    summary so staleness vs the freeze commit is machine-checkable
-    (VERDICT r11 Next-round #4). Plus a ``dirty`` marker when the tree
-    has uncommitted changes."""
-    import subprocess
-
-    repo = os.path.dirname(os.path.abspath(__file__))
-    try:
-        head = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], cwd=repo,
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        if not head:
-            return None
-        status = subprocess.run(
-            ["git", "status", "--porcelain"], cwd=repo,
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        return head + ("+dirty" if status else "")
-    except Exception:  # noqa: BLE001 - artifact metadata, never fatal
-        return None
+# git_head lives in harness_util (shared by every artifact script —
+# r12 verdict #4: staleness vs the freeze commit is machine-checkable)
+from harness_util import git_head  # noqa: E402
 
 
 def needs_rerun(old_rec: dict | None, fp: str) -> bool:

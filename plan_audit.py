@@ -115,8 +115,11 @@ def main() -> None:
         print(name, rows[name], flush=True)
 
     if not only:
+        from harness_util import git_head
+
         with open(os.path.join(HERE, "PLAN_AUDIT.json"), "w") as f:
-            json.dump(rows, f, indent=1, sort_keys=True)
+            json.dump({"_meta": {"git_head": git_head()}, **rows},
+                      f, indent=1, sort_keys=True)
         # merge the EXECUTED-plan audit (final AQE plans at the bench
         # scale, emitted by bench.py) as a trailing column for the
         # headline entries it covers

@@ -162,6 +162,8 @@ def _spark_census(spark, und):
         "n_nodes": r.n_nodes,
         "n_edges": r.n_edges,
         "n_wedges": r.n_wedges,
+        "n_oriented_wedges": r.n_oriented_wedges,
+        "max_oriented_outdeg": r.max_oriented_outdeg,
         "n_triangles": r.n_triangles,
         "transitivity": r.transitivity,
     }
