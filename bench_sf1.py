@@ -73,6 +73,12 @@ ENTRIES = [
     ("curation_line_dedup", "curation"),
     ("bm25_index_serve_topk", "bm25"),
     ("dedup_cluster_components", "dedup"),
+    # r12: the new window-over-preaggregate family (series cells grow
+    # ~linearly; both windows off one exchange) and the purge pass
+    # (footer-probe + stale-file rewrite must follow the stale set,
+    # never the table)
+    ("tpcds_q47_store_lag_deviation", "olap"),
+    ("tf_column_purge", "table_format"),
 ]
 
 

@@ -303,3 +303,80 @@ def test_incr_compaction_merges_generations_without_retraining(
     finally:
         IX._INCR_BUILT.clear()
         IX._INCR_BUILT.update(saved)
+
+
+def test_incr_fold_recall_drift_trend_across_generations(
+    spark, tmp_path, monkeypatch
+):
+    """The K-fold recall-drift TREND (r12 — verdict #2): after each
+    fold generation, appended-arm IVF recall@3 over the queries folded
+    so far is a well-defined, publishable number — the time series a
+    real deployment watches to schedule the retrain. Pins: the query
+    set grows with each generation, every prefix recall is a valid
+    ratio, and the K=3 value equals the catalog audit entry's
+    'appended' arm at the same scale (the trend ENDS at the number the
+    oracle-checked entry publishes)."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.llm_ops import (
+        _INCR_QPRED,
+        ann_index_append_recall_audit,
+    )
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.sources.tpch import (
+        read_table as _rt,
+    )
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_ORACLE
+
+    monkeypatch.setattr(
+        IX, "incr_index_root", lambda sf: str(tmp_path / "incr_trend")
+    )
+    saved = set(IX._INCR_BUILT)
+    IX._INCR_BUILT.clear()
+    try:
+        root = IX.build_incr_base(spark, SF_ORACLE)
+        emb = _rt(spark, SF_ORACLE, "embeddings")
+        coarse = spark.read.parquet(os.path.join(root, "coarse")).select(
+            F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")
+        )
+        trend = []
+        assigned = spark.read.parquet(os.path.join(root, "assign"))
+        folded_pred = "FALSE"
+        for g in range(1, IX.N_FOLD_GENS + 1):
+            IX._fold_one_gen(spark, SF_ORACLE, root, g)
+            assigned = assigned.unionByName(
+                spark.read.parquet(os.path.join(root, f"assign_b{g}"))
+            )
+            folded_pred = (
+                f"({folded_pred}) OR (({IX.S_EMB_SLICE}) = {g - 1})"
+            )
+            qpred = f"({_INCR_QPRED}) AND ({folded_pred})"
+            queries = emb.filter(qpred)
+            nq = queries.count()
+            exact = S.brute_force_topk(emb, queries, k=3).select(
+                "query_id", "neighbor_id"
+            )
+            approx = S.ivf_topk(
+                emb, coarse, qpred, k=3, assigned=assigned
+            ).select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+            hits = (
+                exact.join(approx, ["query_id", "neighbor_id"], "left")
+                .agg(F.sum(F.coalesce("hit", F.lit(0)))).collect()[0][0]
+            )
+            recall = hits / (3 * nq) if nq else None
+            trend.append((nq, recall))
+        # the query set grows monotonically and every recall is valid
+        nqs = [nq for nq, _ in trend]
+        assert nqs == sorted(nqs) and nqs[-1] > nqs[0]
+        for nq, r in trend:
+            if nq:
+                assert 0.0 <= r <= 1.0
+        # the trend ends at the audit entry's published appended arm
+        audit = {
+            row.path: row for row in
+            ann_index_append_recall_audit(spark, SF_ORACLE).collect()
+        }
+        assert nqs[-1] == audit["appended"].n_queries
+        assert abs(trend[-1][1] - audit["appended"].recall_at_3) < 1e-12
+    finally:
+        IX._INCR_BUILT.clear()
+        IX._INCR_BUILT.update(saved)
