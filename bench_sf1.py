@@ -46,8 +46,16 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(HERE, ".scratch", "sf1")
 K = 10  # copies of sf0.1
 
-#: per-table key strides (well above every sf0.1 max key)
-_CS, _OS, _PS, _SS = 1_000_000, 10_000_000, 1_000_000, 100_000
+#: per-table key strides (well above every sf0.1 max key).
+#: customer's stride is CONTIGUOUS (exactly the sf0.1 row count, keys
+#: 0..149_999 — the population a real sf1 warehouse has) because the
+#: ER blocking keys derive from the NAME's digit payload: a sparse
+#: 1e6 stride would alias every copy onto the same low-6-digit suffix
+#: block (suffix = key MOD 1e6), manufacturing 10x-denser blocks and a
+#: fake quadratic decade (r12: 23.9x measured) that no real 10x
+#: warehouse exhibits — more customers means NEW key digits, not ten
+#: clones per block.
+_CS, _OS, _PS, _SS = 15_000, 10_000_000, 1_000_000, 100_000
 _ES, _US, _DS, _VS = 10_000_000, 1_000_000, 1_000_000, 1_000_000
 
 #: rehearsal set: (entry, family) — family picks the ratio bound the
@@ -113,7 +121,13 @@ def ensure_sf1(spark) -> str:
             out = out.unionByName(p)
         return out
 
-    write("customer", fan(rd("customer"), {"c_custkey": _CS}))
+    # customer names must FOLLOW the shifted key (TPC-H invariant:
+    # c_name = 'Customer#%09d' % c_custkey) — the ER fixture blocks on
+    # the name's digits, so verbatim name clones would collide every
+    # copy into the same blocks (see the stride note above)
+    write("customer", fan(rd("customer"), {"c_custkey": _CS}).withColumn(
+        "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+    ))
     write("supplier", fan(rd("supplier"), {"s_suppkey": _SS}))
     write("part", fan(rd("part"), {"p_partkey": _PS}))
     write("orders", fan(rd("orders"), {"o_orderkey": _OS, "o_custkey": _CS}))
