@@ -192,9 +192,14 @@ def test_catalog_md_count_current():
 #: wobbles ±35%, and its OUTPUT rows scale exactly 10.0x (the
 #:  blocking-fan-out linearity evidence the gate actually cares about,
 #: asserted below for every 10x-output family via rows_ratio).
-#: r12 (verdict #1/#5): er restored to the default 12 — the multiset
-#: prune + min(struct) best-match flattened its decade to ~1 on a quiet
-#: run (155 s -> ~1 s at sf1); graph restored too — triangle counting's
+#: r12 (verdict #1/#5): er restored to the default 12 — two fixes
+#: compounded: the multiset prune + min(struct) best-match flattened
+#: the operator, and the sf1 generator now extends the customer key
+#: space contiguously with names following keys (verbatim name clones
+#: had collided every copy into the same blocking buckets — a
+#: generator artifact, not warehouse reality). Measured decade now
+#: 3.03x (155 s -> 38 s at sf1, rows exactly 10.0x). graph restored
+#: too — triangle counting's
 #: 8.43x is measured LINEARITY (oriented wedges 41.1M -> 410.9M =
 #: exactly 10x, max oriented out-degree 97 at BOTH scales: no skew; the
 #: counts are now audit columns of the entry itself)
