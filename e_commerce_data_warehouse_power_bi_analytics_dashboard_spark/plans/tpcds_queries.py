@@ -460,3 +460,231 @@ def tpcds_q57_channel_lag_deviation(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.sum("rev").alias("rev"))
     )
     return _lag_deviation(cells, ["category", "segment"], 1996)
+
+
+# ---------------------------------- r12b: q36 / q88 / q74 shape family
+
+@register(
+    "tpcds_q36_grouping_rank",
+    oracle=f"""
+        WITH f AS (
+            SELECT p_type AS category, p_brand AS brand,
+                   {_PRICE} * (1 - {_DISC}) AS rev,
+                   {_PRICE} AS gross
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        cells AS (
+            SELECT COALESCE(category, 'ALL') AS category,
+                   COALESCE(brand, 'ALL') AS brand,
+                   GROUPING(category) + GROUPING(brand) AS lochierarchy,
+                   CASE WHEN GROUPING(brand) = 0 THEN category END AS parent,
+                   CAST(SUM(rev) AS DOUBLE) / CAST(SUM(gross) AS DOUBLE)
+                       AS discounted_margin
+            FROM f GROUP BY ROLLUP(category, brand)
+        )
+        SELECT category, brand, lochierarchy, discounted_margin,
+               RANK() OVER (
+                   PARTITION BY lochierarchy, parent
+                   ORDER BY discounted_margin ASC) AS rank_within_parent
+        FROM cells
+        ORDER BY lochierarchy DESC, category, brand
+    """,
+    tags=("olap", "tpcds", "A8", "W6", "rollup", "grouping"),
+    doc="TPC-DS q36 shape (rank WITHIN a rollup grouping level, "
+        "adapted: category = p_type, class/brand = p_brand, gross "
+        "margin := discounted revenue / gross revenue): one "
+        "ROLLUP(category, brand) pass emits every hierarchy level with "
+        "its GROUPING() markers; lochierarchy = grouping(category) + "
+        "grouping(brand) names the level and the rank runs WITHIN each "
+        "(level, parent-category) frame — the GROUPING()-driven "
+        "partition key q67's plain per-category rank never exercises. "
+        "The margin is one IEEE divide of two exact DECIMAL sums, "
+        "surfaced unrounded; rollup markers surface as 'ALL' sentinels "
+        "AFTER grouping() is captured, so the rank partition never "
+        "keys on engine NULL semantics. The window sees only rollup "
+        "cells (|category|·|brand| + |category| + 1 rows), partitioned "
+        "by (lochierarchy, parent) — never fact grain, never "
+        "SinglePartition; the rollup is ONE Expand + hash-agg pass.",
+)
+def tpcds_q36_grouping_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", _s_rev().alias("rev"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("gross"),
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").alias("category"),
+        F.col("p_brand").alias("brand"),
+    )
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .rollup("category", "brand")
+        .agg(
+            (F.sum("rev").cast("double")
+             / F.sum("gross").cast("double")).alias("discounted_margin"),
+            (F.grouping("category") + F.grouping("brand"))
+            .cast("int").alias("lochierarchy"),
+            F.when(F.grouping("brand") == 0, F.col("category"))
+            .alias("parent"),
+        )
+        .select(
+            F.coalesce("category", F.lit("ALL")).alias("category"),
+            F.coalesce("brand", F.lit("ALL")).alias("brand"),
+            "lochierarchy", "parent", "discounted_margin",
+        )
+    )
+    w = Window.partitionBy("lochierarchy", "parent").orderBy(
+        F.asc("discounted_margin")
+    )
+    return (
+        cells.withColumn("rank_within_parent", F.rank().over(w))
+        .select(
+            "category", "brand", "lochierarchy", "discounted_margin",
+            "rank_within_parent",
+        )
+        .orderBy(F.desc("lochierarchy"), "category", "brand")
+    )
+
+
+@register(
+    "tpcds_q88_timeband_counts",
+    oracle="""
+        SELECT count(*) FILTER (WHERE hour(ts) = 8)  AS h8,
+               count(*) FILTER (WHERE hour(ts) = 9)  AS h9,
+               count(*) FILTER (WHERE hour(ts) = 10) AS h10,
+               count(*) FILTER (WHERE hour(ts) = 11) AS h11,
+               count(*) FILTER (WHERE hour(ts) = 12) AS h12,
+               count(*) FILTER (WHERE hour(ts) = 13) AS h13,
+               count(*) FILTER (WHERE hour(ts) = 14) AS h14,
+               count(*) FILTER (WHERE hour(ts) = 15) AS h15
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+          AND hour(ts) BETWEEN 8 AND 15
+    """,
+    tags=("olap", "tpcds", "A8", "events", "single-scan"),
+    doc="TPC-DS q88 shape (multi-timeband census, adapted: store "
+        "traffic = engagement events, time slots = business hours "
+        "8..15): the spec phrases this as EIGHT scalar subqueries "
+        "cross-joined into one row — eight scans of the same fact. "
+        "Spark-first it is ONE scan: a single conditional aggregation "
+        "(sum-of-CASE per band) whose partial aggregates combine "
+        "map-side, shuffling eight integers per task; the band "
+        "predicate and the event-type filter push into the parquet "
+        "scan. At 100 TB the spec's form reads the fact eight times; "
+        "this form reads it once — plan-pinned to exactly one scan "
+        "(tests/test_plans.py). The scalar-agg SinglePartition child "
+        "is the documented scalar pattern, not a window demotion.",
+)
+def tpcds_q88_timeband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hr"), "event_type"
+    ).filter(
+        F.col("event_type").isin("click", "view", "purchase")
+        & F.col("hr").between(8, 15)
+    )
+    return ev.agg(*[
+        F.sum(F.when(F.col("hr") == h, 1).otherwise(0))
+        .cast("bigint").alias(f"h{h}")
+        for h in range(8, 16)
+    ])
+
+
+@register(
+    "tpcds_q74_yoy_channel_growth",
+    oracle=f"""
+        WITH f AS (
+            SELECT o_custkey AS custkey,
+                   CAST(year(o_orderdate) AS INT) AS yr,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 'express' ELSE 'standard' END AS channel,
+                   {_PRICE} * (1 - {_DISC}) AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE year(o_orderdate) IN (1995, 1996)
+        ),
+        y AS (
+            SELECT custkey,
+                   COALESCE(SUM(rev) FILTER (
+                       WHERE channel = 'express' AND yr = 1995), 0) AS e95,
+                   COALESCE(SUM(rev) FILTER (
+                       WHERE channel = 'express' AND yr = 1996), 0) AS e96,
+                   COALESCE(SUM(rev) FILTER (
+                       WHERE channel = 'standard' AND yr = 1995), 0) AS s95,
+                   COALESCE(SUM(rev) FILTER (
+                       WHERE channel = 'standard' AND yr = 1996), 0) AS s96
+            FROM f GROUP BY custkey
+        )
+        SELECT y.custkey, c_name AS customer_name,
+               CAST(e96 AS DOUBLE) / CAST(e95 AS DOUBLE) AS express_growth,
+               CAST(s96 AS DOUBLE) / CAST(s95 AS DOUBLE) AS standard_growth
+        FROM y JOIN customer ON y.custkey = c_custkey
+        WHERE e95 > 0 AND s95 > 0
+          AND CAST(s96 AS DOUBLE) / CAST(s95 AS DOUBLE)
+            > CAST(e96 AS DOUBLE) / CAST(e95 AS DOUBLE)
+        ORDER BY y.custkey
+    """,
+    tags=("olap", "tpcds", "A8", "J10", "yoy", "self-join-collapsed"),
+    doc="TPC-DS q74 shape (per-customer year-over-year growth compared "
+        "ACROSS sales channels, adapted: store/web = standard/express "
+        "order-priority channels, years 1995 vs 1996): customers whose "
+        "standard-channel revenue grew faster than their express-"
+        "channel revenue. The spec materializes a year_total CTE and "
+        "self-joins it FOUR ways (one per channel x year) — four scans "
+        "and three joins of a fact-sized intermediate. Spark-first the "
+        "whole lattice collapses to ONE aggregation: groupBy(custkey) "
+        "with four conditional DECIMAL sums (map-side partial combine, "
+        "one shuffle of four decimals per customer), the growth guard "
+        "a WHERE over one row per customer, the name a broadcast dim "
+        "probe. Growth ratios are IEEE quotients of exact DECIMAL "
+        "sums, surfaced unrounded; the zero-denominator guard is an "
+        "exact DECIMAL > 0 test, so the cross-channel comparison is "
+        "deterministic cross-engine. Plan-pinned to a single scan of "
+        "each fact table (the 4-way self-join would re-read four "
+        "times).",
+)
+def tpcds_q74_yoy_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").alias("yr"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.lit("express"),
+        ).otherwise(F.lit("standard")).alias("channel"),
+    ).filter(F.col("yr").isin(1995, 1996))
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _s_rev().alias("rev")
+    )
+    zero = F.lit(0).cast("decimal(27,4)")
+
+    def bucket(channel: str, yr: int, out: str) -> F.Column:
+        return F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("channel") == channel) & (F.col("yr") == yr),
+                    F.col("rev"),
+                )
+            ).cast("decimal(27,4)"),
+            zero,
+        ).alias(out)
+
+    y = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("custkey")
+        .agg(
+            bucket("express", 1995, "e95"), bucket("express", 1996, "e96"),
+            bucket("standard", 1995, "s95"), bucket("standard", 1996, "s96"),
+        )
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name").alias("customer_name")
+    )
+    eg = F.col("e96").cast("double") / F.col("e95").cast("double")
+    sg = F.col("s96").cast("double") / F.col("s95").cast("double")
+    return (
+        y.filter((F.col("e95") > 0) & (F.col("s95") > 0) & (sg > eg))
+        .join(F.broadcast(cust), F.col("custkey") == F.col("c_custkey"))
+        .select(
+            "custkey", "customer_name",
+            eg.alias("express_growth"), sg.alias("standard_growth"),
+        )
+        .orderBy("custkey")
+    )

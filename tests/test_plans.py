@@ -440,3 +440,55 @@ def test_tpcds_q47_q57_one_window_exchange_no_single_partition(spark):
         ]
         assert len(set(bare)) == 1, hashes
         assert not year_only, hashes
+
+
+def test_tpcds_q36_one_expand_pass_no_single_partition_window(spark):
+    """r12 pin: the GROUPING()-rank runs off ONE Expand + hash-agg pass
+    (never one scan per rollup level) and the rank window partitions on
+    (lochierarchy, parent) — never SinglePartition."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.tpcds_queries import (
+        tpcds_q36_grouping_rank,
+    )
+
+    df = tpcds_q36_grouping_rank(spark, SF_SMOKE)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]  # final AQE plan only
+    assert p.count("Expand") >= 1, p
+    assert p.count("FileScan parquet") == 2, p  # lineitem + part, once each
+    assert "SinglePartition, Window" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_tpcds_q88_single_scan(spark):
+    """r12 pin: the eight time-band counts come from ONE scan of events
+    (the spec's form is eight scalar subqueries = eight scans), with the
+    band + event-type predicates pushed into the scan."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.tpcds_queries import (
+        tpcds_q88_timeband_counts,
+    )
+
+    df = tpcds_q88_timeband_counts(spark, SF_SMOKE)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]  # final AQE plan only
+    assert p.count("FileScan parquet") == 1, p
+    assert "PushedFilters: []" not in p, p  # type IN + hour-band pushed
+    assert "CartesianProduct" not in p, p
+
+
+def test_tpcds_q74_self_join_collapsed_to_one_agg(spark):
+    """r12 pin: the 4-way year_total self-join collapses to ONE
+    conditional aggregation — each fact table scans exactly once and no
+    join of the aggregate with itself survives."""
+    from e_commerce_data_warehouse_power_bi_analytics_dashboard_spark.plans.tpcds_queries import (
+        tpcds_q74_yoy_channel_growth,
+    )
+
+    df = tpcds_q74_yoy_channel_growth(spark, SF_SMOKE)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]  # final AQE plan only
+    assert p.count("FileScan parquet") == 3, p  # lineitem, orders, customer
+    assert p.count("HashAggregate") <= 2, p  # ONE partial/final pair
+    assert "CartesianProduct" not in p, p
