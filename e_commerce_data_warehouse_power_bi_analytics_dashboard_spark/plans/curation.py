@@ -413,31 +413,56 @@ LINE_TOKENS = 10
         "newlines, see module doc), every segment's content hash is "
         "ranked globally, and only the first occurrence (lowest "
         "(doc_id, seg_idx)) survives; per-doc survival counts reported. "
-        "Scale shape: segmentation is map-side (sequence+slice, no "
-        "self-join); the only shuffle keys on the 16-byte segment hash, "
-        "and each hash group's size is the segment's duplication count "
-        "— bounded by corpus redundancy, never corpus size. The planted "
+        "Scale shape (r12 constant-factor rework — the 10x-decade wall "
+        "ratio was drifting toward 10, i.e. zero parallel slack): "
+        "tokenization runs ONCE per document into a column (the "
+        "previous inlined expression re-normalized the text inside the "
+        "per-segment lambda), per-doc segment totals are pure "
+        "arithmetic on the token count (no shuffle at all), and the "
+        "global first-occurrence rank is min(struct(doc_id, seg_idx)) "
+        "per segment hash — a hash aggregate that partial-combines "
+        "map-side, so the shuffle carries one row per DISTINCT segment "
+        "instead of sort-shuffling every segment row through a window. "
+        "Each hash group's size is the segment's duplication count — "
+        "bounded by corpus redundancy, never corpus size. The planted "
         "near-dup pairs make the drop column non-vacuous.",
 )
 def curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = read_table(spark, sf_dir, "documents")
-    t = T.s_tokens("text")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(T.s_tokens("text")).alias("toks")
+    )
+    # per-doc totals: |sequence(1, G, N)| = (G-1) DIV N + 1 — arithmetic
+    # on the token count, no shuffle
+    totals = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST((greatest(size(toks), 1) - 1) DIV {LINE_TOKENS} + 1"
+            " AS BIGINT)"
+        ).alias("n_segments"),
+    )
     segs = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size({t}), 1), {LINE_TOKENS}),"
+                f"transform(sequence(1, greatest(size(toks), 1), {LINE_TOKENS}),"
                 f" i -> struct(CAST((i - 1) DIV {LINE_TOKENS} AS BIGINT) AS seg_idx,"
-                f" md5(array_join(slice({t}, i, {LINE_TOKENS}), ' ')) AS seg_hash))"
+                f" md5(array_join(slice(toks, i, {LINE_TOKENS}), ' ')) AS seg_hash))"
             )
         ).alias("s"),
     ).select("doc_id", "s.seg_idx", "s.seg_hash")
-    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
-    ranked = segs.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_segments"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+    # first global occurrence per segment hash: min(struct) partial-
+    # combines map-side — one shuffled row per DISTINCT segment, where
+    # the row_number window had to sort-shuffle every segment row
+    kept = (
+        segs.groupBy("seg_hash")
+        .agg(F.min(F.struct("doc_id", "seg_idx")).alias("f"))
+        .groupBy(F.col("f.doc_id").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long").alias("n_dropped"),
     )
