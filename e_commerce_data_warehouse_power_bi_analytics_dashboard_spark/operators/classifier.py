@@ -65,18 +65,32 @@ def lr_fit(
     per input row, so ``avg(err)`` within any group IS the bias
     gradient — no second pass over the data.
     """
+    from .similarity import _round_half_up_6
+
+    spark = emb.sparkSession
     vecs = emb.select(
         F.col(id_col).alias("vid"),
         F.expr(V.s_to_double(vec_col)).alias("v"),
         F.expr(label_expr).alias("y"),
     ).localCheckpoint(eager=True)
-    spark = emb.sparkSession
-    wf = spark.range(1).select(
-        F.expr(f"array_repeat(CAST(0 AS DOUBLE), {dim})").alias("w"),
-        F.lit(0.0).alias("b"),
-    ).localCheckpoint(eager=True)
+    # r12 (guide §1.2 "per-round fixed costs" — numbers in
+    # OPTIMIZATION_r12.md): the weight state is metadata-grain (dim+1
+    # doubles — the old per-round BroadcastExchange collected exactly
+    # these values to the driver before re-shipping them), so it now
+    # lives in the driver: each round is ONE distributed
+    # scan+posexplode+65-cell-agg job with the weights inlined as an
+    # array literal, replacing the old localCheckpoint job + broadcast
+    # job + weight-rebuild agg per round. The per-row expression text
+    # (same s_dot fold, same sigmoid) and the distributed avg are
+    # unchanged, so the walked weight trajectory is identical; the
+    # driver-side update uses the same HALF_UP 6-decimal round
+    # (_round_half_up_6) as F.round.
+    w = [0.0] * dim
+    b = 0.0
     for _ in range(iters):
-        scored = vecs.crossJoin(F.broadcast(wf)).select(
+        scored = vecs.withColumns(
+            {"w": F.array(*[F.lit(x) for x in w]), "b": F.lit(b)}
+        ).select(
             "v",
             (
                 F.expr(f"1.0 / (1.0 + exp(-(b + {V.s_dot('w', 'v')})))")
@@ -90,28 +104,22 @@ def lr_fit(
         grads = dims.groupBy("pos").agg(
             F.avg(F.col("val") * F.col("err")).alias("g"),
             F.avg("err").alias("gb"),
-        )
-        old = wf.select(F.posexplode("w").alias("pos", "wv"), "b")
-        newd = old.join(grads, "pos").select(
-            "pos",
-            F.round(F.col("wv") - F.lit(lr) * F.col("g"), 6).alias("nw"),
-            "b",
-            "gb",
-        )
-        wf = (
-            newd.groupBy()
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, nw))), x -> x.nw)"
-                ).alias("w"),
-                # min() over per-group copies of b / gb: b is constant;
-                # gb copies differ only in reduction order (~1e-16),
-                # re-synced by the same 6-decimal round as the weights
-                F.round(F.min("b") - F.lit(lr) * F.min("gb"), 6).alias("b"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return wf
+        ).collect()
+        g = [0.0] * dim
+        for r in grads:
+            g[r["pos"]] = r["g"]
+        # min() over the per-group gb copies: they differ only in
+        # reduction order (~1e-16), re-synced by the same 6-decimal
+        # round as the weights — matches the old F.min("gb") exactly
+        gb = min(r["gb"] for r in grads)
+        w = [_round_half_up_6(w[p] - lr * g[p]) for p in range(dim)]
+        b = _round_half_up_6(b - lr * gb)
+    # numPartitions=1: the default spark.range spreads its single row
+    # over defaultParallelism partitions, turning every downstream
+    # broadcast of the model into a cores-wide empty task wave (r12)
+    return spark.range(0, 1, 1, numPartitions=1).select(
+        F.array(*[F.lit(x) for x in w]).alias("w"), F.lit(b).alias("b")
+    )
 
 
 def lr_score(

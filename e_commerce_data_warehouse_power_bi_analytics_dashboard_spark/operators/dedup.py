@@ -285,8 +285,15 @@ def minhash_lsh_near_dups(
     the shingle set once (e.g. plans/llm_ops.py's session cache) so
     tokenization is paid once, not per catalog entry.
     """
+    from .pins import fresh_pins, pin
+
     sh = shingles if shingles is not None else shingle_set(df, id_col, text_col, k).persist()
-    sigs = minhash_signatures_from_shingles(sh, n_hashes)
+    # pin the doc-cardinality signature frame (r12 — guide §1.2 "don't
+    # compute things twice"): it feeds the band join AND both sides of
+    # the estimator join, so without the pin the 32-way min-hash
+    # aggregation over the full shingle set re-executed 3× per run
+    fresh_pins()
+    sigs = pin(minhash_signatures_from_shingles(sh, n_hashes))
     cands = lsh_candidate_pairs(sigs, bands)
 
     sig_arr = sigs.select(
@@ -648,10 +655,18 @@ def substring_spans(
     invent one — the documented recall trade, same shape as the
     decontam entry's stop-gram cap). Shuffles are gram-keyed then
     (d1, d2)-keyed; nothing is ever quadratic in corpus size."""
+    from .pins import fresh_pins, pin
+
+    # machine-width tokenize/explode (r12 — guide §2.5): a single-file
+    # corpus scan left the positioned-k-gram explode on one task; the
+    # exchange carries one thin row per doc, 1/(words·k) of the
+    # downstream gram work
     toks = docs.select(
         F.col(id_col).alias("d"),
         F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("arr"),
-    ).filter(F.size("arr") >= k)
+    ).filter(F.size("arr") >= k).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     grams = toks.select(
         "d",
         F.expr(
@@ -664,7 +679,13 @@ def substring_spans(
     ).filter(F.col("df") >= 2)
     if max_df is not None:
         dup = dup.filter(F.col("df") <= max_df)
-    cand = grams.join(dup.select("gram"), "gram")
+    # pin the pruned positioned-gram frame (r12 — guide §1.2): it feeds
+    # BOTH sides of the diagonal self-join, and Catalyst does not dedupe
+    # common subtrees — unpinned, the tokenize+explode+df-index pipeline
+    # executed twice (see plans/r12/dedup_substring_spans_before.txt:
+    # four parquet scans, the df-index aggregate chain twice)
+    fresh_pins()
+    cand = pin(grams.join(dup.select("gram"), "gram"))
     a = cand.select(
         F.col("gram"), F.col("d").alias("d1"), F.col("pos").alias("p1")
     )

@@ -23,6 +23,7 @@ DAMP_NUM, BASE_NUM, DAMP_DEN = 85, 15, 100
 def fixed_point_pagerank(
     edges: DataFrame, iters: int, salt_hubs: int = 0,
     broadcast_contrib: bool = True, broadcast_degree: bool = True,
+    broadcast_rank: bool = True,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list ``(src, dst)`` (pass both
     orientations for an undirected graph) → ``(node, pr)`` with integer
@@ -62,8 +63,14 @@ def fixed_point_pagerank(
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     fresh_pins()
+    # pin the edge frame at machine width (r12 — guide §2.5): the edge
+    # build's tiny-byte shuffles otherwise leave the cached frame at
+    # 1-2 AQE-coalesced partitions, so every round's join+contribution
+    # scan ran nearly single-task at test scale; the one extra exchange
+    # is paid once at pin time, each round reads the cached width
+    width = edges.sparkSession.sparkContext.defaultParallelism
     if broadcast_degree:
-        edges = pin(edges.select("src", "dst"))
+        edges = pin(edges.select("src", "dst").repartition(width, "src"))
         deg = pin(
             edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
         )
@@ -74,7 +81,7 @@ def fixed_point_pagerank(
         from pyspark.sql.window import Window
 
         edges = pin(
-            edges.select("src", "dst").withColumn(
+            edges.select("src", "dst").repartition(width, "src").withColumn(
                 "deg", F.count("*").over(Window.partitionBy("src")).cast("long")
             )
         )
@@ -91,7 +98,14 @@ def fixed_point_pagerank(
         .select("node", F.expr(f"{SCALE} div nn").cast("long").alias("pr"))
     )
     for _ in range(iters):
-        joined = edges.join(pr, edges.src == pr.node)
+        # broadcast the node-cardinality rank frame into the per-round
+        # join (r12, default on): the edge list — the corpus-sized side
+        # — is then never shuffled per round; one thin dst-keyed
+        # integer-sum shuffle remains. ``broadcast_rank=False`` is the
+        # billion-node fallback (shuffle join on src, the old shape) —
+        # bit-identical output (integer arithmetic).
+        pr_side = F.broadcast(pr) if broadcast_rank else pr
+        joined = edges.join(pr_side, edges.src == pr.node)
         if deg is not None:
             joined = joined.join(F.broadcast(deg), "src")
         per_edge = joined.select(
@@ -162,22 +176,41 @@ def pagerank_reference(edges: list[tuple[int, int]], iters: int) -> dict[int, in
     return dict(pr)
 
 
-def triangle_census(und: DataFrame) -> DataFrame:
+def triangle_census(und: DataFrame, broadcast_adj: bool = True) -> DataFrame:
     """Degree-ordered triangle counting over an undirected edge set
-    (Suri/Vassilvitskii): ``und`` holds one row per undirected edge as
-    (pa, pb) with pa < pb, deduplicated.
+    (Suri/Vassilvitskii orientation + adjacency-intersection closing):
+    ``und`` holds one row per undirected edge as (pa, pb) with pa < pb,
+    deduplicated.
 
     Every edge is oriented from its lower-(degree, id) endpoint to the
-    higher; wedges are enumerated only at each edge's LOW-degree apex
-    and closed by one equi-join probe — the orientation bounds per-node
-    wedge fan-out by O(sqrt(m)) regardless of hub degree, so a
-    star-graph hub cannot generate deg^2 wedges. Emits the 1-row global
-    census (n_nodes, n_edges, n_wedges, n_triangles, transitivity =
-    3T/W as ONE IEEE division of exact integers).
+    higher — the orientation bounds per-node out-degree by O(sqrt(m))
+    regardless of hub degree, so a star-graph hub cannot generate deg^2
+    wedges. Triangles are closed by ADJACENCY INTERSECTION (r12 —
+    before/after plans in plans/r12/, numbers in OPTIMIZATION_r12.md):
+    each triangle {s→m, s→t, m→t} has exactly one edge (s→m, source to
+    middle) whose two endpoints BOTH have the sink t in their oriented
+    out-neighbor list, so
 
-    The edge list, degree table and oriented adjacency each feed
-    multiple join legs (wedge x/y, closing z, plus the census) — pinned
-    via the session registry so the upstream edge build runs once.
+        n_triangles = Σ over oriented edges (u→v) |N+(u) ∩ N+(v)|
+
+    counts every triangle exactly once. The old plan enumerated every
+    oriented wedge as a ROW (41.1M rows at sf0.1, 410.9M at sf1) and
+    closed it with a second shuffled equi-join; the intersection form
+    never materializes the wedge rows — the same Σ outdeg² element
+    visits happen inside one codegen'd array_intersect per edge, and
+    the two wedge/closing exchanges disappear. The out-neighbor lists
+    are bounded by the orientation's O(sqrt(m)) cap (max 97 at sf0.1
+    AND sf1 — the audit column), so an adjacency row is at most a few
+    KB at any corpus size; the adjacency table is node-cardinality and
+    joins back to the edge list on src and on dst (broadcast when it
+    fits, plain equi-joins — never all-pairs — when it does not).
+
+    The edge list and oriented frame feed multiple legs — pinned via
+    the session registry so the upstream edge build runs once. The
+    expansion stage is repartitioned to machine width: the exchange
+    carries the m-row edge list once, 1/outdeg of the intersection
+    work downstream (guide §2.5 — at sf0.1 the whole fan-out otherwise
+    ran at the single-file scan's parallelism of ONE task).
     Property-tested against a brute-force itertools twin on randomized
     graphs (tests/test_graph.py).
     """
@@ -200,22 +233,35 @@ def triangle_census(und: DataFrame) -> DataFrame:
         .select(
             F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
             F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
         )
     )
     deg = pin(deg)
-    oriented = pin(oriented)
-    x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
-    wedge_lt = (F.col("x.dd") < F.col("y.dd")) | (
-        (F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst"))
+    oriented = pin(
+        oriented.repartition(und.sparkSession.sparkContext.defaultParallelism)
     )
-    tri = (
-        x.join(y, (F.col("x.src") == F.col("y.src")) & wedge_lt)
-        .join(
-            z,
-            (F.col("z.src") == F.col("x.dst")) & (F.col("z.dst") == F.col("y.dst")),
+    adj = pin(
+        oriented.groupBy("src").agg(
+            F.array_sort(F.collect_list("dst")).alias("nb")
         )
-        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    # ``broadcast_adj=False`` is the billion-node fallback: the
+    # adjacency table (node-cardinality, rows capped at O(sqrt(m))
+    # neighbors) then attaches through two ordinary equi-joins instead
+    # of a broadcast — bit-identical output (integer count).
+    adj_src = adj.select("src", F.col("nb").alias("nb_src"))
+    adj_dst = adj.select(F.col("src").alias("dst"), F.col("nb").alias("nb_dst"))
+    if broadcast_adj:
+        adj_src, adj_dst = F.broadcast(adj_src), F.broadcast(adj_dst)
+    tri = (
+        oriented.join(adj_src, "src")
+        .join(adj_dst, "dst")
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nb_src", "nb_dst"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
     census = und.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
         deg.agg(

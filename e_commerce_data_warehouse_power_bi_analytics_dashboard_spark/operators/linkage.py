@@ -142,19 +142,29 @@ def link_crm_records(crm: DataFrame, customer: DataFrame) -> DataFrame:
             .cast("int").alias("bal_miss"),
         ).filter(F.lit(100) * F.col("dist") <= F.lit(SIM_PCT) * F.col("maxlen"))
 
+    # r12 (guide §2.5 — before/after plans in plans/r12/, numbers in
+    # OPTIMIZATION_r12.md): both blocking joins broadcast the dimension
+    # side, so the candidate EXPANSION (~block-density × probes pairs,
+    # each paying the multiset prune and surviving pairs the O(len²)
+    # levenshtein) runs at the PROBE side's partitioning — for a
+    # single-file CRM extract that was ONE task doing all the scoring.
+    # Repartition the probe side to machine width first: the exchange
+    # carries one thin row per probe record, 1/block-density of the
+    # downstream scoring work, so the trade holds at any batch size.
+    width = crm.sparkSession.sparkContext.defaultParallelism
     # pass 1 — numeric-band blocking: the probe side fans out to the 3
     # adjacent blocks, the dimension stays put — one equi-join on bid
     probes = keyed.select(
         *_probe_cols,
         F.explode(F.array(F.col("bid") - 1, F.col("bid"), F.col("bid") + 1)).alias("bid"),
-    )
+    ).repartition(width)
     band_cand = _score(probes.join(dw.drop("sid"), "bid"))
     # pass 2 — low-6-digit suffix blocking: plain equi-join on sid,
     # reaching the high-digit-corruption class the band cannot. A pair
     # found by both passes appears twice with IDENTICAL payload, which
     # the best-match aggregate absorbs without a dedup shuffle.
     suffix_cand = _score(
-        keyed.select(*_probe_cols, "sid").join(dw.drop("bid"), "sid")
+        keyed.select(*_probe_cols, "sid").repartition(width).join(dw.drop("bid"), "sid")
     )
     cand = band_cand.unionByName(suffix_cand)
     # Fellegi-Sunter-style composite rank: name distance primary, nation

@@ -51,6 +51,18 @@ METADATA_TYPE = T.StructType(
 MIMES = ("image/png", "audio/wav", "video/mp4")
 
 
+
+def _ids_at_width(docs: DataFrame) -> DataFrame:
+    """Machine-width doc-id frame for the Arrow synthesize stages (r12 —
+    guide §2.5/§4.1): a single-file test-scale scan otherwise leaves ONE
+    partition — i.e. ONE Python worker — for the whole encode+decode
+    pipeline (mapInPandas preserves partitioning, so the width set here
+    carries through every downstream codec stage). The exchange moves
+    one BIGINT per row; payloads are synthesized after it."""
+    return docs.select("doc_id").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+
 def attach_payload(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload binary, meta struct).
 
@@ -93,19 +105,26 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
     column pruned from the output."""
 
     def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                counts: dict[int, int] = {}
-                for byte in b:
-                    counts[byte] = counts.get(byte, 0) + 1
                 n = len(b)
-                entropy = (
-                    -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else 0.0
-                )
+                # vectorized byte histogram (r12 — guide §4.2: hand the
+                # batch to numpy, never loop bytes in Python); the
+                # byte-value summation order differs from the old
+                # first-appearance dict walk only in the ~1e-16 float
+                # tail, absorbed by the entry's 6-decimal round exactly
+                # as the engine-vs-oracle order difference already was
+                if n:
+                    counts = np.bincount(np.frombuffer(b, dtype=np.uint8))
+                    p = counts[counts > 0] / n
+                    entropy = float(-(p * np.log2(p)).sum())
+                else:
+                    entropy = 0.0
                 rows.append(
                     (
                         int(doc_id),
@@ -591,7 +610,7 @@ def synthesize_png_gray16_payloads(docs: DataFrame) -> DataFrame:
                 rows.append((d, encode_png(grid, lambda y, d=d: d + y, depth=16)))
             yield pd.DataFrame(rows, columns=["doc_id", "png"])
 
-    return docs.select("doc_id").mapInPandas(synth, schema)
+    return _ids_at_width(docs).mapInPandas(synth, schema)
 
 
 def decode_image_gray16(with_png: DataFrame) -> DataFrame:
@@ -722,7 +741,7 @@ def synthesize_png_rgb_payloads(docs: DataFrame) -> DataFrame:
                 rows.append((d, encode_png(grid, lambda y, d=d: d + y, channels=3)))
             yield pd.DataFrame(rows, columns=["doc_id", "png"])
 
-    return docs.select("doc_id").mapInPandas(synth, schema)
+    return _ids_at_width(docs).mapInPandas(synth, schema)
 
 
 #: deterministic 16-entry palette + index formula shared with the SQL
@@ -2937,7 +2956,7 @@ def synthesize_jpeg_pixel_payloads(docs: DataFrame) -> DataFrame:
                 rows.append((d, encode_jpeg([grid])))
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
-    return docs.select("doc_id").mapInPandas(synth, schema)
+    return _ids_at_width(docs).mapInPandas(synth, schema)
 
 
 def synthesize_jpeg_progressive_payloads(docs: DataFrame) -> DataFrame:
@@ -2975,7 +2994,7 @@ def synthesize_jpeg_progressive_payloads(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
-    return docs.select("doc_id").mapInPandas(synth, schema)
+    return _ids_at_width(docs).mapInPandas(synth, schema)
 
 
 def synthesize_jpeg_420_payloads(docs: DataFrame) -> DataFrame:
@@ -3013,7 +3032,7 @@ def synthesize_jpeg_420_payloads(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
-    return docs.select("doc_id").mapInPandas(synth, schema)
+    return _ids_at_width(docs).mapInPandas(synth, schema)
 
 
 def synthesize_jpeg_restart_payloads(docs: DataFrame) -> DataFrame:
@@ -3040,7 +3059,7 @@ def synthesize_jpeg_restart_payloads(docs: DataFrame) -> DataFrame:
                 rows.append((d, encode_jpeg([grid], restart_interval=2)))
             yield pd.DataFrame(rows, columns=["doc_id", "jpeg"])
 
-    return docs.select("doc_id").mapInPandas(synth, schema)
+    return _ids_at_width(docs).mapInPandas(synth, schema)
 
 
 JPEG_420_SCHEMA = T.StructType(
@@ -3483,7 +3502,7 @@ def synthesize_wav_tone_payloads(docs: DataFrame) -> DataFrame:
                 rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
             yield pd.DataFrame(rows, columns=["doc_id", "wav"])
 
-    return docs.select("doc_id").mapInPandas(synth, schema)
+    return _ids_at_width(docs).mapInPandas(synth, schema)
 
 
 def detect_wav_tone(with_wav: DataFrame) -> DataFrame:

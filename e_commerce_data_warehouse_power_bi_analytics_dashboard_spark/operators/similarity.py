@@ -297,6 +297,14 @@ def kmeans_fit(
     # deterministic seed: the k smallest ids (TakeOrdered — never a
     # full-data sort); the seed vector's own id doubles as centroid_id
     # so no single-partition window is needed to number the centroids
+    #
+    # r12 note (OPTIMIZATION_r12.md): the driver-state round pattern
+    # applied to the pca/lr fits was TRIED here too (centroids are
+    # metadata-grain) and reverted after measurement — interleaved
+    # fresh-process A/B read it at parity-to-slightly-slower (the
+    # per-round cost is plan analysis + codegen, which the pattern does
+    # not remove, and the collect adds a round-trip the checkpoint
+    # pipeline overlaps better). Kept the checkpoint shape.
     seeds = (
         emb.select(id_col, vec_col).orderBy(id_col).limit(k)
         .select(
@@ -1017,6 +1025,135 @@ def srp_near_pairs(
     )
 
 
+def _round_half_up_6(x: float) -> float:
+    """Driver-side twin of Spark's ``F.round(col, 6)``: Spark's Round
+    on DoubleType goes through ``BigDecimal.valueOf(double)`` — i.e.
+    ``Double.toString``, the SHORTEST round-trip decimal — then
+    setScale(6, HALF_UP). Python's ``repr(float)`` is the same shortest
+    round-trip string, so ``Decimal(repr(x))`` + HALF_UP quantize is
+    bit-identical (pinned against F.round on a halfway-point grid in
+    tests/test_r12_optimizations.py; the exact-binary-expansion
+    ``Decimal(x)`` variant is NOT — it reads 0.1234565 as ...649999...
+    and rounds down where the JVM rounds up)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _gram_matrix(
+    emb: DataFrame, quant: int, id_col: str, vec_col: str,
+) -> tuple[DataFrame, "list[int]", int]:
+    """Exact-integer scaled-covariance build shared by the PCA fits:
+    returns (A frame localCheckpoint-ed as (i, j, aij BIGINT), the
+    per-coordinate quantized sums S as a Python list, n).
+
+    r12 optimization (guide §2.5/§1.2 — measured BEFORE numbers in
+    OPTIMIZATION_r12.md): the dim² map-side pair expansion used to run
+    at the parquet scan's parallelism — ONE task for a single-file
+    embeddings table, so the whole n·dim² explode+partial-agg was
+    single-threaded. The rows are repartitioned to the session's
+    default parallelism first: the exchange carries n·dim quantized
+    longs ONCE (1/dim of the downstream expansion work, so the trade
+    holds at any corpus size), and the expansion then scales with the
+    machine. S and n are exact BIGINTs, collected at metadata grain
+    (dim values — the same bytes the old broadcast-join plan shipped
+    through a BroadcastExchange anyway) and inlined as literals, which
+    removes two broadcast joins from the A-build job."""
+    spark = emb.sparkSession
+    qarr = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT))"
+    )
+    rows = emb.select(F.col(id_col).alias("vid"), qarr.alias("q")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rows = rows.localCheckpoint(eager=True)
+    cells = rows.select(
+        "vid", F.posexplode("q").alias("pos0", "qv")
+    ).select("vid", (F.col("pos0") + 1).alias("i"), "qv")
+    stats = cells.groupBy("i").agg(F.sum("qv").alias("s")).collect()
+    n = rows.count()
+    dim = len(stats)
+    s = [0] * dim
+    for r in stats:
+        s[r["i"] - 1] = r["s"]
+    s_lit = F.array(*[F.lit(x).cast("long") for x in s])
+    pairs = rows.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (x, i) -> "
+                "transform(q, (y, j) -> struct(i + 1 AS i, j + 1 AS j, x * y AS p))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    g = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+    a = g.select(
+        "i",
+        "j",
+        (
+            F.lit(n).cast("long") * F.col("g")
+            - F.element_at(s_lit, F.col("i")) * F.element_at(s_lit, F.col("j"))
+        ).alias("aij"),
+    ).localCheckpoint(eager=True)
+    return a, s, n
+
+
+def _power_rounds(
+    a: DataFrame, val: str, dim: int, iters: int,
+    ortho: "list[float] | None" = None,
+) -> "list[float]":
+    """Power-iteration rounds over the checkpointed dim²-cell matrix
+    with the eigvec as DRIVER state (r12): the eigvec is metadata-grain
+    (dim doubles — the old per-round BroadcastExchange collected the
+    very same values to the driver before re-shipping them), so each
+    round is ONE distributed agg (u_i = Σ_j aij·v_j with v inlined as
+    an array literal, collected at dim rows) instead of a
+    localCheckpoint job + a broadcast job + a duplicated u subtree.
+    Normalization/rounding run in the driver with the identical IEEE
+    ops; the 6-decimal HALF_UP re-sync absorbs reduction-order drift
+    exactly as it did distributed (same tolerance class, oracle-checked
+    at both scales)."""
+    v = [round(1.0 / (dim ** 0.5), 6)] * dim
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(x) for x in v])
+        urows = (
+            a.groupBy("i")
+            .agg(F.sum(F.col(val) * F.element_at(vlit, F.col("j"))).alias("u"))
+            .collect()
+        )
+        u = [0.0] * dim
+        for r in urows:
+            u[r["i"] - 1] = r["u"]
+        if ortho is not None:
+            # Gram-Schmidt against the fixed first component each round
+            # (orthogonal iteration): u' = u - (u.v1) v1
+            p = sum(ui * oi for ui, oi in zip(u, ortho))
+            u = [ui - p * oi for ui, oi in zip(u, ortho)]
+        nrm = (sum(ui * ui for ui in u)) ** 0.5
+        v = [_round_half_up_6(ui / nrm) for ui in u]
+    return v
+
+
+def _rayleigh_ratio(
+    a: DataFrame, val: str, v: "list[float]", trace: int,
+) -> float:
+    """round(vᵀAv / (vᵀv · trace), 6) with v as literals — one
+    distributed agg over the checkpointed matrix, the division and the
+    final HALF_UP round in the driver (same IEEE ops as the old
+    crossJoin-of-scalar-frames plan, minus three jobs)."""
+    vlit = F.array(*[F.lit(x) for x in v])
+    num = a.agg(
+        F.sum(
+            F.element_at(vlit, F.col("i"))
+            * F.col(val)
+            * F.element_at(vlit, F.col("j"))
+        ).alias("num")
+    ).collect()[0]["num"]
+    den = sum(x * x for x in v)
+    return _round_half_up_6(num / (den * trace))
+
+
 def pca_top_component(
     emb: DataFrame, iters: int = 4, dim: int = 64, quant: int = 10_000,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -1043,11 +1180,13 @@ def pca_top_component(
          summation order) dies at the 6th decimal.
 
     Scale shape: ONE map-side pair expansion (dim^2 structs per row,
-    partially aggregated before the 4096-cell shuffle) builds A; A is
-    localCheckpoint-ed once and every round is a broadcast of the
-    64-row eigvec against the 4096-row A — no further corpus scans.
-    Sign convention: v0 = all-positive uniform, so the returned
-    component's sign is fixed by the iteration, not by chance.
+    partially aggregated before the 4096-cell shuffle, repartitioned to
+    machine width first — guide §2.5) builds A; A is localCheckpoint-ed
+    once and every round is ONE distributed agg over the 4096-row A
+    with the dim-double eigvec inlined as a literal (r12: the eigvec is
+    metadata-grain driver state — see _power_rounds) — no further
+    corpus scans. Sign convention: v0 = all-positive uniform, so the
+    returned component's sign is fixed by the iteration, not by chance.
 
     Returns (pos, loading, explained_ratio): 1-based coordinate, the
     6-dec eigvec entry, and the (repeated) Rayleigh-quotient share of
@@ -1056,69 +1195,15 @@ def pca_top_component(
     drift; the ratio is O(1) where it does).
     """
     spark = emb.sparkSession
-    qarr = F.expr(
-        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT))"
-    )
-    rows = emb.select(F.col(id_col).alias("vid"), qarr.alias("q"))
-    cells = rows.select(
-        "vid", F.posexplode("q").alias("pos0", "qv")
-    ).select("vid", (F.col("pos0") + 1).alias("i"), "qv")
-    n1 = rows.agg(F.count("*").alias("n"))
-    s = cells.groupBy("i").agg(F.sum("qv").alias("s"))
-    pairs = rows.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(q, (x, i) -> "
-                "transform(q, (y, j) -> struct(i + 1 AS i, j + 1 AS j, x * y AS p))))"
-            )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.p")
-    g = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
-    a = (
-        g.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
-        .join(F.broadcast(s.select(F.col("i").alias("j"), F.col("s").alias("sj"))), "j")
-        .crossJoin(F.broadcast(n1))
-        .select(
-            "i", "j", (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("aij")
-        )
-        .localCheckpoint(eager=True)
-    )
-    v = spark.range(1, dim + 1).select(
-        F.col("id").cast("int").alias("i"),
-        F.lit(round(1.0 / (dim ** 0.5), 6)).alias("v"),
-    )
-    for _ in range(iters):
-        u = (
-            a.join(
-                F.broadcast(v.select(F.col("i").alias("j"), F.col("v"))), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("aij") * F.col("v")).alias("u"))
-        )
-        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
-        v = (
-            u.crossJoin(F.broadcast(nrm))
-            .select("i", F.round(F.col("u") / F.col("nrm"), 6).alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    num = (
-        a.join(F.broadcast(v.select(F.col("i"), F.col("v").alias("vi"))), "i")
-        .join(F.broadcast(v.select(F.col("i").alias("j"), F.col("v").alias("vj"))), "j")
-        .agg(F.sum(F.col("vi") * F.col("aij") * F.col("vj")).alias("num"))
-    )
-    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
-    trace = a.filter(F.col("i") == F.col("j")).agg(F.sum("aij").alias("trace"))
-    ratio = (
-        num.crossJoin(F.broadcast(den))
-        .crossJoin(F.broadcast(trace))
-        .select(
-            F.round(
-                F.col("num") / (F.col("den") * F.col("trace")), 6
-            ).alias("explained_ratio")
-        )
-    )
-    return v.crossJoin(F.broadcast(ratio)).select(
-        F.col("i").alias("pos"), F.col("v").alias("loading"), "explained_ratio"
+    a, _s, _n = _gram_matrix(emb, quant, id_col, vec_col)
+    v = _power_rounds(a, "aij", dim, iters)
+    trace = a.filter(F.col("i") == F.col("j")).agg(F.sum("aij").alias("t")).collect()[0]["t"]
+    ratio = _rayleigh_ratio(a, "aij", v, trace)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i + 1, v[i], ratio) for i in range(dim)], 1
+        ),
+        schema="pos int, loading double, explained_ratio double",
     )
 
 
@@ -1143,122 +1228,46 @@ def pca_top2_components(
     Both explained ratios are shares of the SAME total variance
     (trace of A), so ratio₁ + ratio₂ is the cumulative top-2 share.
     Scale shape: identical to the top-1 fit — one dim² map-side pair
-    expansion, then every round broadcasts a 64-row eigvec against the
-    localCheckpoint-ed 4096-cell matrix; the deflated matrix is
-    checkpointed once, so the second fit re-scans nothing.
+    expansion (machine-width repartitioned), then every round is ONE
+    distributed agg over the localCheckpoint-ed 4096-cell matrix with
+    the eigvec as a driver-literal (r12 — see _power_rounds); the
+    deflated matrix is checkpointed once, so the second fit re-scans
+    nothing.
 
     Returns (pos, loading1, loading2, ratio1, ratio2), 64 rows.
     """
     spark = emb.sparkSession
-    qarr = F.expr(
-        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT))"
-    )
-    rows = emb.select(F.col(id_col).alias("vid"), qarr.alias("q"))
-    cells = rows.select("vid", F.posexplode("q").alias("pos0", "qv")).select(
-        "vid", (F.col("pos0") + 1).alias("i"), "qv"
-    )
-    n1 = rows.agg(F.count("*").alias("n"))
-    s = cells.groupBy("i").agg(F.sum("qv").alias("s"))
-    pairs = rows.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(q, (x, i) -> "
-                "transform(q, (y, j) -> struct(i + 1 AS i, j + 1 AS j, x * y AS p))))"
-            )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.p")
-    g = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
-    a = (
-        g.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
-        .join(F.broadcast(s.select(F.col("i").alias("j"), F.col("s").alias("sj"))), "j")
-        .crossJoin(F.broadcast(n1))
-        .select(
-            "i", "j", (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("aij")
-        )
-        .localCheckpoint(eager=True)
-    )
-    trace = a.filter(F.col("i") == F.col("j")).agg(F.sum("aij").alias("trace"))
+    a, _s, _n = _gram_matrix(emb, quant, id_col, vec_col)
+    trace = a.filter(F.col("i") == F.col("j")).agg(F.sum("aij").alias("t")).collect()[0]["t"]
 
-    def _iterate(mat: DataFrame, val: str, ortho: DataFrame | None = None) -> DataFrame:
-        v = spark.range(1, dim + 1).select(
-            F.col("id").cast("int").alias("i"),
-            F.lit(round(1.0 / (dim ** 0.5), 6)).alias("v"),
-        )
-        for _ in range(iters):
-            u = (
-                mat.join(F.broadcast(v.select(F.col("i").alias("j"), F.col("v"))), "j")
-                .groupBy("i")
-                .agg(F.sum(F.col(val) * F.col("v")).alias("u"))
-            )
-            if ortho is not None:
-                # Gram-Schmidt against the fixed first component each
-                # round (orthogonal iteration): u' = u - (u.v1) v1 —
-                # orthogonality holds BY CONSTRUCTION (to the 6-dec
-                # rounding), not by convergence, which power iteration
-                # cannot promise on a near-isotropic cloud
-                o = ortho.select("i", F.col("v").alias("o"))
-                pj = (
-                    u.join(F.broadcast(o), "i")
-                    .agg(F.sum(F.col("u") * F.col("o")).alias("p"))
-                )
-                u = (
-                    u.join(F.broadcast(o), "i")
-                    .crossJoin(F.broadcast(pj))
-                    .select(
-                        "i", (F.col("u") - F.col("p") * F.col("o")).alias("u")
-                    )
-                )
-            nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
-            v = (
-                u.crossJoin(F.broadcast(nrm))
-                .select("i", F.round(F.col("u") / F.col("nrm"), 6).alias("v"))
-                .localCheckpoint(eager=True)
-            )
-        return v
-
-    def _ratio(mat: DataFrame, val: str, v: DataFrame) -> DataFrame:
-        num = (
-            mat.join(F.broadcast(v.select(F.col("i"), F.col("v").alias("vi"))), "i")
-            .join(F.broadcast(v.select(F.col("i").alias("j"), F.col("v").alias("vj"))), "j")
-            .agg(F.sum(F.col("vi") * F.col(val) * F.col("vj")).alias("num"))
-        )
-        den = v.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
-        return (
-            num.crossJoin(F.broadcast(den))
-            .crossJoin(F.broadcast(trace))
-            .select(
-                F.round(F.col("num") / (F.col("den") * F.col("trace")), 6).alias("r")
-            )
-        )
-
-    v1 = _iterate(a, "aij")
-    r1 = _ratio(a, "aij", v1)
+    v1 = _power_rounds(a, "aij", dim, iters)
+    r1 = _rayleigh_ratio(a, "aij", v1, trace)
     # λ₁ from the ROUNDED ratio × exact trace: both engines compute the
     # identical pair of doubles, so the deflated cells are reproducible
-    lam1 = r1.crossJoin(F.broadcast(trace)).select(
-        (F.col("r") * F.col("trace")).alias("lam")
-    )
-    a2 = (
-        a.join(F.broadcast(v1.select(F.col("i"), F.col("v").alias("v1i"))), "i")
-        .join(F.broadcast(v1.select(F.col("i").alias("j"), F.col("v").alias("v1j"))), "j")
-        .crossJoin(F.broadcast(lam1))
-        .select(
-            "i",
-            "j",
-            (F.col("aij") - F.col("lam") * F.col("v1i") * F.col("v1j")).alias("a2ij"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    v2 = _iterate(a2, "a2ij", ortho=v1)
-    r2 = _ratio(a2, "a2ij", v2)
-    return (
-        v1.withColumnRenamed("v", "loading1")
-        .join(v2.withColumnRenamed("v", "loading2"), "i")
-        .crossJoin(F.broadcast(r1.select(F.col("r").alias("ratio1"))))
-        .crossJoin(F.broadcast(r2.select(F.col("r").alias("ratio2"))))
-        .select(
-            F.col("i").alias("pos"), "loading1", "loading2", "ratio1", "ratio2"
-        )
+    lam1 = r1 * trace
+    v1_lit = F.array(*[F.lit(x) for x in v1])
+    a2 = a.select(
+        "i",
+        "j",
+        (
+            F.col("aij")
+            - F.lit(lam1)
+            * F.element_at(v1_lit, F.col("i"))
+            * F.element_at(v1_lit, F.col("j"))
+        ).alias("a2ij"),
+    ).localCheckpoint(eager=True)
+    # Gram-Schmidt against the fixed first component each round
+    # (orthogonal iteration): orthogonality holds BY CONSTRUCTION (to
+    # the 6-dec rounding), not by convergence, which power iteration
+    # cannot promise on a near-isotropic cloud
+    v2 = _power_rounds(a2, "a2ij", dim, iters, ortho=v1)
+    r2 = _rayleigh_ratio(a2, "a2ij", v2, trace)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i + 1, v1[i], v2[i], r1, r2) for i in range(dim)], 1
+        ),
+        schema="pos int, loading1 double, loading2 double, "
+               "ratio1 double, ratio2 double",
     )
 
 

@@ -139,6 +139,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.pa", "p.pb")
+        # explicit-width dedup exchange (r12 — guide §2.5): the pair
+        # explode's byte volume is tiny at test scale, so AQE coalesced
+        # the distinct to ONE reduce task; keying the exchange ourselves
+        # keeps the dedup at machine width (distinct reuses the
+        # clustering, no second exchange) at any scale
+        .repartition(spark.sparkContext.defaultParallelism, "pa", "pb")
         .distinct()
     )
     edges = und.select(
@@ -206,26 +212,29 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """),
     tags=("analytics", "graph", "J2"),
     doc="Degree-ordered triangle counting over the co-purchase graph "
-        "(the Suri/Vassilvitskii MapReduce recipe): every undirected "
-        "edge is oriented from its lower-(degree, id) endpoint to the "
-        "higher, wedges are enumerated only at each edge's LOW-degree "
-        "apex, and each wedge is closed by one equi-join probe — the "
-        "orientation bounds per-node wedge fan-out by O(sqrt(m)) "
-        "regardless of hub degree, so the classic star-graph blowup "
-        "(a hub product in every basket generating deg^2 wedges) "
-        "cannot happen. Emits the global census: nodes, edges, wedge "
-        "count (exact sum deg*(deg-1)/2), the ORIENTED wedge count and "
-        "max oriented out-degree (r12 — verdict #5: the exact number "
-        "of candidate pairs the wedge join enumerates and the per-node "
-        "fan-out cap, as audit columns so the scale claim is measured, "
-        "not asserted — at the sf1 rehearsal oriented wedges scale "
-        "41.1M -> 410.9M, exactly 10x, with max out-degree 97 at BOTH "
-        "scales: the ~8.4x wall decade IS the 10x work decade, linear, "
-        "skew-free), triangles, and transitivity = 3T/W as ONE IEEE "
-        "division of exact integers (never a rounded quotient). "
-        "Shuffles: edge build (map-side from basket arrays), degree "
-        "agg, wedge self-join on the apex key, closing equi-join on "
-        "(v, w) — all candidate-bounded.",
+        "(Suri/Vassilvitskii orientation + adjacency-intersection "
+        "closing, r12): every undirected edge is oriented from its "
+        "lower-(degree, id) endpoint to the higher — the orientation "
+        "bounds per-node out-degree by O(sqrt(m)) regardless of hub "
+        "degree, so the classic star-graph blowup (a hub product in "
+        "every basket generating deg^2 wedges) cannot happen — and "
+        "each triangle is counted once as a common out-neighbor of its "
+        "source→middle edge's endpoints (sum of array_intersect sizes "
+        "over the oriented edge list; the r11 plan materialized every "
+        "oriented wedge as a row through two shuffled equi-joins). "
+        "Emits the global census: nodes, edges, wedge count (exact sum "
+        "deg*(deg-1)/2), the ORIENTED wedge count and max oriented "
+        "out-degree (r12 — verdict #5: the exact intersection work "
+        "bound and the per-node fan-out cap, as audit columns so the "
+        "scale claim is measured, not asserted — at the sf1 rehearsal "
+        "oriented wedges scale 41.1M -> 410.9M, exactly 10x, with max "
+        "out-degree 97 at BOTH scales), triangles, and transitivity = "
+        "3T/W as ONE IEEE division of exact integers (never a rounded "
+        "quotient). Shuffles: edge build (map-side from basket arrays, "
+        "machine-width dedup exchange), degree agg, adjacency "
+        "collect_list — the closing itself is a broadcast join + "
+        "map-side intersection (equi-join fallback for billion-node "
+        "graphs: operators/graph.py::triangle_census(broadcast_adj)).",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = StarSchema(spark, sf_dir)
@@ -245,6 +254,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.pa", "p.pb")
+        # explicit-width dedup exchange (r12 — guide §2.5): the pair
+        # explode's byte volume is tiny at test scale, so AQE coalesced
+        # the distinct to ONE reduce task; keying the exchange ourselves
+        # keeps the dedup at machine width (distinct reuses the
+        # clustering, no second exchange) at any scale
+        .repartition(spark.sparkContext.defaultParallelism, "pa", "pb")
         .distinct()
     )
     # census core lives in operators/graph.py (pinned shared frames,

@@ -1654,12 +1654,23 @@ def ann_index_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _row(name: str, key_sum, pay_df: DataFrame, pay_sum) -> DataFrame:
         df = IX.read_artifact(spark, sf_dir, name)
+        if pay_df is None:
+            # payload rides the SAME aggregate as the key/count when it
+            # needs no explode (r12 — guide §1.2: one artifact scan and
+            # one scalar agg instead of two plus a crossJoin; identical
+            # exact-integer sums)
+            return df.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                key_sum.cast("long").alias("key_sum"),
+                pay_sum.cast("long").alias("payload_sum"),
+            ).select(
+                F.lit(name).alias("artifact"), "n_rows", "key_sum", "payload_sum"
+            )
         base = df.agg(
             F.count("*").cast("long").alias("n_rows"),
             key_sum.cast("long").alias("key_sum"),
         )
-        pay = pay_df if pay_df is not None else df
-        payload = pay.agg(pay_sum.cast("long").alias("payload_sum"))
+        payload = pay_df.agg(pay_sum.cast("long").alias("payload_sum"))
         return base.crossJoin(payload).select(
             F.lit(name).alias("artifact"), "n_rows", "key_sum", "payload_sum"
         )
@@ -2907,8 +2918,14 @@ def _o_minhash_audit() -> str:
         "intersections join shingles only for candidate pairs.",
 )
 def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pins import fresh_pins, pin
+
     sh = _doc_shingles(spark, sf_dir)
-    sigs = D.minhash_signatures_from_shingles(sh, 32)
+    # pin the doc-cardinality signature frame (r12): it feeds the band
+    # join and both estimator-join sides — 3 executions of the 32-way
+    # min-hash aggregation without it (OPTIMIZATION_r12.md)
+    fresh_pins()
+    sigs = pin(D.minhash_signatures_from_shingles(sh, 32))
     cands = D.lsh_candidate_pairs(sigs, 16)
     sig_arr = sigs.select(
         "doc", F.array(*[F.col(f"m{i}") for i in range(32)]).alias("sig")

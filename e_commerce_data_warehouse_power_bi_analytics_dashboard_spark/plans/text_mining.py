@@ -462,18 +462,26 @@ def _o_bpe_trainer(rounds: int = _BPE_ROUNDS) -> str:
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps, _ = _bpe_fit(spark, sf_dir)
-    out = steps[0]
-    for s_df in steps[1:]:
-        out = out.unionAll(s_df)
-    return out.orderBy("step")
+    return steps.orderBy("step")
 
 
 def _bpe_fit(
     spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
-) -> tuple[list[DataFrame], DataFrame]:
-    """The shared trainer loop: returns (per-round merge frames, the
-    final word-type symbol table (w, freq, s)) — consumed by both the
-    trainer entry and the encoder entry."""
+) -> tuple[DataFrame, DataFrame]:
+    """The shared trainer loop: returns (the merge-step frame
+    (step, sym_left, sym_right, pair_count), the final word-type symbol
+    table (w, freq, s)) — consumed by both the trainer entry and the
+    encoder entry.
+
+    r12 (guide §1.2 — the driver-state pattern of the pca/lr/k-means
+    fits): the winning pair is ONE ROW per round — the old plan
+    broadcast it back as a frame AND re-executed every round's pair
+    aggregation a second time when the trainer entry unioned the step
+    frames. It is now collected per round (the same single row the
+    BroadcastExchange shipped anyway), inlined into the merge fold as
+    string literals, and the step table is one single-slice local
+    frame. The corpus-sized work (pair explode + sum per round over
+    the word-type table) is unchanged and stays distributed."""
     docs = read_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.expr(s_tokens("text"))).alias("w"))
@@ -485,7 +493,7 @@ def _bpe_fit(
         "w", "freq",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"),
     )
-    steps = []
+    steps: list[tuple] = []
     for i in range(1, _BPE_ROUNDS + 1):
         pairs = cur.select(
             F.explode(
@@ -502,16 +510,13 @@ def _bpe_fit(
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
             .limit(1)
+            .collect()[0]
         )
-        steps.append(
-            best.select(
-                F.lit(i).alias("step"),
-                F.col("l").alias("sym_left"),
-                F.col("r").alias("sym_right"),
-                F.col("n").cast("long").alias("pair_count"),
-            )
-        )
-        cur = cur.crossJoin(F.broadcast(best.select("l", "r"))).select(
+        steps.append((i, best["l"], best["r"], int(best["n"])))
+        # the winning pair rides into the fold as lit() columns (never
+        # string-interpolated SQL — symbols are corpus text), keeping
+        # the fold expression byte-identical to the broadcast-frame plan
+        cur = cur.withColumns({"l": F.lit(best["l"]), "r": F.lit(best["r"])}).select(
             "w", "freq",
             F.expr(
                 "aggregate(s, CAST(array() AS array<string>), "
@@ -525,7 +530,11 @@ def _bpe_fit(
         # this, round i re-executes every earlier round's pair count +
         # fold — O(R²) over the vocabulary instead of O(R)
         cur = cur.localCheckpoint(eager=True)
-    return steps, cur
+    steps_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(steps, 1),
+        schema="step int, sym_left string, sym_right string, pair_count long",
+    )
+    return steps_df, cur
 
 
 @register(
@@ -825,12 +834,18 @@ _S_BIGRAMS = (
         "to 2.",
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pins import fresh_pins, pin
+
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.expr("filter(split(text, ' '), t -> t <> '')").alias("_toks"),
     )
-    df_counts = (
+    # pin the per-doc bigram counts (r12 — guide §1.2): the frame feeds
+    # the LM sum, the context sum AND the scoring join, so unpinned the
+    # tokenize+bigram explode over the full corpus executed three times
+    fresh_pins()
+    df_counts = pin(
         toks.select("doc_id", F.explode(F.expr(_S_BIGRAMS)).alias("b"))
         .groupBy("doc_id", "b")
         .agg(F.count("*").alias("c"))

@@ -248,7 +248,34 @@ class StarSchema:
 
     @property
     def fact_sales(self) -> DataFrame:
-        return self._persisted("fact_sales", self._fact_sales())
+        # r12 (guide §2.4/§2.5 — OPTIMIZATION_r12.md): persist the fact
+        # hash-partitioned on invoiceid at machine width. The
+        # conformance join's output otherwise caches at the AQE-
+        # coalesced width of its tiny test-scale shuffle (1-2
+        # partitions), so EVERY downstream aggregation's map side ran
+        # nearly single-task; and the basket/graph entries that
+        # groupBy(invoiceid) now read a cache that already satisfies
+        # their clustering — the 600k-row exchange disappears from
+        # their plans. The one extra exchange is paid once at load
+        # time (the reference pays the same cost in its CREATE TABLE
+        # load). At 100 TB this is plans/layout.py's bucketed silver
+        # table; the query plans are identical either way.
+        # The UN-partitioned fact plan stays persisted as well: several
+        # entries (the ELT differential SQL, the staging reconciliation)
+        # build the raw conformance join themselves, and CacheManager
+        # substitutes a cached plan only on an EXACT canonical subtree
+        # match — without this, adding the repartition to the cached
+        # plan silently turned their cache hits into full recomputes
+        # (measured: validation_kpi_summary 1.4s -> 2.9s). The wide
+        # cache builds FROM the base cache, so load pays one extra
+        # cached-read pass, not a second conformance join.
+        base = self._persisted("fact_sales_base", self._fact_sales())
+        return self._persisted(
+            "fact_sales",
+            base.repartition(
+                self.spark.sparkContext.defaultParallelism, "invoiceid"
+            ),
+        )
 
     def _fact_sales(self) -> DataFrame:
         li, o = self.raw("lineitem"), self.raw("orders")
