@@ -105,6 +105,10 @@ def lr_fit(
             F.avg(F.col("val") * F.col("err")).alias("g"),
             F.avg("err").alias("gb"),
         ).collect()
+        if not grads:
+            # empty input (r12 advisory): no gradient groups at all —
+            # keep the current weights instead of raising on min([])
+            break
         g = [0.0] * dim
         for r in grads:
             g[r["pos"]] = r["g"]

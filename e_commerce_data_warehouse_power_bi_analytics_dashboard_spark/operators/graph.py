@@ -20,10 +20,25 @@ SCALE = 1_000_000_000_000
 DAMP_NUM, BASE_NUM, DAMP_DEN = 85, 15, 100
 
 
+def _fits_broadcast(spark, est_bytes: int) -> bool:
+    """Auto-selection gate for the node-cardinality broadcast frames
+    (r13 — VERDICT r12 #3): compare a MEASURED size bound against the
+    session's ``autoBroadcastJoinThreshold`` instead of trusting a
+    constructor flag — at billion-node scale the default must fall back
+    to the equi-join plans by itself, not wait for a caller to know."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    m = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    low = raw.lower().removesuffix("b")
+    thr = (
+        int(low[:-1]) * m[low[-1]] if low and low[-1] in m else int(low)
+    )
+    return 0 < est_bytes < thr if thr > 0 else False
+
+
 def fixed_point_pagerank(
     edges: DataFrame, iters: int, salt_hubs: int = 0,
-    broadcast_contrib: bool = True, broadcast_degree: bool = True,
-    broadcast_rank: bool = True,
+    broadcast_contrib: bool | None = None, broadcast_degree: bool | None = None,
+    broadcast_rank: bool | None = None,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list ``(src, dst)`` (pass both
     orientations for an undirected graph) → ``(node, pr)`` with integer
@@ -52,25 +67,51 @@ def fixed_point_pagerank(
     pinned once per invocation (operators/pins.py — the registry releases
     the previous invocation's pins, so long-lived sessions don't
     accumulate cache); each round is one edges⋈rank shuffle plus a
-    dst-keyed aggregation. ``broadcast_degree=True`` (default) joins the
-    node-cardinality degree frame broadcast per round; pass False when
-    the node table outgrows the broadcast limit (billion-node graphs) —
-    degree is then pre-joined into the pinned edge frame ONCE (one extra
-    co-partitioned shuffle at pin time, none per round). Both flags'
-    plans are bit-identical in output (integer arithmetic — the property
-    tests run all combinations on the same graphs).
+    dst-keyed aggregation. The three ``broadcast_*`` knobs default to
+    ``None`` = AUTO (r13 — VERDICT r12 #3): the node universe is counted
+    once per invocation (a metadata-grain count that materializes the
+    pins the first action pays for anyway) and each node-cardinality
+    frame (rank, degree, contribution) broadcasts only when its measured
+    ~64 B/row bound fits the session ``autoBroadcastJoinThreshold`` —
+    billion-node graphs fall back to the equi-join plans by themselves.
+    ``broadcast_degree`` False routes degree into the pinned edge frame
+    ONCE (one src-keyed window at pin time, no per-round degree join).
+    Every flag combination is bit-identical in output (integer
+    arithmetic — the property tests run the combinations on the same
+    graphs).
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     fresh_pins()
+    spark = edges.sparkSession
     # pin the edge frame at machine width (r12 — guide §2.5): the edge
     # build's tiny-byte shuffles otherwise leave the cached frame at
     # 1-2 AQE-coalesced partitions, so every round's join+contribution
     # scan ran nearly single-task at test scale; the one extra exchange
     # is paid once at pin time, each round reads the cached width
-    width = edges.sparkSession.sparkContext.defaultParallelism
+    width = spark.sparkContext.defaultParallelism
+    base = pin(edges.select("src", "dst").repartition(width, "src"))
+    nodes = pin(
+        base.select(F.col("src").alias("node"))
+        .union(base.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # ONE metadata-grain count per invocation (r13 — VERDICT r12 #3):
+    # materializes the edge/node pins (work the first action pays
+    # anyway) and prices the broadcast gates below from MEASURED
+    # cardinality instead of a caller flag; it also replaces the old
+    # per-plan 1-row ``nn`` broadcast with a driver literal —
+    # bit-identical (the same exact count through the same integer
+    # divisions, now evaluated driver-side).
+    n_nodes = nodes.count()
+    # ~64 B/row bound for the (node, long) broadcast frames (rank,
+    # degree, contribution): unsafe-row payload + hash-relation slack
+    fits = _fits_broadcast(spark, n_nodes * 64)
+    broadcast_contrib = fits if broadcast_contrib is None else broadcast_contrib
+    broadcast_degree = fits if broadcast_degree is None else broadcast_degree
+    broadcast_rank = fits if broadcast_rank is None else broadcast_rank
     if broadcast_degree:
-        edges = pin(edges.select("src", "dst").repartition(width, "src"))
+        edges = base
         deg = pin(
             edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
         )
@@ -81,21 +122,21 @@ def fixed_point_pagerank(
         from pyspark.sql.window import Window
 
         edges = pin(
-            edges.select("src", "dst").repartition(width, "src").withColumn(
+            base.withColumn(
                 "deg", F.count("*").over(Window.partitionBy("src")).cast("long")
             )
         )
+        # superseded by the deg-enriched pin — don't hold two
+        # edge-cardinality caches on the billion-node path
+        base.unpersist(blocking=False)
         deg = None
-    nodes = pin(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nn = nodes.groupBy().agg(F.count("*").cast("long").alias("nn"))
+    if n_nodes == 0:
+        # empty graph: every downstream frame is empty; short-circuit so
+        # the driver-side SCALE // n_nodes below never divides by zero
+        return nodes.select("node", F.lit(0).cast("long").alias("pr"))
 
-    pr = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("node", F.expr(f"{SCALE} div nn").cast("long").alias("pr"))
+    pr = nodes.select(
+        "node", F.lit(SCALE // n_nodes).cast("long").alias("pr")
     )
     for _ in range(iters):
         # broadcast the node-cardinality rank frame into the per-round
@@ -133,13 +174,14 @@ def fixed_point_pagerank(
         # to a node-keyed shuffle join)
         if broadcast_contrib:
             contrib = F.broadcast(contrib)
+        base_mass = (BASE_NUM * (SCALE // n_nodes)) // DAMP_DEN
         pr = (
-            nodes.crossJoin(F.broadcast(nn))
+            nodes
             .join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (
-                    F.expr(f"({BASE_NUM} * ({SCALE} div nn)) div {DAMP_DEN}")
+                    F.lit(base_mass)
                     + F.expr(
                         f"({DAMP_NUM} * coalesce(contrib, 0L)) div {DAMP_DEN}"
                     )
@@ -176,7 +218,7 @@ def pagerank_reference(edges: list[tuple[int, int]], iters: int) -> dict[int, in
     return dict(pr)
 
 
-def triangle_census(und: DataFrame, broadcast_adj: bool = True) -> DataFrame:
+def triangle_census(und: DataFrame, broadcast_adj: bool | None = None) -> DataFrame:
     """Degree-ordered triangle counting over an undirected edge set
     (Suri/Vassilvitskii orientation + adjacency-intersection closing):
     ``und`` holds one row per undirected edge as (pa, pb) with pa < pb,
@@ -244,10 +286,22 @@ def triangle_census(und: DataFrame, broadcast_adj: bool = True) -> DataFrame:
             F.array_sort(F.collect_list("dst")).alias("nb")
         )
     )
-    # ``broadcast_adj=False`` is the billion-node fallback: the
-    # adjacency table (node-cardinality, rows capped at O(sqrt(m))
-    # neighbors) then attaches through two ordinary equi-joins instead
-    # of a broadcast — bit-identical output (integer count).
+    # ``broadcast_adj`` None = AUTO (r13 — VERDICT r12 #3): price the
+    # adjacency broadcast from MEASURED cardinality — one count on the
+    # pinned edge frame (work the first action pays anyway; the count
+    # also materializes the pins) — instead of a caller flag. Adjacency
+    # bytes ≈ one row per node (~48 B) + one array cell per oriented
+    # edge (~16 B); ``broadcast_adj=False`` stays the explicit
+    # billion-node fallback: the adjacency table (node-cardinality,
+    # rows capped at O(sqrt(m)) neighbors) then attaches through two
+    # ordinary equi-joins instead of a broadcast — bit-identical output
+    # (integer count).
+    if broadcast_adj is None:
+        m_edges = oriented.count()
+        n_nodes_est = deg.count()
+        broadcast_adj = _fits_broadcast(
+            und.sparkSession, n_nodes_est * 48 + m_edges * 16
+        )
     adj_src = adj.select("src", F.col("nb").alias("nb_src"))
     adj_dst = adj.select(F.col("src").alias("dst"), F.col("nb").alias("nb_dst"))
     if broadcast_adj:

@@ -14,6 +14,17 @@ recomputes if its pin was evicted before its action ran.
 
 bench.py / correctness_local.py additionally clear the whole cache
 between reps; this registry is the in-session guard for everyone else.
+
+Ownership contract (r12 advisory): OPERATORS own the registry. Library
+operators (``minhash_lsh_near_dups``, ``substring_spans``,
+``triangle_census``, ``fixed_point_pagerank``, ...) call
+:func:`fresh_pins` on entry, which releases EVERY pin registered so
+far — including any a calling plan registered itself. Plans must
+therefore never ``pin()`` a frame and then call a pinned operator while
+that frame's action is still pending; pass the frame INTO the operator
+(e.g. the ``shingles=`` parameter) or materialize it first. Releasing
+is always correctness-safe (persist marks lineage, it does not
+truncate), so a violated contract recomputes — it never corrupts.
 """
 
 from __future__ import annotations

@@ -2926,50 +2926,67 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-hash aggregation without it (OPTIMIZATION_r12.md)
     fresh_pins()
     sigs = pin(D.minhash_signatures_from_shingles(sh, 32))
-    cands = D.lsh_candidate_pairs(sigs, 16)
-    sig_arr = sigs.select(
-        "doc", F.array(*[F.col(f"m{i}") for i in range(32)]).alias("sig")
+    # pin the candidate pairs too (r13 — guide §1.2): they feed the
+    # doc-prune below AND the per-pair join, so the band self-join +
+    # distinct would otherwise execute twice per run
+    cands = pin(D.lsh_candidate_pairs(sigs, 16))
+    # r13 (guide §2.3/§3.2 — OPTIMIZATION_r13.md): the exact
+    # intersections used to be a g-keyed join — cands ⋈ shingles(doc_a)
+    # ⋈ shingles(doc_b) — that shuffled the FULL shingle table plus the
+    # candidate-expanded probe on (doc_b, g) (the before-plan's
+    # SortMergeJoin; the entry's 3-8s variance lived in that exchange).
+    # Only candidate-matched docs can contribute, so: semi-join-prune
+    # the shingle set to candidate docs FIRST, fold each surviving
+    # doc's shingles into ONE sorted-array row, and compute
+    # |∩| via array_intersect per candidate pair — the exact same
+    # distinct-shingle counts (shingle_set rows are distinct), with the
+    # shuffle carrying candidate docs' sets once instead of every
+    # (pair × shingle) row. Same shape as the r12 triangle closing.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
     )
-    est = (
+    docsets = (
+        sh.join(cand_docs, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(F.collect_set("g")).alias("gs"),
+            F.count("*").cast("long").alias("sz"),
+        )
+    )
+    side = docsets.join(
+        sigs.select(
+            "doc", F.array(*[F.col(f"m{i}") for i in range(32)]).alias("sig")
+        ),
+        "doc",
+    )
+    per = (
         cands.join(
-            sig_arr.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a")),
+            side.select(
+                F.col("doc").alias("doc_a"), F.col("gs").alias("gs_a"),
+                F.col("sz").alias("sz_a"), F.col("sig").alias("sig_a"),
+            ),
             "doc_a",
         )
         .join(
-            sig_arr.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b")),
+            side.select(
+                F.col("doc").alias("doc_b"), F.col("gs").alias("gs_b"),
+                F.col("sz").alias("sz_b"), F.col("sig").alias("sig_b"),
+            ),
             "doc_b",
         )
         .select(
-            "doc_a",
-            "doc_b",
             F.expr(
                 "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
             ).alias("est_matches"),
-        )
-    )
-    ea = sh.select(F.col("doc").alias("doc_a"), "g")
-    eb = sh.select(F.col("doc").alias("doc_b"), "g")
-    inter = (
-        cands.join(ea, "doc_a")
-        .join(eb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    per = (
-        est.join(inter, ["doc_a", "doc_b"], "left")
-        .join(
-            F.broadcast(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))),
-            "doc_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b")).alias("_sz_sum"),
         )
         .select(
             "est_matches",
-            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
-            (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))).alias("un"),
+            "inter",
+            (F.col("_sz_sum") - F.col("inter")).alias("un"),
         )
     )
     return per.groupBy("est_matches").agg(

@@ -505,13 +505,20 @@ def _bpe_fit(
             ).alias("p"),
             "freq",
         )
-        best = (
+        rows = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # corpus degenerated to single-symbol words before the round
+            # budget ran out (r12 advisory): no pairs left to merge —
+            # emit the steps gathered so far, like the old
+            # broadcast-frame plan's graceful empty-round degradation
+            break
+        best = rows[0]
         steps.append((i, best["l"], best["r"], int(best["n"])))
         # the winning pair rides into the fold as lit() columns (never
         # string-interpolated SQL — symbols are corpus text), keeping

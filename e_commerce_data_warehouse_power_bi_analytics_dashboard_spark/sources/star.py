@@ -248,33 +248,31 @@ class StarSchema:
 
     @property
     def fact_sales(self) -> DataFrame:
-        # r12 (guide §2.4/§2.5 — OPTIMIZATION_r12.md): persist the fact
-        # hash-partitioned on invoiceid at machine width. The
-        # conformance join's output otherwise caches at the AQE-
-        # coalesced width of its tiny test-scale shuffle (1-2
-        # partitions), so EVERY downstream aggregation's map side ran
-        # nearly single-task; and the basket/graph entries that
-        # groupBy(invoiceid) now read a cache that already satisfies
-        # their clustering — the 600k-row exchange disappears from
-        # their plans. The one extra exchange is paid once at load
-        # time (the reference pays the same cost in its CREATE TABLE
-        # load). At 100 TB this is plans/layout.py's bucketed silver
-        # table; the query plans are identical either way.
-        # The UN-partitioned fact plan stays persisted as well: several
-        # entries (the ELT differential SQL, the staging reconciliation)
-        # build the raw conformance join themselves, and CacheManager
+        # r13 (guide §2.4 bucketing / §6 layout — VERDICT r12 #5): the
+        # fact is served from the invoiceid-bucketed on-disk silver
+        # table (sources/silver.py), converging the r12 second
+        # in-memory persist (a repartition of the base cache) onto the
+        # scale-correct form — ONE layout write per scale dir, then
+        # every scan is bucket-parallel and every groupBy/join on
+        # invoiceid reads a partitioning that already satisfies its
+        # clustering (exchange-free basket/graph edge builds), with no
+        # second fact-sized cache copy resident. The scan stays
+        # UNPERSISTED: the bucketed read is a 32-task columnar scan of
+        # the OS-page-cached silver files (measured at parity with the
+        # r12 in-memory copy; numbers in OPTIMIZATION_r13.md).
+        # The UN-partitioned fact plan stays persisted: several entries
+        # (the ELT differential SQL, the staging reconciliation) build
+        # the raw conformance join themselves, and CacheManager
         # substitutes a cached plan only on an EXACT canonical subtree
-        # match — without this, adding the repartition to the cached
-        # plan silently turned their cache hits into full recomputes
-        # (measured: validation_kpi_summary 1.4s -> 2.9s). The wide
-        # cache builds FROM the base cache, so load pays one extra
-        # cached-read pass, not a second conformance join.
+        # match (measured in r12: without it,
+        # validation_kpi_summary 1.4s -> 2.9s). The silver write builds
+        # FROM the base cache, so a cold load pays one cached-read pass
+        # plus the bucketed write, once per scale dir.
+        from .silver import ensure_bucketed
+
         base = self._persisted("fact_sales_base", self._fact_sales())
-        return self._persisted(
-            "fact_sales",
-            base.repartition(
-                self.spark.sparkContext.defaultParallelism, "invoiceid"
-            ),
+        return ensure_bucketed(
+            self.spark, self.sf_dir, "fact_sales", lambda: base, "invoiceid"
         )
 
     def _fact_sales(self) -> DataFrame:

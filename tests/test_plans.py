@@ -60,8 +60,15 @@ def test_aggregation_is_partial_then_final(spark):
     # explicit machine-width repartition (r12, sources/star.py —
     # REPARTITION_BY_NUM origin) is a layout exchange with no agg pair
     # and is excluded.
-    agg_exchanges = plan.count("Exchange hashpartitioning") - plan.count(
-        "REPARTITION_BY_NUM"
+    # count only HASH-partitioned repartition exchanges (r12 advisory:
+    # the bare REPARTITION_BY_NUM tag also marks round-robin
+    # repartitions, which the hashpartitioning count never included —
+    # subtracting those would make the bound vacuous)
+    agg_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and "REPARTITION_BY_NUM" not in line
     )
     assert plan.count("HashAggregate") >= 2 * agg_exchanges
 
